@@ -1,0 +1,112 @@
+"""End-to-end medallion orchestration (run_pipeline.py, EP1 in SURVEY.md §3).
+
+The reference drives stages through Kubernetes CRs; here each stage is a
+function call over one SparkSession, with the same gates: empty-input guard
+(CM:176-178, CM:375-377) and the smoke round-trip (CM:416-448).
+
+Writes default to partitioned parquet directories (identity partitioning →
+partition pruning downstream, CM:327-329 / CM:409-411 analogue); pass
+``use_tables=True`` to write managed tables via sources.io.write_table.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_lakehouse_medallion_pipeline_spark.medallion.generate import generate_bronze
+from spark_lakehouse_medallion_pipeline_spark.medallion.gold import build_gold
+from spark_lakehouse_medallion_pipeline_spark.medallion.silver import build_silver
+from spark_lakehouse_medallion_pipeline_spark.sources.io import (
+    create_namespace,
+    read_parquet,
+    write_partitioned_parquet,
+    write_parquet,
+    write_table,
+)
+
+
+class EmptyStageError(RuntimeError):
+    """Raised when a stage reads zero rows (reference aborts via SystemExit)."""
+
+
+def smoke(spark: SparkSession, base_dir: str) -> int:
+    """Write/read round-trip of 100 rows (smoke.py, CM:416-448)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).toDF("test_id").withColumn(
+        "test_data", F.lit("smoke_test_data_12345")
+    )
+    path = f"{base_dir}/_smoke"
+    write_parquet(df, path)
+    n = read_parquet(spark, path).count()
+    if n != 100:
+        raise RuntimeError(f"SMOKE_FAIL row count mismatch: expected 100, got {n}")
+    return n
+
+
+def run_pipeline(
+    spark: SparkSession,
+    base_dir: str,
+    rows: int = 10_000,
+    payload_kb: int = 1,
+    as_of: str | None = "2024-03-01 12:00:00",
+    use_tables: bool = False,
+    partitions: int | None = None,
+) -> dict[str, float | int]:
+    """smoke -> bronze -> silver -> gold; returns stage timings + row counts."""
+    stats: dict[str, float | int] = {}
+
+    t0 = time.time()
+    smoke(spark, base_dir)
+    stats["smoke_sec"] = time.time() - t0
+
+    # Bronze: generate -> parquet (CM:127-133)
+    t0 = time.time()
+    bronze_path = f"{base_dir}/bronze/customer/interactions"
+    write_parquet(
+        generate_bronze(spark, rows, partitions=partitions, payload_kb=payload_kb, as_of=as_of or None),
+        bronze_path,
+    )
+    stats["bronze_sec"] = time.time() - t0
+
+    # Silver: read bronze, guard, enrich, partitioned write (CM:172-340)
+    t0 = time.time()
+    bronze_df = read_parquet(spark, bronze_path)
+    if bronze_df.isEmpty():
+        raise EmptyStageError("Bronze dataset is empty - run Bronze job first")
+    silver_df = build_silver(bronze_df, as_of=as_of)
+    if use_tables:
+        create_namespace(spark, "silver")
+        write_table(silver_df, "silver.customer_interactions_enriched", ["interaction_date", "channel"])
+    else:
+        write_partitioned_parquet(silver_df, f"{base_dir}/silver/customer_interactions_enriched", ["interaction_date", "channel"])
+    stats["silver_sec"] = time.time() - t0
+
+    # Gold: read silver, guard, aggregate, partitioned write (CM:370-411)
+    t0 = time.time()
+    silver_back = (
+        spark.table("silver.customer_interactions_enriched")
+        if use_tables
+        else read_parquet(spark, f"{base_dir}/silver/customer_interactions_enriched")
+    )
+    if silver_back.isEmpty():
+        raise EmptyStageError("Silver table is empty - run Silver job first")
+    gold_df = build_gold(silver_back)
+    if use_tables:
+        create_namespace(spark, "gold")
+        write_table(gold_df, "gold.customer_executive_dashboard", ["interaction_date"])
+        stats["gold_rows"] = spark.table("gold.customer_executive_dashboard").count()
+    else:
+        gold_path = f"{base_dir}/gold/customer_executive_dashboard"
+        write_partitioned_parquet(gold_df, gold_path, ["interaction_date"])
+        stats["gold_rows"] = read_parquet(spark, gold_path).count()
+    stats["gold_sec"] = time.time() - t0
+
+    return stats
+
+
+def gold_over_bronze(spark: SparkSession, rows: int, as_of: str = "2024-03-01 12:00:00") -> DataFrame:
+    """Generate -> enrich -> aggregate without materializing (for tests/bench)."""
+    return build_gold(build_silver(generate_bronze(spark, rows, as_of=as_of), as_of=as_of))

@@ -1,0 +1,267 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY.md §2b X17-X18).
+
+Four tiers, all shuffle-on-key (never cross-join), so each scales to 100 TB:
+
+  exact            hash-groupBy on normalized text            (1 shuffle)
+  minhash_lsh      shingle -> minhash -> band -> bucket join  (2 shuffles)
+  simhash          64-bit sign-of-weighted-sum fingerprint    (1 shuffle)
+  ngram_jaccard    token-set jaccard on candidate pairs       (verify stage)
+
+The LSH path is the canonical web-scale near-dup design (shingling +
+MinHash from Broder '97; banding from Mining of Massive Datasets ch.3):
+documents sharing ANY band bucket become candidate pairs; jaccard on the
+full signature (or token sets) verifies. Everything below is pure Column
+expressions — higher-order array functions, xxhash64 — no Python UDFs, so
+the hot path stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spark_lakehouse_medallion_pipeline_spark.operators.text import (
+    normalized_text,
+    whitespace_tokens,
+)
+
+
+def exact_dedup_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup over normalized text: one row per distinct content,
+    keeping the smallest id (deterministic keeper) + the copy count."""
+    return (
+        docs.groupBy(normalized_text(F.col(text_col)).alias("content_key"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def drop_exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep exactly the keeper row per distinct normalized text. Implemented
+    as min-id-per-content semi-join rather than dropDuplicates so the kept
+    row is deterministic under any partitioning."""
+    keepers = exact_dedup_groups(docs, id_col, text_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    return docs.join(keepers, on=id_col, how="left_semi")
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles as array<string> over normalized text."""
+    toks = whitespace_tokens(normalized_text(text))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 64, shingle_k: int = 3) -> Column:
+    """MinHash signature (array<bigint>, length num_hashes).
+
+    Hash family: xxhash64(shingle, seed=i) for i in 0..n-1 — independent
+    enough for banding, deterministic everywhere, and entirely JVM-side.
+    """
+    shingles = word_shingles(text, shingle_k)
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.transform(
+        seeds,
+        lambda s: F.array_min(F.transform(shingles, lambda sh: F.xxhash64(sh, s))),
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    Plan shape: project signatures (scan-local) -> explode to (band,
+    band_hash, id) -> self-join on (band, band_hash) -> distinct pairs.
+    The join key is the band bucket, so co-bucketed docs only — never a
+    cross join. rows ~ docs * bands; at 100 TB, band_hash is a well-spread
+    64-bit key, so the shuffle is uniform (no salting needed).
+
+    Returns (id_a, id_b, n_shared_bands) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.band_hash")
+
+    left = banded.select(
+        F.col("band"), F.col("band_hash"), F.col("_id").alias("id_a")
+    )
+    right = banded.select(
+        F.col("band"), F.col("band_hash"), F.col("_id").alias("id_b")
+    )
+    return (
+        left.join(right, on=["band", "band_hash"], how="inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def minhash_jaccard_estimate(
+    docs: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Verify candidates: estimated jaccard = fraction of matching minhash
+    positions. Joins signatures to both sides of the candidate pairs."""
+    sig = docs.select(
+        F.col(id_col).alias("_sid"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("_sig"),
+    )
+    a = sig.select(F.col("_sid").alias("id_a"), F.col("_sig").alias("sig_a"))
+    b = sig.select(F.col("_sid").alias("id_b"), F.col("_sig").alias("sig_b"))
+    paired = candidates.join(a, "id_a").join(b, "id_b")
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    return paired.select(
+        "id_a",
+        "id_b",
+        (matches.cast("double") / F.lit(float(num_hashes))).alias("jaccard_est"),
+    )
+
+
+# One-pass SimHash fold, SQL-lambda form. The PySpark shiftright() wrapper
+# only takes a literal shift, but the SQL `>>` operator shifts by a column —
+# so the per-bit vote loop lives in an expr over a prepared `_hashes` array.
+_SIMHASH_VOTES = (
+    "aggregate(_hashes, array_repeat(0L, 64),"
+    " (acc, h) -> zip_with(acc, sequence(0, 63),"
+    "   (a, i) -> a + CASE WHEN (h >> i) & 1 = 1 THEN 1L ELSE -1L END))"
+)
+_SIMHASH_EXPR = (
+    f"aggregate(zip_with({_SIMHASH_VOTES}, sequence(0, 63),"
+    " (v, i) -> CASE WHEN v > 0 THEN shiftleft(1L, i) ELSE 0L END),"
+    " 0L, (acc, x) -> acc | x)"
+)
+
+
+def with_simhash64(
+    df: DataFrame, text_col: str, out_col: str = "simhash", shingle_k: int = 2
+) -> DataFrame:
+    """64-bit SimHash over word shingles (Charikar '02): bit i of the
+    fingerprint is the sign of the sum over tokens of ±1 per token-hash
+    bit. One aggregate pass over the token hashes per document; pure
+    JVM expressions."""
+    shingles = word_shingles(F.col(text_col), shingle_k)
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    return df.withColumn("_hashes", hashes).withColumn(
+        out_col, F.expr(_SIMHASH_EXPR)
+    ).drop("_hashes")
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    shingle_k: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Blocking: split the 64-bit fingerprint into (max_hamming+1) 16-bit
+    chunks — two fingerprints within hamming distance h must agree on at
+    least one chunk (pigeonhole), so the join key is (chunk_idx, chunk),
+    never a cross join."""
+    fp = with_simhash64(
+        docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")),
+        "_text",
+        "_fp",
+        shingle_k,
+    ).select("_id", "_fp")
+    n_chunks = 4
+    # Chunk indices are Python ints (shiftright takes a literal shift).
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_idx"),
+                F.shiftright(F.col("_fp"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    chunked = fp.select("_id", "_fp", F.explode(chunk_structs).alias("ch")).select(
+        "_id", "_fp", "ch.chunk_idx", "ch.chunk"
+    )
+
+    a = chunked.select("chunk_idx", "chunk", F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"))
+    b = chunked.select("chunk_idx", "chunk", F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"))
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        a.join(b, on=["chunk_idx", "chunk"], how="inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact token-set jaccard for given (id_a, id_b) pairs — the verify
+    stage after LSH candidate generation."""
+    toks = docs.select(
+        F.col(id_col).alias("_tid"),
+        F.array_distinct(whitespace_tokens(normalized_text(F.col(text_col)))).alias("_toks"),
+    )
+    a = toks.select(F.col("_tid").alias("id_a"), F.col("_toks").alias("toks_a"))
+    b = toks.select(F.col("_tid").alias("id_b"), F.col("_toks").alias("toks_b"))
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
+    # Single int/int division — bit-stable across engines, no rounding.
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,99 @@
+"""Relational operator layer (SURVEY.md §2b X1-X13).
+
+The reference's interactive surface is Trino SQL over the medallion tables
+(scripts/run_pipeline.py:240-277); our equivalent is Spark SQL / DataFrame.
+These helpers exist to pin down the *scale-aware* form of each operator —
+broadcast hints for dimension joins, partial-aggregable conditional counts,
+tie-broken top-k — so every query built on them would survive a 100× scale-up.
+
+Scale notes per operator family:
+  - equi-joins: AQE picks broadcast vs sort-merge at runtime; we add an
+    explicit broadcast() hint for bounded dimension tables (region, nation,
+    part, supplier — the classic star-schema small sides).
+  - top-k: orderBy(...).limit(k) compiles to TakeOrderedAndProject — no
+    global sort materialization, each partition keeps k rows.
+  - windows: partitionBy keys chosen to match the natural key distribution;
+    running aggregates use explicit ROWS frames (RANGE frames degrade on
+    ties and buy nothing here).
+  - approx aggregates: HLL / quantile-sketch variants for the 100 TB path
+    where exact distinct would shuffle the full key set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_lakehouse_medallion_pipeline_spark.functions.scalars import count_if  # noqa: F401  (re-export)
+
+
+def broadcast_dim(dim: DataFrame) -> DataFrame:
+    """Mark a bounded dimension table for broadcast join (X2)."""
+    return F.broadcast(dim)
+
+
+def top_k(df: DataFrame, order_cols: list[Column], k: int) -> DataFrame:
+    """Deterministic top-k (X11): caller must include a unique tie-breaker
+    in order_cols. Compiles to TakeOrderedAndProject (per-partition heap,
+    no full sort)."""
+    return df.orderBy(*order_cols).limit(k)
+
+
+def running_agg(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[str],
+    agg_col: str,
+    out_name: str,
+) -> DataFrame:
+    """Running sum with an explicit ROWS frame (X10)."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_name, F.sum(agg_col).over(w))
+
+
+def ranked_in_group(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[Column],
+    rank_name: str = "rn",
+) -> DataFrame:
+    """row_number per group (X8); order_by must be deterministic."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return df.withColumn(rank_name, F.row_number().over(w))
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization via lag + cumulative sum (X15 batch form).
+
+    Two window passes over the same (user, ts) partitioning — one shuffle,
+    both windows reuse it. The same logic is ANSI-SQL expressible, so the
+    DuckDB oracle can verify it (unlike F.session_window, which is offered
+    separately in operators.timeseries for the streaming path).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn("_new_sess", is_new).withColumn(
+        session_col,
+        F.sum("_new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).drop("_new_sess")
+
+
+def approx_distinct(df: DataFrame, group_cols: list[str], target: str, rsd: float = 0.05) -> DataFrame:
+    """HLL++ distinct count (X13) — the 100 TB substitute for countDistinct:
+    fixed-size sketch per group instead of shuffling every distinct key."""
+    return df.groupBy(*group_cols).agg(
+        F.approx_count_distinct(target, rsd).alias(f"approx_distinct_{target}")
+    )

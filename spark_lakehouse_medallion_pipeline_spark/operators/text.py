@@ -1,0 +1,122 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY.md §2b X20).
+
+All pure Column expressions (JVM-side, codegen-friendly) — no Python UDFs
+anywhere in this module, so these run at full scan throughput on 100 TB of
+documents. Each function returns columns; the query layer assembles them.
+
+Design note: every operator here is deliberately ANSI-SQL-expressible so the
+DuckDB oracle can verify it value-for-value (SURVEY.md §5.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A small, language-agnostic stopword set used for quality scoring.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+# BPE-ish token pattern: runs of letters, runs of digits, or single
+# non-space symbols — the shape subword tokenizers split on first.
+TOKEN_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def normalized_text(text: Column) -> Column:
+    """Canonical form used for dedup/fingerprinting: lower, trim,
+    collapse internal whitespace."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def whitespace_tokens(text: Column) -> Column:
+    """Whitespace tokenization (array<string>)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(whitespace_tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Regex token count approximating subword tokenizer granularity.
+    Group index 0 = whole match (PySpark defaults to group 1)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0))
+
+
+def avg_token_length(text: Column) -> Column:
+    """Mean characters per whitespace token."""
+    toks = whitespace_tokens(text)
+    return F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    ).cast("double") / F.size(toks)
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of tokens that are common stopwords — a crude fluency
+    signal (high ratio ≈ natural prose, near-zero ≈ tables/code/noise)."""
+    toks = whitespace_tokens(F.lower(text))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return n_stop.cast("double") / F.size(toks)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation characters / total characters."""
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return n_punct.cast("double") / F.length(text)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document-quality heuristic in [0,1]: rewards prose-like
+    token length (3-12 chars), some stopwords, low punctuation noise.
+    The standard cheap pre-filter before expensive dedup/embedding stages."""
+    atl = avg_token_length(text)
+    length_ok = F.when((atl >= 3) & (atl <= 12), 1.0).otherwise(0.5)
+    stop_ok = F.when(stopword_ratio(text) > 0.05, 1.0).otherwise(0.6)
+    punct_ok = F.when(punct_ratio(text) < 0.1, 1.0).otherwise(0.7)
+    return F.round((length_ok + stop_ok + punct_ok) / 3.0, 4)
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Exact-content fingerprint over normalized text (md5 hex)."""
+    return F.md5(normalized_text(text))
+
+
+def fingerprint_rolling(text: Column, window: int = 8) -> Column:
+    """Deterministic rolling-hash-style fingerprint: min xxhash64 over
+    character shingles of length ``window`` (a 1-hash MinHash — the
+    winnowing primitive). Pure expressions: substring via transform over
+    an index sequence."""
+    norm = normalized_text(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - window + 1, F.lit(1)))
+    shingles = F.transform(idx, lambda i: F.substr(norm, i, F.lit(window)))
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    return F.array_min(hashes)
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID via marker-token hits (n-gram heuristic,
+    SQL-expressible so the oracle can check it). On synthetic corpora it
+    demonstrates the operator shape; swap marker lists for real use."""
+    t = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    return (
+        F.when(t.like("% the %") | t.like("% and %") | t.like("% is %"), "en")
+        .when(t.like("% le %") | t.like("% et %") | t.like("% est %"), "fr")
+        .when(t.like("% el %") | t.like("% y %") | t.like("% es %"), "es")
+        .when(t.like("% der %") | t.like("% und %") | t.like("% ist %"), "de")
+        .otherwise("unknown")
+    )
+
+
+def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document stat block — the standard text-analysis projection."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_subword_tokens"),
+        F.round(avg_token_length(t), 4).alias("avg_token_len"),
+        F.round(stopword_ratio(t), 4).alias("stopword_ratio"),
+        quality_score(t).alias("quality_score"),
+        fingerprint_md5(t).alias("fingerprint"),
+    )

@@ -1,0 +1,109 @@
+"""Time-windowed operators over event streams (SURVEY.md §2b X14-X15).
+
+Batch forms here (oracle-checkable); streaming forms in
+spark_lakehouse_medallion_pipeline_spark.streaming.jobs reuse the same aggregation bodies over
+readStream with watermarks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_window_agg(
+    events: DataFrame, ts_col: str = "ts", size: str = "1 hour"
+) -> DataFrame:
+    """Tumbling window rollup via F.window (X14). Output keyed by
+    window_start so the oracle can compute date_trunc equivalents."""
+    return (
+        events.groupBy(F.window(F.col(ts_col), size).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value", "n_users")
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame, ts_col: str = "ts", size: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    """Sliding window rollup (each event lands in size/slide windows)."""
+    return (
+        events.groupBy(F.window(F.col(ts_col), size, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+def session_window_agg(
+    events: DataFrame, key_col: str = "user_id", ts_col: str = "ts", gap: str = "30 minutes"
+) -> DataFrame:
+    """Native session windows (F.session_window, X15). Spark-specific
+    operator — the SQL-expressible lag+cumsum equivalent lives in
+    operators.relational.sessionize and is what the oracle checks."""
+    return (
+        events.groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """As-of join (backward): for each left row, the latest right row with
+    right_ts <= left_ts on the same key.
+
+    Spark lacks a native as-of join; the scalable composition is the
+    union-and-carry-forward pattern: tag both sides, union, sort within
+    key by time, and carry the last right value forward with a window —
+    ONE shuffle on the key (vs. a range-join explosion). DuckDB's native
+    ASOF JOIN provides the oracle.
+    """
+    from pyspark.sql import Window
+
+    l_tag = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        F.lit(None).cast(
+            right.select(F.struct(*[F.col(c) for c in right_cols]).alias("s")).schema["s"].dataType
+        ).alias("_rvals"),
+    )
+    r_tag = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(
+            left.select(F.struct(*[F.col(c) for c in left.columns]).alias("s")).schema["s"].dataType
+        ).alias("_lrow"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("_rvals"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+    # Right rows sort before left rows at equal timestamps => "<=" semantics.
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts"), F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn("_last_r", F.last("_rvals", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_is_left") == 1).select(
+        F.col("_lrow.*"), F.col("_last_r").alias("_matched")
+    )
+    for c in right_cols:
+        out = out.withColumn(f"asof_{c}", F.col(f"_matched.{c}"))
+    return out.drop("_matched")

@@ -1,0 +1,46 @@
+"""Plan-inspection helpers — the feedback loop for scale tuning.
+
+Usage: assert_pushed_filters / scan_columns in tests keep us honest that
+predicates and pruning reach the parquet scan (SURVEY.md §4); dump() is
+for interactive iteration on shuffle/broadcast shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def dump(df: DataFrame) -> None:
+    print(formatted(df))
+
+
+def has_pushed_filters(df: DataFrame) -> bool:
+    """True if the physical plan shows non-empty parquet PushedFilters."""
+    plan = formatted(df)
+    return "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+
+
+def scan_schema_contains_only(df: DataFrame, allowed: set[str]) -> bool:
+    """True if every ReadSchema field in parquet scans is in ``allowed`` —
+    i.e. column pruning reached the scan."""
+    import re
+
+    plan = formatted(df)
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        fields = [f.split(":")[0].strip() for f in m.group(1).split(",") if f.strip()]
+        if any(f not in allowed for f in fields):
+            return False
+    return True
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the physical plan — the scale metric
+    to minimize (every exchange is a full network pass of its input)."""
+    plan = formatted(df)
+    return plan.count("Exchange hashpartitioning") + plan.count("Exchange rangepartitioning")

@@ -1,0 +1,1126 @@
+"""Declared query battery: every operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable plus (where ANSI-SQL-expressible) a
+DuckDB oracle string.
+
+Dialect rules that keep the value-hash comparison bit-exact
+(SURVEY.md §7.3 risk register — learned the hard way):
+  - SUMMATION ORDER: engines sum doubles in different orders, so any
+    rounded aggregate of doubles can straddle a rounding boundary.
+    Money/quantity columns are 2-decimal by construction, so we aggregate
+    EXACT INTEGERS (cents: CAST(ROUND(x*100) AS BIGINT)) and rebuild
+    doubles with a single identical division chain — bit-identical on
+    both engines.
+  - ROUNDING RULES: Spark round() is BigDecimal HALF_UP on the shortest
+    decimal repr; DuckDB round() is C-style on the binary value — they
+    can disagree on the SAME double. Where a round is unavoidable we use
+    FLOOR(x*10^k + 0.5)/10^k spelled identically in both dialects.
+  - COUNT stays BIGINT on both sides; DuckDB SUM(int) returns HUGEINT,
+    so integer sums are CAST(... AS BIGINT) in the oracle.
+  - Spark dayofweek() is Sun=1, DuckDB dayofweek() is Sun=0 — bridged.
+  - DuckDB regexp_replace needs the 'g' flag to match Spark's
+    replace-all default.
+  - LIMIT queries carry a unique tie-breaker in ORDER BY.
+  - events.ts is parquet TIMESTAMP(NANOS): read via sources.io.read_events.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_lakehouse_medallion_pipeline_spark.functions.scalars import count_if
+from spark_lakehouse_medallion_pipeline_spark.operators import dedup, similarity, text, timeseries
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        from spark_lakehouse_medallion_pipeline_spark.sources.io import read_events
+
+        return read_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- exact-arithmetic helpers (see dialect rules above) ---------------------
+
+
+def cents(col: Column) -> Column:
+    """2-decimal double -> exact integer hundredths."""
+    return F.round(col * 100).cast("long")
+
+
+def sum_cents(col: Column) -> Column:
+    return F.sum(cents(col))
+
+
+def money(sum_cents_col: Column) -> Column:
+    """Exact cent-sum -> double dollars (single division, bit-stable)."""
+    return sum_cents_col.cast("double") / F.lit(100.0)
+
+
+def mean_cents(col: Column) -> Column:
+    """Exact-cents average: (sum_cents / n) / 100 — identical op chain in
+    the oracle."""
+    return sum_cents(col).cast("double") / F.count(F.lit(1)) / F.lit(100.0)
+
+
+def floor_round(col: Column, k: int) -> Column:
+    """FLOOR(x*10^k + 0.5)/10^k — the cross-engine-stable round."""
+    s = float(10**k)
+    return F.floor(col * s + F.lit(0.5)) / F.lit(s)
+
+
+# SQL-side macros (textual, spelled to match the Column helpers op-for-op)
+def SC(col: str) -> str:  # noqa: N802
+    return f"CAST(ROUND(({col})*100) AS BIGINT)"
+
+
+def S_MONEY(col: str) -> str:  # noqa: N802
+    return f"CAST(SUM({SC(col)}) AS DOUBLE) / 100.0"
+
+
+def S_MEAN(col: str) -> str:  # noqa: N802
+    return f"CAST(SUM({SC(col)}) AS DOUBLE) / COUNT(*) / 100.0"
+
+
+def S_FLOOR(col: str, k: int) -> str:  # noqa: N802
+    s = float(10**k)
+    return f"FLOOR(({col})*{s} + 0.5)/{s}"
+
+
+# ---------------------------------------------------------------------------
+# Aggregation core (reference gold surface: A1-A8; SURVEY.md §2a)
+# ---------------------------------------------------------------------------
+
+_DISC_E4 = f"({SC('l_extendedprice')} * (100 - {SC('l_discount')}))"
+_CHARGE_E6 = f"({_DISC_E4} * (100 + {SC('l_tax')}))"
+
+
+def _disc_e4() -> Column:
+    return cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
+
+
+def _charge_e6() -> Column:
+    return _disc_e4() * (100 + cents(F.col("l_tax")))
+
+
+@_q(
+    "q01_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM({SC("l_quantity")}) AS DOUBLE) / 100.0        AS sum_qty,
+           {S_MONEY("l_extendedprice")}                            AS sum_base_price,
+           CAST(SUM({_DISC_E4}) AS DOUBLE) / 10000.0               AS sum_disc_price,
+           CAST(SUM({_CHARGE_E6}) AS DOUBLE) / 1000000.0           AS sum_charge,
+           CAST(SUM({SC("l_quantity")}) AS DOUBLE) / COUNT(*) / 100.0 AS avg_qty,
+           {S_MEAN("l_extendedprice")}                             AS avg_price,
+           {S_MEAN("l_discount")}                                  AS avg_disc,
+           COUNT(*)                                                AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan -> pushed filter -> hash aggregate (A3-A5).
+    Single shuffle on the 6-value group key; partials combine map-side.
+    All money aggregates run over exact integer cents (see module doc)."""
+    li = _t(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money(F.sum(cents(F.col("l_quantity")))).alias("sum_qty"),
+            money(sum_cents(F.col("l_extendedprice"))).alias("sum_base_price"),
+            (F.sum(_disc_e4()).cast("double") / F.lit(10000.0)).alias("sum_disc_price"),
+            (F.sum(_charge_e6()).cast("double") / F.lit(1000000.0)).alias("sum_charge"),
+            (F.sum(cents(F.col("l_quantity"))).cast("double") / n / F.lit(100.0)).alias("avg_qty"),
+            mean_cents(F.col("l_extendedprice")).alias("avg_price"),
+            mean_cents(F.col("l_discount")).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "q02_orders_by_priority",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(*)                    AS n_orders,
+           {S_MONEY("o_totalprice")}   AS total_price,
+           {S_MEAN("o_totalprice")}    AS avg_price,
+           MAX(o_totalprice)           AS max_price,
+           MIN(o_totalprice)           AS min_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q02_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum/avg/max/min aggregate family (A3-A5, A8). max/min of doubles are
+    order-insensitive — no cents needed there."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money(sum_cents(F.col("o_totalprice"))).alias("total_price"),
+            mean_cents(F.col("o_totalprice")).alias("avg_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.min("o_totalprice").alias("min_price"),
+        )
+    )
+
+
+@_q(
+    "q19_daily_event_kpis",
+    f"""
+    SELECT CAST(ts AS DATE)                                   AS event_date,
+           COUNT(*)                                           AS n_events,
+           COUNT(DISTINCT user_id)                            AS n_users,
+           {S_MONEY("value")}                                 AS total_value,
+           {S_MEAN("value")}                                  AS avg_value,
+           MAX(value)                                         AS max_value,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN {SC("value")} ELSE 0 END) AS DOUBLE) / 100.0 AS purchase_value,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END)    AS n_errors
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+)
+def q19_daily_event_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's gold daily-KPI shape (CM:382-403) on the events
+    table: countDistinct (A2), conditional sum (A6), intended-semantics
+    conditional count (A7/Q3 fix via count_if)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.col("ts").cast("date").alias("event_date")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        money(sum_cents(F.col("value"))).alias("total_value"),
+        mean_cents(F.col("value")).alias("avg_value"),
+        F.max("value").alias("max_value"),
+        count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+        money(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", cents(F.col("value"))).otherwise(0)
+            )
+        ).alias("purchase_value"),
+        count_if(F.col("event_type") == "error").alias("n_errors"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (X1-X6)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q03_top_orders_by_revenue",
+    f"""
+    SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
+           CAST(SUM({_DISC_E4}) AS DOUBLE) / 10000.0 AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q03_top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join chain + top-k (X1, X11). customer is the small side
+    of orders⋈customer — AQE broadcasts it; the final top-10 compiles to
+    TakeOrderedAndProject (no global sort)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg((F.sum(_disc_e4()).cast("double") / F.lit(10000.0)).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@_q(
+    "q04_regional_revenue",
+    f"""
+    SELECT r.r_name, n.n_name,
+           CAST(SUM({_DISC_E4}) AS DOUBLE) / 10000.0 AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q04_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join (X5): region/nation broadcast (X2), fact-to-fact
+    orders⋈lineitem shuffles on orderkey once."""
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            (F.sum(_disc_e4()).cast("double") / F.lit(10000.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@_q(
+    "q05_brand_part_revenue",
+    f"""
+    SELECT p.p_brand,
+           COUNT(*) AS n_items,
+           CAST(SUM({_DISC_E4}) AS DOUBLE) / 10000.0 AS revenue,
+           CAST(SUM({SC("l_quantity")}) AS DOUBLE) / COUNT(*) / 100.0 AS avg_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q05_brand_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast dimension (X2): part is bounded, so the join is a
+    map-side BroadcastHashJoin — zero shuffle for the join itself."""
+    p = F.broadcast(_t(spark, sf_dir, "part"))
+    li = _t(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            n.alias("n_items"),
+            (F.sum(_disc_e4()).cast("double") / F.lit(10000.0)).alias("revenue"),
+            (F.sum(cents(F.col("l_quantity"))).cast("double") / n / F.lit(100.0)).alias("avg_qty"),
+        )
+    )
+
+
+@_q(
+    "q06_customer_order_stats",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM({SC("o.o_totalprice")}), 0) AS DOUBLE) / 100.0 AS total_spent
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q06_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with null extension (X3): customers with zero orders
+    surface with n_orders = 0."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            money(F.coalesce(sum_cents(F.col("o_totalprice")), F.lit(0))).alias("total_spent"),
+        )
+    )
+
+
+@_q(
+    "q07_customers_without_orders",
+    """
+    SELECT c_custkey, c_name, c_acctbal AS acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q07_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (X4): left_anti shuffles only the key column."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", F.col("c_acctbal").alias("acctbal")
+    )
+
+
+@_q(
+    "q08_segment_active_customers",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_active_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q08_segment_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (X4) + aggregate."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_active_customers"))
+    )
+
+
+@_q(
+    "q25_late_shipments_theta",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS n_late
+    FROM orders o JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q25_late_shipments_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range predicate on a join (X6): the equi key keeps it a hash
+    join; the range predicate is a post-join filter, not a cross join."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube (X7)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q09_rollup_returnflag",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM({SC("l_quantity")}) AS DOUBLE) / 100.0 AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q09_rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (X7): subtotal rows appear with NULL group keys, matching
+    ANSI semantics on both engines."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            money(F.sum(cents(F.col("l_quantity")))).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@_q(
+    "q10_cube_events",
+    f"""
+    SELECT event_type, dayofweek(ts) AS dow,
+           COUNT(*) AS n_events, {S_MONEY("value")} AS total_value
+    FROM events GROUP BY CUBE(event_type, dayofweek(ts))
+    """,
+)
+def q10_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (X7). Spark dayofweek is Sun=1; DuckDB's is Sun=0 — bridged
+    by subtracting 1 on the Spark side."""
+    ev = _t(spark, sf_dir, "events").withColumn("dow", F.dayofweek("ts") - 1)
+    return ev.cube("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money(sum_cents(F.col("value"))).alias("total_value"),
+    )
+
+
+@_q(
+    "q26_grouping_sets_sql",
+    f"""
+    SELECT l_returnflag, l_linestatus, {S_MONEY("l_extendedprice")} AS total_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q26_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the SQL surface (X7 + S11 — our spark.sql is
+    the reference's Trino interactive layer)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows (X8-X10)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q11_top_parts_per_brand",
+    """
+    SELECT p_brand, p_partkey, p_retailprice AS retailprice, rn FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+      FROM part) t
+    WHERE rn <= 3
+    """,
+)
+def q11_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window (X8) with deterministic tie-break."""
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.col("p_partkey"))
+    return (
+        _t(spark, sf_dir, "part")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", F.col("p_retailprice").alias("retailprice"), "rn")
+    )
+
+
+@_q(
+    "q12_user_event_gaps",
+    """
+    SELECT event_id, user_id,
+           epoch_ms(ts) - epoch_ms(prev_ts) AS gap_ms
+    FROM (
+      SELECT event_id, user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events) t
+    WHERE prev_ts IS NOT NULL
+    """,
+)
+def q12_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window lag (X9): per-user inter-event gaps."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            (F.unix_millis("ts") - F.unix_millis("prev_ts")).alias("gap_ms"),
+        )
+    )
+
+
+@_q(
+    "q13_running_customer_spend",
+    f"""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM({SC("o_totalprice")}) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS running_spend
+    FROM orders
+    """,
+)
+def q13_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate with explicit ROWS frame (X10), over exact cents."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        money(F.sum(cents(F.col("o_totalprice"))).over(w)).alias("running_spend"),
+    )
+
+
+@_q(
+    "q14_top10_customers",
+    f"""
+    SELECT c.c_custkey, c.c_name, {S_MONEY("o.o_totalprice")} AS total_spent
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY total_spent DESC, c_custkey LIMIT 10
+    """,
+)
+def q14_top10_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort/limit top-k (X11) over a join+agg."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(money(sum_cents(F.col("o_totalprice"))).alias("total_spent"))
+        .orderBy(F.desc("total_spent"), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations / distinct (X12)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q15_clickers_who_purchase",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q15_clickers_who_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+@_q(
+    "q16_clickers_no_purchase",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q16_clickers_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    # subtract == EXCEPT DISTINCT (set semantics, matching the SQL oracle);
+    # exceptAll would keep multiset surplus copies.
+    return clicks.subtract(buys)
+
+
+@_q(
+    "q17_distinct_user_event_types",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def q17_distinct_user_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+@_q(
+    "q27_union_slices",
+    """
+    SELECT event_type, COUNT(*) AS n FROM (
+      SELECT * FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT * FROM events WHERE event_type = 'view'
+    ) GROUP BY event_type
+    """,
+)
+def q27_union_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName over slices (X12)."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.filter(F.col("event_type") == "click").unionByName(
+        ev.filter(F.col("event_type") == "view")
+    )
+    return u.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Approx / percentiles (X13)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q18_value_percentiles",
+    f"""
+    SELECT event_type,
+           quantile_cont({SC("value")}, 0.25) / 100.0 AS p25,
+           quantile_cont({SC("value")}, 0.50) / 100.0 AS p50,
+           quantile_cont({SC("value")}, 0.75) / 100.0 AS p75
+    FROM events GROUP BY event_type
+    """,
+)
+def q18_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (X13) over exact cents — quarter
+    fractions interpolate exactly on integers, so Spark percentile()
+    and DuckDB quantile_cont() agree bit-for-bit."""
+    ev = _t(spark, sf_dir, "events").withColumn("value_c", cents(F.col("value")))
+    return ev.groupBy("event_type").agg(
+        (F.expr("percentile(value_c, 0.25)") / F.lit(100.0)).alias("p25"),
+        (F.expr("percentile(value_c, 0.50)") / F.lit(100.0)).alias("p50"),
+        (F.expr("percentile(value_c, 0.75)") / F.lit(100.0)).alias("p75"),
+    )
+
+
+@_q("q30_approx_distinct_users")  # no oracle: HLL sketch values are engine-specific
+def q30_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (X13): HLL++ sketch — the scale path where
+    exact distinct would shuffle every key. Rows-only check (sketch
+    estimates are engine-specific by construction)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.expr("percentile_approx(value, 0.5, 1000)").alias("approx_median"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time windows / sessions / as-of (X14-X15)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q20_hourly_tumbling",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           COUNT(*) AS n_events,
+           {S_MONEY("value")} AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY date_trunc('hour', ts)
+    """,
+)
+def q20_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window via F.window (X14) — batch form of the streaming job."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money(sum_cents(F.col("value"))).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value", "n_users")
+    )
+
+
+@_q(
+    "q21_sessionization",
+    f"""
+    WITH g AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events, {S_MONEY("value")} AS session_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q21_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (X15 batch form), lag+cumsum — one shuffle,
+    oracle-checkable; native F.session_window variant is q22."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
+    sess = ev.withColumn(
+        "_new", F.when(gap_ms.isNull() | (gap_ms > 1800000), 1).otherwise(0)
+    ).withColumn(
+        "session_id",
+        F.sum("_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money(sum_cents(F.col("value"))).alias("session_value"),
+    )
+
+
+@_q("q22_session_window_native")  # Spark-native operator; verified by pytest vs q21
+def q22_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window (X15) — the streaming-capable native form."""
+    return timeseries.session_window_agg(_t(spark, sf_dir, "events"), "user_id", "ts", "30 minutes")
+
+
+@_q(
+    "q24_asof_purchase_click",
+    """
+    SELECT l.event_id, l.user_id, r.value AS asof_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q24_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): each purchase matched to the user's latest
+    prior click. Spark lacks the operator; composed as union +
+    carry-forward window (ONE shuffle — see operators.timeseries).
+    DuckDB's native ASOF JOIN is the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = timeseries.asof_join_backward(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts", right_cols=["value"]
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("asof_value").alias("asof_click_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON (X22)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q23_json_props",
+    f"""
+    SELECT json_extract_string(props, '$.k')::INT AS k, COUNT(*) AS n,
+           {S_MONEY("value")} AS total_value
+    FROM events GROUP BY json_extract_string(props, '$.k')::INT
+    """,
+)
+def q23_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (X22): get_json_object over the props column."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money(sum_cents(F.col("value"))).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data: dedup (X17-X18)
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+@_q(
+    "q28_exact_dedup_docs",
+    f"""
+    SELECT {_NORM_SQL} AS content_key,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY {_NORM_SQL}
+    """,
+)
+def q28_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups (X17): hash-groupBy on normalized content."""
+    return dedup.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+@_q("q33_minhash_candidates")  # LSH banding not ANSI-SQL-expressible; rows-only + pytest
+def q33_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (X18): shingle -> minhash -> band ->
+    bucket join (never a cross join). Verified against exact jaccard in
+    tests/test_dedup.py."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = dedup.minhash_lsh_candidates(docs, num_hashes=64, bands=16, shingle_k=3)
+    return dedup.minhash_jaccard_estimate(docs, cands).filter(F.col("jaccard_est") >= 0.5)
+
+
+@_q("q34_simhash_pairs")  # bit-twiddling fingerprint; rows-only + pytest
+def q34_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (X18 variant) with pigeonhole chunk blocking."""
+    return dedup.simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@_q(
+    "q35_ngram_jaccard_adjacent",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex({_NORM_SQL}, '\\s+')) AS toks
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+    FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q35_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set jaccard (X18 verify stage) on adjacent doc pairs — keeps
+    the demo O(n) while exercising the exact pairwise kernel. int/int
+    division — bit-stable without rounding."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(F.col("doc_id").alias("id_a")).join(
+        docs.select((F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b")),
+        "id_a",
+    )
+    return dedup.ngram_jaccard_pairs(docs, pairs)
+
+
+# ---------------------------------------------------------------------------
+# LLM-data: text analysis (X20)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q29_text_stats",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\s+') AS toks,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(toks) AS n_tokens,
+             len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_subword_tokens,
+             CAST(list_sum(list_transform(toks, t2 -> length(t2))) AS DOUBLE) / len(toks) AS atl,
+             CAST(len(list_filter(list_transform(toks, t2 -> lower(t2)),
+                 t2 -> list_contains(['the','a','of','and','to','in','is','it','for','on'], t2))) AS DOUBLE)
+               / len(toks) AS swr,
+             CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+               / length(text) AS pr,
+             md5(norm) AS fingerprint
+      FROM t
+    )
+    SELECT doc_id, n_chars, n_tokens, n_subword_tokens,
+           atl AS avg_token_len,
+           swr AS stopword_ratio,
+           ((CASE WHEN atl >= 3 AND atl <= 12 THEN 1.0 ELSE 0.5 END)
+            + (CASE WHEN swr > 0.05 THEN 1.0 ELSE 0.6 END)
+            + (CASE WHEN pr < 0.1 THEN 1.0 ELSE 0.7 END)) / 3.0 AS quality_score,
+           fingerprint
+    FROM m
+    """,
+)
+def q29_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text-analysis block (X20): token counts (whitespace +
+    BPE-ish regex), quality scoring, md5 fingerprint. All JVM expressions;
+    every ratio is a single int/int division (bit-stable)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = text.whitespace_tokens(t)
+    atl = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)).cast(
+        "double"
+    ) / F.size(toks)
+    swr = F.size(
+        F.filter(F.transform(toks, lambda x: F.lower(x)), lambda x: x.isin(*text.STOPWORDS))
+    ).cast("double") / F.size(toks)
+    pr = (F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).cast(
+        "double"
+    ) / F.length(t)
+    quality = (
+        F.when((atl >= 3) & (atl <= 12), 1.0).otherwise(0.5)
+        + F.when(swr > 0.05, 1.0).otherwise(0.6)
+        + F.when(pr < 0.1, 1.0).otherwise(0.7)
+    ) / F.lit(3.0)
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(text.TOKEN_PATTERN), 0)).alias("n_subword_tokens"),
+        atl.alias("avg_token_len"),
+        swr.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+        text.fingerprint_md5(t).alias("fingerprint"),
+    )
+
+
+@_q(
+    "q31_lang_id",
+    """
+    SELECT doc_id, lang,
+           CASE WHEN t LIKE '% the %' OR t LIKE '% and %' OR t LIKE '% is %' THEN 'en'
+                WHEN t LIKE '% le %' OR t LIKE '% et %' OR t LIKE '% est %' THEN 'fr'
+                WHEN t LIKE '% el %' OR t LIKE '% y %' OR t LIKE '% es %' THEN 'es'
+                WHEN t LIKE '% der %' OR t LIKE '% und %' OR t LIKE '% ist %' THEN 'de'
+                ELSE 'unknown' END AS predicted_lang
+    FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS t FROM documents)
+    """,
+)
+def q31_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (X20) — marker-token n-gram heuristic."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", text.lang_id(F.col("text")).alias("predicted_lang"))
+
+
+@_q(
+    "q32_lang_distribution",
+    """
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def q32_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup; BIGINT cast — DuckDB SUM(int) is HUGEINT."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data: similarity search / embeddings (X19, X21)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q36_knn_vec0",
+    f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           {S_FLOOR("list_cosine_similarity(e.embedding::DOUBLE[], q.v)", 6)} AS cosine_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def q36_knn_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (X19 baseline): one corpus scan, per-
+    partition heap (TakeOrderedAndProject). Query vector looked up first
+    (tiny collect of one row — the query, not the corpus). floor-round at
+    6dp absorbs engine-internal summation-order ulps."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    q = F.array(*[F.lit(v) for v in qvec])
+    scored = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        floor_round(similarity.cosine(F.col("embedding"), q), 6).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.col("vec_id")).limit(10)
+
+
+@_q("q37_lsh_knn_join")  # RHP bucketing is engine-side; recall checked in pytest
+def q37_lsh_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN k-NN join via random-hyperplane LSH (X19 scale path): bucket
+    join instead of cross join; recall vs brute force asserted in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.lsh_knn_join(queries, emb, dim=64, k=5, n_planes=8)
+
+
+@_q(
+    "q38_embedding_stats",
+    f"""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           {S_FLOOR("sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))", 6)} AS l2_norm,
+           {S_FLOOR("embedding[1]::DOUBLE", 6)} AS first_component
+    FROM embeddings
+    """,
+)
+def q38_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-array multimodal column ops (X21): dim, norm, element access."""
+    v = F.col("embedding")
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        floor_round(similarity.l2_norm(v), 6).alias("l2_norm"),
+        floor_round(F.element_at(v, 1).cast("double"), 6).alias("first_component"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns (X21) — plumbing real, codec stubbed
+# ---------------------------------------------------------------------------
+
+
+@_q("q39_multimodal_features")  # mapInPandas + stub codec; rows-only + pytest
+def q39_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns through Arrow-batched mapInPandas: wrap doc
+    text bytes as blobs, 'decode' (stub), emit typed features."""
+    from spark_lakehouse_medallion_pipeline_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.wrap_as_media(docs, "doc_id", "text", kind="image")
+    return multimodal.extract_image_features(media)
+
+
+# ---------------------------------------------------------------------------
+# UDF surface (X16): applyInPandas vs window-function oracle
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q40_zscore_by_type",
+    f"""
+    SELECT event_id,
+           {S_FLOOR("(value - AVG(value) OVER (PARTITION BY event_type)) / stddev_samp(value) OVER (PARTITION BY event_type)", 4)} AS zscore
+    FROM events
+    """,
+)
+def q40_zscore_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDF surface (X16): per-group z-score via applyInPandas
+    (Arrow-batched). The oracle computes the same thing with window
+    functions — numeric parity (to 4dp) proves the Arrow path is
+    lossless."""
+    import numpy as np
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf["value"].std(ddof=1)
+        z = (pdf["value"] - pdf["value"].mean()) / std
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "zscore": np.floor(z * 10000.0 + 0.5) / 10000.0,
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(zscore, schema="event_id long, zscore double")
+
+
+# ---------------------------------------------------------------------------
+# Medallion pipeline (reference core; generator-based => rows-only)
+# ---------------------------------------------------------------------------
+
+
+@_q("medallion_gold_kpis")  # deterministic generator, but Spark-specific hashing
+def medallion_gold_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference pipeline end-to-end in one plan: deterministic bronze
+    generator (CM:46-121) -> silver enrichment (CM:188-318) -> gold daily
+    KPIs (CM:382-403, Q2/Q3 fixed). Golden-value tests in
+    tests/test_medallion.py pin the 19 KPI columns."""
+    from spark_lakehouse_medallion_pipeline_spark.medallion.pipeline import gold_over_bronze
+
+    return gold_over_bronze(spark, rows=20_000)
+
+
+@_q("medallion_silver_profile")  # generator-based; rows-only
+def medallion_silver_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silver-layer data-quality profile (distribution of the 33-column
+    enrichment's categorical outputs)."""
+    from spark_lakehouse_medallion_pipeline_spark.medallion.generate import generate_bronze
+    from spark_lakehouse_medallion_pipeline_spark.medallion.silver import build_silver
+
+    silver = build_silver(generate_bronze(spark, 20_000))
+    return silver.groupBy("customer_value_tier", "churn_risk_indicator").agg(
+        F.count(F.lit(1)).alias("n"),
+        money(sum_cents(F.col("lifetime_value_estimate"))).alias("total_ltv"),
+        (F.sum(cents(F.col("data_quality_score"))).cast("double") / F.count(F.lit(1)) / F.lit(100.0)).alias("avg_dq"),
+    )

@@ -1,0 +1,133 @@
+"""Sources and sinks.
+
+Reference surface (SURVEY.md §2a S1-S8):
+  - parquet batch read/write with file-size shaping (CM:127-133, CM:172)
+  - catalog table read (CM:370) and create-or-replace partitioned table
+    write (CM:327-329 writeTo().partitionedBy().createOrReplace())
+  - partitioned-parquet fallback (CM:331-340)
+  - namespace DDL (CM:181, CM:362)
+
+Spark-first mapping: DataFrameReader/Writer; managed tables go through
+``saveAsTable`` with ``overwriteSchema`` (the Delta analogue of Iceberg's
+createOrReplace — parquet fallback in this container, see session.table_format).
+
+Scale notes: writers accept ``max_records_per_file`` (the reference's
+output-file shaping, CM:130-132) so a 1000-executor run emits ~128-512 MB
+files instead of tiny shards; partitioned writes use identity partition
+columns so downstream reads get partition pruning for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_lakehouse_medallion_pipeline_spark.session import table_format
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Scan a parquet directory (CM:172 analogue). Catalyst pushes filters
+    and prunes columns into this scan automatically."""
+    return spark.read.parquet(path)
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events table reader.
+
+    The corpus stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects (PARQUET_TYPE_ILLEGAL). We read nanos as
+    long (legacy conf) and rebuild a microsecond timestamp with INTEGER
+    division — ``ts/1000`` in double would lose ~256 ns at 2024 epoch
+    magnitudes and could flip millisecond boundaries vs the DuckDB oracle.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
+) -> dict[str, DataFrame]:
+    """Load the driver corpus (TESTDATA.md) as a dict of DataFrames."""
+    return {
+        n: read_events(spark, sf_dir) if n == "events" else spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        for n in names
+    }
+
+
+def register_temp_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
+) -> None:
+    """Expose the corpus to ``spark.sql`` — our equivalent of the
+    reference's Trino interactive surface (scripts/run_pipeline.py:240-277)."""
+    for n, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(n)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str = "snappy",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Parquet write with file-size shaping (CM:127-133 analogue)."""
+    w = df.write.mode(mode).option("compression", compression)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.parquet(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style directory partitioning (CM:334-340 fallback analogue).
+    Identity partition columns => partition pruning on read."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def create_namespace(spark: SparkSession, name: str) -> None:
+    """CREATE NAMESPACE IF NOT EXISTS (CM:181, CM:362 analogue)."""
+    spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {name}")
+
+
+def write_table(
+    df: DataFrame,
+    table: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Create-or-replace a managed partitioned table.
+
+    Reference: silver_df.writeTo(tbl).partitionedBy("interaction_date",
+    "channel").createOrReplace() (CM:327-329); gold single-key CM:409-411.
+    Delta when available; parquet-backed managed table otherwise.
+    """
+    w = df.write.format(table_format()).mode(mode).option("overwriteSchema", "true")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog table scan (CM:370 analogue)."""
+    return spark.table(table)

@@ -1,0 +1,112 @@
+"""Structured Streaming slice (SURVEY.md §2b X14-X15).
+
+The reference provisions an ``mdp-checkpoints`` bucket it never uses
+(k8s/s3/03-s3-buckets.yaml:33-39) — the unrealized streaming intention.
+Realized here: file-source streams over the events schema, watermarked
+tumbling/session window aggregates, checkpointed sinks. The aggregation
+bodies are shared with operators.timeseries so batch results (oracle-
+checked) and streaming results coincide on bounded input.
+
+Tests drive these with trigger(availableNow=True) against the parquet
+corpus; production swaps source/sink URIs — the plan is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over the events table (one file per microbatch
+    cap keeps local tests deterministic)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def windowed_counts_stream(
+    events: DataFrame, watermark: str = "1 hour", size: str = "1 hour"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate: late rows beyond the
+    watermark are dropped; state is bounded by watermark horizon."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+def session_stream(
+    events: DataFrame, watermark: str = "1 hour", gap: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked session-window aggregate (F.session_window) — the
+    streaming realization of operators.relational.sessionize."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, query_name: str, checkpoint_dir: str) -> None:
+    """Drain all available input into an in-memory table (tests/demo)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_append_to_parquet(
+    stream_df: DataFrame, out_path: str, checkpoint_dir: str
+) -> None:
+    """Watermark-append sink to parquet — the production shape (replaces
+    the reference's never-used checkpoint bucket intent)."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
