@@ -1,0 +1,90 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries from __spark_entry__.queries() at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed as plan-build + full execution; we materialize with
+a cheap count-style action (df.foreach is overkill; collect on small
+results, count on large ones) so the measured time is the distributed
+work, not driver-side row transfer of big results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family (agg, join chain, star join,
+# window, rollup, set-op, percentiles, sessionization, as-of, JSON,
+# dedup exact + LSH, text stats, knn, pandas-UDF, medallion e2e).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_top_orders_by_revenue",
+    "q04_regional_revenue",
+    "q06_customer_order_stats",
+    "q09_rollup_returnflag",
+    "q12_user_event_gaps",
+    "q13_running_customer_spend",
+    "q18_value_percentiles",
+    "q19_daily_event_kpis",
+    "q21_sessionization",
+    "q24_asof_purchase_click",
+    "q23_json_props",
+    "q28_exact_dedup_docs",
+    "q29_text_stats",
+    "q33_minhash_candidates",
+    "q36_knn_vec0",
+    "q40_zscore_by_type",
+    "medallion_gold_kpis",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+
+    import __spark_entry__ as entrymod
+    from spark_lakehouse_medallion_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    qs = entrymod.queries()
+
+    # Warm the JVM / parquet footers once so per-query numbers measure the
+    # query, not session startup.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

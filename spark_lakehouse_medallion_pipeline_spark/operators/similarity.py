@@ -90,26 +90,28 @@ def knn_join_brute(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
-def _hyperplane(dim: int, plane_idx: int) -> Column:
+def _hyperplane(dim: int, plane_idx: int, table: int = 0) -> Column:
     """Deterministic pseudo-random hyperplane: component j of plane i is
-    a hash-derived value in [-1, 1). No stored model, same plane on every
-    executor — the property that makes the signature reproducible at scale."""
-    return F.array(
-        *[
-            (
-                F.xxhash64(F.lit(f"plane:{plane_idx}:{j}")).cast("double")
-                / F.lit(float(2**63))
-            )
-            for j in range(dim)
-        ]
-    )
+    a hash-derived value in [-1, 1). Computed driver-side (a few hundred
+    floats) and shipped as plain literals — same plane on every executor,
+    and the plan stays small (an earlier xxhash64-literal form put 512
+    constant-foldable hash expressions into the tree, bloating
+    planning/codegen for zero runtime benefit)."""
+    import hashlib
+
+    comps = []
+    for j in range(dim):
+        h = hashlib.blake2b(f"plane:{table}:{plane_idx}:{j}".encode(), digest_size=8).digest()
+        comps.append(int.from_bytes(h, "big", signed=True) / float(2**63))
+    return F.array(*[F.lit(c) for c in comps])
 
 
-def rhp_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
+def rhp_signature(vec: Column, dim: int, n_planes: int = 16, table: int = 0) -> Column:
     """Random-hyperplane (SimHash for cosine) signature: bit i = sign of
-    <vec, plane_i>, packed into a bigint. P[bits agree] = 1 - theta/pi."""
+    <vec, plane_i>, packed into a bigint. P[bits agree] = 1 - theta/pi.
+    ``table`` selects an independent plane family (for OR-construction)."""
     bits = [
-        F.when(dot(vec, _hyperplane(dim, i)) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+        F.when(dot(vec, _hyperplane(dim, i, table)) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
         * F.lit(2**i).cast("bigint")
         for i in range(n_planes)
     ]
@@ -125,6 +127,8 @@ def lsh_knn_join(
     dim: int,
     k: int = 5,
     n_planes: int = 12,
+    n_probes: int | None = None,
+    n_tables: int = 1,
     q_id: str = "q_id",
     c_id: str = "vec_id",
     vec_col: str = "embedding",
@@ -132,25 +136,59 @@ def lsh_knn_join(
     """ANN k-NN join: bucket both sides by RHP signature, hash-join on the
     bucket, exact cosine + top-k inside buckets.
 
-    Scale shape: corpus shuffle is by a 2^n_planes-ary key (uniform for
-    normalized embeddings); no cross join anywhere. Recall is tunable via
-    n_planes (fewer planes -> bigger buckets -> higher recall, more work);
-    multi-probe (flipping one bit) can be added by exploding the query
-    signature — kept single-probe here for plan clarity.
+    Recall knobs (standard LSH design space):
+      - ``n_tables`` independent plane families (OR-construction): a true
+        neighbor is found if it collides in ANY table. Costs one corpus
+        signature row per table (explode), i.e. n_tables x corpus shuffle
+        volume — the classic memory/recall tradeoff.
+      - multi-probe: each query also probes the buckets at Hamming
+        distance 1 from its signature (flip one plane bit) — the standard
+        recall recovery for vectors near a hyperplane, exploding ONLY the
+        tiny query side. ``n_probes`` extra probes per table (default:
+        all n_planes single-bit flips).
+      - n_planes: fewer planes -> bigger buckets -> higher recall.
+
+    Scale shape: corpus shuffle is by a (table, 2^n_planes) key (uniform
+    for normalized embeddings); no cross join anywhere.
     """
     from pyspark.sql import Window
 
+    probes = n_planes if n_probes is None else n_probes
     c_sig = corpus.select(
-        F.col(c_id), F.col(vec_col).alias("_cvec"), rhp_signature(F.col(vec_col), dim, n_planes).alias("_bucket")
-    )
-    q_sig = queries.select(
-        F.col(q_id), F.col(vec_col).alias("_qvec"), rhp_signature(F.col(vec_col), dim, n_planes).alias("_bucket")
-    )
-    scored = c_sig.join(q_sig, on="_bucket").select(
+        F.col(c_id),
+        F.col(vec_col).alias("_cvec"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        rhp_signature(F.col(vec_col), dim, n_planes, t).alias("sig"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("_b"),
+    ).select(c_id, "_cvec", F.col("_b.table").alias("_table"), F.col("_b.sig").alias("_bucket"))
+    # Query side: per table, own bucket + Hamming-1 probe buckets.
+    probe_structs = []
+    for t in range(n_tables):
+        sig = rhp_signature(F.col(vec_col), dim, n_planes, t)
+        for bucket in [sig] + [sig.bitwiseXOR(F.lit(2**i)) for i in range(probes)]:
+            probe_structs.append(
+                F.struct(F.lit(t).alias("table"), bucket.alias("sig"))
+            )
+    q_probed = queries.select(
+        F.col(q_id),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(F.array_distinct(F.array(*probe_structs))).alias("_b"),
+    ).select(q_id, "_qvec", F.col("_b.table").alias("_table"), F.col("_b.sig").alias("_bucket"))
+    scored = c_sig.join(q_probed, on=["_table", "_bucket"]).select(
         F.col(q_id),
         F.col(c_id),
         F.round(cosine(F.col("_cvec"), F.col("_qvec")), 6).alias("cosine_sim"),
     )
+    # A (query, corpus) pair can arrive via several probes — dedup before top-k.
+    scored = scored.groupBy(q_id, c_id).agg(F.max("cosine_sim").alias("cosine_sim"))
     w = Window.partitionBy(q_id).orderBy(F.desc("cosine_sim"), F.col(c_id))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 

@@ -1,0 +1,100 @@
+"""Dedup operators (X17-X18): exact, MinHash-LSH, SimHash, jaccard verify."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_lakehouse_medallion_pipeline_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def toy_docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "the  quick Brown fox jumps over the lazy dog "),  # exact dup after norm
+        (3, "The quick brown fox jumps over the lazy cat today"),  # near dup
+        (4, "Completely different content about databases and query engines"),
+        (5, "Completely different content about databases and query planners"),  # near dup of 4
+        (6, "zzz qqq www eee rrr ttt yyy uuu iii ooo"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup_groups(toy_docs):
+    groups = dedup.exact_dedup_groups(toy_docs).collect()
+    assert len(groups) == 5  # 1&2 collapse
+    dup = [g for g in groups if g["n_copies"] == 2]
+    assert len(dup) == 1 and dup[0]["keeper_id"] == 1
+
+
+def test_drop_exact_duplicates(toy_docs):
+    kept = dedup.drop_exact_duplicates(toy_docs)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 3, 4, 5, 6]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "t string")
+    sh = df.select(dedup.word_shingles(F.col("t"), 2).alias("s")).head()["s"]
+    assert sh == ["a b", "b c", "c d"]
+
+
+def test_minhash_lsh_finds_near_dups(toy_docs):
+    cands = dedup.minhash_lsh_candidates(toy_docs, num_hashes=64, bands=32, shingle_k=2)
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (1, 2) in pairs
+    assert (4, 5) in pairs
+    # unrelated docs must not pair with doc 6
+    assert not any(6 in p for p in pairs)
+
+
+def test_minhash_jaccard_tracks_exact(toy_docs):
+    """LSH jaccard estimate within 0.25 of exact token jaccard."""
+    cands = dedup.minhash_lsh_candidates(toy_docs, num_hashes=128, bands=32, shingle_k=1)
+    est = {
+        (r["id_a"], r["id_b"]): r["jaccard_est"]
+        for r in dedup.minhash_jaccard_estimate(
+            toy_docs, cands, num_hashes=128, shingle_k=1
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(toy_docs, cands.select("id_a", "id_b")).collect()
+    }
+    for pair, e in est.items():
+        assert abs(e - exact[pair]) < 0.25, (pair, e, exact[pair])
+
+
+def test_simhash_identical_and_near(toy_docs):
+    fp = dedup.with_simhash64(toy_docs, "text", "fp", shingle_k=2)
+    vals = {r["doc_id"]: r["fp"] for r in fp.collect()}
+    # exact dups (after normalization) share a fingerprint
+    assert vals[1] == vals[2]
+    # near-dups (one word changed) are much closer than unrelated docs
+    def ham(a: int, b: int) -> int:
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    assert ham(vals[4], vals[5]) < ham(vals[4], vals[6])
+    # pigeonhole blocking guarantee: EVERY pair within max_hamming=3 is found
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_dup_pairs(toy_docs, max_hamming=3, shingle_k=2).collect()
+    }
+    expected = {
+        (a, b): ham(vals[a], vals[b])
+        for a in vals
+        for b in vals
+        if a < b and ham(vals[a], vals[b]) <= 3
+    }
+    assert pairs == expected
+    assert pairs[(1, 2)] == 0
+
+
+def test_lsh_scales_on_corpus(documents):
+    """Runs on the real documents table without cross-joining: candidate
+    count must be << n^2."""
+    n = documents.count()
+    cands = dedup.minhash_lsh_candidates(documents, num_hashes=32, bands=8)
+    m = cands.count()
+    assert m < n * 20

@@ -1,0 +1,79 @@
+"""Relational helpers (X1-X13) + plan-shape assertions (the 100 TB checks:
+broadcast where intended, TakeOrdered instead of global sort, pushed filters)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_lakehouse_medallion_pipeline_spark.operators import relational
+
+
+def test_top_k_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, 1.0)], "id long, v double"
+    )
+    out = relational.top_k(df, [F.desc("v"), F.col("id")], 2).collect()
+    assert [(r["id"], r["v"]) for r in out] == [(1, 5.0), (2, 5.0)]
+
+
+def test_top_k_plan_uses_take_ordered(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plan = relational.top_k(
+        li, [F.desc("l_extendedprice"), F.col("l_orderkey")], 10
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_broadcast_hint_sticks(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = relational.broadcast_dim(spark.read.parquet(f"{sf_dir}/part.parquet"))
+    plan = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    from spark_lakehouse_medallion_pipeline_spark.plans import explain
+
+    assert explain.has_pushed_filters(df)
+    plan = explain.formatted(df)
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan
+    # column pruning: only the filter + projected columns are read
+    assert explain.scan_schema_contains_only(df, {"o_orderkey", "o_orderpriority"})
+
+
+def test_running_agg(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 5.0), (2, 1, 7.0)], "k long, seq long, v double"
+    )
+    out = relational.running_agg(df, ["k"], ["seq"], "v", "run")
+    got = {(r["k"], r["seq"]): r["run"] for r in out.collect()}
+    assert got == {(1, 1): 10.0, (1, 2): 15.0, (2, 1): 7.0}
+
+
+def test_ranked_in_group(spark):
+    df = spark.createDataFrame(
+        [("a", 3.0), ("a", 9.0), ("b", 1.0)], "g string, v double"
+    )
+    out = relational.ranked_in_group(df, ["g"], [F.desc("v")])
+    got = {(r["g"], r["v"]): r["rn"] for r in out.collect()}
+    assert got == {("a", 9.0): 1, ("a", 3.0): 2, ("b", 1.0): 1}
+
+
+def test_approx_distinct_within_rsd(events):
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact")
+    )
+    approx = relational.approx_distinct(events, ["event_type"], "user_id", rsd=0.02)
+    joined = exact.join(approx, "event_type").collect()
+    for r in joined:
+        assert abs(r["approx_distinct_user_id"] - r["exact"]) <= max(3, 0.1 * r["exact"])

@@ -1,0 +1,58 @@
+"""Scalar-function semantics, incl. the reference's Q1-Q3/Q6 corners
+(SURVEY.md §1.4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_lakehouse_medallion_pipeline_spark.functions import scalars
+
+
+def test_count_if_counts_true_rows_only(spark):
+    """Q3: reference's count(bool) counts non-nulls; ours counts trues."""
+    df = spark.createDataFrame([(1,), (5,), (None,), (10,)], "x int")
+    row = df.agg(
+        scalars.count_if(F.col("x") > 4).alias("n"),
+        F.count(F.col("x") > 4).alias("ref_buggy"),
+    ).head()
+    assert row["n"] == 2
+    assert row["ref_buggy"] == 3  # documents the bug we fixed
+
+
+def test_clean_email(spark):
+    df = spark.createDataFrame([("  User.duplicate@EXAMPLE.com ",)], "e string")
+    assert df.select(scalars.clean_email(F.col("e")).alias("c")).head()["c"] == "user@example.com"
+
+
+def test_clean_phone_q6_semantics(spark):
+    """Q6: strips non-digits, drops leading 1, wraps 10 digits in parens."""
+    df = spark.createDataFrame(
+        [("+1 (555) 123-4567",), ("555.123.4567",), ("12345",)], "p string"
+    )
+    out = [r["c"] for r in df.select(scalars.clean_phone(F.col("p")).alias("c")).collect()]
+    assert out == ["(5551234567)", "(5551234567)", "12345"]
+
+
+def test_standardize_state(spark):
+    df = spark.createDataFrame([("california",), ("TX",), ("WA",)], "s string")
+    out = [r["c"] for r in df.select(scalars.standardize_state(F.col("s")).alias("c")).collect()]
+    assert out == ["CA", "TX", "WA"]
+
+
+def test_uniform_deterministic_and_in_range(spark):
+    df = spark.range(1000).select(scalars.uniform("tag", F.col("id")).alias("u"))
+    rows = df.agg(
+        F.min("u").alias("lo"), F.max("u").alias("hi"), F.avg("u").alias("mean")
+    ).head()
+    assert 0.0 <= rows["lo"] and rows["hi"] < 1.0
+    assert 0.4 < rows["mean"] < 0.6  # roughly uniform
+    # Stable under repartitioning (unlike F.rand(seed)).
+    a = sorted(r["u"] for r in df.collect())
+    b = sorted(
+        r["u"]
+        for r in spark.range(1000)
+        .repartition(7)
+        .select(scalars.uniform("tag", F.col("id")).alias("u"))
+        .collect()
+    )
+    assert a == b

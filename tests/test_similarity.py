@@ -1,0 +1,76 @@
+"""Similarity search (X19/X21): brute cosine, k-NN join, LSH recall."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from spark_lakehouse_medallion_pipeline_spark.operators import similarity
+
+
+def test_dot_and_norm(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 2.0], [2.0, 0.0, 1.0])], "a array<double>, b array<double>")
+    row = df.select(
+        similarity.dot(F.col("a"), F.col("b")).alias("d"),
+        similarity.l2_norm(F.col("a")).alias("n"),
+        similarity.cosine(F.col("a"), F.col("a")).alias("self"),
+    ).head()
+    assert row["d"] == 4.0
+    assert row["n"] == 3.0
+    assert abs(row["self"] - 1.0) < 1e-12
+
+
+def test_brute_topk_orders_by_similarity(embeddings):
+    qvec = [float(x) for x in embeddings.filter(F.col("vec_id") == 0).head()["embedding"]]
+    top = similarity.cosine_topk_brute(
+        embeddings.filter(F.col("vec_id") != 0), qvec, k=5
+    ).collect()
+    sims = [r["cosine_sim"] for r in top]
+    assert len(top) == 5
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0 - 1e-9 <= s <= 1.0 + 1e-9 for s in sims)
+
+
+def test_knn_join_brute_self_match(embeddings):
+    qs = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = similarity.knn_join_brute(qs, embeddings, k=1)
+    rows = {r["q_id"]: (r["vec_id"], r["cosine_sim"]) for r in out.collect()}
+    for q_id, (c_id, sim) in rows.items():
+        assert c_id == q_id  # nearest neighbor of a vector is itself
+        assert abs(sim - 1.0) < 1e-5
+
+
+def test_lsh_recall_vs_brute(embeddings):
+    """Multi-probe RHP-LSH at 8 planes must recover most of the true top-5
+    (brute force is the exact baseline). The self-pair (sim=1.0) at least
+    must always survive — a query shares its own bucket by construction."""
+    qs = embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    brute = similarity.knn_join_brute(qs, embeddings, k=5)
+    lsh = similarity.lsh_knn_join(qs, embeddings, dim=64, k=5, n_planes=6, n_tables=4)
+    truth = {(r["q_id"], r["vec_id"]) for r in brute.collect()}
+    got = {(r["q_id"], r["vec_id"]) for r in lsh.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, recall
+    assert all((q, q) in got for q in range(10))
+
+
+def test_rhp_signature_deterministic(embeddings):
+    sig = embeddings.limit(20).select(
+        "vec_id", similarity.rhp_signature(F.col("embedding"), 64, 8).alias("s")
+    )
+    a = sorted(map(tuple, sig.collect()))
+    b = sorted(map(tuple, sig.collect()))
+    assert a == b
+    assert all(0 <= s < 2**8 for _, s in a)
+
+
+def test_embedding_stats_normalized_corpus(embeddings):
+    stats = similarity.embedding_stats(embeddings.limit(50)).collect()
+    for r in stats:
+        assert r["dim"] == 64
+        assert math.isclose(r["l2_norm"], 1.0, abs_tol=1e-4)

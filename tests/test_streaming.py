@@ -1,0 +1,64 @@
+"""Structured Streaming slice (X14-X15): availableNow drains must agree
+with the batch forms on bounded input."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_lakehouse_medallion_pipeline_spark.operators import timeseries
+from spark_lakehouse_medallion_pipeline_spark.streaming import jobs
+
+
+def _events_stream_dir(spark, events, tmp_path):
+    """Re-write the nanos-ts corpus as clean micros parquet for the stream
+    source (the schema the streaming reader declares)."""
+    path = str(tmp_path / "events_stream")
+    events.select("event_id", "ts", "user_id", "event_type", "value", "props").coalesce(
+        2
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_windowed_stream_matches_batch(spark, events, tmp_path):
+    path = _events_stream_dir(spark, events, tmp_path)
+    stream = jobs.read_events_stream(spark, path)
+    assert stream.isStreaming
+    out = jobs.windowed_counts_stream(stream, watermark="100 days", size="1 hour")
+    jobs.run_to_memory(out, "win_counts", str(tmp_path / "ckpt1"))
+    got = sorted(
+        map(tuple, spark.table("win_counts").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            timeseries.tumbling_window_agg(events, size="1 hour")
+            .select("window_start", "n_events", "total_value")
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_session_stream_matches_batch(spark, events, tmp_path):
+    path = _events_stream_dir(spark, events, tmp_path)
+    stream = jobs.read_events_stream(spark, path)
+    out = jobs.session_stream(stream, watermark="100 days", gap="30 minutes")
+    jobs.run_to_memory(out, "sess_counts", str(tmp_path / "ckpt2"))
+    got = spark.table("sess_counts")
+    want = timeseries.session_window_agg(events, "user_id", "ts", "30 minutes")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.select("user_id", "session_start", "n_events", "session_value").collect())
+    )
+
+
+def test_append_sink_writes_closed_windows(spark, events, tmp_path):
+    """Append mode emits only watermark-closed windows; with a tiny
+    watermark all-but-the-last should flush on the second drain."""
+    path = _events_stream_dir(spark, events, tmp_path)
+    stream = jobs.read_events_stream(spark, path)
+    out = jobs.windowed_counts_stream(stream, watermark="1 minute", size="1 hour")
+    sink = str(tmp_path / "sink")
+    jobs.run_append_to_parquet(out, sink, str(tmp_path / "ckpt3"))
+    written = spark.read.parquet(sink)
+    n_batch_windows = timeseries.tumbling_window_agg(events, size="1 hour").count()
+    assert written.count() >= n_batch_windows - 2

@@ -1,0 +1,76 @@
+"""Text-analysis operators (X20) on literal strings."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_lakehouse_medallion_pipeline_spark.operators import text
+
+
+def _one(spark, s: str, col):
+    return spark.createDataFrame([(s,)], "t string").select(col(F.col("t")).alias("o")).head()["o"]
+
+
+def test_normalized_text(spark):
+    assert _one(spark, "  Hello   WORLD  ", text.normalized_text) == "hello world"
+
+
+def test_token_counts(spark):
+    assert _one(spark, "one two  three", text.token_count) == 3
+    # BPE-ish: "don't" -> don + ' + t ; "abc123" -> abc + 123
+    assert _one(spark, "don't abc123", text.bpe_ish_token_count) == 5
+
+
+def test_avg_token_length(spark):
+    assert _one(spark, "ab abcd", text.avg_token_length) == 3.0
+
+
+def test_stopword_and_punct_ratio(spark):
+    assert _one(spark, "the cat and the dog", text.stopword_ratio) == 0.6
+    assert _one(spark, "ab!!", text.punct_ratio) == 0.5
+
+
+def test_quality_score_prose_beats_noise(spark):
+    prose = _one(spark, "the quick brown fox jumps over the lazy dog and runs", text.quality_score)
+    noise = _one(spark, "!!! ### $$$ %%% ^^^ &&&", text.quality_score)
+    assert prose == 1.0
+    assert noise < prose
+
+
+def test_fingerprints_match_on_normalized_dups(spark):
+    df = spark.createDataFrame(
+        [("Hello   World",), ("  hello world ",), ("other",)], "t string"
+    )
+    fps = [
+        r["f"]
+        for r in df.select(text.fingerprint_md5(F.col("t")).alias("f")).collect()
+    ]
+    assert fps[0] == fps[1] != fps[2]
+    rolling = [
+        r["f"]
+        for r in df.select(text.fingerprint_rolling(F.col("t")).alias("f")).collect()
+    ]
+    assert rolling[0] == rolling[1]
+
+
+def test_lang_id(spark):
+    cases = {
+        "this is the house and the garden": "en",
+        "le chat est sur la table et il dort": "fr",
+        "el perro y el gato es bonito": "es",
+        "der hund und die katze ist hier": "de",
+        "xyzzy plugh": "unknown",
+    }
+    for s, want in cases.items():
+        assert _one(spark, s, text.lang_id) == want, s
+
+
+def test_text_stats_block(documents):
+    out = text.text_stats(documents.limit(20))
+    rows = out.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["n_chars"] > 0 and r["n_tokens"] > 0
+        assert r["n_subword_tokens"] >= r["n_tokens"] - 1
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert len(r["fingerprint"]) == 32

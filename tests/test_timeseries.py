@@ -1,0 +1,81 @@
+"""Time-series operators (X14-X15): windows, sessions, as-of join."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from spark_lakehouse_medallion_pipeline_spark.operators import relational, timeseries
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_small(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:05"), "A"),
+            (2, _ts("2024-01-01 10:00:10"), "A"),
+            (3, _ts("2024-01-01 09:59:00"), "A"),
+            (4, _ts("2024-01-01 10:00:07"), "B"),
+        ],
+        "trade_id long, ts timestamp, sym string",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (_ts("2024-01-01 10:00:00"), "A", 100.0),
+            (_ts("2024-01-01 10:00:07"), "A", 101.0),
+            (_ts("2024-01-01 10:00:06"), "B", 50.0),
+        ],
+        "ts timestamp, sym string, px double",
+    )
+    out = timeseries.asof_join_backward(
+        trades, quotes, key="sym", left_ts="ts", right_ts="ts", right_cols=["px"]
+    )
+    got = {r["trade_id"]: r["asof_px"] for r in out.collect()}
+    assert got == {1: 100.0, 2: 101.0, 3: None, 4: 50.0}
+    # ties: left at exactly a quote time takes that quote ("<=")
+    assert got[2] == 101.0
+
+
+def test_session_window_native_matches_lag_cumsum(events):
+    """F.session_window and the SQL-expressible lag+cumsum sessionizer must
+    produce identical session partitions (same per-user session sizes)."""
+    native = timeseries.session_window_agg(events, "user_id", "ts", "30 minutes")
+    manual = relational.sessionize(events, "user_id", "ts", 1800)
+    manual_agg = manual.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    a = sorted(
+        (r["user_id"], r["n_events"]) for r in native.collect()
+    )
+    b = sorted((r["user_id"], r["n_events"]) for r in manual_agg.collect())
+    assert a == b
+
+
+def test_tumbling_and_sliding_cover_all_events(events):
+    n = events.count()
+    tumb = timeseries.tumbling_window_agg(events, size="1 hour")
+    assert tumb.agg(F.sum("n_events")).head()[0] == n
+    slid = timeseries.sliding_window_agg(events, size="2 hours", slide="1 hour")
+    # every event appears in exactly size/slide = 2 sliding windows
+    assert slid.agg(F.sum("n_events")).head()[0] == 2 * n
+
+
+def test_sessionize_gap_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00")),
+            (1, _ts("2024-01-01 10:10:00")),  # same session (gap 10 min)
+            (1, _ts("2024-01-01 11:00:00")),  # new session (gap 50 min)
+            (2, _ts("2024-01-01 10:00:00")),
+        ],
+        "user_id long, ts timestamp",
+    )
+    out = relational.sessionize(df, "user_id", "ts", 1800)
+    sessions = {(r["user_id"], r["ts"].isoformat()): r["session_id"] for r in out.collect()}
+    assert sessions[(1, "2024-01-01T10:00:00")] == sessions[(1, "2024-01-01T10:10:00")]
+    assert sessions[(1, "2024-01-01T11:00:00")] == 2
+    assert sessions[(2, "2024-01-01T10:00:00")] == 1
