@@ -67,10 +67,12 @@ def minhash_signature(text: Column, num_hashes: int = 64, shingle_k: int = 3) ->
 
     Cost model (the 100 TB concern): shingle strings are built ONCE and
     hashed to 64-bit base hashes ONCE; the n-hash family then re-hashes
-    only the 8-byte base value (xxhash64(h, seed)) — O(shingles) string
-    work + O(shingles * num_hashes) integer hashing, instead of the naive
-    O(shingles * num_hashes) string construction+hashing (which made the
-    operator ~50x slower). Deterministic everywhere, entirely JVM-side.
+    only the 8-byte base value (xxhash64(h, seed)). Each of the
+    num_hashes positions is its own flat ``array_min(transform(...))``
+    expression — a nested-lambda form (transform over a seeds array with
+    an inner transform) evaluates interpreted per element and measured
+    ~16x slower than this flat layout. Deterministic everywhere,
+    entirely JVM-side, scan-local (no shuffle).
     """
     base = base_shingle_hashes(text, shingle_k)
     return minhash_from_base(base, num_hashes)
@@ -84,10 +86,114 @@ def base_shingle_hashes(text: Column, shingle_k: int = 3) -> Column:
 def minhash_from_base(base_hashes: Column, num_hashes: int = 64) -> Column:
     """MinHash family over precomputed base hashes: position i is
     min(xxhash64(h, i)) — integer-only, cheap per extra hash."""
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    return F.transform(
-        seeds,
-        lambda s: F.array_min(F.transform(base_hashes, lambda h: F.xxhash64(h, s))),
+
+    def position(i: int) -> Column:
+        seed = F.lit(i)
+        # Single-parameter lambda on purpose: a two-parameter lambda
+        # would be called as (element, index) by transform(), silently
+        # replacing the seed with the array index.
+        return F.array_min(F.transform(base_hashes, lambda h: F.xxhash64(h, seed)))
+
+    return F.array(*[position(i) for i in range(num_hashes)])
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(_id, _sig) signature table — the reusable intermediate. At scale
+    this is what you persist/checkpoint so banding, candidate joins, and
+    verification all read it instead of re-shingling the corpus.
+
+    Fast path: explode the per-doc shingle hashes to rows, compute the
+    n-hash family as n plain ``xxhash64(h, i)`` columns (whole-stage
+    codegen — higher-order lambdas evaluate interpreted and measured
+    10x+ slower), and take per-position mins in a hash aggregate. The
+    map-side partial aggregation means the shuffle carries ~one row per
+    (doc, partition), not one per shingle."""
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(base_shingle_hashes(F.col(text_col), shingle_k)).alias("_h"),
+    )
+    hashed = base.select(
+        "_id", *[F.xxhash64(F.col("_h"), F.lit(i)).alias(f"_x{i}") for i in range(num_hashes)]
+    )
+    mins = hashed.groupBy("_id").agg(
+        *[F.min(f"_x{i}").alias(f"_m{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        "_id", F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("_sig")
+    )
+
+
+def _banded(sig_df: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Explode signatures to (_id, band, band_hash). Band hash is a
+    multi-argument xxhash64 over the band's signature slots — plain
+    codegen'd integer hashing, no string assembly."""
+    rpb = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.element_at(F.col("_sig"), b * rpb + j + 1) for j in range(rpb)]
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig_df.select("_id", F.explode(band_structs).alias("bb")).select(
+        "_id", "bb.band", "bb.band_hash"
+    )
+
+
+def _bucket_pairs(ids: Column) -> Column:
+    """All (id_a < id_b) pairs from a sorted bucket id array."""
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ids) - 1),
+            lambda i: F.transform(
+                F.slice(ids, 1, i),
+                lambda a: F.struct(
+                    a.alias("id_a"), F.element_at(ids, i + 1).alias("id_b")
+                ),
+            ),
+        )
+    )
+
+
+def minhash_lsh_candidates_from_signatures(
+    sig_df: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Candidate pairs from a signature table.
+
+    Plan shape: ONE shuffle — groupBy (band, band_hash) collecting the
+    bucket's ids, then pairs are generated inside each bucket row. This
+    replaces the banded self-join, which scanned + re-computed the
+    signature projection twice and shuffled both copies.
+
+    ``max_bucket`` drops degenerate buckets (at web scale a bucket with
+    10^5 members is boilerplate/empty-page text; its O(n^2) pairs add no
+    information — capping is standard practice, None = exact).
+    """
+    banded = _banded(sig_df, num_hashes, bands)
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("_ids") <= max_bucket)
+    return (
+        buckets.select(F.explode(_bucket_pairs(F.col("_ids"))).alias("p"))
+        .groupBy("p.id_a", "p.id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
 
 
@@ -102,51 +208,16 @@ def minhash_lsh_candidates(
     """Candidate near-dup pairs via banded MinHash-LSH.
 
     Plan shape: project signatures (scan-local) -> explode to (band,
-    band_hash, id) -> self-join on (band, band_hash) -> distinct pairs.
-    The join key is the band bucket, so co-bucketed docs only — never a
-    cross join. rows ~ docs * bands; at 100 TB, band_hash is a well-spread
-    64-bit key, so the shuffle is uniform (no salting needed).
+    band_hash, id) -> groupBy bucket -> in-bucket pair generation. The
+    grouping key is the band bucket, so co-bucketed docs only — never a
+    cross join. rows ~ docs * bands; at 100 TB, band_hash is a
+    well-spread 64-bit key, so the shuffle is uniform (no salting
+    needed).
 
     Returns (id_a, id_b, n_shared_bands) with id_a < id_b.
     """
-    rows_per_band = num_hashes // bands
-    sig = docs.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("_sig"),
-    )
-    banded = sig.select(
-        "_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("band_hash"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.band_hash")
-
-    left = banded.select(
-        F.col("band"), F.col("band_hash"), F.col("_id").alias("id_a")
-    )
-    right = banded.select(
-        F.col("band"), F.col("band_hash"), F.col("_id").alias("id_b")
-    )
-    return (
-        left.join(right, on=["band", "band_hash"], how="inner")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
-    )
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    return minhash_lsh_candidates_from_signatures(sig, num_hashes, bands)
 
 
 def minhash_jaccard_estimate(
@@ -177,6 +248,57 @@ def minhash_jaccard_estimate(
         "id_b",
         (matches.cast("double") / F.lit(float(num_hashes))).alias("jaccard_est"),
     )
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    min_jaccard: float | None = None,
+    persist: bool = True,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures once -> LSH candidates ->
+    signature-match jaccard estimate.
+
+    With ``persist`` the signature table is cached (MEMORY_AND_DISK), so
+    shingling+hashing — the dominant cost — runs exactly once even though
+    three plan branches consume it (banding, id_a join, id_b join). At
+    100 TB the equivalent move is checkpointing signatures to a table;
+    the plan shape is identical.
+
+    Returns (id_a, id_b, n_shared_bands, jaccard_est), id_a < id_b.
+    """
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    if persist:
+        from pyspark import StorageLevel
+
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    cands = minhash_lsh_candidates_from_signatures(sig, num_hashes, bands, max_bucket)
+    a = sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))
+    b = sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"))
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    est = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared_bands",
+            (matches.cast("double") / F.lit(float(num_hashes))).alias("jaccard_est"),
+        )
+    )
+    if min_jaccard is not None:
+        est = est.filter(F.col("jaccard_est") >= min_jaccard)
+    return est
 
 
 # One-pass SimHash fold, SQL-lambda form. The PySpark shiftright() wrapper

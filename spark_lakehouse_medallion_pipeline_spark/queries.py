@@ -833,8 +833,9 @@ def q33_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket join (never a cross join). Verified against exact jaccard in
     tests/test_dedup.py."""
     docs = _t(spark, sf_dir, "documents")
-    cands = dedup.minhash_lsh_candidates(docs, num_hashes=64, bands=16, shingle_k=3)
-    return dedup.minhash_jaccard_estimate(docs, cands).filter(F.col("jaccard_est") >= 0.5)
+    return dedup.minhash_near_dup_pairs(
+        docs, num_hashes=64, bands=16, shingle_k=3, min_jaccard=0.5
+    ).select("id_a", "id_b", "jaccard_est")
 
 
 @_q("q34_simhash_pairs")  # bit-twiddling fingerprint; rows-only + pytest
