@@ -40,7 +40,11 @@ HEADLINE = [
     "q29_text_stats",
     "q33_minhash_candidates",
     "q36_knn_vec0",
+    "q37_lsh_knn_join",
     "q40_zscore_by_type",
+    "q41_scalar_battery",
+    "q43_cosine_pairs_exact",
+    "q45_ivf_knn",
     "medallion_gold_kpis",
 ]
 

@@ -208,3 +208,148 @@ def embedding_stats(
             6,
         ).alias("head8_sum"),
     )
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup-family variant of
+    X19): LSH-block the corpus, generate pairs only inside buckets, keep
+    pairs with exact cosine >= threshold.
+
+    Scale shape: the self-pairing happens per (table, signature) bucket —
+    never a cross join — and OR-construction over ``n_tables`` plane
+    families recovers pairs that a single table's hyperplanes split.
+    Recall for a pair at angle theta is 1-(1-(1-theta/pi)^n_planes)^n_tables.
+
+    Returns (id_a, id_b, cosine_sim), id_a < id_b, exact cosine.
+    """
+    sides = []
+    for suffix in ("a", "b"):
+        sig = corpus.select(
+            F.col(id_col).alias(f"id_{suffix}"),
+            F.col(vec_col).alias(f"_vec_{suffix}"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table"),
+                            rhp_signature(F.col(vec_col), dim, n_planes, t).alias("sig"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("_b"),
+        ).select(
+            f"id_{suffix}",
+            f"_vec_{suffix}",
+            F.col("_b.table").alias("_table"),
+            F.col("_b.sig").alias("_bucket"),
+        )
+        sides.append(sig)
+    a, b = sides
+    return (
+        a.join(b, on=["_table", "_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_vec_a"), F.col("_vec_b")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cosine_sim").alias("cosine_sim"))
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic IVF 'training': pick n_centroids corpus vectors by
+    lowest xxhash64(id) (a reproducible uniform sample — no iterative
+    k-means, which buys little on normalized web-scale embeddings) and
+    L2-normalize them driver-side. The collect is n_centroids rows — the
+    model, not the data."""
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = []
+    for r in rows:
+        v = [float(x) for x in r[1]]
+        norm = sum(x * x for x in v) ** 0.5 or 1.0
+        cents.append([x / norm for x in v])
+    return cents
+
+
+def _centroid_scores(vec: Column, cents: list[list[float]]) -> Column:
+    """array<struct<score,cid>> of cosine-rank scores against normalized
+    centroids. Centroids are unit vectors, so dot(vec, c) ranks identically
+    to cosine for a fixed vec — no per-row norm needed."""
+    return F.array(
+        *[
+            F.struct(
+                dot(vec, F.array(*[F.lit(x) for x in c])).alias("score"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+
+
+def ivf_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probes: int = 3,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN k-NN join — the cell-probe alternative to
+    lsh_knn_join.
+
+    Index: every corpus vector is assigned to its nearest centroid's cell
+    (scan-local argmax over n_centroids dot products). Search: each query
+    probes its ``n_probes`` nearest cells, hash-joins on cell id, exact
+    cosine + top-k inside the probed cells. Corpus shuffle key is the
+    cell id: ~|corpus|/n_centroids per cell, tunable; work per query is
+    n_probes/n_centroids of a full scan.
+    """
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(corpus, n_centroids, c_id, vec_col)
+    c_cell = corpus.select(
+        F.col(c_id),
+        F.col(vec_col).alias("_cvec"),
+        F.array_max(_centroid_scores(F.col(vec_col), cents))["cid"].alias("_cell"),
+    )
+    # Query side: top n_probes cells by score (sort desc on (score, cid)).
+    probed = F.slice(
+        F.reverse(F.array_sort(_centroid_scores(F.col(vec_col), cents))), 1, n_probes
+    )
+    q_cell = queries.select(
+        F.col(q_id),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(probed).alias("_probe"),
+    ).select(q_id, "_qvec", F.col("_probe.cid").alias("_cell"))
+    scored = c_cell.join(q_cell, on="_cell").select(
+        F.col(q_id),
+        F.col(c_id),
+        F.round(cosine(F.col("_cvec"), F.col("_qvec")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("cosine_sim"), F.col(c_id))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")

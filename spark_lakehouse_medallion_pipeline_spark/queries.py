@@ -1125,3 +1125,166 @@ def medallion_silver_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         money(sum_cents(F.col("lifetime_value_estimate"))).alias("total_ltv"),
         (F.sum(cents(F.col("data_quality_score"))).cast("double") / F.count(F.lit(1)) / F.lit(100.0)).alias("avg_dq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function batteries (SURVEY.md §2a T/H/M and D families, oracled)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q41_scalar_battery",
+    r"""
+    SELECT c_custkey,
+           c_name || '#' || c_mktsegment AS tag,
+           concat_ws('|', c_name, c_mktsegment, CAST(c_custkey AS VARCHAR)) AS wsv,
+           lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded,
+           lower(c_mktsegment) AS seg_lower,
+           trim(upper(c_name)) AS name_upper,
+           regexp_replace(c_name, 'Customer#0*(\d+)', 'C-\1') AS cshort,
+           reverse(c_name) AS name_rev,
+           repeat(substr(c_mktsegment, 1, 2), 3) AS rep2x3,
+           lower(hex(c_mktsegment)) AS seg_hex,
+           sha256(c_name) AS name_sha,
+           c_mktsegment LIKE '%I%' AS has_i,
+           c_mktsegment IN ('BUILDING', 'MACHINERY') AS seg_known,
+           CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_cents,
+           CAST(floor(c_acctbal) AS BIGINT) AS acctbal_floor,
+           greatest(c_acctbal, 1000.0) AS bal_floor1k,
+           CAST(c_nationkey AS BIGINT) + c_custkey % 7 AS mixed_int
+    FROM customer
+    """,
+)
+def q41_scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/hash/math scalar layer in one oracled projection — the
+    reference's T1-T10 (concat/concat_ws/lpad/case-fold/trim/
+    regexp_replace-with-backref/reverse/repeat/hex/like/cast), H1 (sha2),
+    M2-M5 (floor/greatest/arithmetic/cast). Reference call sites:
+    CM:53-121, CM:194-199 (/root/reference/k8s/spark/
+    41-spark-job-scripts-configmap.yaml). Pure projection: no shuffle,
+    whole-stage codegen, scales embarrassingly."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit("#"), F.col("c_mktsegment")).alias("tag"),
+        F.concat_ws(
+            "|", F.col("c_name"), F.col("c_mktsegment"), F.col("c_custkey").cast("string")
+        ).alias("wsv"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.trim(F.upper(F.col("c_name"))).alias("name_upper"),
+        F.regexp_replace("c_name", r"Customer#0*(\d+)", r"C-$1").alias("cshort"),
+        F.reverse(F.col("c_name")).alias("name_rev"),
+        F.repeat(F.substring("c_mktsegment", 1, 2), 3).alias("rep2x3"),
+        F.lower(F.hex(F.col("c_mktsegment"))).alias("seg_hex"),
+        F.sha2(F.col("c_name"), 256).alias("name_sha"),
+        F.col("c_mktsegment").like("%I%").alias("has_i"),
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY").alias("seg_known"),
+        cents(F.col("c_acctbal")).alias("acctbal_cents"),
+        F.floor("c_acctbal").alias("acctbal_floor"),
+        F.greatest(F.col("c_acctbal"), F.lit(1000.0)).alias("bal_floor1k"),
+        (F.col("c_nationkey").cast("bigint") + F.col("c_custkey") % 7).alias("mixed_int"),
+    )
+
+
+@_q(
+    "q42_datetime_battery",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS od,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           dayofweek(o_orderdate) + 1 AS dow,
+           weekofyear(o_orderdate) AS woy,
+           datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy,
+           CAST(o_orderdate AS DATE) - 7 AS week_before,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           dayofweek(o_orderdate) + 1 IN (1, 7) AS is_weekend
+    FROM orders
+    """,
+)
+def q42_datetime_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar layer (reference D3-D10: to_date/hour-family/
+    dayofweek/weekofyear/month/datediff/date_sub/unix_timestamp, CM:47,
+    CM:213-220, CM:259, CM:309). DuckDB dayofweek is Sun=0 vs Spark's
+    Sun=1 — bridged with +1 in the oracle."""
+    o = _t(spark, sf_dir, "orders")
+    od = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        od.alias("od"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.weekofyear("o_orderdate").alias("woy"),
+        F.datediff(F.lit("1998-12-31").cast("date"), od).alias("days_to_eoy"),
+        F.date_sub(od, 7).alias("week_before"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.dayofweek("o_orderdate").isin(1, 7).alias("is_weekend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data: embedding-cosine near-dup (X18 embedding variant / X19)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q43_cosine_pairs_exact",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {S_FLOOR("list_cosine_similarity(a.v, b.v)", 6)} AS cosine_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {S_FLOOR("list_cosine_similarity(a.v, b.v)", 6)} >= 0.3
+    """,
+)
+def q43_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup kernel, oracled on a capped slice
+    (all-pairs is the O(n^2) verify stage; the scale path is the LSH
+    variant below). floor-round at 6dp absorbs summation-order ulps."""
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", "embedding")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    return (
+        a.join(b, a.id_a < b.id_b)
+        .select(
+            "id_a",
+            "id_b",
+            floor_round(similarity.cosine(F.col("_va"), F.col("_vb")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        .filter(F.col("cosine_sim") >= 0.3)
+    )
+
+
+@_q("q44_cosine_near_dup_lsh")  # RHP blocking is engine-side; recall in pytest
+def q44_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup at scale: RHP-LSH buckets block the
+    corpus (never a cross join), exact cosine inside buckets. Random
+    corpus has no true dups, so the demo threshold is low; recall on
+    planted near-dups is asserted in tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(
+        emb, dim=64, threshold=0.3, n_planes=6, n_tables=2
+    )
+
+
+@_q("q45_ivf_knn")  # cell-probe ANN; recall checked in pytest
+def q45_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN k-NN join (X19 scale path #2): nearest-centroid cells,
+    n_probes cell probes per query, exact cosine inside probed cells."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.ivf_knn_join(
+        queries, emb, dim=64, k=5, n_centroids=16, n_probes=4
+    )

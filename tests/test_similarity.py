@@ -74,3 +74,50 @@ def test_embedding_stats_normalized_corpus(embeddings):
     for r in stats:
         assert r["dim"] == 64
         assert math.isclose(r["l2_norm"], 1.0, abs_tol=1e-4)
+
+
+def test_ivf_knn_recall_vs_brute(embeddings):
+    """IVF with generous probing must recover most of the true top-5; the
+    self-pair always lands in the query's own best cell."""
+    qs = embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    brute = similarity.knn_join_brute(qs, embeddings, k=5)
+    ivf = similarity.ivf_knn_join(
+        qs, embeddings, dim=64, k=5, n_centroids=8, n_probes=4
+    )
+    truth = {(r["q_id"], r["vec_id"]) for r in brute.collect()}
+    got = {(r["q_id"], r["vec_id"]) for r in ivf.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, recall
+    assert all((q, q) in got for q in range(10))
+
+
+def test_ivf_centroids_deterministic(embeddings):
+    a = similarity.ivf_centroids(embeddings, n_centroids=4)
+    b = similarity.ivf_centroids(embeddings, n_centroids=4)
+    assert a == b
+    for c in a:
+        assert math.isclose(sum(x * x for x in c) ** 0.5, 1.0, rel_tol=1e-9)
+
+
+def test_cosine_near_dup_finds_planted_pair(spark, embeddings):
+    """Plant two near-identical vectors; the LSH near-dup pass must pair
+    them (multi-table OR-construction makes a miss ~(theta/pi)^planes^tables
+    -- negligible for a ~0 angle)."""
+    base = [float(x) for x in embeddings.filter(F.col("vec_id") == 0).head()["embedding"]]
+    tweaked = list(base)
+    tweaked[0] += 1e-3
+    planted = spark.createDataFrame(
+        [(100001, base), (100002, tweaked)], "vec_id bigint, embedding array<double>"
+    )
+    corpus = embeddings.select("vec_id", "embedding").union(planted)
+    pairs = similarity.cosine_near_dup_pairs(
+        corpus, dim=64, threshold=0.99, n_planes=8, n_tables=2
+    ).collect()
+    assert any(
+        {r["id_a"], r["id_b"]} >= {100001, 100002} or (r["id_a"], r["id_b"]) == (100001, 100002)
+        for r in pairs
+    )
+    for r in pairs:
+        assert r["cosine_sim"] >= 0.99
