@@ -110,3 +110,90 @@ def run_append_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+RUNNING_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def _running_totals_fn(key, pdf_iter, state):
+    """Per-user accumulator: state carries (count, value-sum) across
+    microbatches; emits one updated row per user per batch. Timed-out
+    state emits its final row and clears."""
+    import pandas as pd
+
+    if state.hasTimedOut:
+        (n, total) = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total], "last_ts": [None]}
+        )
+        return
+    n, total = state.get if state.exists else (0, 0.0)
+    last_ts = None
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        mx = pdf["ts"].max()
+        if last_ts is None or (mx is not None and mx > last_ts):
+            last_ts = mx
+    state.update((n, round(total, 6)))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [round(total, 6)],
+            "last_ts": [last_ts],
+        }
+    )
+
+
+def stateful_running_totals_stream(events: DataFrame, expire_state: bool = False) -> DataFrame:
+    """Custom stateful operator (X15) via applyInPandasWithState: exact
+    running (count, sum) per user — the shape Spark's built-in windowed
+    aggs can't express (unbounded per-key accumulation with a custom
+    emit/expiry policy).
+
+    State is partitioned by user_id — the same shuffle key as the
+    groupBy, so each executor holds only its keys' state; at 100 TB the
+    state store scales horizontally with executors (RocksDB state store
+    in production). ``expire_state`` arms a processing-time timeout for
+    long-running production streams; leave off for availableNow drains —
+    an armed timeout schedules empty timeout-check batches forever, so
+    the drain never terminates."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_totals_fn,
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if expire_state
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+def run_update_to_memory(stream_df: DataFrame, query_name: str, checkpoint_dir: str) -> None:
+    """Drain all available input in update mode (for stateful operators)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

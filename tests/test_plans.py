@@ -1,0 +1,109 @@
+"""Physical-plan audits (SURVEY.md §4): the scale properties that keep
+these queries viable at 100 TB, asserted on explain() output so a
+regression in plan shape fails fast — pushdown reaching the scan,
+dimension joins broadcasting, top-k using bounded heaps, no accidental
+cartesian products, map-side partial aggregation.
+
+Explain-only: no data is scanned, so these run at sf0.001 in seconds.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from spark_lakehouse_medallion_pipeline_spark.plans import explain
+from spark_lakehouse_medallion_pipeline_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    return explain.formatted(QUERIES[name](spark, SF))
+
+
+def test_q01_filter_pushed_to_scan(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate reached parquet
+    # Column pruning: the unused quantity-irrelevant columns never leave the scan.
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert "l_orderkey" not in m.group(1)
+
+
+def test_q01_partial_aggregation(spark):
+    """Map-side combine: two HashAggregates (partial + final) around one
+    exchange — the shuffle carries one row per (flag,status,partition),
+    not one per lineitem."""
+    plan = plan_of(spark, "q01_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_star_joins_broadcast(spark):
+    """Dim tables (region/nation/customer at these sizes, and the orders
+    side once filtered) must broadcast — a shuffled join of lineitem
+    against a KB-sized dim is the classic at-scale mistake."""
+    for name in ["q03_top_orders_by_revenue", "q04_regional_revenue", "q05_brand_part_revenue"]:
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_no_accidental_cartesian(spark):
+    """Every join in the battery must have an equi- or bounded condition.
+    (q43's capped slice self-join is the one sanctioned nested-loop.)"""
+    for name in [
+        "q03_top_orders_by_revenue",
+        "q06_customer_order_stats",
+        "q07_customers_without_orders",
+        "q15_clickers_who_purchase",
+        "q24_asof_purchase_click",
+        "q33_minhash_candidates",
+        "q37_lsh_knn_join",
+        "q45_ivf_knn",
+    ]:
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_topk_uses_bounded_heap(spark):
+    """ORDER BY ... LIMIT k must plan as TakeOrderedAndProject (per-
+    partition heaps), never a full sort of the input."""
+    for name in ["q03_top_orders_by_revenue", "q14_top10_customers", "q36_knn_vec0"]:
+        plan = plan_of(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_knn_pushdown(spark):
+    plan = plan_of(spark, "q36_knn_vec0")
+    assert "Not(EqualTo(vec_id,0))" in plan
+
+
+def test_semi_anti_joins_planned(spark):
+    got = plan_of(spark, "q15_clickers_who_purchase")
+    missing = plan_of(spark, "q16_clickers_no_purchase")
+    assert "LeftSemi" in got
+    assert "LeftAnti" in missing
+
+
+def test_minhash_partial_min_before_shuffle(spark):
+    """Signature aggregation must show partial HashAggregate (map-side
+    mins) — the property that keeps the shuffle ~|docs| not |shingles|."""
+    plan = plan_of(spark, "q33_minhash_candidates")
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_exchange_budget(spark):
+    """Shuffle-count ceilings for the headline queries: a plan change
+    that adds an exchange (e.g. a lost broadcast) should fail loudly."""
+    budgets = {
+        "q01_pricing_summary": 2,
+        "q04_regional_revenue": 2,
+        "q19_daily_event_kpis": 2,
+        "q13_running_customer_spend": 2,
+    }
+    for name, budget in budgets.items():
+        df = QUERIES[name](spark, SF)
+        n = explain.count_exchanges(df)
+        assert n <= budget, f"{name}: {n} exchanges > budget {budget}"

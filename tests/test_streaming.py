@@ -62,3 +62,33 @@ def test_append_sink_writes_closed_windows(spark, events, tmp_path):
     written = spark.read.parquet(sink)
     n_batch_windows = timeseries.tumbling_window_agg(events, size="1 hour").count()
     assert written.count() >= n_batch_windows - 2
+
+
+def test_stateful_running_totals(spark, events, tmp_path):
+    """applyInPandasWithState running totals: after draining all input,
+    each user's latest update row must equal the batch groupBy."""
+    path = _events_stream_dir(spark, events, tmp_path)
+    stream = jobs.read_events_stream(spark, path)
+    out = jobs.stateful_running_totals_stream(stream)
+    jobs.run_update_to_memory(out, "running_totals", str(tmp_path / "ckpt_state"))
+    # update mode emits one row per user per microbatch; keep the last.
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.table("running_totals")
+        .withColumn("_rn", F.monotonically_increasing_id())
+        .orderBy("_rn")
+        .collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["total"], 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    mismatches = {
+        u: (got[u], want[u])
+        for u in want
+        if got[u][0] != want[u][0] or abs(got[u][1] - want[u][1]) > 1e-4
+    }
+    assert not mismatches, dict(list(mismatches.items())[:5])
