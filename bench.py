@@ -45,6 +45,8 @@ HEADLINE = [
     "q41_scalar_battery",
     "q43_cosine_pairs_exact",
     "q45_ivf_knn",
+    "q46_order_lifecycle",
+    "q47_sliding_windows",
     "medallion_gold_kpis",
 ]
 
@@ -76,6 +78,32 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
+    # Materialized medallion end-to-end (the reference's flagship shape):
+    # generate bronze -> partitioned parquet -> silver enrich -> gold KPIs,
+    # timed with writes included; BASELINE.md's envelope is GB/min.
+    import shutil
+    import tempfile
+
+    from spark_lakehouse_medallion_pipeline_spark.medallion.pipeline import run_pipeline
+
+    tmp = tempfile.mkdtemp(prefix="bench_medallion_")
+    try:
+        t0 = time.time()
+        stats = run_pipeline(spark, tmp, rows=100_000, payload_kb=1)
+        timings["medallion_e2e_100k"] = round(time.time() - t0, 3)
+        bronze_bytes = sum(
+            f.stat().st_size
+            for f in __import__("pathlib").Path(tmp, "bronze").rglob("*.parquet")
+        )
+        bronze_mb_s = round(bronze_bytes / 1e6 / max(stats["bronze_sec"], 1e-9), 2)
+        print(
+            f"# medallion_e2e_100k: {timings['medallion_e2e_100k']:.2f}s "
+            f"(bronze {bronze_mb_s} MB/s on-disk)",
+            file=sys.stderr,
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -85,6 +113,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "bronze_write_mb_s": bronze_mb_s,
             }
         )
     )

@@ -1288,3 +1288,66 @@ def q45_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_knn_join(
         queries, emb, dim=64, k=5, n_centroids=16, n_probes=4
     )
+
+
+# ---------------------------------------------------------------------------
+# A8 declared-intent aggregates + sliding windows (SURVEY.md §2a A8, X14)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q46_order_lifecycle",
+    f"""
+    SELECT o_custkey,
+           CAST(min(o_orderdate) AS DATE) AS first_order_date,
+           CAST(max(o_orderdate) AS DATE) AS last_order_date,
+           arg_min(o_orderpriority, o_orderkey) AS first_priority,
+           arg_max(o_orderstatus, o_orderkey) AS latest_status,
+           list_sort(list(o_orderstatus)) AS status_history,
+           COUNT(*) AS n_orders,
+           {S_MONEY("o_totalprice")} AS lifetime_spend
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q46_order_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's imported-but-never-called aggregates (A8, CM:149,
+    CM:347: min/first/last/collect_list) as intended semantics: first/
+    last realized as min_by/max_by on the unique order key (deterministic
+    under any partitioning — bare first()/last() are order-dependent),
+    collect_list sorted for a stable value hash."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("first_order_date"),
+        F.max(F.to_date("o_orderdate")).alias("last_order_date"),
+        F.min_by("o_orderpriority", "o_orderkey").alias("first_priority"),
+        F.max_by("o_orderstatus", "o_orderkey").alias("latest_status"),
+        F.array_sort(F.collect_list("o_orderstatus")).alias("status_history"),
+        F.count(F.lit(1)).alias("n_orders"),
+        money(sum_cents(F.col("o_totalprice"))).alias("lifetime_spend"),
+    )
+
+
+@_q(
+    "q47_sliding_windows",
+    f"""
+    SELECT date_trunc('hour', ts) - i * INTERVAL 1 HOUR AS window_start,
+           COUNT(*) AS n_events,
+           {S_MONEY("value")} AS total_value
+    FROM events, range(0, 2) AS t(i)
+    GROUP BY 1
+    """,
+)
+def q47_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding time windows (X14): size 2h / slide 1h — each event lands
+    in exactly two windows (the oracle replays that with a range(0,2)
+    lateral). Spark's F.window expansion is scan-local; the shuffle is
+    the windowed aggregate only."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money(sum_cents(F.col("value"))).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
