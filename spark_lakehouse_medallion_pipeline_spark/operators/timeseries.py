@@ -107,3 +107,41 @@ def asof_join_backward(
     for c in right_cols:
         out = out.withColumn(f"asof_{c}", F.col(f"_matched.{c}"))
     return out.drop("_matched")
+
+
+def interval_join_bucketed(
+    left: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "window_start",
+    end_col: str = "window_end",
+) -> DataFrame:
+    """Range (interval-overlap) join, bucketed: rows of ``left`` matched to
+    every interval with start <= ts < end.
+
+    The naive plan for a non-equi join is a broadcast-nested-loop or
+    cartesian product — O(|left| x |intervals|), dead at scale. Here both
+    sides are mapped to hour buckets (intervals explode to the hours they
+    cover), the join is a plain hash equi-join on the bucket, and the
+    exact half-open predicate refines inside the bucket. Cost is
+    O(|left| + |intervals| x hours_covered) shuffle + a hash join —
+    the standard time-binning interval-join design.
+    """
+    b_iv = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col(start_col)),
+                # end is exclusive: an interval ending exactly on an hour
+                # boundary does not cover that hour's bucket.
+                F.date_trunc("hour", F.col(end_col) - F.expr("INTERVAL 1 MICROSECOND")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ),
+    )
+    b_left = left.withColumn("_bkt", F.date_trunc("hour", F.col(ts_col)))
+    return (
+        b_left.join(b_iv, "_bkt")
+        .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
+        .drop("_bkt")
+    )

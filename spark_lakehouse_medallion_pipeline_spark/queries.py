@@ -1351,3 +1351,67 @@ def q47_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Range/interval join (X6 at scale) + the spark.sql surface (S11)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q48_interval_join",
+    f"""
+    WITH iv AS (
+      SELECT DISTINCT date_trunc('day', ts) + 9 * INTERVAL 1 HOUR AS window_start,
+                      date_trunc('day', ts) + 17 * INTERVAL 1 HOUR AS window_end
+      FROM events
+    )
+    SELECT iv.window_start, COUNT(*) AS n_events, {S_MONEY("e.value")} AS total_value
+    FROM events e JOIN iv
+      ON e.ts >= iv.window_start AND e.ts < iv.window_end
+    GROUP BY iv.window_start
+    """,
+)
+def q48_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join via hour-bucket equi-join (never a nested
+    loop): events matched into derived business-hours windows. The oracle
+    is the plain non-equi BETWEEN join — same semantics, naive plan."""
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        (F.date_trunc("day", F.col("ts")) + F.expr("INTERVAL 9 HOURS")).alias("window_start"),
+        (F.date_trunc("day", F.col("ts")) + F.expr("INTERVAL 17 HOURS")).alias("window_end"),
+    ).distinct()
+    joined = timeseries.interval_join_bucketed(ev, iv, "ts", "window_start", "window_end")
+    return joined.groupBy("window_start").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money(sum_cents(F.col("value"))).alias("total_value"),
+    )
+
+
+@_q(
+    "q49_sql_surface",
+    f"""
+    SELECT c.c_mktsegment, o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           {S_MONEY("o.o_totalprice")} AS segment_revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment, o.o_orderpriority
+    """,
+)
+def q49_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interactive-SQL entry point (S11 — the reference exposes this
+    surface via Trino, scripts/run_pipeline.py:240-277): temp views +
+    spark.sql, one string, same engine/oracle guarantees as the
+    DataFrame battery."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment, o.o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS DOUBLE) / 100.0
+                 AS segment_revenue
+        FROM v_orders o JOIN v_customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, o.o_orderpriority
+        """
+    )

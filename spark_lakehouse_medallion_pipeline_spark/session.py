@@ -58,7 +58,9 @@ def get_spark(
         # expressions; constraint propagation is O(2^n) on those and buys
         # nothing for append-only analytics plans.
         .config("spark.sql.constraintPropagation.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] mode: driver heap IS the executor heap — size for all
+        # N task threads' shuffle/agg buffers, not just the driver role.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     if master:

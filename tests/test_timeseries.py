@@ -79,3 +79,33 @@ def test_sessionize_gap_semantics(spark):
     assert sessions[(1, "2024-01-01T10:00:00")] == sessions[(1, "2024-01-01T10:10:00")]
     assert sessions[(1, "2024-01-01T11:00:00")] == 2
     assert sessions[(2, "2024-01-01T10:00:00")] == 1
+
+
+def test_interval_join_bucketed_boundaries(spark):
+    """Half-open [start, end): start row joins, end row doesn't; an
+    interval ending exactly on an hour boundary must not cover that
+    hour's bucket (and must still catch rows just inside)."""
+    from pyspark.sql import functions as F
+
+    from spark_lakehouse_medallion_pipeline_spark.operators import timeseries
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:00:00"),  # == start -> in
+            (2, "2024-01-01 10:59:59"),  # just inside -> in
+            (3, "2024-01-01 11:00:00"),  # == end -> out
+            (4, "2024-01-01 08:59:59"),  # before -> out
+        ],
+        "event_id long, ts_s string",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    iv = spark.createDataFrame(
+        [("2024-01-01 09:00:00", "2024-01-01 11:00:00")], "s string, e string"
+    ).select(
+        F.col("s").cast("timestamp").alias("window_start"),
+        F.col("e").cast("timestamp").alias("window_end"),
+    )
+    got = sorted(
+        r["event_id"]
+        for r in timeseries.interval_join_bucketed(events, iv, "ts").collect()
+    )
+    assert got == [1, 2]
