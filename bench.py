@@ -47,6 +47,9 @@ HEADLINE = [
     "q45_ivf_knn",
     "q46_order_lifecycle",
     "q47_sliding_windows",
+    "q48_interval_join",
+    "q49_sql_surface",
+    "q50_knn_vectorized",
     "medallion_gold_kpis",
 ]
 

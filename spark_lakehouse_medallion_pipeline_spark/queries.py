@@ -1415,3 +1415,30 @@ def q49_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.c_mktsegment, o.o_orderpriority
         """
     )
+
+
+@_q(
+    "q50_knn_vectorized",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 5)
+    SELECT q_id, vec_id, cosine_sim FROM (
+      SELECT q.q_id, e.vec_id,
+             {S_FLOOR("list_cosine_similarity(e.embedding::DOUBLE[], q.v)", 6)} AS cosine_sim,
+             row_number() OVER (
+               PARTITION BY q.q_id
+               ORDER BY {S_FLOOR("list_cosine_similarity(e.embedding::DOUBLE[], q.v)", 6)} DESC,
+                        e.vec_id
+             ) AS rn
+      FROM embeddings e, q
+    ) WHERE rn <= 5
+    """,
+)
+def q50_knn_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN join on the Arrow/numpy gemm path (X16+X19): per-batch
+    BLAS matmul + batch-local top-k inside mapInPandas, window-reduced.
+    Same semantics as the JVM brute join; this is the hot-path design
+    for dense-vector math at scale (interpreted zip_with dot products
+    measured ~10x slower per element)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    return similarity.knn_join_vectorized(qs, emb, k=5)

@@ -121,3 +121,26 @@ def test_cosine_near_dup_finds_planted_pair(spark, embeddings):
     )
     for r in pairs:
         assert r["cosine_sim"] >= 0.99
+
+
+def test_vectorized_knn_matches_brute(embeddings):
+    """The Arrow/numpy gemm path must produce the same neighbor sets as
+    the JVM-expression brute path (values can differ in the last ulp at
+    the 6dp rounding boundary, so compare sets and near-equal sims)."""
+    qs = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    brute = {
+        (r["q_id"], r["vec_id"]): r["cosine_sim"]
+        for r in similarity.knn_join_brute(qs, embeddings, k=5).collect()
+    }
+    vec = {
+        (r["q_id"], r["vec_id"]): r["cosine_sim"]
+        for r in similarity.knn_join_vectorized(qs, embeddings, k=5).collect()
+    }
+    # Membership can only differ on exact score ties at rank k.
+    only_b, only_v = set(brute) - set(vec), set(vec) - set(brute)
+    assert len(only_b) <= 2 and len(only_v) <= 2, (only_b, only_v)
+    for pair in set(brute) & set(vec):
+        assert abs(brute[pair] - vec[pair]) < 2e-6, pair
+    assert all((q, q) in vec for q in range(5))
