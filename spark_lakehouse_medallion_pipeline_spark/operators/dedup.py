@@ -402,3 +402,56 @@ def ngram_jaccard_pairs(
             (inter.cast("double") / union).alias("jaccard"),
         )
     )
+
+
+def minhash_signatures_pandas(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(_id, _sig) signature table on the Arrow/numpy path.
+
+    Shingling + base hashing stay JVM-side (string work); the n-hash
+    family is a vectorized splitmix64 finalizer over a (shingles x
+    num_hashes) uint64 grid per document — one numpy broadcast instead
+    of num_hashes codegen'd columns. Measured at sf0.1 this does NOT
+    beat minhash_signatures (9s vs 5.6s cold): Arrow list transfer +
+    the per-document Python loop costs more than the one-time codegen
+    compile it avoids. Kept as the reference implementation for
+    environments where codegen is unavailable/hostile; the JVM explode
+    path is the default. Hash family differs from the JVM path
+    (splitmix64 vs xxhash64) — both are uniform 64-bit mixers; pick one
+    per pipeline and stay with it.
+    """
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        base_shingle_hashes(F.col(text_col), shingle_k).alias("_h"),
+    )
+    out_schema = StructType(
+        [StructField("_id", LongType()), StructField("_sig", ArrayType(LongType()))]
+    )
+
+    def fam(batches):
+        import numpy as np
+        import pandas as pd
+
+        with np.errstate(over="ignore"):
+            seeds = (
+                np.arange(1, num_hashes + 1, dtype=np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15)
+            )
+            for pdf in batches:
+                sigs = []
+                for h in pdf["_h"]:
+                    z = np.asarray(h, dtype=np.int64).astype(np.uint64)[:, None] + seeds
+                    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                    z = z ^ (z >> np.uint64(31))
+                    sigs.append(z.min(axis=0).astype(np.int64))
+                yield pd.DataFrame({"_id": pdf["_id"], "_sig": sigs})
+
+    return base.mapInPandas(fam, out_schema)

@@ -97,3 +97,46 @@ def approx_distinct(df: DataFrame, group_cols: list[str], target: str, rsd: floa
     return df.groupBy(*group_cols).agg(
         F.approx_count_distinct(target, rsd).alias(f"approx_distinct_{target}")
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with explicit key salting for extreme skew.
+
+    AQE's skew-join split (enabled in session.py) handles most skew by
+    splitting oversized partitions, but it cannot split a SINGLE
+    pathological key. Salting can: the (big, skewed) left side gets a
+    random salt in [0, n_salts), the (smaller) right side is replicated
+    n_salts times, and the join key becomes (key, salt) — one hot key's
+    rows spread over n_salts tasks at the cost of replicating the right
+    side n_salts x (so keep the smaller input on the right).
+    """
+    salted_l = left.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
+    salted_r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
+    )
+    return salted_l.join(salted_r, on=[key, "_salt"], how=how).drop("_salt")
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_key: str,
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed (and optionally sorted) managed table — the pre-shuffled
+    layout: two tables bucketed by the same key into the same bucket
+    count join with NO exchange on either side (SortMergeJoin reads
+    co-located buckets directly). The write pays the shuffle once;
+    every subsequent join of the pair rides for free — the 100 TB
+    pattern for fact-to-fact joins repeated across a pipeline."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_key)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

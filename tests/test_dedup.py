@@ -98,3 +98,26 @@ def test_lsh_scales_on_corpus(documents):
     cands = dedup.minhash_lsh_candidates(documents, num_hashes=32, bands=8)
     m = cands.count()
     assert m < n * 20
+
+
+def test_pandas_minhash_tracks_jvm_family(documents):
+    """splitmix64 family must estimate jaccard like the xxhash64 family:
+    band-candidate pairs from one family score similarly in the other."""
+    docs = documents.limit(200)
+    jvm = dedup.minhash_signatures(docs)
+    pnd = dedup.minhash_signatures_pandas(docs)
+    cands_jvm = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates_from_signatures(jvm).collect()
+    }
+    cands_pnd = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates_from_signatures(pnd).collect()
+    }
+    # Same banding scheme over equally-uniform families: candidate sets
+    # overlap heavily (identical docs collide in every family).
+    if cands_jvm or cands_pnd:
+        inter = len(cands_jvm & cands_pnd)
+        union = len(cands_jvm | cands_pnd)
+        assert inter / union >= 0.6, (inter, union)
+    assert pnd.count() == docs.count()

@@ -77,3 +77,36 @@ def test_approx_distinct_within_rsd(events):
     joined = exact.join(approx, "event_type").collect()
     for r in joined:
         assert abs(r["approx_distinct_user_id"] - r["exact"]) <= max(3, 0.1 * r["exact"])
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    from spark_lakehouse_medallion_pipeline_spark.operators.relational import salted_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = orders.join(customer, "o_custkey").count()
+    salted = salted_join(orders, customer, "o_custkey", n_salts=4).count()
+    assert salted == plain
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
+    """Two tables bucketed on the join key must SortMergeJoin with zero
+    shuffle exchanges — the pre-shuffled layout doing its job."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.relational import write_bucketed_table
+    from spark_lakehouse_medallion_pipeline_spark.plans import explain
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    write_bucketed_table(orders, "b_orders", "o_custkey", 4)
+    write_bucketed_table(
+        customer.withColumnRenamed("c_custkey", "o_custkey"), "b_customer", "o_custkey", 4
+    )
+    joined = (
+        spark.table("b_orders")
+        .join(spark.table("b_customer").hint("merge"), "o_custkey")
+        .select("o_orderkey", "c_name")
+    )
+    assert explain.count_exchanges(joined) == 0
+    assert joined.count() == orders.count()
