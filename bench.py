@@ -50,6 +50,7 @@ HEADLINE = [
     "q48_interval_join",
     "q49_sql_surface",
     "q50_knn_vectorized",
+    "q51_corpus_curation",
     "medallion_gold_kpis",
 ]
 

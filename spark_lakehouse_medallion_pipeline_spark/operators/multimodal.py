@@ -126,3 +126,42 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_blob": blobs})
 
     return media.mapInPandas(_sample, schema=FRAME_SAMPLE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("blob", BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Resize stage (driver mandate: decode / feature-extract / RESIZE /
+    frame-sample). Plumbing real — Arrow-batched mapInPandas, binary in /
+    binary out, byte volume scaled to the target dims so downstream
+    sizing math is honest; the pixel resample itself is STUBBED with a
+    deterministic byte fold (no image libs in this container — swap
+    `_fake_resize` for PIL/cv2 in production)."""
+
+    def _fake_resize(blob: bytes) -> bytes:
+        target = max(1, (width * height) // 8)
+        if not blob:
+            return b"\x00" * target
+        reps = (target // len(blob)) + 1
+        return (blob * reps)[:target]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "blob": [_fake_resize(b) for b in pdf["blob"]],
+                }
+            )
+
+    return media.select("media_id", "blob").mapInPandas(fn, RESIZED_SCHEMA)

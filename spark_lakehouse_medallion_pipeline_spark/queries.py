@@ -1442,3 +1442,103 @@ def q50_knn_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
     return similarity.knn_join_vectorized(qs, emb, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Composite LLM training-data curation pipeline (X17+X20 end-to-end)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q51_corpus_curation",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source, text,
+             string_split_regex(trim(text), '\s+') AS toks,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+             ' ' || lower(text) || ' ' AS lt
+      FROM documents
+    ), m AS (
+      SELECT doc_id, source, norm, lt,
+             len(toks) AS n_tokens,
+             CAST(list_sum(list_transform(toks, t2 -> length(t2))) AS DOUBLE) / len(toks) AS atl,
+             CAST(len(list_filter(list_transform(toks, t2 -> lower(t2)),
+                 t2 -> list_contains(['the','a','of','and','to','in','is','it','for','on'], t2))) AS DOUBLE)
+               / len(toks) AS swr,
+             CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+               / length(text) AS pr
+      FROM t
+    ), q AS (
+      SELECT doc_id, source, norm, n_tokens,
+             ((CASE WHEN atl >= 3 AND atl <= 12 THEN 1.0 ELSE 0.5 END)
+              + (CASE WHEN swr > 0.05 THEN 1.0 ELSE 0.6 END)
+              + (CASE WHEN pr < 0.1 THEN 1.0 ELSE 0.7 END)) / 3.0 AS quality,
+             CASE WHEN lt LIKE '% the %' OR lt LIKE '% and %' OR lt LIKE '% is %' THEN 'en'
+                  WHEN lt LIKE '% le %' OR lt LIKE '% et %' OR lt LIKE '% est %' THEN 'fr'
+                  WHEN lt LIKE '% el %' OR lt LIKE '% y %' OR lt LIKE '% es %' THEN 'es'
+                  WHEN lt LIKE '% der %' OR lt LIKE '% und %' OR lt LIKE '% ist %' THEN 'de'
+                  ELSE 'unknown' END AS plang
+      FROM m
+    ), keep AS (
+      SELECT min(doc_id) AS doc_id FROM t GROUP BY norm
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(ROUND(quality*30) AS BIGINT)) AS DOUBLE) / COUNT(*) / 30.0
+             AS avg_quality
+    FROM q JOIN keep USING (doc_id)
+    WHERE quality >= 0.8 AND plang <> 'unknown'
+    GROUP BY source
+    """,
+)
+def q51_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM training-data curation pipeline as ONE declarative plan:
+    exact dedup (keep min-id per normalized content) -> quality filter ->
+    language filter -> per-source corpus stats. Composes X17 + X20
+    operators end-to-end; the near-dup (LSH) stage is the same shape via
+    dedup.minhash_near_dup_pairs but is verified separately (q33) to
+    keep this query fully oracle-checkable.
+
+    avg_quality rides the exact-integer idiom: per-doc quality*30 is an
+    exact small integer (components are {0.5,0.6,0.7,1.0}), so the
+    aggregate is order-independent."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = text.whitespace_tokens(t)
+    atl = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)).cast(
+        "double"
+    ) / F.size(toks)
+    swr = F.size(
+        F.filter(F.transform(toks, lambda x: F.lower(x)), lambda x: x.isin(*text.STOPWORDS))
+    ).cast("double") / F.size(toks)
+    pr = (F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).cast(
+        "double"
+    ) / F.length(t)
+    quality = (
+        F.when((atl >= 3) & (atl <= 12), 1.0).otherwise(0.5)
+        + F.when(swr > 0.05, 1.0).otherwise(0.6)
+        + F.when(pr < 0.1, 1.0).otherwise(0.7)
+    ) / F.lit(3.0)
+    scored = docs.select(
+        "doc_id",
+        "source",
+        quality.alias("quality"),
+        text.lang_id(t).alias("plang"),
+        F.size(toks).alias("n_tokens"),
+        text.normalized_text(t).alias("norm"),
+    )
+    keepers = scored.groupBy("norm").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    curated = (
+        scored.join(keepers, "doc_id", "left_semi")
+        .filter((F.col("quality") >= 0.8) & (F.col("plang") != "unknown"))
+    )
+    return curated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (
+            F.sum(F.round(F.col("quality") * 30).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(30.0)
+        ).alias("avg_quality"),
+    )

@@ -40,3 +40,14 @@ def test_sample_frames_bounds(documents):
         assert len(bytes(r["frame_blob"])) <= 64
     assert all(1 <= n <= 3 for n in per_media.values())
     assert len(per_media) == 10
+
+
+def test_resize_images_shapes(spark, documents):
+    from spark_lakehouse_medallion_pipeline_spark.operators import multimodal
+
+    media = multimodal.wrap_as_media(documents.limit(20), "doc_id", "text", kind="image")
+    out = multimodal.resize_images(media, width=32, height=16).collect()
+    assert len(out) == 20
+    for r in out:
+        assert (r["width"], r["height"]) == (32, 16)
+        assert len(r["blob"]) == (32 * 16) // 8

@@ -99,6 +99,14 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    # A managed table's directory can survive a previous session whose
+    # (in-memory) catalog is gone; clear both halves before writing.
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for tbl in ("b_orders", "b_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
     write_bucketed_table(orders, "b_orders", "o_custkey", 4)
     write_bucketed_table(
         customer.withColumnRenamed("c_custkey", "o_custkey"), "b_customer", "o_custkey", 4
