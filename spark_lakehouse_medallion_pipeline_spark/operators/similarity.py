@@ -90,35 +90,52 @@ def knn_join_brute(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
-def _hyperplane(dim: int, plane_idx: int, table: int = 0) -> Column:
+def _hyperplane_comps(dim: int, plane_idx: int, table: int = 0) -> list[float]:
     """Deterministic pseudo-random hyperplane: component j of plane i is
     a hash-derived value in [-1, 1). Computed driver-side (a few hundred
-    floats) and shipped as plain literals — same plane on every executor,
-    and the plan stays small (an earlier xxhash64-literal form put 512
-    constant-foldable hash expressions into the tree, bloating
-    planning/codegen for zero runtime benefit)."""
+    floats) — same plane on every executor, no stored model."""
     import hashlib
 
     comps = []
     for j in range(dim):
         h = hashlib.blake2b(f"plane:{table}:{plane_idx}:{j}".encode(), digest_size=8).digest()
         comps.append(int.from_bytes(h, "big", signed=True) / float(2**63))
-    return F.array(*[F.lit(c) for c in comps])
+    return comps
 
 
-def rhp_signature(vec: Column, dim: int, n_planes: int = 16, table: int = 0) -> Column:
+def _dot_lit_sql(vec_sql: str, comps: list[float]) -> str:
+    """SQL text for <vec, literal array> — the same zip_with+aggregate
+    tree the Column-combinator form builds, but parsed JVM-side."""
+    arr = "array(" + ", ".join(f"{v!r}D" for v in comps) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr},"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def rhp_signature(
+    vec: Column | str, dim: int, n_planes: int = 16, table: int = 0
+) -> Column:
     """Random-hyperplane (SimHash for cosine) signature: bit i = sign of
     <vec, plane_i>, packed into a bigint. P[bits agree] = 1 - theta/pi.
-    ``table`` selects an independent plane family (for OR-construction)."""
-    bits = [
-        F.when(dot(vec, _hyperplane(dim, i, table)) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
-        * F.lit(2**i).cast("bigint")
-        for i in range(n_planes)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    ``table`` selects an independent plane family (for OR-construction).
+
+    Driver-cost note: built as ONE textual expr. The Column-combinator
+    form issued ~250 py4j round trips per signature (each lambda
+    conversion and literal element is a call; ~0.8 ms/call under gVisor
+    -> multi-second plan builds); the textual form is one call and
+    parses to the same SQL-lambda tree, so execution is unchanged. A
+    fully-flattened multiply-add variant (no zip_with) was rejected:
+    768-term trees blow past codegen method limits and fall back to
+    per-node interpretation (~15x slower at runtime).
+    """
+    vec_sql = vec if isinstance(vec, str) else vec._jc.toString()
+    terms = []
+    for i in range(n_planes):
+        dot_sql = _dot_lit_sql(vec_sql, _hyperplane_comps(dim, i, table))
+        terms.append(f"(CASE WHEN {dot_sql} >= 0.0D THEN {2**i}L ELSE 0L END)")
+    return F.expr(" + ".join(terms))
 
 
 def lsh_knn_join(
@@ -293,19 +310,17 @@ def ivf_centroids(
     return cents
 
 
-def _centroid_scores(vec: Column, cents: list[list[float]]) -> Column:
+def _centroid_scores(vec: Column | str, cents: list[list[float]]) -> Column:
     """array<struct<score,cid>> of cosine-rank scores against normalized
     centroids. Centroids are unit vectors, so dot(vec, c) ranks identically
-    to cosine for a fixed vec — no per-row norm needed."""
-    return F.array(
-        *[
-            F.struct(
-                dot(vec, F.array(*[F.lit(x) for x in c])).alias("score"),
-                F.lit(i).alias("cid"),
-            )
-            for i, c in enumerate(cents)
-        ]
-    )
+    to cosine for a fixed vec — no per-row norm needed. One textual expr
+    for the whole array (see rhp_signature's driver-cost note)."""
+    vec_sql = vec if isinstance(vec, str) else vec._jc.toString()
+    structs = [
+        f"struct({_dot_lit_sql(vec_sql, c)} AS score, {i} AS cid)"
+        for i, c in enumerate(cents)
+    ]
+    return F.expr("array(" + ", ".join(structs) + ")")
 
 
 def ivf_knn_join(
