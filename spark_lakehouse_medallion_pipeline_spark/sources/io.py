@@ -143,3 +143,76 @@ def write_table(
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Catalog table scan (CM:370 analogue)."""
     return spark.table(table)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    """CSV export (interchange format — not a scale format; no type
+    fidelity for arrays/structs/binary)."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """CSV scan. Always pass a schema in pipelines — inference reads the
+    data twice and guesses; at 100 TB both are unacceptable."""
+    r = spark.read.option("header", "true")
+    if schema is not None:
+        r = r.schema(schema)
+    else:
+        r = r.option("inferSchema", "true")
+    return r.csv(path)
+
+
+def write_json_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines export (one object per line — the splittable layout)."""
+    df.write.mode(mode).json(path)
+
+
+def read_json_lines(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC write — the other columnar format; same pushdown/pruning story
+    as parquet under Spark's vectorized ORC reader."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Small-files maintenance (the OPTIMIZE analogue for plain parquet
+    layouts): rewrite a directory into ~target_file_mb files, preserving
+    Hive partitioning when given. Returns the new file count.
+
+    Sizing comes from the actual on-disk byte size, not a row guess —
+    the write is repartitioned to ceil(bytes/target), so compaction of a
+    5000-file directory yields a handful of full-size files. Production
+    note: run per-partition (WHERE on partition cols) to bound each
+    rewrite and keep the swap atomic per partition."""
+    import math
+    import pathlib
+
+    total = sum(f.stat().st_size for f in pathlib.Path(path).rglob("*.parquet"))
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    if partition_cols:
+        per = df.repartition(n_files, *[F.col(c) for c in partition_cols])
+        per.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return sum(1 for _ in pathlib.Path(path).rglob("*.parquet"))

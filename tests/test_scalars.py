@@ -56,3 +56,18 @@ def test_uniform_deterministic_and_in_range(spark):
         .collect()
     )
     assert a == b
+
+
+def test_uuid_and_monotonic_ids(spark):
+    """H2 surface (CM:48-49): uuid() for event/session ids. The engine
+    exposes it as-is (nondeterministic — the medallion generator uses
+    sha2-derived ids instead so the oracle can match, SURVEY.md §7.1)."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.range(1000)
+        .select(F.expr("uuid()").alias("u"), F.monotonically_increasing_id().alias("m"))
+        .collect()
+    )
+    assert len({r["u"] for r in rows}) == 1000
+    assert len({r["m"] for r in rows}) == 1000

@@ -33,3 +33,42 @@ def test_entry_contract(spark):
     qs, oracles = em.queries(), em.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 40
+
+
+def test_csv_json_orc_roundtrip(spark, tmp_path):
+    from spark_lakehouse_medallion_pipeline_spark.sources import io as sio
+
+    df = spark.range(100).selectExpr(
+        "id", "CAST(id * 1.5 AS DOUBLE) AS v", "concat('row_', id) AS name"
+    )
+    want = sorted(map(tuple, df.collect()))
+
+    p_csv = str(tmp_path / "t_csv")
+    sio.write_csv(df, p_csv)
+    got_csv = sorted(map(tuple, sio.read_csv(spark, p_csv, schema=df.schema).collect()))
+    assert got_csv == want
+
+    p_json = str(tmp_path / "t_json")
+    sio.write_json_lines(df, p_json)
+    got_json = sorted(
+        map(tuple, sio.read_json_lines(spark, p_json, schema=df.schema).select(*df.columns).collect())
+    )
+    assert got_json == want
+
+    p_orc = str(tmp_path / "t_orc")
+    sio.write_orc(df, p_orc)
+    got_orc = sorted(map(tuple, sio.read_orc(spark, p_orc).collect()))
+    assert got_orc == want
+
+
+def test_compact_parquet(spark, tmp_path):
+    from spark_lakehouse_medallion_pipeline_spark.sources import io as sio
+
+    path = str(tmp_path / "frag")
+    spark.range(10_000).selectExpr("id", "id % 7 AS k").repartition(64).write.parquet(path)
+    import pathlib
+
+    assert sum(1 for _ in pathlib.Path(path).rglob("*.parquet")) >= 32
+    n = sio.compact_parquet(spark, path, target_file_mb=128)
+    assert n <= 4
+    assert spark.read.parquet(path).count() == 10_000
