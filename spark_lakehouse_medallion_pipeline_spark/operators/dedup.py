@@ -133,6 +133,11 @@ def _banded(sig_df: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """Explode signatures to (_id, band, band_hash). Band hash is a
     multi-argument xxhash64 over the band's signature slots — plain
     codegen'd integer hashing, no string assembly."""
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_hashes ({num_hashes}) — "
+            "a remainder would silently drop trailing signature positions"
+        )
     rpb = num_hashes // bands
     band_structs = F.array(
         *[
@@ -227,12 +232,20 @@ def minhash_jaccard_estimate(
     text_col: str = "text",
     num_hashes: int = 64,
     shingle_k: int = 3,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Verify candidates: estimated jaccard = fraction of matching minhash
-    positions. Joins signatures to both sides of the candidate pairs."""
-    sig = docs.select(
-        F.col(id_col).alias("_sid"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("_sig"),
+    positions. Joins signatures to both sides of the candidate pairs.
+
+    Pass ``signatures`` (a (_id, _sig) table, ideally persisted) to skip
+    re-shingling the corpus — the dominant cost; without it the corpus
+    is re-signed here via the explode fast path."""
+    sig = (
+        signatures.select(F.col("_id").alias("_sid"), "_sig")
+        if signatures is not None
+        else minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k).select(
+            F.col("_id").alias("_sid"), "_sig"
+        )
     )
     a = sig.select(F.col("_sid").alias("id_a"), F.col("_sig").alias("sig_a"))
     b = sig.select(F.col("_sid").alias("id_b"), F.col("_sig").alias("sig_b"))
@@ -339,24 +352,35 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
-    Blocking: split the 64-bit fingerprint into (max_hamming+1) 16-bit
-    chunks — two fingerprints within hamming distance h must agree on at
-    least one chunk (pigeonhole), so the join key is (chunk_idx, chunk),
-    never a cross join."""
+    Blocking: split the 64-bit fingerprint into (max_hamming+1) chunks —
+    two fingerprints within hamming distance h differ in at most h
+    chunks, so they must agree on at least one (pigeonhole); the join
+    key is (chunk_idx, chunk), never a cross join. The chunk count is
+    DERIVED from max_hamming — a fixed count would silently miss pairs
+    whenever max_hamming >= n_chunks."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     fp = with_simhash64(
         docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")),
         "_text",
         "_fp",
         shingle_k,
     ).select("_id", "_fp")
-    n_chunks = 4
-    # Chunk indices are Python ints (shiftright takes a literal shift).
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    # Chunk indices are Python ints (shift amount is a literal); unsigned
+    # shift so sign bits never leak into high chunks; the last chunk
+    # absorbs the remainder bits.
+    def _chunk(c: int) -> Column:
+        shifted = F.shiftrightunsigned(F.col("_fp"), c * width)
+        bits = 64 - c * width if c == n_chunks - 1 else width
+        if bits >= 64:  # single-chunk case: the whole fingerprint
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << bits) - 1))
+
     chunk_structs = F.array(
         *[
-            F.struct(
-                F.lit(c).alias("chunk_idx"),
-                F.shiftright(F.col("_fp"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
-            )
+            F.struct(F.lit(c).alias("chunk_idx"), _chunk(c).alias("chunk"))
             for c in range(n_chunks)
         ]
     )

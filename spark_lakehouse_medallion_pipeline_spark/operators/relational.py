@@ -115,7 +115,17 @@ def salted_join(
     n_salts times, and the join key becomes (key, salt) — one hot key's
     rows spread over n_salts tasks at the cost of replicating the right
     side n_salts x (so keep the smaller input on the right).
+
+    Only inner and left-preserving modes are supported: a right- or
+    full-outer join would emit every unmatched right row once per salt
+    replica (n_salts duplicates).
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.replace("_", "").lower() not in {h.replace("_", "") for h in allowed}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: right-preserving joins "
+            "would duplicate unmatched right rows once per salt replica"
+        )
     salted_l = left.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
     salted_r = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))

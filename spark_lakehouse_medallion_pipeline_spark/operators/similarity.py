@@ -179,7 +179,7 @@ def lsh_knn_join(
                 *[
                     F.struct(
                         F.lit(t).alias("table"),
-                        rhp_signature(F.col(vec_col), dim, n_planes, t).alias("sig"),
+                        rhp_signature(vec_col, dim, n_planes, t).alias("sig"),
                     )
                     for t in range(n_tables)
                 ]
@@ -189,7 +189,7 @@ def lsh_knn_join(
     # Query side: per table, own bucket + Hamming-1 probe buckets.
     probe_structs = []
     for t in range(n_tables):
-        sig = rhp_signature(F.col(vec_col), dim, n_planes, t)
+        sig = rhp_signature(vec_col, dim, n_planes, t)
         for bucket in [sig] + [sig.bitwiseXOR(F.lit(2**i)) for i in range(probes)]:
             probe_structs.append(
                 F.struct(F.lit(t).alias("table"), bucket.alias("sig"))
@@ -257,7 +257,7 @@ def cosine_near_dup_pairs(
                     *[
                         F.struct(
                             F.lit(t).alias("table"),
-                            rhp_signature(F.col(vec_col), dim, n_planes, t).alias("sig"),
+                            rhp_signature(vec_col, dim, n_planes, t).alias("sig"),
                         )
                         for t in range(n_tables)
                     ]
@@ -350,11 +350,11 @@ def ivf_knn_join(
     c_cell = corpus.select(
         F.col(c_id),
         F.col(vec_col).alias("_cvec"),
-        F.array_max(_centroid_scores(F.col(vec_col), cents))["cid"].alias("_cell"),
+        F.array_max(_centroid_scores(vec_col, cents))["cid"].alias("_cell"),
     )
     # Query side: top n_probes cells by score (sort desc on (score, cid)).
     probed = F.slice(
-        F.reverse(F.array_sort(_centroid_scores(F.col(vec_col), cents))), 1, n_probes
+        F.reverse(F.array_sort(_centroid_scores(vec_col, cents))), 1, n_probes
     )
     q_cell = queries.select(
         F.col(q_id),
@@ -392,14 +392,16 @@ def knn_join_vectorized(
     leaves executors.
     """
     from pyspark.sql import Window
-    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
     q_rows = queries.select(q_id, vec_col).collect()
-    q_ids = [int(r[0]) for r in q_rows]
+    q_ids = [r[0] for r in q_rows]
+    # Id columns keep their source types (ids are not always integers —
+    # e.g. sha2-derived string ids); only the score type is fixed.
     out_schema = StructType(
         [
-            StructField(q_id, LongType()),
-            StructField(c_id, LongType()),
+            StructField(q_id, queries.schema[q_id].dataType),
+            StructField(c_id, corpus.schema[c_id].dataType),
             StructField("cosine_sim", DoubleType()),
         ]
     )
@@ -427,7 +429,7 @@ def knn_join_vectorized(
                 )
                 yield pd.DataFrame(
                     {
-                        q_id: np.full(len(idx), qid, dtype=np.int64),
+                        q_id: [qid] * len(idx),
                         c_id: ids[idx],
                         # floor-round at 6dp, same idiom as the JVM path
                         "cosine_sim": np.floor(col[idx] * 1e6 + 0.5) / 1e6,

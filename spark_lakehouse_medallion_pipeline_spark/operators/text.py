@@ -65,15 +65,26 @@ def punct_ratio(text: Column) -> Column:
     return n_punct.cast("double") / F.length(text)
 
 
-def quality_score(text: Column) -> Column:
-    """Composite document-quality heuristic in [0,1]: rewards prose-like
-    token length (3-12 chars), some stopwords, low punctuation noise.
-    The standard cheap pre-filter before expensive dedup/embedding stages."""
+def quality_score_raw(text: Column) -> Column:
+    """Composite document-quality heuristic in [0,1], UN-rounded — the
+    single definition the oracled queries (q29, q51) and the rounded
+    convenience form below all share; per-document values come from the
+    exact set {k/30} so aggregates can ride the exact-integer idiom.
+    Rewards prose-like token length (3-12 chars), some stopwords, low
+    punctuation noise — the standard cheap pre-filter before expensive
+    dedup/embedding stages."""
     atl = avg_token_length(text)
     length_ok = F.when((atl >= 3) & (atl <= 12), 1.0).otherwise(0.5)
     stop_ok = F.when(stopword_ratio(text) > 0.05, 1.0).otherwise(0.6)
     punct_ok = F.when(punct_ratio(text) < 0.1, 1.0).otherwise(0.7)
-    return F.round((length_ok + stop_ok + punct_ok) / 3.0, 4)
+    return (length_ok + stop_ok + punct_ok) / F.lit(3.0)
+
+
+def quality_score(text: Column) -> Column:
+    """quality_score_raw rounded to 4dp for display surfaces. Do NOT use
+    in oracled queries — Spark round() and DuckDB round() can disagree
+    on the same double (see queries.py dialect rules)."""
+    return F.round(quality_score_raw(text), 4)
 
 
 def fingerprint_md5(text: Column) -> Column:

@@ -127,7 +127,10 @@ def interval_join_bucketed(
     O(|left| + |intervals| x hours_covered) shuffle + a hash join —
     the standard time-binning interval-join design.
     """
-    b_iv = intervals.withColumn(
+    # Zero-length / inverted intervals match nothing by the half-open
+    # semantics — drop them BEFORE sequence(), which throws on
+    # stop < start instead of yielding an empty array.
+    b_iv = intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
         "_bkt",
         F.explode(
             F.sequence(

@@ -913,29 +913,14 @@ def q29_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     every ratio is a single int/int division (bit-stable)."""
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
-    toks = text.whitespace_tokens(t)
-    atl = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)).cast(
-        "double"
-    ) / F.size(toks)
-    swr = F.size(
-        F.filter(F.transform(toks, lambda x: F.lower(x)), lambda x: x.isin(*text.STOPWORDS))
-    ).cast("double") / F.size(toks)
-    pr = (F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).cast(
-        "double"
-    ) / F.length(t)
-    quality = (
-        F.when((atl >= 3) & (atl <= 12), 1.0).otherwise(0.5)
-        + F.when(swr > 0.05, 1.0).otherwise(0.6)
-        + F.when(pr < 0.1, 1.0).otherwise(0.7)
-    ) / F.lit(3.0)
     return docs.select(
         "doc_id",
         F.length(t).alias("n_chars"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.regexp_extract_all(t, F.lit(text.TOKEN_PATTERN), 0)).alias("n_subword_tokens"),
-        atl.alias("avg_token_len"),
-        swr.alias("stopword_ratio"),
-        quality.alias("quality_score"),
+        text.token_count(t).alias("n_tokens"),
+        text.bpe_ish_token_count(t).alias("n_subword_tokens"),
+        text.avg_token_length(t).alias("avg_token_len"),
+        text.stopword_ratio(t).alias("stopword_ratio"),
+        text.quality_score_raw(t).alias("quality_score"),
         text.fingerprint_md5(t).alias("fingerprint"),
     )
 
@@ -1505,27 +1490,12 @@ def q51_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate is order-independent."""
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
-    toks = text.whitespace_tokens(t)
-    atl = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)).cast(
-        "double"
-    ) / F.size(toks)
-    swr = F.size(
-        F.filter(F.transform(toks, lambda x: F.lower(x)), lambda x: x.isin(*text.STOPWORDS))
-    ).cast("double") / F.size(toks)
-    pr = (F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).cast(
-        "double"
-    ) / F.length(t)
-    quality = (
-        F.when((atl >= 3) & (atl <= 12), 1.0).otherwise(0.5)
-        + F.when(swr > 0.05, 1.0).otherwise(0.6)
-        + F.when(pr < 0.1, 1.0).otherwise(0.7)
-    ) / F.lit(3.0)
     scored = docs.select(
         "doc_id",
         "source",
-        quality.alias("quality"),
+        text.quality_score_raw(t).alias("quality"),
         text.lang_id(t).alias("plang"),
-        F.size(toks).alias("n_tokens"),
+        text.token_count(t).alias("n_tokens"),
         text.normalized_text(t).alias("norm"),
     )
     keepers = scored.groupBy("norm").agg(F.min("doc_id").alias("doc_id")).select("doc_id")

@@ -52,6 +52,13 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     long (legacy conf) and rebuild a microsecond timestamp with INTEGER
     division — ``ts/1000`` in double would lose ~256 ns at 2024 epoch
     magnitudes and could flip millisecond boundaries vs the DuckDB oracle.
+
+    Precision caveat: Spark timestamps are microsecond; DuckDB keeps the
+    full nanoseconds. The driver corpus is verified microsecond-aligned
+    (epoch_ns % 1000 == 0 for every row at every sf), so the truncation
+    is lossless here — on nano-resolution data, order-sensitive oracled
+    queries (q12 lag pairs, q24 as-of matches) could legitimately
+    diverge at sub-microsecond ties.
     """
     from pyspark.sql import functions as F
 

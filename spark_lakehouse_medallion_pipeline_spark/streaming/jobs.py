@@ -122,38 +122,57 @@ RUNNING_TOTALS_SCHEMA = StructType(
 )
 
 _STATE_SCHEMA = StructType(
-    [StructField("n", LongType()), StructField("total", DoubleType())]
+    [
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+        # epoch micros of the latest event seen across ALL batches — kept
+        # in state so a timeout emission still reports the user's last
+        # activity time (a batch-local max would be lost at expiry).
+        StructField("last_us", LongType()),
+    ]
 )
 
 
+def _ts_from_us(us):
+    import pandas as pd
+
+    return None if us is None else pd.Timestamp(us * 1000)
+
+
 def _running_totals_fn(key, pdf_iter, state):
-    """Per-user accumulator: state carries (count, value-sum) across
-    microbatches; emits one updated row per user per batch. Timed-out
-    state emits its final row and clears."""
+    """Per-user accumulator: state carries (count, value-sum, last-event
+    micros) across microbatches; emits one updated row per user per
+    batch. Timed-out state emits its final row and clears."""
     import pandas as pd
 
     if state.hasTimedOut:
-        (n, total) = state.get
+        (n, total, last_us) = state.get
         state.remove()
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [total], "last_ts": [None]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "last_ts": [_ts_from_us(last_us)],
+            }
         )
         return
-    n, total = state.get if state.exists else (0, 0.0)
-    last_ts = None
+    n, total, last_us = state.get if state.exists else (0, 0.0, None)
     for pdf in pdf_iter:
         n += len(pdf)
         total += float(pdf["value"].sum())
         mx = pdf["ts"].max()
-        if last_ts is None or (mx is not None and mx > last_ts):
-            last_ts = mx
-    state.update((n, round(total, 6)))
+        if mx is not None and not pd.isna(mx):
+            mx_us = mx.value // 1000
+            if last_us is None or mx_us > last_us:
+                last_us = mx_us
+    state.update((n, round(total, 6), last_us))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
             "total_value": [round(total, 6)],
-            "last_ts": [last_ts],
+            "last_ts": [_ts_from_us(last_us)],
         }
     )
 
