@@ -1512,3 +1512,262 @@ def q51_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(30.0)
         ).alias("avg_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot (X7 relatives: reference A6 "pivot-by-hand" done natively)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@_q(
+    "q52_pivot_daily_type_revenue",
+    f"""
+    SELECT CAST(ts AS DATE) AS day,
+           {", ".join(
+               f"CAST(COALESCE(SUM(CASE WHEN event_type = '{t}' THEN {SC('value')} END), 0) AS DOUBLE) / 100.0 AS {t}_value"
+               for t in _EVENT_TYPES
+           )}
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+)
+def q52_pivot_daily_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native pivot (the reference builds these columns by hand as
+    sum(when(channel==X,...)) — CM:390-392; here it's one shuffle via
+    groupBy().pivot() with the pivot values pinned so no extra
+    distinct-scan job runs)."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("day", F.col("ts").cast("date"))
+        .withColumn("value_c", cents(F.col("value")))
+    )
+    piv = ev.groupBy("day").pivot("event_type", _EVENT_TYPES).agg(F.sum("value_c"))
+    return piv.select(
+        "day",
+        *[
+            (F.coalesce(F.col(t), F.lit(0)).cast("double") / F.lit(100.0)).alias(f"{t}_value")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+@_q(
+    "q53_unpivot_charges",
+    f"""
+    SELECT measure, CAST(SUM(c) AS BIGINT) AS total_cents FROM (
+      SELECT 'l_quantity' AS measure, {SC('l_quantity')} AS c FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', {SC('l_extendedprice')} FROM lineitem
+      UNION ALL SELECT 'l_discount', {SC('l_discount')} FROM lineitem
+      UNION ALL SELECT 'l_tax', {SC('l_tax')} FROM lineitem
+    ) GROUP BY measure
+    """,
+)
+def q53_unpivot_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt (X12 relative): wide -> long without a union of scans —
+    one pass over lineitem, exploding each row into 4 (measure, value)
+    rows, then a 4-group aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    long = li.select(*[cents(F.col(m)).alias(m) for m in measures]).unpivot(
+        ids=[], values=measures, variableColumnName="measure", valueColumnName="c"
+    )
+    return long.groupBy("measure").agg(F.sum("c").alias("total_cents"))
+
+
+# ---------------------------------------------------------------------------
+# Window distribution functions (X8 extension: ntile/percent_rank/cume_dist)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q54_window_distribution",
+    f"""
+    SELECT c_custkey, c_mktsegment,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY {SC('c_acctbal')}, c_custkey)
+    """,
+)
+def q54_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions. percent_rank/cume_dist are exact
+    integer-ratio doubles ((rank-1)/(n-1), k/n) so they hash identically
+    across engines; the ORDER BY carries c_custkey as a total tie-break."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        cents(F.col("c_acctbal")), F.col("c_custkey")
+    )
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multiset set-ops (X12: INTERSECT ALL / EXCEPT ALL)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q55_multiset_ops",
+    """
+    SELECT op, user_id, COUNT(*) AS n FROM (
+      SELECT 'intersect_all' AS op, user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT ALL
+        SELECT user_id FROM events WHERE event_type = 'view')
+      UNION ALL
+      SELECT 'except_all' AS op, user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT ALL
+        SELECT user_id FROM events WHERE event_type = 'view')
+    ) GROUP BY op, user_id
+    """,
+)
+def q55_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL / EXCEPT ALL (X12) — the bag-semantics
+    counterparts of q16's set-EXCEPT."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    ia = clicks.intersectAll(views).withColumn("op", F.lit("intersect_all"))
+    ea = clicks.exceptAll(views).withColumn("op", F.lit("except_all"))
+    return ia.unionByName(ea).groupBy("op", "user_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Correlated subqueries (EXISTS / NOT EXISTS / correlated scalar agg)
+# ---------------------------------------------------------------------------
+
+_Q56_SQL = """
+    SELECT c.c_custkey, c.c_name, c.c_nationkey
+    FROM customer c
+    WHERE CAST(ROUND(c.c_acctbal*100) AS BIGINT) = (
+            SELECT MAX(CAST(ROUND(c2.c_acctbal*100) AS BIGINT))
+            FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+      AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderpriority = '1-URGENT'
+                        AND CAST(ROUND(o2.o_totalprice*100) AS BIGINT) > 40000000)
+"""
+
+
+@_q("q56_correlated_subqueries", _Q56_SQL)
+def q56_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery + EXISTS + NOT EXISTS through the SQL
+    surface (S11). Catalyst decorrelates all three into aggregate+join /
+    left-semi / left-anti — no per-row re-execution (TPC-H Q2/Q21/Q22
+    shapes). Identical SQL text runs on the DuckDB oracle."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q56_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array functions over the embedding column (X21 battery)
+# ---------------------------------------------------------------------------
+
+_MILLI = "CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)"
+
+
+@_q(
+    "q57_array_hof_battery",
+    f"""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(list_sum(list_transform(embedding, x -> abs({_MILLI}))) AS BIGINT) AS l1_milli,
+           CAST(list_max(list_transform(embedding, x -> {_MILLI})) AS BIGINT) AS max_milli,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           len(list_filter(embedding, x -> abs(x) > 0.5)) > 0 AS any_big,
+           CAST(list_sum(list_transform(embedding[1:3], x -> {_MILLI})) AS BIGINT) AS head3_milli
+    FROM embeddings
+    """,
+)
+def q57_array_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (X21): transform / aggregate / filter /
+    exists / slice, all JVM-side codegen lambdas — the building blocks the
+    similarity operators compose. Integer milli-units keep the fold exact
+    in any evaluation order."""
+    milli = "CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)"
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.expr(f"aggregate(transform(embedding, x -> abs({milli})), 0L, (a, e) -> a + e)").alias(
+            "l1_milli"
+        ),
+        F.expr(f"array_max(transform(embedding, x -> {milli}))").alias("max_milli"),
+        F.expr("size(filter(embedding, x -> x > 0))").cast("long").alias("n_pos"),
+        F.expr("exists(embedding, x -> abs(x) > 0.5)").alias("any_big"),
+        F.expr(f"aggregate(transform(slice(embedding, 1, 3), x -> {milli}), 0L, (a, e) -> a + e)").alias(
+            "head3_milli"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered-arg aggregates (min_by / max_by / bool_and / bool_or)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q58_argminmax_battery",
+    f"""
+    SELECT event_type,
+           arg_max(user_id, {SC('value')} * 1000000 + event_id) AS top_user,
+           arg_min(user_id, {SC('value')} * 1000000 + event_id) AS bottom_user,
+           bool_or({SC('value')} > 5000) AS any_big,
+           bool_and({SC('value')} >= 0) AS all_nonneg
+    FROM events GROUP BY event_type
+    """,
+)
+def q58_argminmax_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (DuckDB arg_max/arg_min) + boolean aggregates (A8
+    extension). The ordering key folds event_id in as a tie-break so the
+    winner is unique and engine-independent."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        cents(F.col("value")).alias("value_c"),
+        (cents(F.col("value")) * F.lit(1000000) + F.col("event_id")).alias("okey"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.expr("max_by(user_id, okey)").alias("top_user"),
+        F.expr("min_by(user_id, okey)").alias("bottom_user"),
+        F.expr("bool_or(value_c > 5000)").alias("any_big"),
+        F.expr("bool_and(value_c >= 0)").alias("all_nonneg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explode / word frequency (X20 + explode path)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q59_word_frequency",
+    r"""
+    SELECT word, COUNT(*) AS n FROM (
+      SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+      FROM documents
+    ) WHERE word <> '' GROUP BY word
+    ORDER BY n DESC, word LIMIT 20
+    """,
+)
+def q59_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode(split()) word frequency over documents (X20): the classic
+    map-side-combine aggregate; top-20 with a total order tie-break."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.col("word"))
+        .limit(20)
+    )
