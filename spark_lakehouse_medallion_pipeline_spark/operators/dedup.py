@@ -79,8 +79,29 @@ def minhash_signature(text: Column, num_hashes: int = 64, shingle_k: int = 3) ->
 
 
 def base_shingle_hashes(text: Column, shingle_k: int = 3) -> Column:
-    """Each document's shingle set as 64-bit hashes (array<bigint>)."""
-    return F.transform(word_shingles(text, shingle_k), lambda sh: F.xxhash64(sh))
+    """Each document's shingle set as 64-bit hashes (array<bigint>).
+
+    Shape matters: the naive ``transform(word_shingles(...), xxhash64)``
+    lambda captures the whole tokenize+normalize subtree, and interpreted
+    higher-order evaluation re-runs that subtree once PER ELEMENT —
+    measured 9x slower at sf0.1 (6s -> 0.65s for 260k shingles). Here
+    each token is hashed once, then the shingle hash is a zip_with fold
+    over k shifted copies of the token-hash array: every argument
+    evaluates once per row and the lambdas touch only their own
+    variables — all integer ops, no string assembly.
+    """
+    th = F.transform(whitespace_tokens(normalized_text(text)), lambda t: F.xxhash64(t))
+    if shingle_k <= 1:
+        return th
+    acc = th
+    for j in range(1, shingle_k):
+        shifted = F.slice(th, j + 1, F.greatest(F.size(th) - j, F.lit(0)))
+        # zip_with pads the shorter side with nulls; xxhash64 skips null
+        # inputs, so trailing entries hash the partial window. They are
+        # sliced off below — keeping one for docs shorter than k tokens,
+        # mirroring word_shingles' "whatever remains" fallback shingle.
+        acc = F.zip_with(acc, shifted, lambda a, b: F.xxhash64(a, b))
+    return F.slice(acc, 1, F.greatest(F.size(th) - (shingle_k - 1), F.lit(1)))
 
 
 def minhash_from_base(base_hashes: Column, num_hashes: int = 64) -> Column:
@@ -336,8 +357,10 @@ def with_simhash64(
     fingerprint is the sign of the sum over tokens of ±1 per token-hash
     bit. One aggregate pass over the token hashes per document; pure
     JVM expressions."""
-    shingles = word_shingles(F.col(text_col), shingle_k)
-    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    # base_shingle_hashes, not transform(word_shingles, xxhash64): the
+    # latter re-evaluates the captured tokenization subtree per element
+    # under interpreted HOF evaluation (see base_shingle_hashes).
+    hashes = base_shingle_hashes(F.col(text_col), shingle_k)
     return df.withColumn("_hashes", hashes).withColumn(
         out_col, F.expr(_SIMHASH_EXPR)
     ).drop("_hashes")
