@@ -1771,3 +1771,104 @@ def q59_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.col("word"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Map / struct column ops (X21-adjacent: nested types beyond arrays)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q60_map_struct_battery",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_types,
+           CAST(COALESCE(MAX(CASE WHEN event_type = 'click' THEN n END), 0) AS BIGINT) AS clicks,
+           CAST(COUNT(*) FILTER (WHERE n >= 5) AS BIGINT) AS n_freq_types,
+           CAST(SUM(n) AS BIGINT) AS total_events
+    FROM (SELECT user_id, event_type, COUNT(*) AS n
+          FROM events GROUP BY user_id, event_type)
+    GROUP BY user_id
+    """,
+)
+def q60_map_struct_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column ops: collect_list(struct) -> map_from_entries ->
+    map_keys / element_at / map_filter / map_values+aggregate. The map is
+    built and consumed inside the plan (nested types never cross the
+    result boundary — engines render them differently); the oracle
+    computes the same scalars relationally."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.size(F.map_keys(F.col("m"))).cast("long").alias("n_types"),
+        F.coalesce(F.element_at(F.col("m"), F.lit("click")), F.lit(0)).cast("long").alias("clicks"),
+        F.size(F.map_filter(F.col("m"), lambda k, v: v >= 5)).cast("long").alias("n_freq_types"),
+        F.aggregate(
+            F.map_values(F.col("m")), F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("total_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling (the 100 TB iterate-cheaply path)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q61_systematic_sample",
+    f"""
+    SELECT l_returnflag, COUNT(*) AS n, {S_MONEY("l_extendedprice")} AS sample_revenue
+    FROM lineitem WHERE l_orderkey % 10 = 0
+    GROUP BY l_returnflag
+    """,
+)
+def q61_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic sample (key mod N) — unlike df.sample()
+    it is reproducible across engines/runs, survives re-partitioning,
+    and pushes down to the scan as a plain predicate. The stochastic
+    alternative (df.sample, TABLESAMPLE) exists but is engine-seeded and
+    therefore un-oracle-able."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        money(sum_cents(F.col("l_extendedprice"))).alias("sample_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-EXISTS decorrelation (TPC-H Q21 shape)
+# ---------------------------------------------------------------------------
+
+_Q62_SQL = """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate >= l1.l_shipdate)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+"""
+
+
+@_q("q62_last_shipper_per_order", _Q62_SQL)
+def q62_last_shipper_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: correlated EXISTS + NOT EXISTS against the same
+    fact table — suppliers who strictly ship last on multi-supplier
+    orders. Catalyst decorrelates to left-semi + left-anti joins on
+    l_orderkey (broadcast-able at the order-group level); identical SQL
+    runs on DuckDB."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q62_SQL)
