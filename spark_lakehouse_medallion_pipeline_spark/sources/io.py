@@ -223,3 +223,18 @@ def compact_parquet(
     shutil.rmtree(path)
     shutil.move(tmp, path)
     return sum(1 for _ in pathlib.Path(path).rglob("*.parquet"))
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """binaryFile source: one row per file with (path, modificationTime,
+    length, content binary) — the ingestion path for raw image/audio/
+    video objects feeding operators.multimodal. At 100 TB the same scan
+    fans out one file per task; pair with
+    spark.sql.files.maxPartitionBytes for many-small-file corpora (or
+    compact first via compact_parquet's analogue for blobs)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

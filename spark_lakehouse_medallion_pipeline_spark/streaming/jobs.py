@@ -216,3 +216,80 @@ def run_update_to_memory(stream_df: DataFrame, query_name: str, checkpoint_dir: 
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_stream(
+    events: DataFrame, watermark: str = "1 hour", keys: list[str] | None = None
+) -> DataFrame:
+    """Streaming exact-dedup (the streaming face of operators.dedup X17):
+    dropDuplicatesWithinWatermark keeps one row per key among duplicates
+    whose event times fall within the watermark horizon, so state is
+    bounded — the unbounded-state dropDuplicates() footgun doesn't apply.
+    At 100 TB/day this is the ingest-time guard that keeps exact dupes
+    out of bronze before the heavier batch MinHash pass runs."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def stream_stream_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "1 hour",
+    horizon_minutes: int = 30,
+) -> DataFrame:
+    """Watermarked stream-stream inner join: purchases matched to a
+    preceding click by the same user within ``horizon_minutes``. Both
+    sides are watermarked and the join condition carries the time bound,
+    so each side's buffered state expires — the streaming form of the
+    batch interval join (q48).
+
+    Returns (user_id, click_ts, purchase_ts, purchase_value)."""
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {int(horizon_minutes)} MINUTES")
+        )
+    )
+    return c.join(p, cond, "inner").select(
+        F.col("c_user").alias("user_id"), "click_ts", "purchase_ts", "purchase_value"
+    )
+
+
+def run_foreach_batch_to_parquet(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> list[int]:
+    """foreachBatch sink: per-microbatch custom write (the escape hatch
+    for sinks/logic Structured Streaming lacks natively — merge/upsert,
+    multi-table fanout). Here each batch appends to parquet and the
+    batch ids are recorded; availableNow drains the bounded source."""
+    batch_ids: list[int] = []
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_ids.append(batch_id)
+        batch_df.write.mode("append").parquet(out_dir)
+
+    (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return batch_ids

@@ -92,3 +92,56 @@ def test_stateful_running_totals(spark, events, tmp_path):
         if got[u][0] != want[u][0] or abs(got[u][1] - want[u][1]) > 1e-4
     }
     assert not mismatches, dict(list(mismatches.items())[:5])
+
+
+def test_dedup_stream_drops_watermark_window_dupes(spark, events, tmp_path):
+    path = _events_stream_dir(spark, events, tmp_path)
+    # Double every file so each event_id appears twice in the source.
+    import glob, shutil
+    for i, f in enumerate(sorted(glob.glob(f"{path}/part-*.parquet"))):
+        shutil.copy(f, f"{path}/dup-{i}.parquet")
+    stream = jobs.read_events_stream(spark, path)
+    out = jobs.dedup_stream(stream, watermark="100 days")
+    jobs.run_append_to_parquet(out, str(tmp_path / "dedup_out"), str(tmp_path / "ckpt_dd"))
+    got = spark.read.parquet(str(tmp_path / "dedup_out"))
+    n_ids = events.select("event_id").distinct().count()
+    assert got.count() == n_ids
+    assert got.select("event_id").distinct().count() == n_ids
+
+
+def test_stream_stream_join_matches_batch_interval_join(spark, events, tmp_path):
+    path = _events_stream_dir(spark, events, tmp_path)
+    clicks = jobs.read_events_stream(spark, path).filter(F.col("event_type") == "click")
+    purchases = jobs.read_events_stream(spark, path).filter(
+        F.col("event_type") == "purchase"
+    )
+    out = jobs.stream_stream_join(clicks, purchases, watermark="100 days", horizon_minutes=30)
+    jobs.run_append_to_parquet(out, str(tmp_path / "ssj_out"), str(tmp_path / "ckpt_ssj"))
+    got = spark.read.parquet(str(tmp_path / "ssj_out"))
+
+    bc = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    bp = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    want = bc.join(
+        bp,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(F.col("c_user").alias("user_id"), "click_ts", "purchase_ts", "purchase_value")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_foreach_batch_sink_appends_all_rows(spark, events, tmp_path):
+    path = _events_stream_dir(spark, events, tmp_path)
+    stream = jobs.read_events_stream(spark, path)
+    ids = jobs.run_foreach_batch_to_parquet(
+        stream, str(tmp_path / "fb_out"), str(tmp_path / "ckpt_fb")
+    )
+    assert len(ids) >= 1
+    got = spark.read.parquet(str(tmp_path / "fb_out"))
+    assert got.count() == events.count()
