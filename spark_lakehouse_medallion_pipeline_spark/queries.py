@@ -1534,9 +1534,11 @@ _EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 )
 def q52_pivot_daily_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native pivot (the reference builds these columns by hand as
-    sum(when(channel==X,...)) — CM:390-392; here it's one shuffle via
-    groupBy().pivot() with the pivot values pinned so no extra
-    distinct-scan job runs)."""
+    sum(when(channel==X,...)) — CM:390-392). Pivot values are pinned so
+    no distinct-values pre-scan job runs; Spark plans the pivot as two
+    aggregate phases ((day,type) partials, then pivot over day) — both
+    shuffles carry post-aggregation cardinality (~days x 5), so the plan
+    is scale-safe."""
     ev = (
         _t(spark, sf_dir, "events")
         .withColumn("day", F.col("ts").cast("date"))

@@ -109,3 +109,45 @@ def test_exchange_budget(spark):
         df = QUERIES[name](spark, SF)
         n = explain.count_exchanges(df)
         assert n <= budget, f"{name}: {n} exchanges > budget {budget}"
+
+
+def test_pivot_single_shuffle(spark):
+    """q52's pinned pivot values mean no distinct-values pre-scan job;
+    the two pivot aggregate phases must each have a map-side partial
+    (every Exchange is fed by a HashAggregate, so shuffles carry
+    post-aggregation cardinality, not raw events)."""
+    plan = plan_of(spark, "q52_pivot_daily_type_revenue")
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1  # no distinct-values pre-scan
+    assert plan.count("Exchange") <= 4
+    assert plan.count("HashAggregate") >= 4  # partial+final around each
+
+
+def test_correlated_subqueries_decorrelate(spark):
+    """q56/q62's EXISTS / NOT EXISTS / scalar subqueries must decorrelate
+    to semi/anti/aggregate joins — per-row subquery re-execution would be
+    unrunnable at scale."""
+    for name in ["q56_correlated_subqueries", "q62_last_shipper_per_order"]:
+        plan = plan_of(spark, name)
+        assert "LeftSemi" in plan, name
+        assert "LeftAnti" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_systematic_sample_pushdown(spark):
+    """q61's key-mod predicate is deterministic, so it must reach the
+    scan as a data filter (not post-scan)."""
+    plan = plan_of(spark, "q61_systematic_sample")
+    assert "Filter" in plan
+    # and the scan only reads the three referenced columns
+    import re as _re
+
+    for m in _re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = m.group(1)
+        assert "l_comment" not in cols and "l_partkey" not in cols
+
+
+def test_unpivot_no_multi_scan(spark):
+    """q53's unpivot must expand rows from ONE lineitem scan — the naive
+    UNION ALL form scans the table once per measure."""
+    plan = plan_of(spark, "q53_unpivot_charges")
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1
