@@ -1874,3 +1874,107 @@ def q62_last_shipper_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_Q62_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Window value functions with explicit frames (X9 completion)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q63_window_value_functions",
+    f"""
+    SELECT event_id, user_id,
+           first_value({SC('value')}) OVER w AS first_v,
+           last_value({SC('value')}) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v,
+           nth_value({SC('value')}, 2) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q63_window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value with explicit frames (X9).
+    last/nth need the full-partition frame — the default frame stops at
+    CURRENT ROW, a classic silent-wrong-answer; (ts, event_id) is a
+    total order so values are engine-independent."""
+    ev = _t(spark, sf_dir, "events").withColumn("value_c", cents(F.col("value")))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("value_c").over(w).alias("first_v"),
+        F.last("value_c").over(w_full).alias("last_v"),
+        F.nth_value("value_c", 2).over(w_full).alias("second_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery (top-k per group, decorrelated)
+# ---------------------------------------------------------------------------
+
+_Q64_SQL = """
+    SELECT n.n_name, t.c_custkey, t.bal_c
+    FROM nation n,
+    LATERAL (
+      SELECT c_custkey, CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_c
+      FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY bal_c DESC, c_custkey
+      LIMIT 3
+    ) t
+"""
+
+
+@_q("q64_lateral_topk_per_nation", _Q64_SQL)
+def q64_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery with per-group LIMIT (the SQL face of
+    q11's row_number top-N). Catalyst decorrelates the lateral into a
+    join + per-group windowed limit — never a per-outer-row re-scan;
+    identical SQL runs on the DuckDB oracle."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_Q64_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (X16: the Spark 4 table-function surface)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q65_udtf_tokenize",
+    r"""
+    SELECT doc_id, u.idx, u.word FROM (
+      SELECT doc_id,
+             unnest(list_transform(
+               list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
+               (t, i) -> {'idx': i - 1, 'word': t})) AS u
+      FROM documents WHERE doc_id < 50
+    )
+    """,
+)
+def q65_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4, X16): one input row -> N output rows through
+    the table-function protocol. UDTFs are the row-at-a-time slow path —
+    this runs on a capped slice; the set-based equivalent is q59's
+    explode(split()). Output (doc_id, idx, word) matches a pure-SQL
+    oracle, proving the protocol is lossless."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx int, word string")
+    class Tokenize:
+        def eval(self, text: str):  # noqa: ANN001
+            for i, w in enumerate((text or "").split()):
+                yield i, w
+
+    spark.udtf.register("udtf_tokenize", Tokenize)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("docs_slice")
+    return spark.sql(
+        "SELECT doc_id, t.idx, t.word FROM docs_slice, LATERAL udtf_tokenize(text) t"
+    )
