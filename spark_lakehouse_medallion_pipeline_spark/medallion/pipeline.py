@@ -71,17 +71,28 @@ def run_pipeline(
     )
     stats["bronze_sec"] = time.time() - t0
 
-    # Silver: read bronze, guard, enrich, partitioned write (CM:172-340)
+    # Silver: read bronze, guard, enrich, partitioned write (CM:172-340).
+    # The empty-input guard (CM:176-178) stays a pre-write isEmpty (first-
+    # partition probe, cheap); the row COUNT rides the write job itself via
+    # observe() — the reference's separate count() action (CM:320, a full
+    # second scan) collapses into CollectMetrics on the write.
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     t0 = time.time()
     bronze_df = read_parquet(spark, bronze_path)
     if bronze_df.isEmpty():
         raise EmptyStageError("Bronze dataset is empty - run Bronze job first")
-    silver_df = build_silver(bronze_df, as_of=as_of)
+    silver_obs = Observation("silver_qc")
+    silver_df = build_silver(bronze_df, as_of=as_of).observe(
+        silver_obs, F.count(F.lit(1)).alias("n_rows")
+    )
     if use_tables:
         create_namespace(spark, "silver")
         write_table(silver_df, "silver.customer_interactions_enriched", ["interaction_date", "channel"])
     else:
         write_partitioned_parquet(silver_df, f"{base_dir}/silver/customer_interactions_enriched", ["interaction_date", "channel"])
+    stats["silver_rows"] = silver_obs.get["n_rows"]
     stats["silver_sec"] = time.time() - t0
 
     # Gold: read silver, guard, aggregate, partitioned write (CM:370-411)
@@ -93,15 +104,15 @@ def run_pipeline(
     )
     if silver_back.isEmpty():
         raise EmptyStageError("Silver table is empty - run Silver job first")
-    gold_df = build_gold(silver_back)
+    gold_obs = Observation("gold_qc")
+    gold_df = build_gold(silver_back).observe(gold_obs, F.count(F.lit(1)).alias("n_rows"))
     if use_tables:
         create_namespace(spark, "gold")
         write_table(gold_df, "gold.customer_executive_dashboard", ["interaction_date"])
-        stats["gold_rows"] = spark.table("gold.customer_executive_dashboard").count()
     else:
         gold_path = f"{base_dir}/gold/customer_executive_dashboard"
         write_partitioned_parquet(gold_df, gold_path, ["interaction_date"])
-        stats["gold_rows"] = read_parquet(spark, gold_path).count()
+    stats["gold_rows"] = gold_obs.get["n_rows"]
     stats["gold_sec"] = time.time() - t0
 
     return stats

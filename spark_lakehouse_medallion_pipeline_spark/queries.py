@@ -1978,3 +1978,50 @@ def q65_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT doc_id, t.idx, t.word FROM docs_slice, LATERAL udtf_tokenize(text) t"
     )
+
+
+# ---------------------------------------------------------------------------
+# Anti-join + global scalar subquery (TPC-H Q22 shape)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q66_dormant_rich_customers",
+    """
+    SELECT c.c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(ROUND(c.c_acctbal*100) AS BIGINT)) AS BIGINT) AS total_bal_c
+    FROM customer c
+    WHERE CAST(ROUND(c.c_acctbal*100) AS BIGINT)
+            * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0)
+          > (SELECT CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT)
+             FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q66_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape, DataFrame-first: above-average-balance customers
+    with no urgent orders, by nation. The global average is an exact integer
+    cross-comparison (bal*count > sum — no double division, so no
+    boundary ulps); the 1-row aggregate broadcasts; the NOT EXISTS is a
+    left-anti join."""
+    cust = _t(spark, sf_dir, "customer").withColumn("bal_c", cents(F.col("c_acctbal")))
+    pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("bal_c").alias("_s")
+    )
+    rich = cust.join(F.broadcast(pos)).filter(
+        F.col("bal_c") * F.col("_n") > F.col("_s")
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    dormant = rich.join(urgent, "c_custkey", "left_anti")
+    return dormant.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum("bal_c").alias("total_bal_c"),
+    )
