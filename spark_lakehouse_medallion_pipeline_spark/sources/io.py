@@ -238,3 +238,38 @@ def read_binary_files(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def merge_upsert_parquet(
+    spark: SparkSession, updates: DataFrame, path: str, keys: list[str]
+) -> None:
+    """MERGE-style upsert onto a parquet-backed snapshot: rows in
+    ``updates`` replace current rows with the same key, unmatched current
+    rows survive, new keys append. The merge itself is one left-anti
+    join (distributed); the commit is write-staging-then-swap — the same
+    shape a Delta/Iceberg commit gives transactionally, which is what
+    you'd use at 100 TB (this operator is the no-catalog fallback, like
+    the reference's parquet fallback path, CM:331-340)."""
+    import os
+    import shutil
+
+    if _dir_has_parquet(path):
+        current = spark.read.parquet(path)
+        keep = current.join(updates.select(*keys).distinct(), keys, "left_anti")
+        merged = updates.unionByName(keep)
+    else:
+        merged = updates
+    staging = path.rstrip("/") + "__staging"
+    merged.write.mode("overwrite").parquet(staging)
+    old = path.rstrip("/") + "__old"
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _dir_has_parquet(path: str) -> bool:
+    import glob
+    import os
+
+    return os.path.isdir(path) and bool(glob.glob(os.path.join(path, "*.parquet")))

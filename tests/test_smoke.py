@@ -72,3 +72,21 @@ def test_compact_parquet(spark, tmp_path):
     n = sio.compact_parquet(spark, path, target_file_mb=128)
     assert n <= 4
     assert spark.read.parquet(path).count() == 10_000
+
+
+def test_merge_upsert_parquet(spark, tmp_path):
+    from spark_lakehouse_medallion_pipeline_spark.sources.io import merge_upsert_parquet
+
+    path = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+    merge_upsert_parquet(spark, base, path, ["k"])
+    assert spark.read.parquet(path).count() == 3
+
+    updates = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k long, s string, v double"
+    )
+    merge_upsert_parquet(spark, updates, path, ["k"])
+    got = {r["k"]: (r["s"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
