@@ -502,3 +502,71 @@ def minhash_signatures_pandas(
                 yield pd.DataFrame({"_id": pdf["_id"], "_sig": sigs})
 
     return base.mapInPandas(fam, out_schema)
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a pair list -> (node, component), where
+    component = min node id in the component. This is the clustering step
+    that turns near-dup PAIRS (minhash/simhash/cosine) into dedup GROUPS
+    (keep min id per component, drop the rest).
+
+    Algorithm: min-label propagation with pointer jumping. Each round a
+    node takes the min of (its label, its neighbors' labels) — then labels
+    chase their own label's label (label[label]), halving chain depth, so
+    convergence is O(log diameter) rounds rather than O(diameter). Each
+    round is two shuffles on well-spread keys; each round's label table
+    is localCheckpoint'ed — an iterative self-referential plan otherwise
+    doubles its lineage every round and the ANALYZER (not the data) runs
+    out of heap. On a real cluster use reliable checkpoint() so rounds
+    also survive executor loss. The loop stops at fixpoint (driver-side
+    loop is inherent to iterative graph algorithms on Spark — each ROUND is fully distributed).
+    """
+    from pyspark import StorageLevel
+
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nmin = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nmin"))
+        )
+        prop = labels.join(nmin, labels.node == nmin.dst, "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # pointer jumping: label <- label[label]
+        l2 = prop.select(F.col("node").alias("pnode"), F.col("label").alias("plabel"))
+        jumped = (
+            prop.join(l2, prop.label == l2.pnode)
+            .select("node", F.least(F.col("label"), F.col("plabel")).alias("label"))
+            .localCheckpoint()  # eager: truncates lineage AND materializes
+        )
+        changed = (
+            jumped.join(labels.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("node", F.col("label").alias("component"))

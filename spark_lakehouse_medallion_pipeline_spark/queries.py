@@ -2025,3 +2025,55 @@ def q66_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         F.sum("bal_c").alias("total_bal_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering: near-dup pairs -> connected components -> groups
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q67_dedup_clusters",
+    f"""
+    WITH RECURSIVE
+    t AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex({_NORM_SQL}, '\\s+')) AS toks
+      FROM documents
+    ),
+    prs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION SELECT id_b, id_a FROM prs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(a, b) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+    ),
+    comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a)
+    SELECT component, COUNT(*) AS n_members
+    FROM comp GROUP BY component
+    """,
+)
+def q67_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components -> cluster sizes: the
+    grouping step that turns pairwise candidates into keep/drop dedup
+    groups (component id = min doc_id = the keeper). The pair set here is
+    the deterministic adjacent-jaccard kernel (q35, threshold 0.5) so
+    DuckDB can verify components via a recursive CTE; the same operator
+    consumes MinHash/SimHash/cosine pairs in production."""
+    docs = _t(spark, sf_dir, "documents")
+    adjacent = docs.select(F.col("doc_id").alias("id_a")).join(
+        docs.select((F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b")),
+        "id_a",
+    )
+    pairs = dedup.ngram_jaccard_pairs(docs, adjacent).filter(F.col("jaccard") >= 0.5)
+    cc = dedup.connected_components(pairs)
+    return cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
