@@ -2077,3 +2077,346 @@ def q67_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs(docs, adjacent).filter(F.col("jaccard") >= 0.5)
     cc = dedup.connected_components(pairs)
     return cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H join-heavy shapes (X1-X6 widening: Q7/Q8/Q14/Q15/Q17/Q18 adapted to
+# the testdata schema — no partsupp/shipmode/container columns exist)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q68_nation_trade_flow",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(disc_e4) AS DOUBLE) / 10000.0 AS revenue,
+           COUNT(*) AS n_lines
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+             {_DISC_E4} AS disc_e4
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q68_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year.
+    Scale plan: nation is broadcast; supplier/customer are pre-filtered to
+    the two surviving nations BEFORE touching lineitem/orders (12.5x
+    reduction of both dims), so the two big-table joins are maximally
+    selective; the final 2x2xY group is a tiny hash aggregate."""
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin("NATION_3", "NATION_7"))
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            (F.sum(_disc_e4()).cast("double") / F.lit(10000.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_q(
+    "q69_market_share",
+    f"""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN disc_e4 ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(disc_e4) AS DOUBLE) AS mkt_share,
+           CAST(SUM(disc_e4) AS DOUBLE) / 10000.0 AS total_revenue
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             {_DISC_E4} AS disc_e4,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n1.n_regionkey
+      JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q69_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of ECONOMY-part revenue sold
+    into EUROPE customers, by order year. Share = exact-int numerator /
+    exact-int denominator in one double division (bit-stable). Scale
+    plan: part is filtered+broadcast into the lineitem scan (biggest
+    selectivity first), customer is pre-filtered to the EUROPE region via
+    broadcast nation⋈region, supplier⋈nation broadcast for the dimension
+    label. One shuffle per big-table equi-join; AQE coalesces."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur_nat = nat.join(
+        F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(eur_nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem").join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    orders = _t(spark, sf_dir, "orders")
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_5", _disc_e4()).otherwise(F.lit(0)))
+    den = F.sum(_disc_e4())
+    return (
+        li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (num.cast("double") / den.cast("double")).alias("mkt_share"),
+            (den.cast("double") / F.lit(10000.0)).alias("total_revenue"),
+        )
+    )
+
+
+@_q(
+    "q70_promo_revenue_share",
+    f"""
+    SELECT CAST(EXTRACT(year FROM l_shipdate) AS INT)  AS ship_year,
+           CAST(EXTRACT(month FROM l_shipdate) AS INT) AS ship_month,
+           100.0 * (CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_E4} ELSE 0 END) AS DOUBLE)
+                    / CAST(SUM({_DISC_E4}) AS DOUBLE)) AS promo_pct,
+           CAST(SUM({_DISC_E4}) AS DOUBLE) / 10000.0 AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY 1, 2
+    """,
+)
+def q70_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly % of revenue from PROMO-type parts.
+    part(partkey→type) broadcasts into the lineitem scan — no shuffle
+    until the (year,month) aggregate, which is ~84 groups."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    num = F.sum(F.when(F.col("p_type") == "PROMO", _disc_e4()).otherwise(F.lit(0)))
+    den = F.sum(_disc_e4())
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.year("l_shipdate").alias("ship_year"),
+            F.month("l_shipdate").alias("ship_month"),
+        )
+        .agg(
+            (F.lit(100.0) * (num.cast("double") / den.cast("double"))).alias("promo_pct"),
+            (den.cast("double") / F.lit(10000.0)).alias("revenue"),
+        )
+    )
+
+
+@_q(
+    "q71_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey, SUM({_DISC_E4}) AS r
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(r AS DOUBLE) / 10000.0 AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE r = (SELECT MAX(r) FROM rev)
+    """,
+)
+def q71_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with max revenue in 1996Q1. The view
+    becomes a per-suppkey aggregate; the MAX scalar subquery becomes a
+    1-row global aggregate broadcast-cross-joined back — unlike an
+    empty-frame window max, this never funnels the per-supplier aggregate
+    into a single partition, so it scales to |suppliers| ≫ one executor.
+    Exact integer comparison, so ties are handled identically to SQL."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_disc_e4()).alias("r"))
+    )
+    mx = rev.agg(F.max("r").alias("mx"))
+    top = rev.join(F.broadcast(mx)).filter(F.col("r") == F.col("mx"))
+    sup = _t(spark, sf_dir, "supplier")
+    return sup.join(F.broadcast(top), F.col("s_suppkey") == F.col("l_suppkey")).select(
+        "s_suppkey", "s_name", (F.col("r").cast("double") / F.lit(10000.0)).alias("total_revenue")
+    )
+
+
+@_q(
+    "q72_small_qty_revenue",
+    """
+    WITH pb AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+    lb AS (
+      SELECT l_partkey,
+             CAST(ROUND(l_extendedprice*100) AS BIGINT) AS price_cents,
+             CAST(ROUND(l_quantity*100) AS BIGINT)      AS qty_cents
+      FROM lineitem JOIN pb ON p_partkey = l_partkey
+    ),
+    pa AS (
+      SELECT l_partkey AS pk, SUM(qty_cents) AS sum_qty_cents, COUNT(*) AS n
+      FROM lb GROUP BY l_partkey
+    )
+    SELECT COUNT(*) AS n_small_lines,
+           CAST(SUM(price_cents) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly
+    FROM lb JOIN pa ON pk = l_partkey
+    WHERE 5 * qty_cents * n < sum_qty_cents
+    """,
+)
+def q72_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-20%-of-average-quantity orders
+    for one brand. The correlated AVG subquery is decorrelated into a
+    per-partkey aggregate joined back; `qty < 0.2*avg(qty)` is evaluated
+    as `5*qty*n < sum(qty)` in exact integer cents — no float compare.
+    Scale plan: the brand filter (1/25 of parts) broadcasts into lineitem
+    FIRST, so both the per-part aggregate and the self-join run on the
+    reduced slice; the partkey-keyed agg+join share one shuffle key."""
+    pb = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    lb = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(pb), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            cents(F.col("l_extendedprice")).alias("price_cents"),
+            cents(F.col("l_quantity")).alias("qty_cents"),
+        )
+    )
+    pa = lb.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty_cents").alias("sum_qty_cents"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        lb.join(pa, F.col("pk") == F.col("l_partkey"))
+        .filter(F.lit(5) * F.col("qty_cents") * F.col("n") < F.col("sum_qty_cents"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lines"),
+            (F.sum("price_cents").cast("double") / F.lit(100.0) / F.lit(7.0)).alias("avg_yearly"),
+        )
+    )
+
+
+@_q(
+    "q73_large_volume_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS sum_qty_cents
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) > 25000
+    )
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_totalprice,
+           CAST(sum_qty_cents AS DOUBLE) / 100.0 AS total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q73_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers behind the largest-volume orders
+    (HAVING over a groupBy feeding further joins). The quantity HAVING is
+    exact integer cents; ORDER BY carries the unique orderkey tiebreak so
+    LIMIT is deterministic. Scale plan: the lineitem→orderkey aggregate
+    is the only big shuffle; the HAVING keeps ~0.3% of orders, so the
+    joins to orders/customer run on a tiny filtered side (AQE turns them
+    into broadcasts at runtime)."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(cents(F.col("l_quantity"))).alias("sum_qty_cents"))
+        .filter(F.col("sum_qty_cents") > 25000)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_totalprice",
+            (F.col("sum_qty_cents").cast("double") / F.lit(100.0)).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@_q(
+    "q74_stats_battery",
+    f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           {S_FLOOR("stddev_samp(value)", 4)} AS sd_samp,
+           {S_FLOOR("stddev_pop(value)", 4)}  AS sd_pop,
+           {S_FLOOR("var_samp(value)", 4)}    AS v_samp,
+           {S_FLOOR("var_pop(value)", 4)}     AS v_pop,
+           {S_FLOOR("corr(value, CAST(EXTRACT(hour FROM ts) AS DOUBLE))", 4)} AS corr_hour,
+           {S_FLOOR("covar_samp(value, CAST(EXTRACT(hour FROM ts) AS DOUBLE))", 4)} AS cov_samp,
+           {S_FLOOR("covar_pop(value, CAST(EXTRACT(hour FROM ts) AS DOUBLE))", 4)}  AS cov_pop,
+           {S_FLOOR("median(value)", 4)} AS med
+    FROM events GROUP BY event_type
+    """,
+)
+def q74_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family (A-family widening): sample/population
+    stddev & variance, Pearson correlation, covariance, exact median —
+    all single-pass JVM aggregates (median sorts within the group).
+    Floor-rounded to 4dp: the moment sums are order-sensitive doubles;
+    4dp absorbs the ~1e-12 relative reorder drift at this scale."""
+    ev = _t(spark, sf_dir, "events")
+    h = F.hour("ts").cast("double")
+    v = F.col("value")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        floor_round(F.stddev_samp(v), 4).alias("sd_samp"),
+        floor_round(F.stddev_pop(v), 4).alias("sd_pop"),
+        floor_round(F.var_samp(v), 4).alias("v_samp"),
+        floor_round(F.var_pop(v), 4).alias("v_pop"),
+        floor_round(F.corr(v, h), 4).alias("corr_hour"),
+        floor_round(F.covar_samp(v, h), 4).alias("cov_samp"),
+        floor_round(F.covar_pop(v, h), 4).alias("cov_pop"),
+        floor_round(F.median(v), 4).alias("med"),
+    )

@@ -151,3 +151,29 @@ def test_unpivot_no_multi_scan(spark):
     UNION ALL form scans the table once per measure."""
     plan = plan_of(spark, "q53_unpivot_charges")
     assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1
+
+
+def test_tpch_shapes_broadcast_dims(spark):
+    """q68-q70: the nation/part/supplier dimension sides must broadcast;
+    none of the new join-heavy shapes may plan a cartesian product."""
+    for name in ["q68_nation_trade_flow", "q69_market_share", "q70_promo_revenue_share"]:
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q72_single_shuffle_key(spark):
+    """q72: the decorrelated per-part aggregate and the join back both key
+    on l_partkey; the brand filter must reach the part scan."""
+    plan = plan_of(spark, "q72_small_qty_revenue")
+    assert "CartesianProduct" not in plan
+    assert "Brand#1" in plan  # filter pushed into the part scan
+
+
+def test_q73_having_before_joins(spark):
+    """q73: the quantity HAVING must apply to the aggregate BEFORE the
+    joins to orders/customer (a filter over sum_qty_cents in the plan),
+    so only ~0.3% of orders reach the join."""
+    plan = plan_of(spark, "q73_large_volume_orders")
+    assert re.search(r"Filter.*sum_qty_cents", plan) or "25000" in plan
+    assert "TakeOrdered" in plan  # LIMIT 100 as bounded heap, not full sort
