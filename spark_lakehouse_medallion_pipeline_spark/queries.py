@@ -2420,3 +2420,149 @@ def q74_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         floor_round(F.covar_pop(v, h), 4).alias("cov_pop"),
         floor_round(F.median(v), 4).alias("med"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus analytics widening: TF-IDF, deterministic stratified sampling,
+# time-range rolling windows (X10/X20 depth for the training-data pipeline)
+# ---------------------------------------------------------------------------
+
+_TOK_SQL = "string_split_regex(lower(text), '[^a-z0-9]+')"
+
+
+@_q(
+    "q75_tfidf_top_terms",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, tok
+      FROM (SELECT doc_id, unnest({_TOK_SQL}) AS tok FROM documents)
+      WHERE len(tok) >= 3
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS lin_rank
+      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    )
+    SELECT doc_id, tok, tf, df,
+           FLOOR(lin_rank * 10000.0 + 0.5) / 10000.0 AS tfidf_lin
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY lin_rank DESC, tok) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def q75_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document. idf here is the LINEAR variant
+    (N/df): tf*N/df is a single double division of exact integers, so the
+    ranking comparator is bit-identical across engines (a log-idf ranking
+    would hinge on libm ulp differences). Scale plan: tokenize via
+    explode (no Python), tf and df are partial-aggregable groupBys; the
+    tf⋈df join keys on token (df side is |vocab|, re-usable broadcast at
+    moderate vocab); top-3 is a bounded per-doc window."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("tok"),
+        )
+        .filter(F.length("tok") >= 3)
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "tok")
+        .join(F.broadcast(n_docs))
+        .withColumn("lin_rank", (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("lin_rank"), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tf", "df", floor_round(F.col("lin_rank"), 4).alias("tfidf_lin"))
+    )
+
+
+_STRATA_BP = {"purchase": 10000, "click": 2000, "view": 500, "signup": 2000, "error": 10000}
+
+
+@_q(
+    "q76_stratified_sample",
+    f"""
+    SELECT event_type, COUNT(*) AS n_sampled, {S_MONEY("value")} AS sampled_value
+    FROM (
+      SELECT event_type, value,
+             CAST(('0x' || substr(md5('strat' || event_id), 1, 8)) AS BIGINT) % 10000 AS u
+      FROM events
+    )
+    WHERE u < (CASE event_type
+                 WHEN 'purchase' THEN 10000 WHEN 'click' THEN 2000
+                 WHEN 'view' THEN 500 WHEN 'signup' THEN 2000
+                 WHEN 'error' THEN 10000 ELSE 0 END)
+    GROUP BY event_type
+    """,
+)
+def q76_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (the scalable stand-in for
+    df.sampleBy): keep-fraction per stratum decided by an md5-derived
+    uniform in basis points, so the sample is reproducible across
+    engines, runs, AND repartitioning — df.sampleBy(seed) is none of
+    those. Pure narrow map + filter: no shuffle until the audit
+    aggregate; at 100 TB the filter pipelines inside the scan stage."""
+    ev = _t(spark, sf_dir, "events")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("strat"), F.col("event_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    thresh = F.lit(0)
+    for k, bp in _STRATA_BP.items():
+        thresh = F.when(F.col("event_type") == k, F.lit(bp)).otherwise(thresh)
+    return (
+        ev.withColumn("u", u)
+        .filter(F.col("u") < thresh)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            money(sum_cents(F.col("value"))).alias("sampled_value"),
+        )
+    )
+
+
+@_q(
+    "q77_rolling_1h_by_user",
+    f"""
+    SELECT event_id,
+           COUNT(*) OVER w AS n_1h,
+           CAST(SUM({SC("value")}) OVER w AS DOUBLE) / 100.0 AS value_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q77_rolling_1h_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range rolling window (X10 frames over VALUES, not rows):
+    per-user trailing-1-hour event count and value. rangeBetween on epoch
+    seconds — rows with equal timestamps fall in the same frame on both
+    engines (a rowsBetween frame would be tie-ambiguous). One shuffle on
+    user_id; within-partition sort feeds a sliding frame — O(n) per
+    partition, skew-bounded by per-user event counts."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        (F.sum(cents(F.col("value"))).over(w).cast("double") / F.lit(100.0)).alias("value_1h"),
+    )
