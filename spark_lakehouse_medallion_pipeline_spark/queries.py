@@ -2472,7 +2472,10 @@ def q75_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("tok") >= 3)
     )
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    # df falls out of tf for free: tf already holds one row per distinct
+    # (doc, token), so df = COUNT(*) per token over tf — this avoids a
+    # second tokenize pass + expensive countDistinct over raw tokens.
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df_, "tok")
