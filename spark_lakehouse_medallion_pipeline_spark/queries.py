@@ -2569,3 +2569,148 @@ def q77_rolling_1h_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_1h"),
         (F.sum(cents(F.col("value"))).over(w).cast("double") / F.lit(100.0)).alias("value_1h"),
     )
+
+
+@_q(
+    "q78_embedding_quantization",
+    """
+    SELECT label, COUNT(*) AS n,
+           CAST(SUM(mse_e9) AS DOUBLE) / COUNT(*) / 1e9 AS avg_mse,
+           MAX(mx) AS max_abs
+    FROM (
+      SELECT label, mx,
+             CAST(FLOOR(
+               list_aggregate(
+                 list_transform(xd, x -> (x - FLOOR(x*127.0/mx + 0.5)*mx/127.0)
+                                         * (x - FLOOR(x*127.0/mx + 0.5)*mx/127.0)),
+                 'sum') / len(xd) * 1e9 + 0.5) AS BIGINT) AS mse_e9
+      FROM (
+        SELECT label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd,
+               list_aggregate(list_transform(embedding,
+                              x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+        FROM embeddings
+      ) WHERE mx > 0
+    )
+    GROUP BY label
+    """,
+)
+def q78_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of embeddings (the standard 4x
+    compression for 100 TB vector stores) + reconstruction-error audit.
+    Quantize = FLOOR(x*127/max_abs + 0.5) — pure integer-valued doubles,
+    bit-stable on both engines; per-vector MSE is a left-to-right fold in
+    both (identical summation order), snapped to exact 1e-9 grid before
+    the cross-row average so group aggregation is order-insensitive.
+    Entirely JVM-side array lambdas: no UDF, no shuffle before the tiny
+    label aggregate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
+    dq = lambda x: F.floor(x * 127.0 / F.col("mx") + 0.5) * F.col("mx") / 127.0  # noqa: E731
+    sq_err = F.aggregate(
+        F.transform(F.col("xd"), lambda x: (x - dq(x)) * (x - dq(x))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        emb.select("label", xd.alias("xd"), mx.alias("mx"))
+        .filter(F.col("mx") > 0)
+        .select(
+            "label",
+            "mx",
+            F.floor(sq_err / F.size("xd") * 1e9 + F.lit(0.5)).cast("long").alias("mse_e9"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("mse_e9").cast("double") / F.count(F.lit(1)) / F.lit(1e9)).alias("avg_mse"),
+            F.max("mx").alias("max_abs"),
+        )
+    )
+
+
+@_q(
+    "q79_bigram_counts",
+    """
+    SELECT bigram, COUNT(*) AS n
+    FROM (
+      SELECT unnest(list_transform(range(1, len(l)),
+                    i -> array_to_string(l[i:i+1], ' '))) AS bigram
+      FROM (SELECT string_split_regex(lower(text), '\\s+') AS l FROM documents)
+    )
+    GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def q79_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency (n-gram LM statistics): tokens -> adjacent
+    pairs via a JVM array lambda over an index sequence (no posexplode
+    self-join, no Python), explode, count, bounded top-20. The count is
+    partial-aggregable; top-20 is a TakeOrdered heap, not a full sort."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("l")) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(F.col("l"), i), F.element_at(F.col("l"), i + 1)),
+    )
+    return (
+        docs.select(toks.alias("l"))
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
+
+
+@_q(
+    "q80_benchmark_contamination",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS l FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(l) - 2),
+                    i -> array_to_string(l[i:i+3], ' ')))) AS gram
+      FROM toks WHERE len(l) >= 4
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 100 = 0),
+    train AS (SELECT doc_id, gram FROM grams WHERE doc_id % 100 <> 0)
+    SELECT train.doc_id, COUNT(*) AS n_contaminated_grams
+    FROM train JOIN bench ON train.gram = bench.gram
+    GROUP BY train.doc_id
+    """,
+)
+def q80_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: training docs sharing any
+    k-gram with a held-out benchmark slice (doc_id%100=0 here; a real run
+    broadcasts the benchmark suite). k=4 against this synthetic vocab so
+    the check provably fires (11 hits at sf0.01); production uses k=8+. Distinct 8-grams per doc are built
+    with one array lambda (no Python); the benchmark side deduplicates to
+    |bench grams| and broadcasts, so the check is a map-side hash probe
+    over the training corpus — no big shuffle. At 100 TB the grams hash
+    to int64 before the join (xxhash64) to cut probe-side width; kept as
+    raw strings here so DuckDB can verify end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    grams8 = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("l")) - 3),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("l"), i + j) for j in range(4)]
+            ),
+        )
+    )
+    grams = (
+        docs.select("doc_id", toks.alias("l"))
+        .filter(F.size("l") >= 4)
+        .select("doc_id", F.explode(grams8).alias("gram"))
+    )
+    bench = grams.filter(F.col("doc_id") % 100 == 0).select("gram").distinct()
+    train = grams.filter(F.col("doc_id") % 100 != 0)
+    return (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
