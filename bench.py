@@ -51,6 +51,11 @@ HEADLINE = [
     "q49_sql_surface",
     "q50_knn_vectorized",
     "q51_corpus_curation",
+    "q68_nation_trade_flow",
+    "q73_large_volume_orders",
+    "q75_tfidf_top_terms",
+    "q78_embedding_quantization",
+    "q80_benchmark_contamination",
     "medallion_gold_kpis",
 ]
 

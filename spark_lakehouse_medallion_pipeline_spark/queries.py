@@ -2714,3 +2714,34 @@ def q80_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
     )
+
+
+@_q(
+    "q81_value_histogram",
+    """
+    SELECT event_type, bucket, COUNT(*) AS n,
+           CAST(SUM(vc) AS DOUBLE) / 100.0 AS bucket_value
+    FROM (
+      SELECT event_type,
+             CAST(LEAST(GREATEST(FLOOR(value / 50.0), 0), 19) AS INT) AS bucket,
+             CAST(ROUND(value*100) AS BIGINT) AS vc
+      FROM events
+    ) b
+    GROUP BY event_type, bucket
+    """,
+)
+def q81_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (20 buckets of 50) per event type — the
+    equi-width binning primitive behind data-profiling dashboards.
+    Bucket id is exact integer FLOOR math (identical on both engines);
+    the whole query is one map + one small hash aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.least(F.greatest(F.floor(F.col("value") / 50.0), F.lit(0)), F.lit(19)).cast("int")
+    return (
+        ev.select("event_type", bucket.alias("bucket"), cents(F.col("value")).alias("vc"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("vc").cast("double") / F.lit(100.0)).alias("bucket_value"),
+        )
+    )
