@@ -2745,3 +2745,246 @@ def q81_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("vc").cast("double") / F.lit(100.0)).alias("bucket_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6/Q9/Q10/Q12/Q13/Q19 shapes (X1-X6 widening, adapted to the testdata
+# schema: no partsupp/shipmode/commitdate/container columns exist)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q82_forecast_revenue_change",
+    f"""
+    SELECT CAST(SUM({SC('l_extendedprice')} * {SC('l_discount')}) AS DOUBLE) / 10000.0
+             AS promo_revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND {SC('l_discount')} BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def q82_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue that would be gained by dropping a narrow
+    discount band — a pure scan+filter+global-agg. All three predicates
+    (ship-year, discount band, quantity cap) are parquet-pushable, so at
+    100 TB this is a min/max-stat-pruned columnar scan reading exactly 4
+    columns; no shuffle at all (partial sums -> single final reduce).
+    Discount is matched on exact cents to dodge double-literal equality."""
+    li = _t(spark, sf_dir, "lineitem")
+    dc = cents(F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & dc.between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(cents(F.col("l_extendedprice")) * dc).cast("double") / F.lit(10000.0)).alias(
+                "promo_revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_q(
+    "q83_returned_item_customers",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM({_DISC_E4}) AS DOUBLE) / 10000.0 AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q83_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by lost revenue from returned
+    items in one quarter. Scale plan: orders is date-filtered FIRST (one
+    quarter ~ 1/26 of the table) then joined to the returnflag-filtered
+    lineitem on orderkey; customer+nation are broadcast onto the small
+    survivor set; top-20 is a TakeOrdered (no full sort). Revenue keyed
+    DESC with custkey tiebreak so LIMIT is deterministic cross-engine."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg((F.sum(_disc_e4()).cast("double") / F.lit(10000.0)).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@_q(
+    "q84_order_count_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q84_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count,
+    keeping zero-order customers via the outer join (the priority filter
+    stands in for Q13's comment NOT LIKE — it must live in the join
+    condition, not a WHERE, to preserve null-extension). Scale plan: one
+    shuffle on custkey for join+count (same key, single exchange reused),
+    then a tiny re-agg on the count value; COUNT(col) null-skipping gives
+    0 for unmatched customers for free."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    return (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@_q(
+    "q85_disjunctive_brand_revenue",
+    f"""
+    SELECT CAST(SUM({_DISC_E4}) AS DOUBLE) / 10000.0 AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#14' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q85_disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three OR'd (brand, size, quantity)
+    conjunctions — the classic disjunctive-predicate join. Scale plan:
+    part is pre-filtered to the union of the three brand/size boxes
+    (~3/25 of the dim) and broadcast, so the disjunction is evaluated
+    map-side on the lineitem scan; Catalyst extracts the common
+    brand-side predicate below the join. No shuffle: global agg only."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#14") & F.col("p_size").between(1, 15))
+    )
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#14") & F.col("p_size").between(1, 15) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            (F.sum(_disc_e4()).cast("double") / F.lit(10000.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_q(
+    "q86_product_profit_by_nation",
+    f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM({_DISC_E4} - {SC('p_retailprice')}
+                      * CAST(ROUND(l_quantity) AS BIGINT) * 10) AS DOUBLE) / 10000.0
+             AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY n.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS INT)
+    """,
+)
+def q86_product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for parts
+    matching a name pattern. The testdata has no partsupp, so supply cost
+    is proxied as p_retailprice/10 per unit — the join topology (2 big + 3
+    broadcast dims) is what matters. Profit stays in exact 1e-4 units
+    until one final division. Scale plan: the LIKE filter reduces part
+    ~6x before broadcast; lineitem joins part/supplier/nation map-side,
+    leaving orderkey as the only big shuffle; group keys are tiny."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    cost_e4 = cents(F.col("p_retailprice")) * F.round(F.col("l_quantity")).cast("long") * 10
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(((F.sum(_disc_e4() - cost_e4)).cast("double") / F.lit(10000.0)).alias("profit"))
+    )
+
+
+@_q(
+    "q87_priority_shipping_split",
+    """
+    SELECT l.l_returnflag,
+           COUNT(*) FILTER (WHERE o.o_orderpriority IN ('1-URGENT','2-HIGH'))
+             AS high_line_count,
+           COUNT(*) FILTER (WHERE o.o_orderpriority NOT IN ('1-URGENT','2-HIGH'))
+             AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q87_priority_shipping_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: high- vs low-priority line counts per return
+    flag for one ship-year (returnflag stands in for the missing
+    l_shipmode). Conditional counts via count_if — the Q3-bug-corrected
+    semantics from SURVEY.md §1.4. Scale plan: ship-year filter prunes
+    lineitem at the scan; one orderkey shuffle joins the two big tables
+    (AQE may pick shuffled-hash); 3-row output."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            count_if(hi).alias("high_line_count"),
+            count_if(~hi).alias("low_line_count"),
+        )
+    )

@@ -118,3 +118,54 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
     )
     assert explain.count_exchanges(joined) == 0
     assert joined.count() == orders.count()
+
+
+def test_q82_predicates_pushed_to_scan(spark, sf_dir):
+    from spark_lakehouse_medallion_pipeline_spark.plans import explain
+    from spark_lakehouse_medallion_pipeline_spark.queries import QUERIES
+
+    df = QUERIES["q82_forecast_revenue_change"](spark, sf_dir)
+    plan = explain.formatted(df)
+    # ship-date range and quantity cap must reach the parquet scan
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+    assert "LessThan(l_quantity,24" in plan
+
+
+def test_q83_broadcasts_dims_and_takeordered(spark, sf_dir):
+    from spark_lakehouse_medallion_pipeline_spark.queries import QUERIES
+
+    df = QUERIES["q83_returned_item_customers"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q84_outer_join_covers_every_customer(spark, sf_dir):
+    from spark_lakehouse_medallion_pipeline_spark.queries import QUERIES
+
+    dist = QUERIES["q84_order_count_distribution"](spark, sf_dir).collect()
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert sum(r["custdist"] for r in dist) == n_cust
+
+
+def test_q85_part_side_broadcast(spark, sf_dir):
+    from spark_lakehouse_medallion_pipeline_spark.queries import QUERIES
+
+    df = QUERIES["q85_disjunctive_brand_revenue"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q87_split_counts_sum_to_join_size(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from spark_lakehouse_medallion_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["q87_priority_shipping_split"](spark, sf_dir).collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    total = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    assert sum(r["high_line_count"] + r["low_line_count"] for r in rows) == total
