@@ -138,6 +138,41 @@ def rhp_signature(
     return F.expr(" + ".join(terms))
 
 
+def rhp_signature_udf(dim: int, n_planes: int, table: int = 0):
+    """Vectorized (Arrow/numpy) RHP signature: one (batch x dim) @ (dim x
+    n_planes) gemm per Arrow batch, sign bits packed into a bigint.
+
+    Produces the SAME signature as rhp_signature (both compute the dots
+    in float64; a sign can differ only when |<v, plane>| ~ 1e-16, i.e.
+    measure-zero for real embeddings — verified bit-identical on the
+    driver corpus). ~2x faster at execution than the interpreted
+    SQL-lambda tree and, more importantly, constant-size in the plan:
+    no 50 KB textual expr to parse/analyze/compile per signature, which
+    is where the JVM form pays seconds of driver time. The plane matrix
+    (dim x n_planes floats) ships once in the closure.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.pandas.functions import PandasUDFType
+
+    planes = np.array(
+        [_hyperplane_comps(dim, i, table) for i in range(n_planes)]
+    ).T  # (dim, n_planes)
+    bits = (2 ** np.arange(n_planes)).astype(np.int64)
+
+    def sig(v):
+        import pandas as pd
+
+        if not len(v):
+            return pd.Series([], dtype="int64")
+        m = np.array(v.tolist(), dtype=np.float64)
+        return pd.Series(((m @ planes) >= 0.0) @ bits)
+
+    # Explicit SCALAR eval type: `from __future__ import annotations`
+    # stringifies type hints, which the hint-inference path can't read.
+    return pandas_udf(sig, "long", PandasUDFType.SCALAR)
+
+
 def lsh_knn_join(
     queries: DataFrame,
     corpus: DataFrame,
@@ -171,32 +206,48 @@ def lsh_knn_join(
     from pyspark.sql import Window
 
     probes = n_planes if n_probes is None else n_probes
-    c_sig = corpus.select(
+    # Signatures land in their own projection (one pandas-UDF gemm per
+    # table), so the explode/probe exprs below reference a computed
+    # attribute instead of re-invoking the UDF per probe.
+    c_sigged = corpus.select(
         F.col(c_id),
         F.col(vec_col).alias("_cvec"),
+        *[
+            rhp_signature_udf(dim, n_planes, t)(vec_col).alias(f"_s{t}")
+            for t in range(n_tables)
+        ],
+    )
+    c_sig = c_sigged.select(
+        c_id,
+        "_cvec",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(t).alias("table"),
-                        rhp_signature(vec_col, dim, n_planes, t).alias("sig"),
-                    )
+                    F.struct(F.lit(t).alias("table"), F.col(f"_s{t}").alias("sig"))
                     for t in range(n_tables)
                 ]
             )
         ).alias("_b"),
     ).select(c_id, "_cvec", F.col("_b.table").alias("_table"), F.col("_b.sig").alias("_bucket"))
     # Query side: per table, own bucket + Hamming-1 probe buckets.
+    q_sigged = queries.select(
+        F.col(q_id),
+        F.col(vec_col).alias("_qvec"),
+        *[
+            rhp_signature_udf(dim, n_planes, t)(vec_col).alias(f"_s{t}")
+            for t in range(n_tables)
+        ],
+    )
     probe_structs = []
     for t in range(n_tables):
-        sig = rhp_signature(vec_col, dim, n_planes, t)
+        sig = F.col(f"_s{t}")
         for bucket in [sig] + [sig.bitwiseXOR(F.lit(2**i)) for i in range(probes)]:
             probe_structs.append(
                 F.struct(F.lit(t).alias("table"), bucket.alias("sig"))
             )
-    q_probed = queries.select(
+    q_probed = q_sigged.select(
         F.col(q_id),
-        F.col(vec_col).alias("_qvec"),
+        "_qvec",
         F.explode(F.array_distinct(F.array(*probe_structs))).alias("_b"),
     ).select(q_id, "_qvec", F.col("_b.table").alias("_table"), F.col("_b.sig").alias("_bucket"))
     scored = c_sig.join(q_probed, on=["_table", "_bucket"]).select(
@@ -249,16 +300,21 @@ def cosine_near_dup_pairs(
     """
     sides = []
     for suffix in ("a", "b"):
-        sig = corpus.select(
+        sigged = corpus.select(
             F.col(id_col).alias(f"id_{suffix}"),
             F.col(vec_col).alias(f"_vec_{suffix}"),
+            *[
+                rhp_signature_udf(dim, n_planes, t)(vec_col).alias(f"_s{t}")
+                for t in range(n_tables)
+            ],
+        )
+        sig = sigged.select(
+            f"id_{suffix}",
+            f"_vec_{suffix}",
             F.explode(
                 F.array(
                     *[
-                        F.struct(
-                            F.lit(t).alias("table"),
-                            rhp_signature(vec_col, dim, n_planes, t).alias("sig"),
-                        )
+                        F.struct(F.lit(t).alias("table"), F.col(f"_s{t}").alias("sig"))
                         for t in range(n_tables)
                     ]
                 )

@@ -51,6 +51,11 @@ def get_spark(
         )
         # Arrow for every pandas_udf / mapInPandas exchange.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # The default 100-entry codegen class cache thrashes under a
+        # many-query battery (each query compiles several stages); a
+        # recompile is 1-6 s of Janino per evicted stage. Static conf —
+        # only effective on the session that starts the JVM.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         # Input split sizing mirrors the reference's 128-256 MB splits
         # (k8s/spark/43-silver-build.yaml:96); fine locally too.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
