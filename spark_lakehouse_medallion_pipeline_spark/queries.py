@@ -3001,3 +3001,218 @@ def q87_priority_shipping_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             count_if(~hi).alias("low_line_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape + LLM-data quality/PII/sketch batteries
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q88_late_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q88_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: count of one quarter's orders that had at least
+    one line shipped 60+ days after ordering, by priority (the testdata
+    schema has no l_commitdate/l_receiptdate, so lateness is
+    shipdate-vs-orderdate). EXISTS becomes a LEFT SEMI join — one
+    orderkey shuffle, no row duplication before the aggregate. At 100 TB
+    the quarter filter prunes orders at the scan and AQE picks
+    shuffled-hash for the semi side; output is 5 rows."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@_q(
+    "q89_repetition_signals",
+    f"""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok),
+    ts AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_distinct_tokens, CAST(MAX(c) AS BIGINT) AS top_token_n
+      FROM tc GROUP BY doc_id
+    ),
+    b AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(string_split(text, ' '))),
+                    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+               AS bg
+      FROM documents WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bs AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             COUNT(DISTINCT bg) AS n_distinct_bigrams
+      FROM b GROUP BY doc_id
+    )
+    SELECT ts.doc_id, n_tokens, n_distinct_tokens, top_token_n,
+           {S_FLOOR('CAST(n_distinct_tokens AS DOUBLE) / n_tokens', 6)} AS ttr,
+           {S_FLOOR('CAST(top_token_n AS DOUBLE) / n_tokens', 6)} AS top_token_frac,
+           {S_FLOOR('CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / n_bigrams', 6)}
+             AS dup_bigram_frac
+    FROM ts JOIN bs ON ts.doc_id = bs.doc_id
+    """,
+)
+def q89_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: type-token
+    ratio, top-token mass, duplicate-bigram fraction — the filters that
+    kill boilerplate/low-entropy docs in a pretraining corpus. Tokens
+    and bigrams each take one explode -> hash-aggregate pass keyed on
+    (doc_id, gram): map-side partial counts absorb the duplication, the
+    doc_id re-aggregate is tiny, and the two stat tables join on doc_id.
+    All ratios are exact-integer divisions floor-rounded at 6dp, so the
+    DuckDB oracle is bit-identical. At 100 TB this is the same plan with
+    well-spread shuffle keys (doc_id, token) — no driver involvement."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    tok = docs.select("doc_id", F.explode("toks").alias("tok"))
+    tstats = (
+        tok.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.max("c").alias("top_token_n"),
+        )
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+        ),
+    )
+    bstats = (
+        docs.filter(F.size("toks") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.countDistinct("bg").alias("n_distinct_bigrams"),
+        )
+    )
+    return tstats.join(bstats, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        "top_token_n",
+        floor_round(
+            F.col("n_distinct_tokens").cast("double") / F.col("n_tokens"), 6
+        ).alias("ttr"),
+        floor_round(F.col("top_token_n").cast("double") / F.col("n_tokens"), 6).alias(
+            "top_token_frac"
+        ),
+        floor_round(
+            (F.col("n_bigrams") - F.col("n_distinct_bigrams")).cast("double")
+            / F.col("n_bigrams"),
+            6,
+        ).alias("dup_bigram_frac"),
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"555-[0-9]{4}"
+
+
+@_q(
+    "q90_pii_redaction",
+    f"""
+    WITH planted AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@corp.io' ELSE '' END
+               AS body
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(body, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(body, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(body, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                              '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_fp
+    FROM planted
+    """,
+)
+def q90_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub battery: detect and redact email/phone patterns, emit
+    per-doc match counts plus an md5 fingerprint of the redacted text
+    (the corpus rows ship PII-free downstream; the fingerprint lets the
+    oracle verify the rewrite byte-for-byte). PII is planted
+    deterministically from doc_id so the detector provably fires on
+    every row. Pure per-row map — no shuffle at any scale; the regexes
+    are RE2-safe (no backtracking blowup on adversarial documents)."""
+    docs = _t(spark, sf_dir, "documents")
+    body = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" cc admin@corp.io")).otherwise(F.lit("")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("body"), F.lit(_EMAIL_RE), F.lit("[EMAIL]")),
+        F.lit(_PHONE_RE),
+        F.lit("[PHONE]"),
+    )
+    return docs.select("doc_id", body.alias("body")).select(
+        "doc_id",
+        F.size(F.regexp_extract_all("body", F.lit(_EMAIL_RE), F.lit(0))).cast("long").alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("body", F.lit(_PHONE_RE), F.lit(0))).cast("long").alias(
+            "n_phones"
+        ),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+@_q("q91_hll_sketch_users")
+def q91_hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL, the
+    Spark-native sketch type): per-event-type user sketches plus an
+    '__all__' row whose estimate comes from hll_union_agg over the
+    per-type sketches — never re-touching raw data. That mergeability is
+    the 100 TB point: partial sketches aggregate per partition, union at
+    any rollup level, and persist as binary columns for incremental
+    refresh. Rows-only check (DuckDB's HLL implementation differs);
+    pytest bounds the estimates against exact distinct counts."""
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    est = per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    overall = per_type.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("__all__").alias("event_type"),
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+    )
+    return est.unionByName(overall)

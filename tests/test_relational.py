@@ -169,3 +169,40 @@ def test_q87_split_counts_sum_to_join_size(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     total = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
     assert sum(r["high_line_count"] + r["low_line_count"] for r in rows) == total
+
+
+def test_q88_semi_join_no_duplication(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from spark_lakehouse_medallion_pipeline_spark.queries import QUERIES
+
+    df = QUERIES["q88_late_order_priority"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    # Order counts can never exceed the quarter's order count.
+    quarter = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    assert sum(r["order_count"] for r in df.collect()) <= quarter.count()
+
+
+def test_q91_hll_estimates_bound_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from spark_lakehouse_medallion_pipeline_spark.queries import QUERIES
+    from spark_lakehouse_medallion_pipeline_spark.sources.io import read_events
+
+    est = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["q91_hll_sketch_users"](spark, sf_dir).collect()
+    }
+    ev = read_events(spark, sf_dir)
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["__all__"] = ev.select("user_id").distinct().count()
+    assert set(est) == set(exact)
+    for k, e in exact.items():
+        assert abs(est[k] - e) <= max(2, 0.05 * e), (k, est[k], e)
