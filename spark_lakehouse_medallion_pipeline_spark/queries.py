@@ -3216,3 +3216,74 @@ def q91_hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").alias("approx_users"),
     )
     return est.unionByName(overall)
+
+
+@_q(
+    "q92_zorder_values",
+    """
+    WITH bounds AS (
+      SELECT MIN(l_partkey) AS xmin, MAX(l_partkey) AS xmax,
+             MIN(l_suppkey) AS ymin, MAX(l_suppkey) AS ymax
+      FROM lineitem
+    ),
+    base AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(FLOOR(CAST(l_partkey - xmin AS DOUBLE) * 65536.0
+                        / CAST(xmax - xmin + 1 AS DOUBLE)) AS BIGINT) & 65535 AS bx,
+             CAST(FLOOR(CAST(l_suppkey - ymin AS DOUBLE) * 65536.0
+                        / CAST(ymax - ymin + 1 AS DOUBLE)) AS BIGINT) & 65535 AS by
+      FROM lineitem, bounds
+    ),
+    s1 AS (SELECT l_orderkey, l_linenumber,
+                  (bx | (bx << 8)) & 16711935 AS bx,
+                  (by | (by << 8)) & 16711935 AS by FROM base),
+    s2 AS (SELECT l_orderkey, l_linenumber,
+                  (bx | (bx << 4)) & 252645135 AS bx,
+                  (by | (by << 4)) & 252645135 AS by FROM s1),
+    s3 AS (SELECT l_orderkey, l_linenumber,
+                  (bx | (bx << 2)) & 858993459 AS bx,
+                  (by | (by << 2)) & 858993459 AS by FROM s2),
+    s4 AS (SELECT l_orderkey, l_linenumber,
+                  (bx | (bx << 1)) & 1431655765 AS bx,
+                  (by | (by << 1)) & 1431655765 AS by FROM s3)
+    SELECT l_orderkey, l_linenumber, bx | (by << 1) AS zval
+    FROM s4
+    """,
+)
+def q92_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values over (l_partkey, l_suppkey) — the clustering key
+    behind sources.io.write_zordered (Delta OPTIMIZE ZORDER analogue).
+    Bucketize each dimension to 16 bits by min/max scaling, then
+    interleave with the magic-mask spread; the DuckDB oracle replays the
+    identical integer bit arithmetic, so the curve itself is verified
+    bit-for-bit. Pure map over the scan plus one broadcast 1-row bounds
+    agg — at 100 TB the bounds come from table stats and the z-sorted
+    write gives min/max file pruning on either dimension."""
+    from spark_lakehouse_medallion_pipeline_spark.sources.io import zvalue2
+
+    li = _t(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_partkey").alias("xmin"),
+        F.max("l_partkey").alias("xmax"),
+        F.min("l_suppkey").alias("ymin"),
+        F.max("l_suppkey").alias("ymax"),
+    )
+
+    def bucket(c: str, lo: str, hi: str) -> Column:
+        span = (F.col(hi) - F.col(lo) + 1).cast("double")
+        return (
+            F.floor((F.col(c) - F.col(lo)).cast("double") * 65536.0 / span)
+            .cast("long")
+            .bitwiseAND(F.lit(65535))
+        )
+
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            zvalue2(
+                bucket("l_partkey", "xmin", "xmax"), bucket("l_suppkey", "ymin", "ymax")
+            ).alias("zval"),
+        )
+    )

@@ -273,3 +273,69 @@ def _dir_has_parquet(path: str) -> bool:
     import os
 
     return os.path.isdir(path) and bool(glob.glob(os.path.join(path, "*.parquet")))
+
+
+# --- Z-order clustered layout (multi-dimensional pruning at scale) ---------
+
+# Magic-number bit spreading: 16-bit value -> even bit positions of a
+# 32-bit value (Morton/Z-curve interleave). Each stage is (x | x<<k) & mask;
+# masks are the classic 0x00FF00FF / 0x0F0F0F0F / 0x33333333 / 0x55555555.
+_SPREAD_STAGES = ((8, 16711935), (4, 252645135), (2, 858993459), (1, 1431655765))
+
+
+def spread_bits16(c: Column) -> Column:
+    """Spread the low 16 bits of a long across even bit positions."""
+    x = c.bitwiseAND(F.lit(65535))
+    for shift, mask in _SPREAD_STAGES:
+        x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def zvalue2(x: Column, y: Column) -> Column:
+    """Morton z-value interleaving two 16-bit bucket ids (x gets the even
+    bits, y the odd): points close in BOTH dimensions get close z-values,
+    so a z-sorted file layout gives min/max-stat pruning on either
+    dimension — the same trick as Delta's OPTIMIZE ZORDER BY."""
+    return spread_bits16(x).bitwiseOR(F.shiftleft(spread_bits16(y), 1))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str],
+    num_files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` clustered along a 2-D Z-curve over ``cols``.
+
+    Bucketizes each column to 16 bits by min/max scaling (one tiny agg
+    job — at 100 TB these bounds come from table stats instead),
+    interleaves to a z-value, range-partitions on it and sorts within
+    partitions, so every output file covers a small (x, y) bounding box.
+    Point/box predicates on EITHER column then prune most files via
+    parquet min/max stats — vs a single-column sort which only prunes on
+    its leading column. The z column is dropped before writing."""
+    cx, cy = cols
+    bounds = df.agg(
+        F.min(cx).alias("_xmin"),
+        F.max(cx).alias("_xmax"),
+        F.min(cy).alias("_ymin"),
+        F.max(cy).alias("_ymax"),
+    )
+    b = df.crossJoin(F.broadcast(bounds))
+
+    def bucket(c: str, lo: str, hi: str) -> Column:
+        span = (F.col(hi) - F.col(lo) + 1).cast("double")
+        return F.floor((F.col(c) - F.col(lo)).cast("double") * 65536.0 / span).cast(
+            "long"
+        )
+
+    z = b.withColumn("_z", zvalue2(bucket(cx, "_xmin", "_xmax"), bucket(cy, "_ymin", "_ymax")))
+    (
+        z.drop("_xmin", "_xmax", "_ymin", "_ymax")
+        .repartitionByRange(num_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
