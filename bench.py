@@ -75,7 +75,10 @@ def main() -> None:
 
     # Warm the JVM / parquet footers once so per-query numbers measure the
     # query, not session startup.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    try:
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    except Exception as exc:
+        print(f"# warmup scan failed: {exc}", file=sys.stderr)
 
     # Warm-up pass at the TARGET SF: the timed runs below then measure
     # steady-state distributed execution rather than one-time
@@ -92,14 +95,21 @@ def main() -> None:
             print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
         t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        # Fault isolation: one broken query must never zero the whole
+        # round's perf signal (round-1 lesson — q12 aborted the run).
+        try:
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            timings[name] = round(time.time() - t0, 3)
+            print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        except Exception as exc:
+            errors[name] = str(exc).split("\n")[0][:200]
+            print(f"# {name}: FAILED ({errors[name]})", file=sys.stderr)
 
     # Materialized medallion end-to-end (the reference's flagship shape):
     # generate bronze -> partitioned parquet -> silver enrich -> gold KPIs,
@@ -117,6 +127,7 @@ def main() -> None:
     finally:
         shutil.rmtree(warm_tmp, ignore_errors=True)
 
+    bronze_mb_s = None
     tmp = tempfile.mkdtemp(prefix="bench_medallion_")
     try:
         t0 = time.time()
@@ -132,22 +143,44 @@ def main() -> None:
             f"(bronze {bronze_mb_s} MB/s on-disk)",
             file=sys.stderr,
         )
+    except Exception as exc:
+        errors["medallion_e2e_100k"] = str(exc).split("\n")[0][:200]
+        print(f"# medallion_e2e_100k: FAILED ({errors['medallion_e2e_100k']})", file=sys.stderr)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # Payload-heavy regime (the reference's tuned path: 256 KB payloads,
+    # vectorized reader OFF, batch 1024 — 43-silver-build.yaml:92-94). Bench
+    # a 64 KB-payload medallion run both ways so the distinctive tuning is
+    # covered with real numbers.
+    for label, vectorized in (("payload64k_vec_off", "false"), ("payload64k_vec_on", "true")):
+        ptmp = tempfile.mkdtemp(prefix=f"bench_{label}_")
+        prev = spark.conf.get("spark.sql.parquet.enableVectorizedReader", "true")
+        try:
+            spark.conf.set("spark.sql.parquet.enableVectorizedReader", vectorized)
+            t0 = time.time()
+            run_pipeline(spark, ptmp, rows=2_000, payload_kb=64)
+            timings[f"medallion_{label}"] = round(time.time() - t0, 3)
+            print(f"# medallion_{label}: {timings[f'medallion_{label}']:.2f}s", file=sys.stderr)
+        except Exception as exc:
+            errors[f"medallion_{label}"] = str(exc).split("\n")[0][:200]
+            print(f"# medallion_{label}: FAILED", file=sys.stderr)
+        finally:
+            spark.conf.set("spark.sql.parquet.enableVectorizedReader", prev)
+            shutil.rmtree(ptmp, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_clock_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "bronze_write_mb_s": bronze_mb_s,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_query_wall_clock_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "bronze_write_mb_s": bronze_mb_s,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

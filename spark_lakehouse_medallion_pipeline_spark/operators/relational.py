@@ -81,7 +81,10 @@ def sessionize(
     separately in operators.timeseries for the streaming path).
     """
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
+    # cast("timestamp") first: tolerates TIMESTAMP_NTZ inputs (NTZ cannot
+    # cast directly to double); a no-op for already-LTZ columns.
+    ts_sec = F.col(ts_col).cast("timestamp").cast("double")
+    gap = ts_sec - F.lag(ts_sec).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
     return df.withColumn("_new_sess", is_new).withColumn(
         session_col,

@@ -64,8 +64,16 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(raw.dtypes).get("ts") == "bigint":
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Parquet timestamps with isAdjustedToUTC=false arrive as
+        # TIMESTAMP_NTZ in Spark 4; downstream code (unix_millis, window(),
+        # range frames) expects TIMESTAMP. Under the UTC session timezone
+        # (session.py) this cast is value-identical to the DuckDB oracle's
+        # naive-timestamp reading.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 
