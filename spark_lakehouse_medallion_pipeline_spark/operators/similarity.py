@@ -152,8 +152,8 @@ def rhp_signature_udf(dim: int, n_planes: int, table: int = 0):
     (dim x n_planes floats) ships once in the closure.
     """
     import numpy as np
+    import pandas as pd
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.pandas.functions import PandasUDFType
 
     planes = np.array(
         [_hyperplane_comps(dim, i, table) for i in range(n_planes)]
@@ -161,16 +161,16 @@ def rhp_signature_udf(dim: int, n_planes: int, table: int = 0):
     bits = (2 ** np.arange(n_planes)).astype(np.int64)
 
     def sig(v):
-        import pandas as pd
-
         if not len(v):
             return pd.Series([], dtype="int64")
         m = np.array(v.tolist(), dtype=np.float64)
         return pd.Series(((m @ planes) >= 0.0) @ bits)
 
-    # Explicit SCALAR eval type: `from __future__ import annotations`
-    # stringifies type hints, which the hint-inference path can't read.
-    return pandas_udf(sig, "long", PandasUDFType.SCALAR)
+    # `from __future__ import annotations` stringifies inline hints, which
+    # the hint-inference path can't read — attach live objects instead of
+    # the deprecated PandasUDFType.SCALAR constant.
+    sig.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(sig, "long")
 
 
 def lsh_knn_join(
@@ -341,6 +341,54 @@ def cosine_near_dup_pairs(
     )
 
 
+def cosine_pairs_exact(
+    corpus: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows: int = 20000,
+) -> DataFrame:
+    """All-pairs exact cosine — the O(n^2) oracle/verify stage for the LSH
+    path (cosine_near_dup_pairs is the scale path).
+
+    ``max_rows`` is a hard refusal: n^2 pair generation past ~20k rows is
+    a scale-killer by construction (400M pairs), and silently running it
+    on a 100 TB corpus would be a cluster-wide incident. Callers that
+    really need bigger exact verification should sample or shard first.
+
+    Each vector is normalized ONCE in its own projection so the pair loop
+    runs a single dot-product aggregate (not dot + 2 norms) per pair.
+    Output: (id_a, id_b, cosine_sim) with id_a < id_b, floor-rounded at
+    6dp to absorb summation-order ulps vs other engines.
+    """
+    n = corpus.count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_pairs_exact is O(n^2); input has {n} rows "
+            f"(max_rows={max_rows}). Use cosine_near_dup_pairs (LSH-bucketed) "
+            f"at scale, or pre-filter/sample the corpus."
+        )
+    e = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+    ).select(
+        "_id", F.expr("transform(_v, x -> CAST(x AS DOUBLE) / _n)").alias("_v")
+    )
+    a = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    b = e.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    floor6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        a.join(b, a.id_a < b.id_b)
+        .select(
+            "id_a",
+            "id_b",
+            floor6(dot(F.col("_va"), F.col("_vb"))).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def ivf_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -433,6 +481,7 @@ def knn_join_vectorized(
     q_id: str = "q_id",
     c_id: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int = 65536,
 ) -> DataFrame:
     """Exact k-NN join on the Arrow/numpy fast path.
 
@@ -445,12 +494,22 @@ def knn_join_vectorized(
 
     The query side is collected to the driver and closed over (it is the
     'model', a few KB-MB — same posture as broadcast); the corpus never
-    leaves executors.
+    leaves executors. ``max_query_rows`` guards that posture: past the
+    cap the closure would blow driver/executor memory, so the call
+    refuses and directs to the distributed paths (lsh_knn_join /
+    ivf_knn_join), which bucket-join both sides instead of broadcasting.
     """
     from pyspark.sql import Window
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    q_rows = queries.select(q_id, vec_col).collect()
+    q_rows = queries.select(q_id, vec_col).limit(max_query_rows + 1).collect()
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"knn_join_vectorized collects the query side as a broadcast "
+            f"model; it has >{max_query_rows} rows. Use lsh_knn_join or "
+            f"ivf_knn_join (bucketed joins) for large query sets, or raise "
+            f"max_query_rows explicitly."
+        )
     q_ids = [r[0] for r in q_rows]
     # Id columns keep their source types (ids are not always integers —
     # e.g. sha2-derived string ids); only the score type is fixed.

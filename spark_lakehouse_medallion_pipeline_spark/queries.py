@@ -1229,37 +1229,13 @@ def q42_datetime_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q43_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup kernel, oracled on a capped slice
     (all-pairs is the O(n^2) verify stage; the scale path is the LSH
-    variant below). floor-round at 6dp absorbs summation-order ulps."""
-    # Normalize each vector ONCE (200 rows/side) so the O(n^2) pair loop
-    # runs a single dot-product aggregate instead of dot+2 norms — 3x
-    # fewer interpreted-lambda evaluations per pair. The norm lands in
-    # its own projection first so the divide lambda captures a computed
-    # attribute, not the norm subtree.
-    e = (
-        _t(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < 200)
-        .select(
-            "vec_id",
-            F.col("embedding").alias("_v"),
-            similarity.l2_norm(F.col("embedding")).alias("_n"),
-        )
-        .select(
-            "vec_id",
-            F.expr("transform(_v, x -> CAST(x AS DOUBLE) / _n)").alias("_v"),
-        )
-    )
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("_v").alias("_va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("_v").alias("_vb"))
-    return (
-        a.join(b, a.id_a < b.id_b)
-        .select(
-            "id_a",
-            "id_b",
-            floor_round(similarity.dot(F.col("_va"), F.col("_vb")), 6).alias(
-                "cosine_sim"
-            ),
-        )
-        .filter(F.col("cosine_sim") >= 0.3)
+    variant below). floor-round at 6dp absorbs summation-order ulps.
+    Delegates to operators.similarity.cosine_pairs_exact, whose max_rows
+    guard refuses un-capped inputs — the vec_id filter here is what keeps
+    this O(n^2) stage bounded at any sf."""
+    return similarity.cosine_pairs_exact(
+        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200),
+        threshold=0.3,
     )
 
 

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from spark_lakehouse_medallion_pipeline_spark.operators import similarity
@@ -144,3 +145,28 @@ def test_vectorized_knn_matches_brute(embeddings):
     for pair in set(brute) & set(vec):
         assert abs(brute[pair] - vec[pair]) < 2e-6, pair
     assert all((q, q) in vec for q in range(5))
+
+
+def test_knn_vectorized_refuses_oversized_query_side(embeddings):
+    """The collect-as-model posture must refuse rather than OOM the driver
+    when the query side exceeds max_query_rows."""
+    qs = embeddings.select(F.col("vec_id").alias("q_id"), "embedding")
+    with pytest.raises(ValueError, match="lsh_knn_join"):
+        similarity.knn_join_vectorized(qs, embeddings, k=3, max_query_rows=10)
+
+
+def test_cosine_pairs_exact_refuses_oversized_corpus(embeddings):
+    """All-pairs exact cosine is the O(n^2) verify stage; past max_rows it
+    must refuse and point at the LSH path."""
+    with pytest.raises(ValueError, match="cosine_near_dup_pairs"):
+        similarity.cosine_pairs_exact(embeddings, max_rows=10)
+
+
+def test_cosine_pairs_exact_small_corpus(embeddings):
+    """Within the cap: symmetric dedup (id_a < id_b) and threshold filter."""
+    pairs = similarity.cosine_pairs_exact(
+        embeddings.filter(F.col("vec_id") < 30), threshold=0.3
+    ).collect()
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        assert r["cosine_sim"] >= 0.3
