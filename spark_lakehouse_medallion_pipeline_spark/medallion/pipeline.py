@@ -2,7 +2,9 @@
 
 The reference drives stages through Kubernetes CRs; here each stage is a
 function call over one SparkSession, with the same gates: empty-input guard
-(CM:176-178, CM:375-377) and the smoke round-trip (CM:416-448).
+(CM:176-178, CM:375-377) and the smoke round-trip (CM:416-448). The CLI
+(`python -m spark_lakehouse_medallion_pipeline_spark`) mirrors the reference
+orchestrator's stage contract (scripts/run_pipeline.py:364-399).
 
 Writes default to partitioned parquet directories (identity partitioning →
 partition pruning downstream, CM:327-329 / CM:409-411 analogue); pass
@@ -26,6 +28,12 @@ from spark_lakehouse_medallion_pipeline_spark.sources.io import (
     write_table,
 )
 
+BRONZE_REL = "bronze/customer/interactions"
+SILVER_REL = "silver/customer_interactions_enriched"
+GOLD_REL = "gold/customer_executive_dashboard"
+SILVER_TABLE = "silver.customer_interactions_enriched"
+GOLD_TABLE = "gold.customer_executive_dashboard"
+
 
 class EmptyStageError(RuntimeError):
     """Raised when a stage reads zero rows (reference aborts via SystemExit)."""
@@ -46,6 +54,121 @@ def smoke(spark: SparkSession, base_dir: str) -> int:
     return n
 
 
+def run_bronze(
+    spark: SparkSession,
+    base_dir: str,
+    rows: int = 10_000,
+    payload_kb: int = 1,
+    as_of: str | None = "2024-03-01 12:00:00",
+    partitions: int | None = None,
+) -> dict[str, float | int]:
+    """Bronze: generate -> parquet (CM:127-133). Returns timing + bytes."""
+    import pathlib
+
+    t0 = time.time()
+    write_parquet(
+        generate_bronze(
+            spark, rows, partitions=partitions, payload_kb=payload_kb, as_of=as_of or None
+        ),
+        f"{base_dir}/{BRONZE_REL}",
+    )
+    sec = time.time() - t0
+    nbytes = sum(
+        f.stat().st_size
+        for f in pathlib.Path(base_dir, *BRONZE_REL.split("/")).rglob("*.parquet")
+    )
+    return {"bronze_sec": sec, "bronze_bytes": nbytes}
+
+
+def run_silver(
+    spark: SparkSession,
+    base_dir: str,
+    as_of: str | None = "2024-03-01 12:00:00",
+    use_tables: bool = False,
+) -> dict[str, float | int]:
+    """Silver: read bronze, guard, enrich, partitioned write (CM:172-340).
+
+    The empty-input guard (CM:176-178) stays a pre-write isEmpty (first-
+    partition probe, cheap); the row COUNT rides the write job itself via
+    observe() — the reference's separate count() action (CM:320, a full
+    second scan) collapses into CollectMetrics on the write.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    bronze_df = read_parquet(spark, f"{base_dir}/{BRONZE_REL}")
+    if bronze_df.isEmpty():
+        raise EmptyStageError("Bronze dataset is empty - run Bronze job first")
+    silver_obs = Observation("silver_qc")
+    silver_df = build_silver(bronze_df, as_of=as_of).observe(
+        silver_obs, F.count(F.lit(1)).alias("n_rows")
+    )
+    if use_tables:
+        create_namespace(spark, "silver")
+        write_table(silver_df, SILVER_TABLE, ["interaction_date", "channel"])
+    else:
+        write_partitioned_parquet(
+            silver_df, f"{base_dir}/{SILVER_REL}", ["interaction_date", "channel"]
+        )
+    return {"silver_rows": silver_obs.get["n_rows"], "silver_sec": time.time() - t0}
+
+
+def run_gold(
+    spark: SparkSession, base_dir: str, use_tables: bool = False
+) -> dict[str, float | int]:
+    """Gold: read silver, guard, aggregate, partitioned write (CM:370-411)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    silver_back = (
+        spark.table(SILVER_TABLE)
+        if use_tables
+        else read_parquet(spark, f"{base_dir}/{SILVER_REL}")
+    )
+    if silver_back.isEmpty():
+        raise EmptyStageError("Silver table is empty - run Silver job first")
+    gold_obs = Observation("gold_qc")
+    gold_df = build_gold(silver_back).observe(
+        gold_obs, F.count(F.lit(1)).alias("n_rows")
+    )
+    if use_tables:
+        create_namespace(spark, "gold")
+        write_table(gold_df, GOLD_TABLE, ["interaction_date"])
+    else:
+        write_partitioned_parquet(gold_df, f"{base_dir}/{GOLD_REL}", ["interaction_date"])
+    return {"gold_rows": gold_obs.get["n_rows"], "gold_sec": time.time() - t0}
+
+
+def validate(
+    spark: SparkSession, base_dir: str, use_tables: bool = False
+) -> dict[str, int]:
+    """Post-run validation (run_pipeline.py:220-283 analogue): count each
+    layer through the interactive surface — our spark.sql stands in for
+    the reference's Trino session. Missing layers count as -1 (the
+    reference logs a warning and continues)."""
+    counts: dict[str, int] = {}
+    for name, rel, table in (
+        ("bronze", BRONZE_REL, None),
+        ("silver", SILVER_REL, SILVER_TABLE),
+        ("gold", GOLD_REL, GOLD_TABLE),
+    ):
+        try:
+            df = (
+                spark.table(table)
+                if (use_tables and table)
+                else read_parquet(spark, f"{base_dir}/{rel}")
+            )
+            df.createOrReplaceTempView(f"_validate_{name}")
+            counts[f"{name}_rows"] = spark.sql(
+                f"SELECT COUNT(*) AS n FROM _validate_{name}"
+            ).head()["n"]
+        except Exception:
+            counts[f"{name}_rows"] = -1
+    return counts
+
+
 def run_pipeline(
     spark: SparkSession,
     base_dir: str,
@@ -62,59 +185,9 @@ def run_pipeline(
     smoke(spark, base_dir)
     stats["smoke_sec"] = time.time() - t0
 
-    # Bronze: generate -> parquet (CM:127-133)
-    t0 = time.time()
-    bronze_path = f"{base_dir}/bronze/customer/interactions"
-    write_parquet(
-        generate_bronze(spark, rows, partitions=partitions, payload_kb=payload_kb, as_of=as_of or None),
-        bronze_path,
-    )
-    stats["bronze_sec"] = time.time() - t0
-
-    # Silver: read bronze, guard, enrich, partitioned write (CM:172-340).
-    # The empty-input guard (CM:176-178) stays a pre-write isEmpty (first-
-    # partition probe, cheap); the row COUNT rides the write job itself via
-    # observe() — the reference's separate count() action (CM:320, a full
-    # second scan) collapses into CollectMetrics on the write.
-    from pyspark.sql import Observation
-    from pyspark.sql import functions as F
-
-    t0 = time.time()
-    bronze_df = read_parquet(spark, bronze_path)
-    if bronze_df.isEmpty():
-        raise EmptyStageError("Bronze dataset is empty - run Bronze job first")
-    silver_obs = Observation("silver_qc")
-    silver_df = build_silver(bronze_df, as_of=as_of).observe(
-        silver_obs, F.count(F.lit(1)).alias("n_rows")
-    )
-    if use_tables:
-        create_namespace(spark, "silver")
-        write_table(silver_df, "silver.customer_interactions_enriched", ["interaction_date", "channel"])
-    else:
-        write_partitioned_parquet(silver_df, f"{base_dir}/silver/customer_interactions_enriched", ["interaction_date", "channel"])
-    stats["silver_rows"] = silver_obs.get["n_rows"]
-    stats["silver_sec"] = time.time() - t0
-
-    # Gold: read silver, guard, aggregate, partitioned write (CM:370-411)
-    t0 = time.time()
-    silver_back = (
-        spark.table("silver.customer_interactions_enriched")
-        if use_tables
-        else read_parquet(spark, f"{base_dir}/silver/customer_interactions_enriched")
-    )
-    if silver_back.isEmpty():
-        raise EmptyStageError("Silver table is empty - run Silver job first")
-    gold_obs = Observation("gold_qc")
-    gold_df = build_gold(silver_back).observe(gold_obs, F.count(F.lit(1)).alias("n_rows"))
-    if use_tables:
-        create_namespace(spark, "gold")
-        write_table(gold_df, "gold.customer_executive_dashboard", ["interaction_date"])
-    else:
-        gold_path = f"{base_dir}/gold/customer_executive_dashboard"
-        write_partitioned_parquet(gold_df, gold_path, ["interaction_date"])
-    stats["gold_rows"] = gold_obs.get["n_rows"]
-    stats["gold_sec"] = time.time() - t0
-
+    stats.update(run_bronze(spark, base_dir, rows, payload_kb, as_of, partitions))
+    stats.update(run_silver(spark, base_dir, as_of, use_tables))
+    stats.update(run_gold(spark, base_dir, use_tables))
     return stats
 
 

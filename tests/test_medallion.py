@@ -129,3 +129,30 @@ def test_empty_stage_guard(spark, tmp_path):
         df = read_parquet(spark, bronze_path)
         if df.isEmpty():
             raise EmptyStageError("Bronze dataset is empty")
+
+
+def test_cli_stage_contract(spark, tmp_path, capsys):
+    """The module CLI mirrors the reference orchestrator: per-stage
+    invocations compose into the same pipeline, smoke prints the
+    parseable SMOKE_OK gate (CM:444), validate reports layer counts."""
+    from spark_lakehouse_medallion_pipeline_spark.__main__ import main
+
+    base = str(tmp_path)
+    assert main(["--stage", "smoke", "--base-dir", base]) == 0
+    assert "SMOKE_OK 100" in capsys.readouterr().out
+    assert main(["--stage", "bronze", "--base-dir", base, "--rows", "1000"]) == 0
+    assert main(["--stage", "silver", "--base-dir", base]) == 0
+    assert main(["--stage", "gold", "--base-dir", base]) == 0
+    assert main(["--stage", "validate", "--base-dir", base]) == 0
+    out = capsys.readouterr().out
+    assert "VALIDATE bronze_rows=1000" in out
+    assert "VALIDATE gold_rows=" in out
+
+
+def test_validate_missing_layers(spark, tmp_path):
+    """validate degrades to -1 per missing layer instead of raising
+    (reference logs warnings and continues, run_pipeline.py:246-276)."""
+    from spark_lakehouse_medallion_pipeline_spark.medallion.pipeline import validate
+
+    counts = validate(spark, str(tmp_path / "nonexistent"))
+    assert counts == {"bronze_rows": -1, "silver_rows": -1, "gold_rows": -1}
