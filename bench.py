@@ -150,18 +150,25 @@ def main() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
     # Payload-heavy regime (the reference's tuned path: 256 KB payloads,
-    # vectorized reader OFF, batch 1024 — 43-silver-build.yaml:92-94). Bench
-    # a 64 KB-payload medallion run both ways so the distinctive tuning is
-    # covered with real numbers.
-    for label, vectorized in (("payload64k_vec_off", "false"), ("payload64k_vec_on", "true")):
+    # vectorized reader OFF, batch 1024 — 43-silver-build.yaml:92-94). Run
+    # the medallion at the reference's true payload size both ways and
+    # record logical bronze throughput (row_bytes ~ 300 + payload).
+    for label, vectorized in (("payload256k_vec_off", "false"), ("payload256k_vec_on", "true")):
         ptmp = tempfile.mkdtemp(prefix=f"bench_{label}_")
         prev = spark.conf.get("spark.sql.parquet.enableVectorizedReader", "true")
         try:
             spark.conf.set("spark.sql.parquet.enableVectorizedReader", vectorized)
             t0 = time.time()
-            run_pipeline(spark, ptmp, rows=2_000, payload_kb=64)
+            pstats = run_pipeline(spark, ptmp, rows=1_000, payload_kb=256)
             timings[f"medallion_{label}"] = round(time.time() - t0, 3)
-            print(f"# medallion_{label}: {timings[f'medallion_{label}']:.2f}s", file=sys.stderr)
+            logical_mb_s = round(
+                (300 + 256 * 1024) * 1_000 / 1e6 / max(pstats["bronze_sec"], 1e-9), 1
+            )
+            print(
+                f"# medallion_{label}: {timings[f'medallion_{label}']:.2f}s "
+                f"(bronze {logical_mb_s} MB/s logical)",
+                file=sys.stderr,
+            )
         except Exception as exc:
             errors[f"medallion_{label}"] = str(exc).split("\n")[0][:200]
             print(f"# medallion_{label}: FAILED", file=sys.stderr)

@@ -44,9 +44,15 @@ def session_window_agg(
     """Native session windows (F.session_window, X15). Spark-specific
     operator — the SQL-expressible lag+cumsum equivalent lives in
     operators.relational.sessionize and is what the oracle checks."""
+    # Exact-cents aggregation (not round(sum(double))): bit-identical to
+    # any engine summing the same cents, independent of add order.
+    value_cents = F.round(F.col("value") * 100).cast("long")
     return (
         events.groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap).alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(value_cents).cast("double") / F.lit(100.0)).alias("session_value"),
+        )
         .select(
             key_col,
             F.col("w.start").alias("session_start"),

@@ -749,9 +749,37 @@ def q21_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q22_session_window_native")  # Spark-native operator; verified by pytest vs q21
+@_q(
+    "q22_session_window_native",
+    f"""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) >= 1800000
+                  THEN 1 ELSE 0 END AS _new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(_new) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS _sid
+      FROM g
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           COUNT(*) AS n_events, {S_MONEY("value")} AS session_value
+    FROM s GROUP BY user_id, _sid
+    """,
+)
 def q22_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F.session_window (X15) — the streaming-capable native form."""
+    """F.session_window (X15) — the streaming-capable native form.
+
+    Oracle note: session_window assigns each event the window
+    [ts, ts+gap) and merges OVERLAPPING windows, so two events share a
+    session iff their gap is STRICTLY less than the duration — the SQL
+    mirror starts a new session at gap >= 30 min (q21's lag+cumsum form
+    uses > by convention; both are valid sessionizations, the oracle
+    must just match the engine's boundary rule exactly)."""
     return timeseries.session_window_agg(_t(spark, sf_dir, "events"), "user_id", "ts", "30 minutes")
 
 
@@ -1034,7 +1062,33 @@ def q38_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_q("q39_multimodal_features")  # mapInPandas + stub codec; rows-only + pytest
+@_q(
+    "q39_multimodal_features",
+    # The stub codec is md5-derived arithmetic, so DuckDB can replay it
+    # exactly: md5(text) hashes the same UTF-8 bytes as the Spark-side
+    # binary blob; the first 8 hex digits parsed to an int mirror
+    # int.from_bytes(digest[:4]) & 0x7FFFFFFF (multimodal._fake_decode_dims).
+    """
+    WITH t AS (SELECT CAST(doc_id AS BIGINT) AS media_id, md5(text) AS m FROM documents),
+    h AS (
+      SELECT media_id, CAST((
+        (strpos('0123456789abcdef', substr(m,1,1))-1)*16^7 +
+        (strpos('0123456789abcdef', substr(m,2,1))-1)*16^6 +
+        (strpos('0123456789abcdef', substr(m,3,1))-1)*16^5 +
+        (strpos('0123456789abcdef', substr(m,4,1))-1)*16^4 +
+        (strpos('0123456789abcdef', substr(m,5,1))-1)*16^3 +
+        (strpos('0123456789abcdef', substr(m,6,1))-1)*16^2 +
+        (strpos('0123456789abcdef', substr(m,7,1))-1)*16 +
+        (strpos('0123456789abcdef', substr(m,8,1))-1)
+      ) AS BIGINT) % 2147483648 AS h FROM t)
+    SELECT media_id,
+           CAST(64 + (h % 1024) AS INTEGER) AS width,
+           CAST(64 + ((h // 1024) % 1024) AS INTEGER) AS height,
+           3 AS n_channels,
+           printf('%.2f', (h % 25600) / 100.0) AS mean_luma
+    FROM h
+    """,
+)
 def q39_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns through Arrow-batched mapInPandas: wrap doc
     text bytes as blobs, 'decode' (stub), emit typed features."""
