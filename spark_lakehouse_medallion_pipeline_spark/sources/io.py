@@ -96,6 +96,16 @@ def register_temp_views(
         df.createOrReplaceTempView(n)
 
 
+def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Scan a parquet directory whose files have EVOLVED schemas
+    (columns added over time), reconciling to the union schema —
+    the no-catalog analogue of Iceberg/Delta schema evolution
+    (CM:327-329 createOrReplace). Off by default in plain reads because
+    footer reconciliation costs one extra pass over file metadata; at
+    100 TB you pay it only on tables known to evolve."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

@@ -90,3 +90,40 @@ def test_merge_upsert_parquet(spark, tmp_path):
     merge_upsert_parquet(spark, updates, path, ["k"])
     got = {r["k"]: (r["s"], r["v"]) for r in spark.read.parquet(path).collect()}
     assert got == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_schema_evolution_merged_read(spark, tmp_path):
+    """Parquet files written with evolving schemas reconcile to the union
+    schema under read_parquet_merged; a plain read sees only one footer's
+    schema. This is the no-catalog analogue of the reference's Iceberg
+    createOrReplace evolution (CM:327-329)."""
+    from spark_lakehouse_medallion_pipeline_spark.sources.io import read_parquet_merged
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "k long, s string").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 2.5)], "k long, s string, score double"
+    ).write.mode("append").parquet(path)
+
+    merged = read_parquet_merged(spark, path)
+    assert set(merged.columns) == {"k", "s", "score"}
+    rows = {r["k"]: r["score"] for r in merged.collect()}
+    assert rows[2] == 2.5 and rows[1] is None
+
+
+def test_write_table_schema_evolution(spark, tmp_path):
+    """write_table replaces a managed table's schema on rewrite
+    (overwriteSchema) — the Delta/Iceberg createOrReplace contract; the
+    parquet fallback in this container honors the same semantics."""
+    from spark_lakehouse_medallion_pipeline_spark.sources.io import read_table, write_table
+
+    v1 = spark.createDataFrame([(1, "a")], "k long, s string")
+    write_table(v1, "default.evolve_t")
+    assert set(read_table(spark, "default.evolve_t").columns) == {"k", "s"}
+
+    v2 = spark.createDataFrame([(1, "a", True)], "k long, s string, flag boolean")
+    write_table(v2, "default.evolve_t")
+    got = read_table(spark, "default.evolve_t")
+    assert set(got.columns) == {"k", "s", "flag"}
+    assert got.head()["flag"] is True
+    spark.sql("DROP TABLE IF EXISTS default.evolve_t")
