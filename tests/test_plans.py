@@ -177,3 +177,26 @@ def test_q73_having_before_joins(spark):
     plan = plan_of(spark, "q73_large_volume_orders")
     assert re.search(r"Filter.*sum_qty_cents", plan) or "25000" in plan
     assert "TakeOrdered" in plan  # LIMIT 100 as bounded heap, not full sort
+
+
+def test_window_families_single_shuffle(spark):
+    """Every per-user window query reuses ONE (user_id) exchange: q12's
+    lag, q21's two stacked windows (lag + cumsum), q22's native session
+    window, q77's range frame. A second exchange would mean the windows
+    stopped sharing their partitioning — the classic silent 2x shuffle."""
+    for name, budget in {
+        "q12_user_event_gaps": 1,
+        "q21_sessionization": 1,
+        "q22_session_window_native": 1,
+        "q77_rolling_1h_by_user": 1,
+    }.items():
+        df = QUERIES[name](spark, SF)
+        n = explain.count_exchanges(df)
+        assert n <= budget, f"{name}: {n} exchanges > budget {budget}"
+
+
+def test_q46_no_array_in_output_schema(spark):
+    """q46's collect_list must leave the plan as a joined string — the
+    driver's canonicalizer cannot hash array cells (round-1 harness red)."""
+    df = QUERIES["q46_order_lifecycle"](spark, SF)
+    assert not any("array" in f.dataType.simpleString() for f in df.schema.fields)
