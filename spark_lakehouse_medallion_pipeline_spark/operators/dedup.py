@@ -570,3 +570,75 @@ def connected_components(
             break
     edges.unpersist()
     return labels.select("node", F.col("label").alias("component"))
+
+
+def strip_common_prefixes(
+    docs: DataFrame,
+    n_words: int = 2,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal (CCNet-style header strip):
+    drop a document's leading ``n_words`` words when that exact prefix
+    opens at least ``min_docs`` documents — shared openers across a crawl
+    are navigation/boilerplate, not content.
+
+    Scale shape: ONE map-side-combined shuffle to count prefixes; the
+    surviving hot-prefix set is tiny by construction (it's the head of a
+    Zipf distribution), so it broadcasts back onto the corpus — the scan
+    never reshuffles. Returns (id, text, prefix_stripped flag).
+    """
+    pref = F.array_join(F.slice(F.split(F.col(text_col), " "), 1, n_words), " ")
+    with_pref = docs.select(F.col(id_col), F.col(text_col), pref.alias("_pref"))
+    hot = (
+        with_pref.groupBy("_pref")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_docs)
+        .select("_pref")
+    )
+    joined = with_pref.join(F.broadcast(hot).withColumn("_hot", F.lit(1)), "_pref", "left")
+    stripped = F.when(
+        F.col("_hot").isNotNull(),
+        # drop prefix + the following space; a doc that IS the prefix -> ''
+        F.expr(f"substring({text_col}, length(_pref) + 2)"),
+    ).otherwise(F.col(text_col))
+    return joined.select(
+        F.col(id_col),
+        stripped.alias(text_col),
+        F.col("_hot").isNotNull().alias("prefix_stripped"),
+    )
+
+
+def incremental_near_dup_filter(
+    new_docs: DataFrame,
+    existing_signatures: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Shard-ingest dedup: keep only new documents that are NOT LSH
+    near-duplicates of an already-ingested corpus.
+
+    ``existing_signatures`` is a persisted (_id, _sig) table from
+    minhash_signatures — at 100 TB you maintain it as a managed table and
+    each incoming shard probes it instead of re-signing the corpus. Plan:
+    sign the (small) new shard, explode both sides to (band, band_hash)
+    buckets, and LEFT ANTI join new against existing buckets — one
+    hash-join on a well-spread key, no pair generation, no O(n^2).
+
+    Returns the surviving rows of ``new_docs`` (all original columns).
+    """
+    new_sig = minhash_signatures(new_docs, id_col, text_col, num_hashes, shingle_k)
+    new_banded = _banded(new_sig, num_hashes, bands)
+    old_banded = _banded(existing_signatures, num_hashes, bands).select(
+        "band", "band_hash"
+    )
+    dup_ids = new_banded.join(old_banded, ["band", "band_hash"], "left_semi").select(
+        F.col("_id").alias("_dup_id")
+    ).distinct()
+    return new_docs.join(
+        dup_ids, new_docs[id_col] == dup_ids["_dup_id"], "left_anti"
+    )

@@ -3321,3 +3321,44 @@ def q92_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("zval"),
         )
     )
+
+
+@_q(
+    "q93_common_prefix_strip",
+    """
+    WITH p AS (
+      SELECT doc_id, text,
+             array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ') AS pref
+      FROM documents
+    ),
+    hot AS (
+      SELECT pref FROM p GROUP BY pref HAVING COUNT(*) >= 2
+    )
+    SELECT p.doc_id,
+           CASE WHEN hot.pref IS NOT NULL
+                THEN substr(p.text, length(p.pref) + 2) ELSE p.text END AS text,
+           hot.pref IS NOT NULL AS prefix_stripped
+    FROM p LEFT JOIN hot ON p.pref = hot.pref
+    """,
+)
+def q93_common_prefix_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal (CCNet-style header strip,
+    X20/X17 family): documents whose 2-word opener is shared by >= 2 docs
+    get it stripped. One map-combined shuffle to count prefixes; the hot
+    set broadcasts back — the corpus scan never reshuffles."""
+    return dedup.strip_common_prefixes(
+        _t(spark, sf_dir, "documents"), n_words=2, min_docs=2
+    )
+
+
+@_q("q94_incremental_near_dup")  # xxhash64 banding is engine-side; rows-only + pytest
+def q94_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-ingest dedup (X18 incremental form): treat doc_id % 10 == 0
+    as the incoming shard and the rest as the already-ingested corpus
+    (signatures persisted); keep shard docs with no LSH band collision
+    against the corpus. Left-anti bucket join — no pair generation."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    existing = docs.filter(F.col("doc_id") % 10 != 0)
+    sigs = dedup.minhash_signatures(existing)
+    return dedup.incremental_near_dup_filter(new, sigs).select("doc_id")

@@ -166,3 +166,42 @@ def test_connected_components_matches_union_find(spark):
         for r in dedup.connected_components(pairs).collect()
     }
     assert got == want
+
+
+def test_strip_common_prefixes_planted(spark):
+    """Docs sharing a 3-word header get it stripped; unique openers and
+    header-only docs are handled (header-only -> empty string)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE NOTICE ACCEPT real content one"),
+            (2, "COOKIE NOTICE ACCEPT real content two"),
+            (3, "unique opener words here"),
+            (4, "COOKIE NOTICE ACCEPT"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["prefix_stripped"])
+        for r in dedup.strip_common_prefixes(docs, n_words=3, min_docs=2).collect()
+    }
+    assert got[1] == ("real content one", True)
+    assert got[2] == ("real content two", True)
+    assert got[3] == ("unique opener words here", False)
+    assert got[4] == ("", True)
+
+
+def test_incremental_near_dup_filter_planted(toy_docs):
+    """A shard doc nearly identical to an ingested doc is dropped; a
+    novel doc survives."""
+    existing = toy_docs.filter(F.col("doc_id") <= 4)
+    sigs = dedup.minhash_signatures(existing)
+    shard = toy_docs.sparkSession.createDataFrame(
+        [
+            (100, "The quick brown fox jumps over the lazy dog"),  # dup of 1
+            (101, "totally novel sentence with words never seen anywhere else"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in dedup.incremental_near_dup_filter(shard, sigs).collect()}
+    assert 100 not in kept
+    assert 101 in kept
