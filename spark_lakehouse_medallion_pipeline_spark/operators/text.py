@@ -131,3 +131,40 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         quality_score(t).alias("quality_score"),
         fingerprint_md5(t).alias("fingerprint"),
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    ctx_len: int = 512,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing (the standard LLM-pretraining
+    layout): within each ``part_col`` stream, documents are concatenated
+    in ``id_col`` order and chopped into fixed ``ctx_len``-token training
+    sequences; each document is assigned its starting (pack_id,
+    pack_offset) plus how many packs it spans.
+
+    Scale shape: ONE shuffle — a running token-count window partitioned
+    by the stream key (never a global ordering: a single total-order
+    window would funnel 100 TB through one task; per-source streams keep
+    the cumsum parallel and match how packing shards are built anyway).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(part_col).orderBy(id_col)
+    n = token_count(F.col(text_col))
+    base = docs.select(F.col(id_col), F.col(part_col), n.alias("n_tokens"))
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).cast("long")
+    end_incl = (cum - 1).cast("long")
+    pack_id = F.floor(start / ctx_len)
+    return base.select(
+        id_col,
+        part_col,
+        "n_tokens",
+        pack_id.alias("pack_id"),
+        (start % ctx_len).alias("pack_offset"),
+        (F.floor(end_incl / ctx_len) - pack_id + 1).alias("n_packs_spanned"),
+    )

@@ -3362,3 +3362,33 @@ def q94_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing = docs.filter(F.col("doc_id") % 10 != 0)
     sigs = dedup.minhash_signatures(existing)
     return dedup.incremental_near_dup_filter(new, sigs).select("doc_id")
+
+
+@_q(
+    "q95_sequence_packing",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           (cum - n_tokens) // 512 AS pack_id,
+           (cum - n_tokens) % 512 AS pack_offset,
+           (cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS n_packs_spanned
+    FROM c
+    """,
+)
+def q95_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (LLM pretraining layout): each
+    doc's starting (pack, offset) in its source's 512-token stream, plus
+    span count. One per-source cumsum window — never a global ordering."""
+    from spark_lakehouse_medallion_pipeline_spark.operators import text as text_ops
+
+    return text_ops.pack_sequences(_t(spark, sf_dir, "documents"), ctx_len=512)

@@ -74,3 +74,24 @@ def test_text_stats_block(documents):
         assert r["n_subword_tokens"] >= r["n_tokens"] - 1
         assert 0.0 <= r["quality_score"] <= 1.0
         assert len(r["fingerprint"]) == 32
+
+
+def test_pack_sequences_invariants(documents):
+    """Packing invariants per source stream: offsets within [0, ctx),
+    spans >= 1, and contiguity — each doc starts exactly where the
+    previous one ended (concat-then-chunk leaves no gaps)."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.text import pack_sequences
+
+    ctx = 128
+    rows = pack_sequences(documents, ctx_len=ctx).collect()
+    assert all(0 <= r["pack_offset"] < ctx for r in rows)
+    assert all(r["n_packs_spanned"] >= 1 for r in rows)
+    by_source: dict = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for docs_ in by_source.values():
+        docs_.sort(key=lambda r: r["doc_id"])
+        pos = 0
+        for r in docs_:
+            assert r["pack_id"] * ctx + r["pack_offset"] == pos
+            pos += r["n_tokens"]
