@@ -554,3 +554,50 @@ def knn_join_vectorized(
     partial = corpus.select(c_id, vec_col).mapInPandas(score, out_schema)
     w = Window.partitionBy(q_id).orderBy(F.desc("cosine_sim"), F.col(c_id))
     return partial.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    embeddings, compare pairs only WITHIN a cluster, and drop every
+    member of a near-identical pair except the lowest id.
+
+    Scale shape: centroid assignment is a scan-local projection against
+    broadcast unit centroids (the model, n_centroids rows); the pair
+    stage shuffles once on cluster id and generates pairs inside each
+    cell — the cross-cluster O(n^2) never happens, mirroring the paper's
+    k-means-then-intra-cluster design. Cell skew is bounded by the
+    centroid count; at 100 TB raise n_centroids so cells stay ~1/k of
+    the corpus, or re-cluster hot cells recursively.
+
+    Returns surviving rows of ``corpus`` (all original columns).
+    """
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    assigned = corpus.withColumn(
+        "_cell", F.array_max(_centroid_scores(vec_col, cents))["cid"]
+    )
+    e = assigned.select(
+        F.col(id_col).alias("_id"),
+        F.col("_cell"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+    ).select(
+        "_id", "_cell", F.expr("transform(_v, x -> CAST(x AS DOUBLE) / _n)").alias("_v")
+    )
+    a = e.select(F.col("_id").alias("id_a"), F.col("_cell"), F.col("_v").alias("_va"))
+    b = e.select(F.col("_id").alias("id_b"), F.col("_cell"), F.col("_v").alias("_vb"))
+    dropped = (
+        a.join(b, on="_cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dot(F.col("_va"), F.col("_vb")) >= threshold)
+        .select(F.col("id_b").alias("_drop_id"))
+        .distinct()
+    )
+    return corpus.join(
+        dropped, corpus[id_col] == dropped["_drop_id"], "left_anti"
+    )

@@ -3392,3 +3392,15 @@ def q95_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_lakehouse_medallion_pipeline_spark.operators import text as text_ops
 
     return text_ops.pack_sequences(_t(spark, sf_dir, "documents"), ctx_len=512)
+
+
+@_q("q96_semantic_dedup")  # xxhash64 centroid sampling is engine-side; rows-only + pytest
+def q96_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (X19/X17 hybrid): cluster embeddings to IVF cells,
+    drop within-cell near-identical vectors (keep lowest id). Pair
+    generation never crosses cells — the paper's k-means-then-
+    intra-cluster design. Planted-duplicate recall in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        emb.select("vec_id", "embedding"), threshold=0.98, n_centroids=8
+    ).select("vec_id")

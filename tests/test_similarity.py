@@ -170,3 +170,22 @@ def test_cosine_pairs_exact_small_corpus(embeddings):
     for r in pairs:
         assert r["id_a"] < r["id_b"]
         assert r["cosine_sim"] >= 0.3
+
+
+def test_semantic_dedup_drops_planted_near_identical(spark, embeddings):
+    """SemDeDup: a vector planted ~identical to an existing one is
+    dropped (keeping the lower id); the corpus otherwise survives."""
+    base = [float(x) for x in embeddings.filter(F.col("vec_id") == 7).head()["embedding"]]
+    tweaked = list(base)
+    tweaked[1] += 1e-4
+    planted = spark.createDataFrame(
+        [(200001, tweaked)], "vec_id bigint, embedding array<double>"
+    )
+    corpus = embeddings.select("vec_id", "embedding").union(planted)
+    kept = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup(corpus, threshold=0.999).collect()
+    }
+    assert 200001 not in kept
+    assert 7 in kept
+    assert len(kept) >= embeddings.count() - 5
