@@ -56,6 +56,8 @@ HEADLINE = [
     "q75_tfidf_top_terms",
     "q78_embedding_quantization",
     "q80_benchmark_contamination",
+    "q93_common_prefix_strip",
+    "q95_sequence_packing",
     "medallion_gold_kpis",
 ]
 

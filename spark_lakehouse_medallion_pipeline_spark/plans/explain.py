@@ -40,7 +40,15 @@ def scan_schema_contains_only(df: DataFrame, allowed: set[str]) -> bool:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the physical plan — the scale metric
-    to minimize (every exchange is a full network pass of its input)."""
+    """Number of SHUFFLE exchanges in the physical plan — the scale metric
+    to minimize (every exchange is a full network pass of its input).
+
+    Counts the formatted-mode detail headers ``(n) Exchange`` — one per
+    node — so broadcast exchanges (``(n) BroadcastExchange``) are
+    excluded. The old implementation grepped simple-mode strings
+    (``Exchange hashpartitioning``) that formatted mode never emits and
+    always returned 0, silently making every budget assertion vacuous."""
+    import re
+
     plan = formatted(df)
-    return plan.count("Exchange hashpartitioning") + plan.count("Exchange rangepartitioning")
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))

@@ -100,10 +100,13 @@ def test_exchange_budget(spark):
     """Shuffle-count ceilings for the headline queries: a plan change
     that adds an exchange (e.g. a lost broadcast) should fail loudly."""
     budgets = {
-        "q01_pricing_summary": 2,
-        "q04_regional_revenue": 2,
+        "q01_pricing_summary": 1,
+        "q04_regional_revenue": 1,
         "q19_daily_event_kpis": 2,
-        "q13_running_customer_spend": 2,
+        "q13_running_customer_spend": 1,
+        "q28_exact_dedup_docs": 1,
+        "q93_common_prefix_strip": 1,
+        "q95_sequence_packing": 1,
     }
     for name, budget in budgets.items():
         df = QUERIES[name](spark, SF)
