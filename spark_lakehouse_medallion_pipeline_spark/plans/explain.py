@@ -32,8 +32,13 @@ def scan_schema_contains_only(df: DataFrame, allowed: set[str]) -> bool:
     import re
 
     plan = formatted(df)
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
-        fields = [f.split(":")[0].strip() for f in m.group(1).split(",") if f.strip()]
+    matches = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    if not matches:
+        # No scan found at all — never report "pruned" vacuously (the
+        # exchange counter had exactly this bug).
+        return False
+    for group in matches:
+        fields = [f.split(":")[0].strip() for f in group.split(",") if f.strip()]
         if any(f not in allowed for f in fields):
             return False
     return True
