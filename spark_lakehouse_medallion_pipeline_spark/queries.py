@@ -3404,3 +3404,173 @@ def q96_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup(
         emb.select("vec_id", "embedding"), threshold=0.98, n_centroids=8
     ).select("vec_id")
+
+
+@_q(
+    "q97_waiting_supplier",
+    """
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM late) w
+    JOIN supplier s ON w.l_suppkey = s.s_suppkey
+    WHERE EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = w.l_orderkey AND l2.l_suppkey <> w.l_suppkey)
+      AND NOT EXISTS (
+            SELECT 1 FROM late l3
+            WHERE l3.l_orderkey = w.l_orderkey AND l3.l_suppkey <> w.l_suppkey)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+)
+def q97_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept multi-supplier orders waiting),
+    adapted to this corpus: 'late' = shipped > 60 days after order date
+    (no l_receiptdate/l_commitdate here). The canonical form is a double
+    correlated EXISTS / NOT EXISTS self-join on lineitem — the oracle
+    keeps that spelling; Spark-side both correlations collapse into one
+    (l_orderkey) window (per-order distinct-supplier and late-supplier
+    sets — bounded by suppliers-per-order, a handful of values). The
+    window reuses the orders-join partitioning on the same key, so
+    beyond that join the query adds only the pair-distinct and name-agg
+    exchanges; the canonical self-join rewrite re-shuffles lineitem
+    twice more.
+    """
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    lines = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).alias("_late"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    facts = lines.select(
+        "l_orderkey",
+        "l_suppkey",
+        "_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("_n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("_late"), F.col("l_suppkey"))).over(w)
+        ).alias("_n_late"),
+    )
+    waiters = (
+        facts.filter(F.col("_late") & (F.col("_n_supp") >= 2) & (F.col("_n_late") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        waiters.join(F.broadcast(s), waiters.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+@_q(
+    "q98_idle_rich_customers",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS DOUBLE) / 100.0 AS totacctbal
+    FROM customer c
+    WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+      AND c_acctbal > (SELECT CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS DOUBLE)
+                              / COUNT(*) / 100.0
+                       FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= DATE '2000-01-01')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q98_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (well-funded customers with no recent orders),
+    adapted: market segment stands in for the phone country code (corpus
+    has no c_phone). Scalar subquery (global positive-balance average)
+    becomes a broadcast 1-row cross join; the NOT EXISTS is a left-anti
+    join against recent orders — both decorrelations Catalyst would
+    apply to the SQL spelling, made explicit."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        mean_cents(F.col("c_acctbal")).alias("_avg_bal")
+    )
+    recent = o.filter(F.col("o_orderdate") >= "2000-01-01").select("o_custkey").distinct()
+    return (
+        c.filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY"))
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            money(sum_cents(F.col("c_acctbal"))).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@_q(
+    "q99_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS min_price_cents
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    ranked AS (
+      SELECT c.l_partkey, c.l_suppkey, c.min_price_cents,
+             ROW_NUMBER() OVER (PARTITION BY c.l_partkey
+                                ORDER BY c.min_price_cents, c.l_suppkey) AS rn
+      FROM cost c
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_name,
+           CAST(r.min_price_cents AS DOUBLE) / 100.0 AS best_price
+    FROM ranked r
+    JOIN part p ON r.l_partkey = p.p_partkey
+    JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.rn = 1 AND p.p_size <= 15
+    ORDER BY s.s_acctbal DESC, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q99_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (cheapest supplier per part), adapted: lineitem is
+    the price source (corpus has no partsupp). The correlated MIN
+    subquery decorrelates to one aggregate + a per-part row_number —
+    one shuffle on (part, supp), one on part; dimension joins broadcast.
+    Exact cents + suppkey tie-break keep the winner deterministic."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(cents(F.col("l_extendedprice"))).alias("min_price_cents")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("min_price_cents", "l_suppkey")
+    best = cost.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .filter(F.col("p_size") <= 15)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            (F.col("min_price_cents").cast("double") / F.lit(100.0)).alias("best_price"),
+            "s_acctbal",
+        )
+        .orderBy(F.desc("s_acctbal"), "p_partkey")
+        .limit(100)
+        .drop("s_acctbal")
+    )
