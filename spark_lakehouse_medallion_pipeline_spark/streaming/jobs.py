@@ -293,3 +293,18 @@ def run_foreach_batch_to_parquet(
         .awaitTermination()
     )
     return batch_ids
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state_store(spark) -> None:
+    """Switch stateful streaming to the RocksDB state store (bundled with
+    Spark since 3.2). The default HDFS-backed provider keeps every key in
+    executor heap — fine for demo state, a JVM-GC incident at 100 TB-scale
+    keyspaces (per-user sessions over hundreds of millions of users).
+    RocksDB spills state to local disk with incremental checkpointing;
+    set BEFORE the streaming query starts (provider is fixed at start)."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)

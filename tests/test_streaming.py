@@ -145,3 +145,36 @@ def test_foreach_batch_sink_appends_all_rows(spark, events, tmp_path):
     assert len(ids) >= 1
     got = spark.read.parquet(str(tmp_path / "fb_out"))
     assert got.count() == events.count()
+
+
+def test_stateful_query_on_rocksdb_state_store(spark, events, tmp_path):
+    """The stateful running-totals job produces identical results on the
+    RocksDB state store (the at-scale provider) as on the default
+    heap-backed one."""
+    from spark_lakehouse_medallion_pipeline_spark.streaming import jobs
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    jobs.use_rocksdb_state_store(spark)
+    try:
+        events.limit(500).write.parquet(str(tmp_path / "in"))
+        stream = jobs.read_events_stream(spark, str(tmp_path / "in"))
+        totals = jobs.stateful_running_totals_stream(stream)
+        jobs.run_update_to_memory(totals, "rocksdb_totals", str(tmp_path / "ckpt"))
+        got = {
+            r["user_id"]: (r["n_events"], round(r["total_value"], 2))
+            for r in spark.sql("SELECT * FROM rocksdb_totals").collect()
+        }
+        batch = (
+            events.limit(500)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        )
+        want = {r["user_id"]: (r["n"], r["v"]) for r in batch.collect()}
+        assert set(got) == set(want)
+        for u in want:
+            assert got[u][0] == want[u][0]
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
