@@ -3574,3 +3574,43 @@ def q99_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .drop("s_acctbal")
     )
+
+
+@_q(
+    "q100_important_parts",
+    f"""
+    WITH pv AS (
+      SELECT l_partkey,
+             SUM({SC('l_extendedprice')} * (100 - {SC('l_discount')})) AS value_e4
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey,
+           CAST(value_e4 AS DOUBLE) / 10000.0 AS part_value
+    FROM pv
+    WHERE value_e4 * 2 * (SELECT COUNT(*) FROM pv) > 3 * (SELECT SUM(value_e4) FROM pv)
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q100_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (groups exceeding a fraction of the global total),
+    lineitem revenue standing in for partsupp value; the threshold is
+    1.5x the mean part value (scale-invariant, unlike Q11's absolute
+    fraction, which zeroes out as the part count grows). Both scalar
+    subqueries decorrelate to ONE broadcast 1-row (count, total) over
+    the SAME per-part aggregate; the all-integer comparison
+    (2*value*n > 3*total) is bit-stable on both engines, where a double
+    fraction would tie-break differently in the last ulp."""
+    li = _t(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(F.sum(_disc_e4()).alias("value_e4"))
+    total = pv.agg(
+        F.sum("value_e4").alias("_total"), F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("value_e4") * 2 * F.col("_n") > 3 * F.col("_total"))
+        .select(
+            "l_partkey",
+            (F.col("value_e4").cast("double") / F.lit(10000.0)).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
