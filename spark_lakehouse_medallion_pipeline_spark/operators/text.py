@@ -168,3 +168,39 @@ def pack_sequences(
         (start % ctx_len).alias("pack_offset"),
         (F.floor(end_incl / ctx_len) - pack_id + 1).alias("n_packs_spanned"),
     )
+
+
+def strip_html(col: Column) -> Column:
+    """Crawl-cleaning kernel: drop tags, then decode the five core
+    entities. Pure regexp/replace chain — scan-speed, no UDF. (Full
+    entity tables belong in a Pandas UDF; crawls are dominated by these
+    five.)"""
+    no_tags = F.regexp_replace(col, r"<[^>]*>", " ")
+    c = F.regexp_replace(no_tags, r"&amp;", "&")
+    c = F.regexp_replace(c, r"&lt;", "<")
+    c = F.regexp_replace(c, r"&gt;", ">")
+    c = F.regexp_replace(c, r"&quot;", "\"")
+    c = F.regexp_replace(c, r"&#39;", "'")
+    # collapse the whitespace the tag removal left behind
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def adaptive_length_filter(
+    docs: DataFrame,
+    group_col: str = "lang",
+    len_col: str = "n_chars",
+    frac_of_median: float = 0.5,
+) -> DataFrame:
+    """Per-group adaptive quality gate: keep documents at least
+    ``frac_of_median`` of their GROUP's median length — an absolute
+    length cutoff over-prunes terse languages and under-prunes verbose
+    ones. One shuffle to compute per-group medians (tiny: one row per
+    group), broadcast back onto the scan."""
+    med = docs.groupBy(group_col).agg(
+        F.expr(f"percentile({len_col}, 0.5)").alias("_median_len")
+    )
+    return (
+        docs.join(F.broadcast(med), group_col)
+        .filter(F.col(len_col) >= F.lit(frac_of_median) * F.col("_median_len"))
+        .drop("_median_len")
+    )

@@ -3614,3 +3614,61 @@ def q100_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("part_value"), "l_partkey")
     )
+
+
+@_q(
+    "q101_html_clean",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace('<p class="x">' || text || '</p> &amp; <br/>',
+                                    '<[^>]*>', ' ', 'g'),
+                     '&amp;', '&', 'g'),
+                   '&lt;', '<', 'g'),
+                 '&gt;', '>', 'g'),
+               '&quot;', '"', 'g'),
+             '\s+', ' ', 'g')) AS text
+    FROM documents
+    """,
+)
+def q101_html_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-cleaning kernel (X20): wrap each document in deterministic
+    HTML markup, then strip tags + decode core entities — verifying the
+    kernel end-to-end on real corpus text (the corpus itself is
+    tag-free). Pure regexp chain, scan-speed."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.text import strip_html
+
+    docs = _t(spark, sf_dir, "documents")
+    wrapped = F.concat(
+        F.lit('<p class="x">'), F.col("text"), F.lit("</p> &amp; <br/>")
+    )
+    return docs.select("doc_id", strip_html(wrapped).alias("text"))
+
+
+@_q(
+    "q102_adaptive_length_filter",
+    """
+    WITH med AS (
+      SELECT lang, quantile_cont(n_chars, 0.5) AS m
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d JOIN med ON d.lang = med.lang
+    WHERE d.n_chars >= 0.5 * med.m
+    """,
+)
+def q102_adaptive_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language adaptive length gate (X20): keep docs >= half their
+    language's median length. Group medians are one tiny aggregate
+    broadcast back; interpolated medians of integer lengths are exactly
+    representable (x.0/x.5) so the boundary compare is bit-stable."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.text import (
+        adaptive_length_filter,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return adaptive_length_filter(docs)

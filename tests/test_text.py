@@ -95,3 +95,36 @@ def test_pack_sequences_invariants(documents):
         for r in docs_:
             assert r["pack_id"] * ctx + r["pack_offset"] == pos
             pos += r["n_tokens"]
+
+
+def test_strip_html_planted(spark):
+    from spark_lakehouse_medallion_pipeline_spark.operators.text import strip_html
+
+    df = spark.createDataFrame(
+        [
+            ('<div><a href="x">link</a> text &amp; more &lt;3 &quot;q&quot;</div>',),
+            ("no markup here",),
+        ],
+        "raw string",
+    )
+    got = [r["c"] for r in df.select(strip_html(F.col("raw")).alias("c")).collect()]
+    assert got[0] == 'link text & more <3 "q"'
+    assert got[1] == "no markup here"
+
+
+def test_adaptive_length_filter_per_group(spark):
+    """The gate is per-group: a 40-char doc survives in a terse language
+    (median 50) but the same length dies in a verbose one (median 400)."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.text import (
+        adaptive_length_filter,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "terse", 50), (2, "terse", 40), (3, "terse", 60),
+         (4, "verbose", 400), (5, "verbose", 40), (6, "verbose", 500)],
+        "doc_id long, lang string, n_chars long",
+    )
+    kept = {r["doc_id"] for r in adaptive_length_filter(df).collect()}
+    assert 2 in kept      # 40 >= 0.5*50
+    assert 5 not in kept  # 40 <  0.5*400
+    assert kept >= {1, 3, 4, 6}
