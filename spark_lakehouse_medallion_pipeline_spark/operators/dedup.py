@@ -584,27 +584,34 @@ def strip_common_prefixes(
     opens at least ``min_docs`` documents — shared openers across a crawl
     are navigation/boilerplate, not content.
 
-    Scale shape: ONE map-side-combined shuffle to count prefixes; the
-    surviving hot-prefix set is tiny by construction (it's the head of a
-    Zipf distribution), so it broadcasts back onto the corpus — the scan
-    never reshuffles. Returns (id, text, prefix_stripped flag).
+    Scale shape: ONE map-side-combined shuffle to count prefixes. The
+    hot-prefix set is usually the small head of a Zipf distribution, but
+    on a full crawl the number of prefixes shared by >= ``min_docs``
+    documents grows with the corpus — so the join back deliberately
+    carries NO broadcast hint: AQE promotes it to a broadcast join at
+    runtime when the hot side is under the threshold, and falls back to
+    a shuffled join when it is not (never an executor OOM either way).
+    Returns (id, text, prefix_stripped flag).
     """
-    pref = F.array_join(F.slice(F.split(F.col(text_col), " "), 1, n_words), " ")
-    with_pref = docs.select(F.col(id_col), F.col(text_col), pref.alias("_pref"))
+    # backtick-quote user column names (dots/spaces must stay literal)
+    id_c = F.col("`" + id_col.replace("`", "``") + "`")
+    text_c = F.col("`" + text_col.replace("`", "``") + "`")
+    pref = F.array_join(F.slice(F.split(text_c, " "), 1, n_words), " ")
+    with_pref = docs.select(id_c, text_c, pref.alias("_pref"))
     hot = (
         with_pref.groupBy("_pref")
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") >= min_docs)
         .select("_pref")
     )
-    joined = with_pref.join(F.broadcast(hot).withColumn("_hot", F.lit(1)), "_pref", "left")
+    joined = with_pref.join(hot.withColumn("_hot", F.lit(1)), "_pref", "left")
     stripped = F.when(
         F.col("_hot").isNotNull(),
         # drop prefix + the following space; a doc that IS the prefix -> ''
-        F.expr(f"substring({text_col}, length(_pref) + 2)"),
-    ).otherwise(F.col(text_col))
+        text_c.substr(F.length(F.col("_pref")) + F.lit(2), F.length(text_c)),
+    ).otherwise(text_c)
     return joined.select(
-        F.col(id_col),
+        id_c,
         stripped.alias(text_col),
         F.col("_hot").isNotNull().alias("prefix_stripped"),
     )
@@ -630,7 +637,19 @@ def incremental_near_dup_filter(
     hash-join on a well-spread key, no pair generation, no O(n^2).
 
     Returns the surviving rows of ``new_docs`` (all original columns).
+
+    Raises ``ValueError`` if ``existing_signatures`` was built with a
+    different ``num_hashes`` than this probe: mismatched signature widths
+    band into disjoint buckets and silently report zero collisions, so
+    every near-duplicate would pass the filter.
     """
+    first = existing_signatures.select(F.size("_sig").alias("_w")).limit(1).collect()
+    if first and first[0]["_w"] != num_hashes:
+        raise ValueError(
+            f"existing_signatures has {first[0]['_w']}-hash signatures but this "
+            f"probe uses num_hashes={num_hashes}; rebuild one side so the "
+            "banding schemes match (a mismatch finds zero collisions)."
+        )
     new_sig = minhash_signatures(new_docs, id_col, text_col, num_hashes, shingle_k)
     new_banded = _banded(new_sig, num_hashes, bands)
     old_banded = _banded(existing_signatures, num_hashes, bands).select(

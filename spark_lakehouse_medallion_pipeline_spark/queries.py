@@ -3599,7 +3599,11 @@ def q100_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     subqueries decorrelate to ONE broadcast 1-row (count, total) over
     the SAME per-part aggregate; the all-integer comparison
     (2*value*n > 3*total) is bit-stable on both engines, where a double
-    fraction would tie-break differently in the last ulp."""
+    fraction would tie-break differently in the last ulp. The compare
+    runs in decimal(38,0) on the Spark side because value_e4*2*n can
+    exceed int64 at large scale factors (Spark non-ANSI would wrap
+    silently); DuckDB's SUM(BIGINT) is already HUGEINT (int128), so both
+    engines stay exact to 38 digits."""
     li = _t(spark, sf_dir, "lineitem")
     pv = li.groupBy("l_partkey").agg(F.sum(_disc_e4()).alias("value_e4"))
     total = pv.agg(
@@ -3607,7 +3611,10 @@ def q100_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pv.crossJoin(F.broadcast(total))
-        .filter(F.col("value_e4") * 2 * F.col("_n") > 3 * F.col("_total"))
+        .filter(
+            F.col("value_e4").cast("decimal(38,0)") * 2 * F.col("_n")
+            > F.lit(3) * F.col("_total").cast("decimal(38,0)")
+        )
         .select(
             "l_partkey",
             (F.col("value_e4").cast("double") / F.lit(10000.0)).alias("part_value"),
@@ -3672,3 +3679,99 @@ def q102_adaptive_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     return adaptive_length_filter(docs)
+
+
+# ---------------------------------------------------------------------------
+# Driver-snapshot ordering
+# ---------------------------------------------------------------------------
+# The round driver records correctness rows for the FIRST 50 entries of
+# queries().  Registration order above is build-chronological, which left
+# every family added after round 1 (pivot/unpivot, correlated subqueries,
+# array/map HOFs, lateral top-k, UDTF, TF-IDF, PII, z-order, the round-2
+# LLM-data operators, the decorrelated TPC-H shapes) without a driver row.
+# This block reorders the registry so the first 50 entries are one ORACLED
+# representative per operator family — 50/50 hash-comparable — while every
+# displaced query stays registered (slots 51+) and in the local oracle gate
+# (tools/oracle_check.py runs the full battery).
+
+_DRIVER_SNAPSHOT_50 = [
+    # reference surface: aggregates, scalars, datetime, medallion KPIs
+    "q01_pricing_summary",
+    "q19_daily_event_kpis",
+    "q41_scalar_battery",
+    "q42_datetime_battery",
+    "q46_order_lifecycle",
+    # joins
+    "q04_regional_revenue",
+    "q06_customer_order_stats",
+    "q07_customers_without_orders",
+    "q15_clickers_who_purchase",
+    "q25_late_shipments_theta",
+    "q24_asof_purchase_click",
+    "q48_interval_join",
+    # grouping extensions
+    "q09_rollup_returnflag",
+    "q10_cube_events",
+    "q52_pivot_daily_type_revenue",
+    "q53_unpivot_charges",
+    # windows
+    "q11_top_parts_per_brand",
+    "q12_user_event_gaps",
+    "q13_running_customer_spend",
+    "q54_window_distribution",
+    "q63_window_value_functions",
+    "q77_rolling_1h_by_user",
+    # sort/limit, set ops, sketches
+    "q03_top_orders_by_revenue",
+    "q55_multiset_ops",
+    "q18_value_percentiles",
+    # time windows / sessionization
+    "q20_hourly_tumbling",
+    "q21_sessionization",
+    # SQL surface: subqueries, lateral, UDTF, interactive SQL
+    "q49_sql_surface",
+    "q56_correlated_subqueries",
+    "q64_lateral_topk_per_nation",
+    "q65_udtf_tokenize",
+    # semi-structured: JSON, arrays, maps/structs
+    "q23_json_props",
+    "q57_array_hof_battery",
+    "q60_map_struct_battery",
+    # dedup family
+    "q28_exact_dedup_docs",
+    "q35_ngram_jaccard_adjacent",
+    "q67_dedup_clusters",
+    "q93_common_prefix_strip",
+    # similarity family
+    "q36_knn_vec0",
+    "q38_embedding_stats",
+    # text analysis family
+    "q29_text_stats",
+    "q75_tfidf_top_terms",
+    "q90_pii_redaction",
+    "q95_sequence_packing",
+    "q101_html_clean",
+    "q102_adaptive_length_filter",
+    # multimodal, pandas-UDF, layout, TPC-H decorrelated shapes
+    "q39_multimodal_features",
+    "q40_zscore_by_type",
+    "q92_zorder_values",
+    "q97_waiting_supplier",
+]
+
+
+def _reorder_for_driver_snapshot() -> None:
+    assert len(_DRIVER_SNAPSHOT_50) == 50, len(_DRIVER_SNAPSHOT_50)
+    head = set(_DRIVER_SNAPSHOT_50)
+    missing = head - set(QUERIES)
+    assert not missing, f"snapshot names not registered: {missing}"
+    tail = [n for n in QUERIES if n not in head]
+    for mapping in (QUERIES, ORACLE):
+        prev = dict(mapping)
+        mapping.clear()
+        for name in [*_DRIVER_SNAPSHOT_50, *tail]:
+            if name in prev:
+                mapping[name] = prev[name]
+
+
+_reorder_for_driver_snapshot()

@@ -205,3 +205,47 @@ def test_incremental_near_dup_filter_planted(toy_docs):
     kept = {r["doc_id"] for r in dedup.incremental_near_dup_filter(shard, sigs).collect()}
     assert 100 not in kept
     assert 101 in kept
+
+
+def test_strip_common_prefixes_awkward_column_names(spark):
+    """Column names needing backticks (dots/spaces) must resolve via the
+    Column API, not raw SQL interpolation."""
+    docs = spark.createDataFrame(
+        [(1, "HDR X body one"), (2, "HDR X body two")],
+        ["the id", "doc.text"],
+    )
+    got = {
+        r["the id"]: r["doc.text"]
+        for r in dedup.strip_common_prefixes(
+            docs, n_words=2, min_docs=2, id_col="the id", text_col="doc.text"
+        ).collect()
+    }
+    assert got == {1: "body one", 2: "body two"}
+
+
+def test_strip_common_prefixes_large_hot_set_shuffle_path(spark):
+    """With NO broadcast hint, a hot set as large as the corpus itself
+    (every prefix shared) still joins correctly — the shuffle fallback
+    the 100 TB crawl case needs."""
+    n = 5000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("hdr"),
+            (F.col("id") % 2500).cast("string"),
+            F.lit(" tok tail "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    out = dedup.strip_common_prefixes(docs, n_words=2, min_docs=2)
+    assert out.filter(F.col("prefix_stripped")).count() == n
+    sample = out.filter(F.col("doc_id") == 7).head()
+    assert sample["text"] == "tail 7"
+
+
+def test_incremental_near_dup_filter_rejects_width_mismatch(toy_docs):
+    """Probing a 32-hash signature table with the 64-hash default must
+    raise instead of silently passing every near-duplicate."""
+    sigs32 = dedup.minhash_signatures(toy_docs, num_hashes=32)
+    with pytest.raises(ValueError, match="32.*64|64.*32"):
+        dedup.incremental_near_dup_filter(toy_docs, sigs32, num_hashes=64)
