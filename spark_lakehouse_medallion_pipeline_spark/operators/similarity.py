@@ -114,9 +114,12 @@ def _dot_lit_sql(vec_sql: str, comps: list[float]) -> str:
     )
 
 
-def rhp_signature(
-    vec: Column | str, dim: int, n_planes: int = 16, table: int = 0
-) -> Column:
+def _sql_ident(name: str) -> str:
+    """Backtick-quote a column name for interpolation into SQL text."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def rhp_signature(vec: str, dim: int, n_planes: int = 16, table: int = 0) -> Column:
     """Random-hyperplane (SimHash for cosine) signature: bit i = sign of
     <vec, plane_i>, packed into a bigint. P[bits agree] = 1 - theta/pi.
     ``table`` selects an independent plane family (for OR-construction).
@@ -129,8 +132,12 @@ def rhp_signature(
     fully-flattened multiply-add variant (no zip_with) was rejected:
     768-term trees blow past codegen method limits and fall back to
     per-node interpretation (~15x slower at runtime).
+
+    ``vec`` is a COLUMN NAME (not a Column): stringifying a Column tree
+    needs classic-only JVM internals (`_jc`), which Spark Connect lacks —
+    the name form works on both.
     """
-    vec_sql = vec if isinstance(vec, str) else vec._jc.toString()
+    vec_sql = _sql_ident(vec)
     terms = []
     for i in range(n_planes):
         dot_sql = _dot_lit_sql(vec_sql, _hyperplane_comps(dim, i, table))
@@ -414,12 +421,13 @@ def ivf_centroids(
     return cents
 
 
-def _centroid_scores(vec: Column | str, cents: list[list[float]]) -> Column:
+def _centroid_scores(vec: str, cents: list[list[float]]) -> Column:
     """array<struct<score,cid>> of cosine-rank scores against normalized
     centroids. Centroids are unit vectors, so dot(vec, c) ranks identically
     to cosine for a fixed vec — no per-row norm needed. One textual expr
-    for the whole array (see rhp_signature's driver-cost note)."""
-    vec_sql = vec if isinstance(vec, str) else vec._jc.toString()
+    for the whole array (see rhp_signature's driver-cost note). ``vec``
+    is a column name (Connect-safe; see rhp_signature)."""
+    vec_sql = _sql_ident(vec)
     structs = [
         f"struct({_dot_lit_sql(vec_sql, c)} AS score, {i} AS cid)"
         for i, c in enumerate(cents)

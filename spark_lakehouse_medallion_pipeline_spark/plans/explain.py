@@ -3,6 +3,12 @@
 Usage: assert_pushed_filters / scan_columns in tests keep us honest that
 predicates and pruning reach the parquet scan (SURVEY.md §4); dump() is
 for interactive iteration on shuffle/broadcast shapes.
+
+CLASSIC-ONLY: these helpers reach into JVM internals
+(``df._sc._jvm.PythonSQLUtils``) that do not exist under Spark Connect.
+That is acceptable for a test/tuning module — nothing under
+``operators/`` or ``queries.py`` imports it at runtime — but do not call
+it from production paths on a Connect cluster.
 """
 
 from __future__ import annotations

@@ -223,7 +223,17 @@ def compact_parquet(
     the write is repartitioned to ceil(bytes/target), so compaction of a
     5000-file directory yields a handful of full-size files. Production
     note: run per-partition (WHERE on partition cols) to bound each
-    rewrite and keep the swap atomic per partition."""
+    rewrite and keep the swap atomic per partition.
+
+    CONCURRENCY CONTRACT (no-catalog fallback): single writer, NO
+    concurrent readers — the rmtree+move swap uses local-filesystem
+    rename semantics and leaves a window where the directory is absent.
+    It also does not work against object stores (s3a/abfs), where
+    "rename" is copy+delete. The transactional answer at scale is a
+    table format (Delta OPTIMIZE / Iceberg rewrite_data_files); this
+    operator exists for the same local-parquet fallback regime as the
+    reference's CM:331-340."""
+    _require_local_path(path, "compact_parquet")
     import math
     import pathlib
 
@@ -267,7 +277,15 @@ def merge_upsert_parquet(
     join (distributed); the commit is write-staging-then-swap — the same
     shape a Delta/Iceberg commit gives transactionally, which is what
     you'd use at 100 TB (this operator is the no-catalog fallback, like
-    the reference's parquet fallback path, CM:331-340)."""
+    the reference's parquet fallback path, CM:331-340).
+
+    CONCURRENCY CONTRACT: single writer, NO concurrent readers — between
+    the two os.rename calls the table path does not exist, so a reader
+    racing the swap sees an empty/missing table rather than either
+    snapshot. POSIX rename is atomic per call, not across the pair.
+    Local filesystems only (object-store rename is not atomic at all).
+    Use Delta/Iceberg MERGE when concurrent readers exist."""
+    _require_local_path(path, "merge_upsert_parquet")
     import os
     import shutil
 
@@ -284,6 +302,19 @@ def merge_upsert_parquet(
         os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def _require_local_path(path: str, op: str) -> None:
+    """Refuse remote URIs for the rename-based maintenance fallbacks:
+    their swap step relies on local-FS rename semantics (see the
+    CONCURRENCY CONTRACT docstrings); on s3a/abfs/gs/hdfs the right tool
+    is a table format's transactional rewrite."""
+    if "://" in path and not path.startswith("file://"):
+        raise NotImplementedError(
+            f"{op} is a LOCAL-filesystem fallback (single writer, no "
+            f"concurrent readers); got {path!r}. Use Delta/Iceberg "
+            "OPTIMIZE/MERGE for object-store tables."
+        )
 
 
 def _dir_has_parquet(path: str) -> bool:

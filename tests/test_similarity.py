@@ -62,7 +62,7 @@ def test_lsh_recall_vs_brute(embeddings):
 
 def test_rhp_signature_deterministic(embeddings):
     sig = embeddings.limit(20).select(
-        "vec_id", similarity.rhp_signature(F.col("embedding"), 64, 8).alias("s")
+        "vec_id", similarity.rhp_signature("embedding", 64, 8).alias("s")
     )
     a = sorted(map(tuple, sig.collect()))
     b = sorted(map(tuple, sig.collect()))

@@ -127,3 +127,16 @@ def test_write_table_schema_evolution(spark, tmp_path):
     assert set(got.columns) == {"k", "s", "flag"}
     assert got.head()["flag"] is True
     spark.sql("DROP TABLE IF EXISTS default.evolve_t")
+
+
+def test_maintenance_ops_refuse_object_store_paths(spark):
+    """The rename-based fallbacks are local-FS only by contract."""
+    import pytest as _pytest
+
+    from spark_lakehouse_medallion_pipeline_spark.sources import io as sio
+
+    df = spark.range(1)
+    with _pytest.raises(NotImplementedError, match="LOCAL-filesystem"):
+        sio.compact_parquet(spark, "s3a://bucket/table")
+    with _pytest.raises(NotImplementedError, match="LOCAL-filesystem"):
+        sio.merge_upsert_parquet(spark, df, "abfs://c@a.dfs.core.windows.net/t", ["id"])
