@@ -96,22 +96,42 @@ def main() -> None:
         except Exception as exc:  # warm-up must never fail the bench
             print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
-    timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
-        if name not in qs:
-            continue
-        t0 = time.time()
-        # Fault isolation: one broken query must never zero the whole
-        # round's perf signal (round-1 lesson — q12 aborted the run).
-        try:
-            df = qs[name](spark, sf_dir)
-            n = df.count()
-            timings[name] = round(time.time() - t0, 3)
-            print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
-        except Exception as exc:
-            errors[name] = str(exc).split("\n")[0][:200]
-            print(f"# {name}: FAILED ({errors[name]})", file=sys.stderr)
+
+    def timed_pass(run_label: str) -> dict[str, float]:
+        pass_timings: dict[str, float] = {}
+        for name in HEADLINE:
+            if name not in qs:
+                continue
+            t0 = time.time()
+            # Fault isolation: one broken query must never zero the whole
+            # round's perf signal (round-1 lesson — q12 aborted the run).
+            try:
+                df = qs[name](spark, sf_dir)
+                n = df.count()
+                pass_timings[name] = round(time.time() - t0, 3)
+                print(
+                    f"# [{run_label}] {name}: {pass_timings[name]:.2f}s ({n} rows)",
+                    file=sys.stderr,
+                )
+            except Exception as exc:
+                errors[name] = str(exc).split("\n")[0][:200]
+                print(f"# [{run_label}] {name}: FAILED ({errors[name]})", file=sys.stderr)
+        return pass_timings
+
+    # N=2 timed passes so run-to-run variance is recorded in the output
+    # (previously a manual README claim): per-query timing reported is
+    # run 1 (comparable with earlier rounds); the variance field carries
+    # both pass totals and the spread.
+    run1 = timed_pass("run1")
+    run2 = timed_pass("run2")
+    timings: dict[str, float] = dict(run1)
+    t1, t2 = sum(run1.values()), sum(run2.values())
+    variance = {
+        "headline_total_run1_sec": round(t1, 3),
+        "headline_total_run2_sec": round(t2, 3),
+        "spread_pct": round(abs(t1 - t2) / max(min(t1, t2), 1e-9) * 100, 1),
+    }
 
     # Materialized medallion end-to-end (the reference's flagship shape):
     # generate bronze -> partitioned parquet -> silver enrich -> gold KPIs,
@@ -151,6 +171,25 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # Scaled-up flagship: the same generate->silver->gold e2e at 1M rows
+    # (10x the row count above) — evidence the pipeline's wall clock grows
+    # sublinearly-to-linearly with rows, not with some fixed overhead.
+    tmp1m = tempfile.mkdtemp(prefix="bench_medallion_1m_")
+    try:
+        t0 = time.time()
+        stats1m = run_pipeline(spark, tmp1m, rows=1_000_000, payload_kb=1)
+        timings["medallion_e2e_1m"] = round(time.time() - t0, 3)
+        variance["medallion_1m_bronze_sec"] = round(stats1m["bronze_sec"], 3)
+        print(
+            f"# medallion_e2e_1m: {timings['medallion_e2e_1m']:.2f}s",
+            file=sys.stderr,
+        )
+    except Exception as exc:
+        errors["medallion_e2e_1m"] = str(exc).split("\n")[0][:200]
+        print(f"# medallion_e2e_1m: FAILED ({errors['medallion_e2e_1m']})", file=sys.stderr)
+    finally:
+        shutil.rmtree(tmp1m, ignore_errors=True)
+
     # Payload-heavy regime (the reference's tuned path: 256 KB payloads,
     # vectorized reader OFF, batch 1024 — 43-silver-build.yaml:92-94). Run
     # the medallion at the reference's true payload size both ways and
@@ -186,6 +225,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "bronze_write_mb_s": bronze_mb_s,
+        "variance": variance,
     }
     if errors:
         out["errors"] = errors
