@@ -156,3 +156,30 @@ def test_validate_missing_layers(spark, tmp_path):
 
     counts = validate(spark, str(tmp_path / "nonexistent"))
     assert counts == {"bronze_rows": -1, "silver_rows": -1, "gold_rows": -1}
+
+
+def test_run_pipeline_use_tables_end_to_end(spark, tmp_path):
+    """S5/S7 managed-table path end-to-end: CREATE NAMESPACE + partitioned
+    saveAsTable for silver and gold, gold reading silver via the catalog,
+    validation through the interactive SQL surface."""
+    from spark_lakehouse_medallion_pipeline_spark.medallion import pipeline as P
+
+    try:
+        stats = P.run_pipeline(
+            spark, str(tmp_path), rows=2_000, payload_kb=1, use_tables=True
+        )
+        assert stats["silver_rows"] > 0 and stats["gold_rows"] > 0
+        assert spark.table(P.SILVER_TABLE).count() == stats["silver_rows"]
+        assert spark.table(P.GOLD_TABLE).count() == stats["gold_rows"]
+        # identity-partition columns survive the managed write (CM:327-329)
+        assert {"interaction_date", "channel"} <= set(
+            spark.table(P.SILVER_TABLE).columns
+        )
+        v = P.validate(spark, str(tmp_path), use_tables=True)
+        assert v["silver_rows"] == stats["silver_rows"]
+        assert v["gold_rows"] == stats["gold_rows"]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {P.SILVER_TABLE}")
+        spark.sql(f"DROP TABLE IF EXISTS {P.GOLD_TABLE}")
+        spark.sql("DROP NAMESPACE IF EXISTS silver")
+        spark.sql("DROP NAMESPACE IF EXISTS gold")

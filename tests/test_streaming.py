@@ -178,3 +178,51 @@ def test_stateful_query_on_rocksdb_state_store(spark, events, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_windowed_stream_matches_registered_q20(spark, events, sf_dir, tmp_path):
+    """Pin the streaming tumbling job to the REGISTERED q20 battery entry
+    (not just the shared timeseries body): same windows, same counts,
+    values equal to the oracle-exact cents aggregation within 1 ulp."""
+    from spark_lakehouse_medallion_pipeline_spark.queries import QUERIES
+
+    path = _events_stream_dir(spark, events, tmp_path)
+    stream = jobs.read_events_stream(spark, path)
+    out = jobs.windowed_counts_stream(stream, watermark="100 days", size="1 hour")
+    jobs.run_to_memory(out, "win_vs_q20", str(tmp_path / "ck_q20"))
+    got = {
+        r["window_start"]: (r["n_events"], r["total_value"])
+        for r in spark.table("win_vs_q20").collect()
+    }
+    want = {
+        r["window_start"]: (r["n_events"], r["total_value"])
+        for r in QUERIES["q20_hourly_tumbling"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, v) in want.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - v) < 1e-6
+
+
+def test_session_stream_matches_registered_q22(spark, events, sf_dir, tmp_path):
+    """Pin the streaming session job to the registered q22 entry: the
+    native session_window semantics must agree between the availableNow
+    stream and the batch query the driver hashes."""
+    from spark_lakehouse_medallion_pipeline_spark.queries import QUERIES
+
+    path = _events_stream_dir(spark, events, tmp_path)
+    stream = jobs.read_events_stream(spark, path)
+    out = jobs.session_stream(stream, watermark="100 days", gap="30 minutes")
+    jobs.run_to_memory(out, "sess_vs_q22", str(tmp_path / "ck_q22"))
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["session_value"])
+        for r in spark.table("sess_vs_q22").collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["session_value"])
+        for r in QUERIES["q22_session_window_native"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, v) in want.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - v) < 1e-6
