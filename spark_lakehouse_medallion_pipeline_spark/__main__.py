@@ -92,6 +92,15 @@ def main(argv: list[str] | None = None) -> int:
     print(f"  Overall Throughput: {gb / max(total / 60, 1e-9):.2f} GB/min")
     for k, v in counts.items():
         print(f"VALIDATE {k}={v}")
+    # one machine-scrapeable line for the whole run (SMOKE_OK analogue)
+    print(
+        "PIPELINE_OK "
+        f"bronze_bytes={stats['bronze_bytes']} "
+        f"bronze_sec={stats['bronze_sec']:.3f} "
+        f"silver_rows={stats['silver_rows']} silver_sec={stats['silver_sec']:.3f} "
+        f"gold_rows={stats['gold_rows']} gold_sec={stats['gold_sec']:.3f} "
+        f"total_sec={total:.3f}"
+    )
     return 0
 
 

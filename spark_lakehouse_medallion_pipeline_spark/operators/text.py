@@ -204,3 +204,127 @@ def adaptive_length_filter(
         .filter(F.col(len_col) >= F.lit(frac_of_median) * F.col("_median_len"))
         .drop("_median_len")
     )
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    Language Models", §A1.1 repetition/quality filters — public paper):
+    word-count bounds, mean-word-length bounds, fraction of words with an
+    alphabetic character, and minimum stopword presence. Emits one row
+    per doc with each rule's value + flag and the conjunctive keep flag,
+    so curation can audit WHICH rule dropped a document.
+
+    All pure Column expressions — scan-speed at 100 TB, no shuffle at
+    all. Thresholds are the paper's defaults except min_words (5 here:
+    the test corpus is short-form)."""
+    toks = whitespace_tokens(F.col(text_col))
+    n_words = F.size(toks)
+    # identical op chain to the oracle: strip ALL whitespace, divide
+    n_chars_nospace = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+    mean_wl = n_chars_nospace.cast("double") / n_words
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    alpha_ratio = n_alpha.cast("double") / n_words
+    n_stop = F.size(F.filter(F.transform(toks, F.lower), lambda t: t.isin(*STOPWORDS)))
+    words_ok = (n_words >= min_words) & (n_words <= max_words)
+    wl_ok = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    alpha_ok = alpha_ratio >= min_alpha_word_ratio
+    stop_ok = n_stop >= min_stopword_hits
+    return docs.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        n_stop.cast("long").alias("stopword_hits"),
+        words_ok.alias("words_ok"),
+        wl_ok.alias("word_len_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stop_ok.alias("stopwords_ok"),
+        (words_ok & wl_ok & alpha_ok & stop_ok).alias("gopher_keep"),
+    )
+
+
+# Knuth multiplicative-hash constants for the deterministic per-doc
+# uniform used by mixture_sample: u = ((id % P) * K) % M / M. The id is
+# bounded by P first so the product stays far inside int64 on every
+# engine (no wrap/raise divergence at 100 TB id ranges).
+_MIX_P = 1_000_003  # prime
+_MIX_K = 2_654_435_761  # Knuth's 2^32 / phi
+_MIX_M = 4_294_967_296  # 2^32
+
+
+def mixture_uniform(id_col: Column) -> Column:
+    """Deterministic, engine-portable uniform in [0, 1) derived from an
+    integer id — reproducible across engines/runs/partitionings, unlike
+    rand(). Collision structure is irrelevant here: we only need a fixed
+    pseudo-random threshold per row."""
+    return (
+        ((id_col % _MIX_P) * _MIX_K % _MIX_M).cast("double") / F.lit(float(_MIX_M))
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain/language mixture sampling: keep each document with its
+    group's target probability (the data-mixing step of every large
+    pretraining corpus — e.g. downsample boilerplate-heavy domains,
+    upsample by keeping 1.0 of rare ones). Deterministic: the keep
+    decision is a pure function of (id, group), so reruns and
+    repartitions produce the identical corpus — a property rand()-based
+    sampling cannot give. Pure scan-side predicate: no shuffle, pushes
+    down past column pruning."""
+    w = F.lit(float(default_weight))
+    for key, frac in sorted(weights.items()):
+        w = F.when(F.col(group_col) == key, F.lit(float(frac))).otherwise(w)
+    return docs.filter(mixture_uniform(F.col(id_col)) < w)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_chars: int = 200,
+    overlap: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    len_col: str | None = "n_chars",
+) -> DataFrame:
+    """Context-window chunking: split each document into ``chunk_chars``
+    character chunks whose starts step by ``chunk_chars - overlap``, with
+    1-based char offsets kept so chunks can be traced back to their
+    source span. The explode is scan-local (no shuffle); at 100 TB the
+    output is written partitioned by whatever the corpus was partitioned
+    by, so chunking never concentrates data.
+
+    Uses ``len_col`` when the corpus already stores document length
+    (skips re-measuring the string); pass None to compute it."""
+    if chunk_chars <= overlap:
+        raise ValueError(f"chunk_chars ({chunk_chars}) must exceed overlap ({overlap})")
+    step = chunk_chars - overlap
+    n = F.col(len_col) if len_col else F.length(F.col(text_col))
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(step))
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(starts).alias("chunk_start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_start"),
+            F.col(text_col).substr(F.col("chunk_start"), F.lit(chunk_chars)).alias("chunk"),
+        )
+        .withColumn("chunk_len", F.length(F.col("chunk")))
+    )

@@ -3682,6 +3682,190 @@ def q102_adaptive_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-3 additions: remaining TPC-H shapes + corpus-curation operators
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q103_supplier_part_counts",
+    """
+    SELECT p.p_brand, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+    LIMIT 20
+    """,
+)
+def q103_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier diversity per part class, excluding a
+    blocklist via NOT IN): lineitem stands in for partsupp (no partsupp
+    in this corpus), negative-balance suppliers for the complaints
+    filter. The NOT IN decorrelates to a broadcast LEFT ANTI join
+    (s_suppkey is non-null, so anti-join == NOT IN here); part is a
+    broadcast dim; the count-distinct is one partial-aggregable shuffle
+    on (brand, size). Tie-break (brand, size) is unique per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+        .limit(20)
+    )
+
+
+@_q(
+    "q104_heavy_red_suppliers",
+    """
+    WITH shipped AS (
+      SELECT l_suppkey,
+             SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS qty_e2
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'red%'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(sh.qty_e2 AS DOUBLE) / 100.0 AS red_qty
+    FROM supplier s
+    JOIN shipped sh ON sh.l_suppkey = s.s_suppkey
+    WHERE sh.qty_e2 * 4 * (SELECT COUNT(*) FROM shipped)
+          > 5 * (SELECT SUM(qty_e2) FROM shipped)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q104_heavy_red_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with outsized shipments of a part
+    family): who shipped more than 1.25x the mean red-part quantity.
+    The correlated "more than half the stock" subquery decorrelates to
+    ONE per-supplier aggregate plus a broadcast 1-row (count, total) —
+    the q100 pattern; threshold is scale-invariant and the compare runs
+    in decimal(38,0) (Spark) / HUGEINT (DuckDB) so nothing wraps."""
+    li = _t(spark, sf_dir, "lineitem")
+    red = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    supp = _t(spark, sf_dir, "supplier")
+    shipped = (
+        li.join(F.broadcast(red), li["l_partkey"] == red["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(sum_cents(F.col("l_quantity")).alias("qty_e2"))
+    )
+    totals = shipped.agg(
+        F.sum("qty_e2").alias("_total"), F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        shipped.crossJoin(F.broadcast(totals))
+        .filter(
+            F.col("qty_e2").cast("decimal(38,0)") * 4 * F.col("_n")
+            > F.lit(5) * F.col("_total").cast("decimal(38,0)")
+        )
+        .join(supp, F.col("l_suppkey") == supp["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("qty_e2").cast("double") / F.lit(100.0)).alias("red_qty"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_STOP_SQL = "('the','a','of','and','to','in','is','it','for','on')"
+
+@_q(
+    "q105_gopher_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\\s+') AS toks,
+             length(regexp_replace(text, '\\s', '', 'g')) AS n_nospace
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(n_nospace AS DOUBLE) / len(toks) AS mean_word_len,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+                  AS DOUBLE) / len(toks) AS alpha_word_ratio,
+             CAST(len(list_filter(list_transform(toks, x -> lower(x)),
+                                  x -> x IN {_STOP_SQL})) AS BIGINT) AS stopword_hits
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_word_ratio, stopword_hits,
+           CAST(n_words >= 5 AND n_words <= 100000 AS INT) AS words_ok,
+           CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT) AS word_len_ok,
+           CAST(alpha_word_ratio >= 0.8 AS INT) AS alpha_ok,
+           CAST(stopword_hits >= 2 AS INT) AS stopwords_ok,
+           CAST(n_words >= 5 AND n_words <= 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND alpha_word_ratio >= 0.8
+                AND stopword_hits >= 2 AS INT) AS gopher_keep
+    FROM m
+    """,
+)
+def q105_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules (X20) over the document corpus — each
+    rule's value AND flag so curation is auditable. Flags cast to INT
+    for hash stability across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text.gopher_quality_flags(docs)
+    flag_cols = ["words_ok", "word_len_ok", "alpha_ok", "stopwords_ok", "gopher_keep"]
+    return out.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_word_ratio",
+        "stopword_hits",
+        *[F.col(c).cast("int").alias(c) for c in flag_cols],
+    )
+
+
+@_q(
+    "q106_mixture_sample",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE CAST((doc_id % 1000003) * 2654435761 % 4294967296 AS DOUBLE)
+            / 4294967296.0
+          < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.75 ELSE 1.0 END
+    """,
+)
+def q106_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic language-mixture sampling (X20/curation): keep 50%
+    of English, 75% of Chinese, all of everything else — the data-mixing
+    step of a pretraining corpus, as a pure scan-side predicate (no
+    shuffle; same corpus on every rerun/repartition, unlike rand())."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return text.mixture_sample(docs, {"en": 0.5, "zh": 0.75})
+
+
+@_q(
+    "q107_doc_chunks",
+    """
+    SELECT doc_id,
+           CAST(t.start AS BIGINT) AS chunk_start,
+           substring(text, CAST(t.start AS INT), 200) AS chunk,
+           length(substring(text, CAST(t.start AS INT), 200)) AS chunk_len
+    FROM documents, UNNEST(range(1, greatest(n_chars, 1) + 1, 150)) AS t(start)
+    """,
+)
+def q107_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (X20): 200-char chunks, 50-char overlap,
+    1-based offsets preserved. Scan-local explode — at 100 TB this runs
+    at read speed and the row-count multiplier is bounded by
+    len/(chunk-overlap)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.chunk_documents(
+        docs, chunk_chars=200, overlap=50, len_col="n_chars"
+    ).withColumn("chunk_start", F.col("chunk_start").cast("long"))
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The round driver records correctness rows for the FIRST 50 entries of

@@ -128,3 +128,86 @@ def test_adaptive_length_filter_per_group(spark):
     assert 2 in kept      # 40 >= 0.5*50
     assert 5 not in kept  # 40 <  0.5*400
     assert kept >= {1, 3, 4, 6}
+
+
+def test_gopher_quality_flags_rules(spark):
+    """Each rule trips on its designed offender and the keep flag is the
+    conjunction."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.text import (
+        gopher_quality_flags,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown foxes jumped over the fences and it"),  # healthy
+            (2, "too short"),                              # < 5 words
+            (3, "a b c d e f g h"),                        # mean word len < 3
+            (4, "the 123 456 789 000 111 222 333 is of"),  # alpha ratio low
+            (5, "zebra quartz xylophone jukebox wombat kumquat"),  # no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in gopher_quality_flags(df).collect()}
+    assert got[1]["gopher_keep"] is True
+    assert got[2]["words_ok"] is False and got[2]["gopher_keep"] is False
+    assert got[3]["word_len_ok"] is False
+    assert got[4]["alpha_ok"] is False
+    assert got[5]["stopwords_ok"] is False
+    for d in got.values():
+        assert d["gopher_keep"] == (
+            d["words_ok"] and d["word_len_ok"] and d["alpha_ok"] and d["stopwords_ok"]
+        )
+
+
+def test_mixture_sample_deterministic_and_weighted(documents):
+    """Reruns give the identical corpus; weights bound per-group keep
+    fractions; weight 0/1 are exact."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.text import mixture_sample
+
+    base = documents.select("doc_id", "lang")
+    w = {"en": 0.5, "zh": 0.0}
+    a = {r["doc_id"] for r in mixture_sample(base, w).collect()}
+    b = {r["doc_id"] for r in mixture_sample(base, w).collect()}
+    assert a == b
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in mixture_sample(base, w).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    tot = {
+        r["lang"]: r["n"]
+        for r in base.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert "zh" not in by_lang                       # weight 0 drops all
+    assert by_lang.get("de", 0) == tot["de"]         # default weight 1 keeps all
+    frac_en = by_lang["en"] / tot["en"]
+    assert 0.3 < frac_en < 0.7                       # ~0.5 on a 200+ doc corpus
+
+
+def test_chunk_documents_spans(spark):
+    """Chunks tile the document with the requested overlap and
+    reassemble to the original text; short docs yield one chunk."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij" * 5), (2, "tiny")], "doc_id long, text string"
+    )
+    rows = chunk_documents(
+        df, chunk_chars=20, overlap=5, len_col=None
+    ).orderBy("doc_id", "chunk_start").collect()
+    doc1 = [r for r in rows if r["doc_id"] == 1]
+    assert [r["chunk_start"] for r in doc1] == [1, 16, 31, 46]
+    text1 = "abcdefghij" * 5
+    for r in doc1:
+        s = r["chunk_start"] - 1
+        assert r["chunk"] == text1[s : s + 20]
+        assert r["chunk_len"] == len(r["chunk"])
+    # consecutive chunks overlap by exactly 5 chars
+    for prev, nxt in zip(doc1, doc1[1:]):
+        assert prev["chunk"][-5:] == nxt["chunk"][: 5]
+    doc2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(doc2) == 1 and doc2[0]["chunk"] == "tiny"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must exceed"):
+        chunk_documents(df, chunk_chars=5, overlap=5)
