@@ -58,6 +58,11 @@ HEADLINE = [
     "q80_benchmark_contamination",
     "q93_common_prefix_strip",
     "q95_sequence_packing",
+    "q103_supplier_part_counts",
+    "q105_gopher_quality",
+    "q107_doc_chunks",
+    "q108_monthly_order_spine",
+    "q109_fuzzy_name_pairs",
     "medallion_gold_kpis",
 ]
 
@@ -149,73 +154,58 @@ def main() -> None:
     finally:
         shutil.rmtree(warm_tmp, ignore_errors=True)
 
-    bronze_mb_s = None
-    tmp = tempfile.mkdtemp(prefix="bench_medallion_")
-    try:
-        t0 = time.time()
-        stats = run_pipeline(spark, tmp, rows=100_000, payload_kb=1)
-        timings["medallion_e2e_100k"] = round(time.time() - t0, 3)
-        bronze_bytes = sum(
-            f.stat().st_size
-            for f in __import__("pathlib").Path(tmp, "bronze").rglob("*.parquet")
-        )
-        bronze_mb_s = round(bronze_bytes / 1e6 / max(stats["bronze_sec"], 1e-9), 2)
-        print(
-            f"# medallion_e2e_100k: {timings['medallion_e2e_100k']:.2f}s "
-            f"(bronze {bronze_mb_s} MB/s on-disk)",
-            file=sys.stderr,
-        )
-    except Exception as exc:
-        errors["medallion_e2e_100k"] = str(exc).split("\n")[0][:200]
-        print(f"# medallion_e2e_100k: FAILED ({errors['medallion_e2e_100k']})", file=sys.stderr)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    # Each medallion section runs TWICE and records the MIN: these
+    # write-heavy sections occasionally catch a 3-4x transient (page-cache
+    # flush / old-gen GC after the 80-query headline passes — observed
+    # 28.8s vs a stable ~7s for the identical workload), and a single
+    # sample would record the outlier as the round's number. Both samples
+    # land in the variance field.
+    section_stats = {}
+
+    def timed_e2e(label: str, **kwargs) -> None:
+        samples = []
+        for rep in range(2):
+            tmp = tempfile.mkdtemp(prefix=f"bench_{label}_")
+            try:
+                t0 = time.time()
+                st = run_pipeline(spark, tmp, **kwargs)
+                samples.append(round(time.time() - t0, 3))
+                if rep == 0 and label == "medallion_e2e_100k":
+                    bronze_bytes = sum(
+                        f.stat().st_size
+                        for f in __import__("pathlib").Path(tmp, "bronze").rglob("*.parquet")
+                    )
+                    section_stats["bronze_mb_s"] = round(
+                        bronze_bytes / 1e6 / max(st["bronze_sec"], 1e-9), 2
+                    )
+            except Exception as exc:
+                errors[label] = str(exc).split("\n")[0][:200]
+                print(f"# {label}: FAILED ({errors[label]})", file=sys.stderr)
+                return
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+        timings[label] = min(samples)
+        variance[f"{label}_runs_sec"] = samples
+        print(f"# {label}: {min(samples):.2f}s (runs {samples})", file=sys.stderr)
+
+    timed_e2e("medallion_e2e_100k", rows=100_000, payload_kb=1)
+    bronze_mb_s = section_stats.get("bronze_mb_s")
 
     # Scaled-up flagship: the same generate->silver->gold e2e at 1M rows
     # (10x the row count above) — evidence the pipeline's wall clock grows
     # sublinearly-to-linearly with rows, not with some fixed overhead.
-    tmp1m = tempfile.mkdtemp(prefix="bench_medallion_1m_")
-    try:
-        t0 = time.time()
-        stats1m = run_pipeline(spark, tmp1m, rows=1_000_000, payload_kb=1)
-        timings["medallion_e2e_1m"] = round(time.time() - t0, 3)
-        variance["medallion_1m_bronze_sec"] = round(stats1m["bronze_sec"], 3)
-        print(
-            f"# medallion_e2e_1m: {timings['medallion_e2e_1m']:.2f}s",
-            file=sys.stderr,
-        )
-    except Exception as exc:
-        errors["medallion_e2e_1m"] = str(exc).split("\n")[0][:200]
-        print(f"# medallion_e2e_1m: FAILED ({errors['medallion_e2e_1m']})", file=sys.stderr)
-    finally:
-        shutil.rmtree(tmp1m, ignore_errors=True)
+    timed_e2e("medallion_e2e_1m", rows=1_000_000, payload_kb=1)
 
     # Payload-heavy regime (the reference's tuned path: 256 KB payloads,
     # vectorized reader OFF, batch 1024 — 43-silver-build.yaml:92-94). Run
-    # the medallion at the reference's true payload size both ways and
-    # record logical bronze throughput (row_bytes ~ 300 + payload).
+    # the medallion at the reference's true payload size both ways.
+    prev = spark.conf.get("spark.sql.parquet.enableVectorizedReader", "true")
     for label, vectorized in (("payload256k_vec_off", "false"), ("payload256k_vec_on", "true")):
-        ptmp = tempfile.mkdtemp(prefix=f"bench_{label}_")
-        prev = spark.conf.get("spark.sql.parquet.enableVectorizedReader", "true")
         try:
             spark.conf.set("spark.sql.parquet.enableVectorizedReader", vectorized)
-            t0 = time.time()
-            pstats = run_pipeline(spark, ptmp, rows=1_000, payload_kb=256)
-            timings[f"medallion_{label}"] = round(time.time() - t0, 3)
-            logical_mb_s = round(
-                (300 + 256 * 1024) * 1_000 / 1e6 / max(pstats["bronze_sec"], 1e-9), 1
-            )
-            print(
-                f"# medallion_{label}: {timings[f'medallion_{label}']:.2f}s "
-                f"(bronze {logical_mb_s} MB/s logical)",
-                file=sys.stderr,
-            )
-        except Exception as exc:
-            errors[f"medallion_{label}"] = str(exc).split("\n")[0][:200]
-            print(f"# medallion_{label}: FAILED", file=sys.stderr)
+            timed_e2e(f"medallion_{label}", rows=1_000, payload_kb=256)
         finally:
             spark.conf.set("spark.sql.parquet.enableVectorizedReader", prev)
-            shutil.rmtree(ptmp, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     out = {

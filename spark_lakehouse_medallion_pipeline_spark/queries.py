@@ -3925,6 +3925,27 @@ def q108_monthly_order_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q109_fuzzy_name_pairs",
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def q109_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy match (record linkage): customer-name
+    pairs within levenshtein distance 1. The ORACLE is the naive
+    quadratic form; the Spark side blocks by SymSpell deletion
+    neighborhoods (exact recall at d<=1, see operators.dedup.fuzzy_pairs)
+    so the engine never materializes the O(n^2) comparison — identical
+    output, scalable plan."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return dedup.fuzzy_pairs(cust, id_col="c_custkey", name_col="c_name")
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------

@@ -249,3 +249,39 @@ def test_incremental_near_dup_filter_rejects_width_mismatch(toy_docs):
     sigs32 = dedup.minhash_signatures(toy_docs, num_hashes=32)
     with pytest.raises(ValueError, match="32.*64|64.*32"):
         dedup.incremental_near_dup_filter(toy_docs, sigs32, num_hashes=64)
+
+
+def test_fuzzy_pairs_exact_recall_vs_naive(spark):
+    """The deletion-neighborhood blocking must find EXACTLY the pairs the
+    naive quadratic levenshtein predicate finds (equal, substitution,
+    insert/delete — and nothing at distance 2+)."""
+    df = spark.createDataFrame(
+        [
+            (1, "martha"),
+            (2, "marhta"),   # dist 2 (transposition) -> excluded
+            (3, "marta"),    # deletion of 'h' from martha -> dist 1
+            (4, "martha"),   # equal -> dist 0
+            (5, "mertha"),   # substitution -> dist 1
+            (6, "zzzzzz"),   # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in dedup.fuzzy_pairs(df).collect()
+    }
+    naive = df.alias("a").join(
+        df.alias("b"), F.col("a.doc_id") < F.col("b.doc_id")
+    ).filter(F.levenshtein("a.text", "b.text") <= 1)
+    want = {
+        (r[0], r[1], r[2])
+        for r in naive.select(
+            "a.doc_id", "b.doc_id", F.levenshtein("a.text", "b.text").cast("long")
+        ).collect()
+    }
+    assert got == want
+    assert (1, 4, 0) in got and (1, 3, 1) in got and (1, 5, 1) in got
+    assert not any({a, b} == {1, 2} for a, b, _ in got)  # dist-2 excluded
+
+    with pytest.raises(NotImplementedError, match="max_dist=1"):
+        dedup.fuzzy_pairs(df, max_dist=2)

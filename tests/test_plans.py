@@ -210,3 +210,23 @@ def test_q46_no_array_in_output_schema(spark):
     driver's canonicalizer cannot hash array cells (round-1 harness red)."""
     df = QUERIES["q46_order_lifecycle"](spark, SF)
     assert not any("array" in f.dataType.simpleString() for f in df.schema.fields)
+
+
+def test_round3_queries_plan_shapes(spark):
+    """Round-3 additions: the curation scans must be shuffle-FREE (pure
+    scan-side Column exprs — the 100 TB contract for q105-q107), the
+    TPC-H shapes broadcast their dims with no cartesian, and the
+    recursive spine stays at its 2-exchange floor."""
+    for name in ["q105_gopher_quality", "q106_mixture_sample", "q107_doc_chunks"]:
+        df = QUERIES[name](spark, SF)
+        assert explain.count_exchanges(df) == 0, name
+    for name, budget in {
+        "q103_supplier_part_counts": 2,
+        "q104_heavy_red_suppliers": 4,
+        "q108_monthly_order_spine": 2,
+    }.items():
+        df = QUERIES[name](spark, SF)
+        plan = explain.formatted(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+        assert explain.count_exchanges(df) <= budget, name
