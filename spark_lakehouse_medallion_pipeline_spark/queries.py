@@ -3946,6 +3946,150 @@ def q109_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.fuzzy_pairs(cust, id_col="c_custkey", name_col="c_name")
 
 
+@_q(
+    "q110_variant_props",
+    """
+    SELECT event_id,
+           CAST(json_extract('{"u":' || CAST(user_id AS VARCHAR) || ',"p":' || props || '}',
+                             '$.p.k') AS BIGINT) AS k,
+           CAST(json_extract('{"u":' || CAST(user_id AS VARCHAR) || ',"p":' || props || '}',
+                             '$.u') AS BIGINT) AS u
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 90
+    """,
+)
+def q110_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path (X22 extension): parse_json into a VARIANT
+    value, typed extraction via variant_get with JSON-path — the
+    open-schema semi-structured story (q23 covers the classic
+    get_json_object string path). The envelope is built in-query so the
+    extraction exercises a NESTED path. Scan-side only; the predicate on
+    the extracted field stays a plain filter."""
+    ev = _t(spark, sf_dir, "events")
+    env = F.parse_json(
+        F.concat(
+            F.lit('{"u":'),
+            F.col("user_id").cast("string"),
+            F.lit(',"p":'),
+            F.col("props"),
+            F.lit("}"),
+        )
+    )
+    return (
+        ev.select(
+            "event_id",
+            F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("_pk"),
+            env.alias("_env"),
+        )
+        .filter(F.col("_pk") > 90)
+        .select(
+            "event_id",
+            F.expr("variant_get(_env, '$.p.k', 'bigint')").alias("k"),
+            F.expr("variant_get(_env, '$.u', 'bigint')").alias("u"),
+        )
+    )
+
+
+@_q(
+    "q111_datetime_battery2",
+    """
+    SELECT o_orderkey,
+           quarter(o_orderdate) AS order_quarter,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+           CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           dayname(o_orderdate) AS weekday_name,
+           make_date(2030, month(o_orderdate), 1) AS anniv_month,
+           date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS epoch_days,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_quarter
+    FROM orders WHERE o_orderkey % 20 = 0
+    """,
+)
+def q111_datetime_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime surface beyond q42 (D-family completeness): quarter
+    bucketing, week/quarter truncation, month-end, weekday naming,
+    date construction, epoch-day arithmetic, and clamping month
+    addition (add_months; Nov 30 + 3mo -> Feb 28, matching DuckDB's
+    INTERVAL semantics). All scan-side; deterministic systematic slice
+    keeps the battery cheap at any SF."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.quarter(d).alias("order_quarter"),
+        F.date_trunc("quarter", d).cast("date").alias("quarter_start"),
+        F.date_trunc("week", d).cast("date").alias("week_start"),
+        F.last_day(d.cast("date")).alias("month_end"),
+        F.date_format(d, "EEEE").alias("weekday_name"),
+        F.make_date(F.lit(2030), F.month(d), F.lit(1)).alias("anniv_month"),
+        F.datediff(d.cast("date"), F.lit("1970-01-01").cast("date")).cast("long").alias(
+            "epoch_days"
+        ),
+        F.add_months(d, 3).alias("plus_quarter"),
+    )
+
+
+@_q(
+    "q112_string_battery2",
+    """
+    SELECT p_partkey,
+           split_part(p_name, ' ', 1) AS first_word,
+           translate(p_name, 'aeiou', '#####') AS devoweled,
+           left(p_name, 3) AS l3,
+           right(p_name, 2) AS r2,
+           rpad(p_brand, 12, '.') AS brand_padded,
+           ascii(p_name) AS first_code,
+           chr(65 + p_size % 26) AS size_letter,
+           md5(p_name) AS name_md5,
+           CAST(levenshtein(p_name, reverse(p_name)) AS BIGINT) AS palindrome_dist,
+           CAST(strpos(p_name, 'e') AS BIGINT) AS first_e
+    FROM part
+    """,
+)
+def q112_string_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surface beyond q41 (T-family completeness): field
+    splitting, character-class translation, edge slicing, padding,
+    codepoint round-trip, md5 fingerprint, levenshtein, substring
+    position. Everything scan-side and shared verbatim by both engines
+    (overlay/initcap/soundex exist in Spark but have no DuckDB
+    counterpart — exercised in pytest instead)."""
+    p = _t(spark, sf_dir, "part")
+    n = F.col("p_name")
+    return p.select(
+        "p_partkey",
+        F.split_part(n, F.lit(" "), F.lit(1)).alias("first_word"),
+        F.translate(n, "aeiou", "#####").alias("devoweled"),
+        F.substring(n, 1, 3).alias("l3"),
+        n.substr(F.length(n) - 1, F.lit(2)).alias("r2"),
+        F.rpad(F.col("p_brand"), 12, ".").alias("brand_padded"),
+        F.ascii(n).alias("first_code"),
+        F.chr(F.lit(65) + F.col("p_size") % 26).alias("size_letter"),
+        F.md5(n).alias("name_md5"),
+        F.levenshtein(n, F.reverse(n)).cast("long").alias("palindrome_dist"),
+        F.instr(n, "e").cast("long").alias("first_e"),
+    )
+
+
+@_q("q113_approx_top_k")  # sketch internals are engine-specific; exactness pinned in pytest
+def q113_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via approx_top_k (X13 extension, Spark 4): the
+    top-10 most-shipped parts as one sketch aggregate — a single
+    map-combined pass instead of full groupBy + global sort. The sketch
+    keeps maxItemsTracked=10000 slots, far above the tracked universe at
+    test SFs, so results are exact there (asserted in pytest vs the
+    groupBy top-k); at 100 TB it stays one pass with bounded memory,
+    which the exact form cannot."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.agg(F.expr("approx_top_k(l_partkey, 10, 10000)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("l_partkey"),
+            F.col("e.count").cast("long").alias("n_shipments"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------

@@ -308,3 +308,65 @@ def use_rocksdb_state_store(spark) -> None:
     RocksDB spills state to local disk with incremental checkpointing;
     set BEFORE the streaming query starts (provider is fixed at start)."""
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+
+
+try:
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor as _SP
+except ImportError:  # pragma: no cover - Spark < 4.0
+    _SP = object
+
+
+class _RunningTotalsProcessor(_SP):
+    """StatefulProcessor for transformWithStateInPandas — the Spark 4
+    successor to applyInPandasWithState (typed state handles, per-state
+    TTL, timers). Same semantics as _running_totals_fn: per-user running
+    (count, value-sum, last-ts), one updated row per user per batch.
+    Module-level class on purpose: the processor is pickled to the
+    stateful worker, and dynamically-built classes don't survive that."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("totals", _STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        n, total, last_us = (
+            tuple(self._state.get()) if self._state.exists() else (0, 0.0, None)
+        )
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = pdf["ts"].max()
+            if mx is not None and not pd.isna(mx):
+                mx_us = mx.value // 1000
+                if last_us is None or mx_us > last_us:
+                    last_us = mx_us
+        self._state.update((n, round(total, 6), last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 6)],
+                "last_ts": [_ts_from_us(last_us)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_totals_tws_stream(events: DataFrame) -> DataFrame:
+    """stateful_running_totals_stream re-expressed on the Spark 4
+    transformWithStateInPandas API (X15): identical output contract,
+    but state lives in named typed handles (getValueState) with optional
+    TTL — the API Spark is standardizing stateful Python streaming on.
+    Same scale shape: state is sharded by the groupBy key across
+    executors' state stores."""
+    if _SP is object:  # pragma: no cover - Spark < 4.0
+        raise NotImplementedError("transformWithStateInPandas requires Spark >= 4.0")
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotalsProcessor(),
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

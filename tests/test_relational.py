@@ -206,3 +206,34 @@ def test_q91_hll_estimates_bound_exact(spark, sf_dir):
     assert set(est) == set(exact)
     for k, e in exact.items():
         assert abs(est[k] - e) <= max(2, 0.05 * e), (k, est[k], e)
+
+
+def test_q113_approx_top_k_exact_at_test_scale(spark, sf_dir):
+    """With maxItemsTracked far above the part universe the sketch is
+    exact: same (item, count) set as the exact groupBy top-k (ties make
+    the ORDER unstable, so compare counts of the k-th value rather than
+    identity of the cut line)."""
+    from pyspark.sql import functions as F
+
+    from spark_lakehouse_medallion_pipeline_spark.queries import QUERIES
+
+    got = {
+        (r["l_partkey"], r["n_shipments"])
+        for r in QUERIES["q113_approx_top_k"](spark, sf_dir).collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "l_partkey")
+        .collect()
+    )
+    exact_counts = {r["l_partkey"]: r["n"] for r in exact}
+    assert len(got) == 10
+    kth = sorted((n for _, n in got), reverse=True)[9]
+    for part, n in got:
+        assert exact_counts[part] == n        # counts are exact
+        assert n >= kth                       # all returned are >= the cut
+    # every strictly-above-cut part must be present
+    must = {p for p, n in exact_counts.items() if n > kth}
+    assert must <= {p for p, _ in got}

@@ -71,3 +71,18 @@ def test_uuid_and_monotonic_ids(spark):
     )
     assert len({r["u"] for r in rows}) == 1000
     assert len({r["m"] for r in rows}) == 1000
+
+
+def test_string_fns_without_duckdb_counterpart(spark):
+    """overlay / initcap / soundex exist in Spark but not DuckDB, so the
+    q112 oracle can't cover them — pin their semantics here."""
+    from pyspark.sql import functions as F
+
+    r = spark.sql(
+        "SELECT overlay('hello' PLACING 'XX' FROM 2) AS o,"
+        "       initcap('heLLo woRLD') AS i,"
+        "       soundex('Robert') AS s1, soundex('Rupert') AS s2"
+    ).head()
+    assert r["o"] == "hXXlo"
+    assert r["i"] == "Hello World"
+    assert r["s1"] == "R163" and r["s1"] == r["s2"]  # classic soundex pair

@@ -3,6 +3,7 @@ with the batch forms on bounded input."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from spark_lakehouse_medallion_pipeline_spark.operators import timeseries
@@ -226,3 +227,48 @@ def test_session_stream_matches_registered_q22(spark, events, sf_dir, tmp_path):
     for k, (n, v) in want.items():
         assert got[k][0] == n
         assert abs(got[k][1] - v) < 1e-6
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas' state-server protocol needs "
+    "google.protobuf, absent in this container (no installs allowed — "
+    "same constraint as delta-spark, README §Table-format)",
+)
+def test_transform_with_state_matches_apply_in_pandas(spark, events, tmp_path):
+    """The Spark 4 transformWithStateInPandas job must produce the same
+    final per-user totals as the applyInPandasWithState job and the
+    batch groupBy — three implementations, one contract."""
+    path = _events_stream_dir(spark, events, tmp_path)
+    stream = jobs.read_events_stream(spark, path)
+    out = jobs.running_totals_tws_stream(stream)
+    jobs.run_update_to_memory(out, "running_totals_tws", str(tmp_path / "ckpt_tws"))
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.table("running_totals_tws")
+        .withColumn("_rn", F.monotonically_increasing_id())
+        .orderBy("_rn")
+        .collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["total"], 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    mismatches = {
+        u: (got[u], want[u])
+        for u in want
+        if got[u][0] != want[u][0] or abs(got[u][1] - want[u][1]) > 1e-4
+    }
+    assert not mismatches, dict(list(mismatches.items())[:5])
