@@ -370,3 +370,51 @@ def running_totals_tws_stream(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def incremental_gold_refresh(
+    silver_stream: DataFrame,
+    silver_store: str,
+    gold_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Incremental gold maintenance (the streaming-native alternative to
+    the reference's wholesale gold recompute, CM:366-411): each silver
+    microbatch appends to the silver store, then ONLY the
+    interaction_dates present in the batch are re-aggregated from the
+    store and upserted into gold — partition-level incremental view
+    maintenance. Exact (not sketch-approximate): gold KPIs include
+    countDistinct, which partial aggregates can't merge, so affected
+    partitions recompute from their full silver slice — bounded by the
+    dates a batch touches, not the corpus.
+
+    At 100 TB: silver_store/gold become Delta tables (transactional
+    append + MERGE), the per-date recompute is partition-pruned to the
+    affected identity partitions, and the affected-date collect stays
+    model-scale (dates per batch, not rows). This local form reuses the
+    parquet fallbacks (single writer — see merge_upsert_parquet)."""
+    from spark_lakehouse_medallion_pipeline_spark.medallion.gold import build_gold
+    from spark_lakehouse_medallion_pipeline_spark.sources.io import (
+        merge_upsert_parquet,
+    )
+
+    def refresh(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df.write.mode("append").parquet(silver_store)
+        dates = [r[0] for r in batch_df.select("interaction_date").distinct().collect()]
+        if not dates:
+            return
+        affected = spark.read.parquet(silver_store).filter(
+            F.col("interaction_date").isin(dates)
+        )
+        merge_upsert_parquet(
+            spark, build_gold(affected), gold_path, ["interaction_date"]
+        )
+
+    q = (
+        silver_stream.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

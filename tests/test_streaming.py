@@ -272,3 +272,45 @@ def test_transform_with_state_matches_apply_in_pandas(spark, events, tmp_path):
         if got[u][0] != want[u][0] or abs(got[u][1] - want[u][1]) > 1e-4
     }
     assert not mismatches, dict(list(mismatches.items())[:5])
+
+
+def test_incremental_gold_refresh_matches_batch(spark, tmp_path):
+    """Partition-level incremental gold maintenance: streaming the silver
+    corpus in multiple microbatches and upserting affected dates must
+    reproduce the batch gold EXACTLY (countDistinct KPIs included)."""
+    from spark_lakehouse_medallion_pipeline_spark.medallion.generate import (
+        generate_bronze,
+    )
+    from spark_lakehouse_medallion_pipeline_spark.medallion.gold import build_gold
+    from spark_lakehouse_medallion_pipeline_spark.medallion.silver import build_silver
+
+    silver = build_silver(generate_bronze(spark, 3_000))
+    src = str(tmp_path / "silver_src")
+    silver.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    gold_path = str(tmp_path / "gold_inc")
+    jobs.incremental_gold_refresh(
+        stream,
+        silver_store=str(tmp_path / "silver_store"),
+        gold_path=gold_path,
+        checkpoint_dir=str(tmp_path / "ckpt_gold"),
+    )
+
+    got = spark.read.parquet(gold_path)
+    want = build_gold(spark.read.parquet(src))
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    g = sorted(map(tuple, got.select(*cols).collect()))
+    w = sorted(map(tuple, want.select(*cols).collect()))
+    assert len(g) == len(w)
+    for rg, rw in zip(g, w):
+        for vg, vw in zip(rg, rw):
+            if isinstance(vg, float):
+                assert abs(vg - vw) < 1e-6
+            else:
+                assert vg == vw
