@@ -293,6 +293,93 @@ def mixture_sample(
     return docs.filter(mixture_uniform(F.col(id_col)) < w)
 
 
+def remove_repeated_lines(
+    docs: DataFrame,
+    line_tokens: int = 10,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4/RefinedWeb-style repeated-line removal: chop each document into
+    fixed ``line_tokens``-token lines, find lines that occur in at least
+    ``min_docs`` DISTINCT documents (navbars, cookie banners, license
+    footers — the classic crawl boilerplate), drop those lines from every
+    document, and reassemble the survivors in original order. Documents
+    whose every line is boilerplate are dropped entirely (the curation
+    semantics: nothing left to train on).
+
+    Output: (id_col, n_lines_kept, text_clean).
+
+    Scale shape: three shuffles, each on well-spread keys — (1) the
+    line-frequency aggregate (map-side combined, distinct-doc count);
+    (2) the anti-join of lines against the hot set (the hot set is small
+    by construction — freq >= min_docs — and AQE decides broadcast vs
+    shuffle; deliberately NO unconditional broadcast hint, the
+    strip_common_prefixes lesson); (3) the per-document reassembly
+    aggregate. No step is ever all-pairs and no line list ever collects
+    to the driver."""
+    toks = whitespace_tokens(F.col(text_col))
+    n_lines = F.ceil(F.size(toks) / F.lit(float(line_tokens)))
+    lines = F.transform(
+        F.sequence(F.lit(0), (n_lines - 1).cast("int")),
+        lambda i: F.array_join(
+            F.slice(toks, i * line_tokens + 1, line_tokens), " "
+        ),
+    )
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(lines).alias("pos", "line")
+    )
+    hot = (
+        exploded.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("line")
+    )
+    kept = exploded.join(hot, "line", "left_anti")
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "line")))
+    return kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines_kept"),
+        F.array_join(
+            F.transform(ordered, lambda s: s["line"]), " "
+        ).alias("text_clean"),
+    )
+
+
+def token_budget_curation(
+    docs: DataFrame,
+    budget_tokens: int,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-ranked token-budget selection: within each ``part_col``
+    stream, rank documents by quality (best first, id tie-break) and keep
+    them until the stream's cumulative token count reaches
+    ``budget_tokens`` — the "spend my token budget on the best data"
+    step of corpus curation (budgets are per-source because mixture
+    weights are set per-source; a single global budget would also funnel
+    the cumsum through one task at 100 TB, per the pack_sequences note).
+
+    A document is kept iff its INCLUSIVE running total fits the budget.
+    Output: (id_col, part_col, n_tokens, cum_tokens, quality).
+
+    Scale shape: one shuffle — the per-source ranked cumsum window; the
+    quality score itself is scan-side Column math."""
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col),
+        F.col(part_col),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        quality_score_raw(F.col(text_col)).alias("quality"),
+    )
+    w = Window.partitionBy(part_col).orderBy(F.desc("quality"), id_col)
+    return (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_chars: int = 200,

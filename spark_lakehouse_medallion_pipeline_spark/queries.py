@@ -4090,6 +4090,134 @@ def q113_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q114_repeated_line_removal",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ), lines AS (
+      SELECT doc_id, CAST(g AS BIGINT) AS pos,
+             array_to_string(t[g*3+1 : g*3+3], ' ') AS line
+      FROM toks, LATERAL UNNEST(range(CAST(ceil(len(t)/3.0) AS BIGINT))) AS u(g)
+    ), hot AS (
+      SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 3
+    ), kept AS (
+      SELECT l.doc_id, l.pos, l.line FROM lines l ANTI JOIN hot h USING (line)
+    )
+    SELECT doc_id, COUNT(*) AS n_lines_kept,
+           string_agg(line, ' ' ORDER BY pos) AS text_clean
+    FROM kept GROUP BY doc_id
+    """,
+)
+def q114_repeated_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style repeated-line removal with document
+    reassembly (X20/X17 extension): 3-token lines occurring in >= 3
+    distinct documents are corpus boilerplate; drop them everywhere and
+    rebuild each document's surviving text in order. The oracle is the
+    identical dataflow in SQL — every reassembled string must match
+    byte-for-byte. See operators.text.remove_repeated_lines for the
+    three-shuffle scale story (no unconditional broadcast, no driver
+    collect, no all-pairs step)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.remove_repeated_lines(docs, line_tokens=3, min_docs=3)
+
+
+@_q(
+    "q115_url_battery",
+    """
+    WITH u AS (
+      SELECT doc_id, lang, n_chars,
+             source || '.example.com' AS host,
+             '/d/' || CAST(doc_id AS VARCHAR) AS path,
+             lang AS lang_param
+      FROM documents
+    )
+    SELECT host, COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang_param) AS n_langs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(path) AS first_path
+    FROM u GROUP BY host
+    """,
+)
+def q115_url_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing battery (crawl analytics; T-family extension): build
+    a canonical URL per document, then extract HOST / PATH / a QUERY
+    parameter with parse_url and roll up per host. The oracle
+    reconstructs the expected parts from the raw columns, so Spark's
+    parse_url must invert the construction exactly. Scan-side
+    extraction + one map-combined aggregate — crawl-log scale is
+    exactly this shape (per-host stats over billions of URLs)."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    parts = docs.select(
+        "doc_id",
+        "n_chars",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+    return parts.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang_param").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("path").alias("first_path"),
+    )
+
+
+@_q(
+    "q116_token_budget",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks, text
+      FROM documents
+    ), m AS (
+      SELECT doc_id, source, len(toks) AS n_tokens,
+             CAST(list_sum(list_transform(toks, t2 -> length(t2))) AS DOUBLE)
+               / len(toks) AS atl,
+             CAST(len(list_filter(list_transform(toks, t2 -> lower(t2)),
+                 t2 -> list_contains(['the','a','of','and','to','in','is','it','for','on'], t2))) AS DOUBLE)
+               / len(toks) AS swr,
+             CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+               / length(text) AS pr
+      FROM t
+    ), q AS (
+      SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+             ((CASE WHEN atl >= 3 AND atl <= 12 THEN 1.0 ELSE 0.5 END)
+              + (CASE WHEN swr > 0.05 THEN 1.0 ELSE 0.6 END)
+              + (CASE WHEN pr < 0.1 THEN 1.0 ELSE 0.7 END)) / 3.0 AS quality
+      FROM m
+    ), c AS (
+      SELECT doc_id, source, n_tokens, quality,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY quality DESC, doc_id
+             ) AS BIGINT) AS cum_tokens
+      FROM q
+    )
+    SELECT doc_id, source, n_tokens, quality, cum_tokens
+    FROM c WHERE cum_tokens <= 2000
+    """,
+)
+def q116_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked token-budget curation (X20 extension): spend a
+    fixed per-source token budget on the best-scoring documents — the
+    selection step between quality scoring and sequence packing in a
+    pretraining pipeline. One per-source ranked-cumsum window (never a
+    global ordering); quality is the shared quality_score_raw chain,
+    whose doubles are bit-identical cross-engine (q51 precedent), so
+    the rank order and the kept set match exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.token_budget_curation(docs, budget_tokens=2000).select(
+        "doc_id", "source", "n_tokens", "quality", "cum_tokens"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------

@@ -211,3 +211,61 @@ def test_chunk_documents_spans(spark):
 
     with _pytest.raises(ValueError, match="must exceed"):
         chunk_documents(df, chunk_chars=5, overlap=5)
+
+
+def test_remove_repeated_lines_planted_boilerplate(spark):
+    """Planted 3-token boilerplate shared by 3 docs is removed from all
+    of them, unique lines survive in order, and a fully-boilerplate doc
+    drops out of the output entirely."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.text import remove_repeated_lines
+
+    boiler = "accept all cookies"
+    df = spark.createDataFrame(
+        [
+            (1, f"{boiler} alpha beta gamma delta eps zeta"),
+            (2, f"one two three {boiler} four five six"),
+            (3, f"seven eight nine {boiler}"),
+            (4, boiler),  # nothing but boilerplate
+            (5, "lonely unique words only here today"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_repeated_lines(df, line_tokens=3, min_docs=3).collect()
+    }
+    assert out[1]["text_clean"] == "alpha beta gamma delta eps zeta"
+    assert out[1]["n_lines_kept"] == 2
+    assert out[2]["text_clean"] == "one two three four five six"
+    assert out[3]["text_clean"] == "seven eight nine"
+    assert 4 not in out  # fully-stripped doc is dropped
+    # doc 5: lines are (lonely unique words)(only here today) — kept whole
+    assert out[5]["text_clean"] == "lonely unique words only here today"
+
+
+def test_token_budget_curation_orders_and_stops(spark):
+    """Budget is spent best-quality-first per source; the first doc that
+    would overflow the budget (and everything after) is dropped; other
+    sources keep their own budget."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.text import token_budget_curation
+
+    prose = "the quick brown fox jumps over the lazy dog again"  # quality 1.0, 10 tokens
+    noise = "zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg"  # low quality, 16 tokens
+    df = spark.createDataFrame(
+        [
+            (1, "a", prose),
+            (2, "a", noise),
+            (3, "a", prose),
+            (4, "b", noise),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = token_budget_curation(df, budget_tokens=20)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # source a: two prose docs (10 tokens each) fill the 20-token budget;
+    # the noise doc ranks last and would overflow -> dropped
+    assert set(rows) == {1, 3, 4}
+    assert rows[3]["cum_tokens"] == 20
+    # source b has its own budget: its single 16-token doc fits
+    assert rows[4]["cum_tokens"] == 16
+    assert rows[1]["quality"] == 1.0
