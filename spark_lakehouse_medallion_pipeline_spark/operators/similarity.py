@@ -609,3 +609,82 @@ def semantic_dedup(
     return corpus.join(
         dropped, corpus[id_col] == dropped["_drop_id"], "left_anti"
     )
+
+
+def l2_normalize_arrow(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """L2-normalize an embedding column on the Arrow-NATIVE path
+    (``mapInArrow``): batches arrive as pyarrow RecordBatches, the math
+    runs vectorized in numpy, and no pandas conversion happens at all —
+    the zero-copy variant of the mapInPandas path ``knn_join_vectorized``
+    uses. Shuffle-free: a pure per-batch map at scan speed.
+
+    Output per row: (id, dim, norm_e6, packed) where norm_e6 is the L2
+    norm and packed the comma-joined normalized components, both
+    floor-rounded at 1e-6 and SCALED TO INTEGERS — integer-to-string
+    renders identically on every engine, where double-to-string does not
+    (the q46 array_join lesson, applied to floats). Norm summation is
+    ``cumsum`` (strictly left-to-right double adds) to match the
+    sequential fold the oracle's list_sum performs — pairwise/BLAS
+    summation would differ in the last ulp.
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("dim", LongType()),
+            StructField("norm_e6", LongType()),
+            StructField("packed", StringType()),
+        ]
+    )
+
+    def normalize(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            vecs = batch.column(batch.schema.get_field_index(vec_col))
+            rows = vecs.to_pylist()
+            dims = np.array([len(r) for r in rows], dtype=np.int64)
+            # fixed-dim corpora take the vectorized path; ragged falls
+            # back to a per-row loop (same math, same results)
+            if len(set(dims.tolist())) == 1:
+                m = np.asarray(rows, dtype=np.float64)
+                sq = m * m
+                norms = np.sqrt(np.cumsum(sq, axis=1)[:, -1])
+                safe = np.where(norms == 0.0, 1.0, norms)
+                ints = np.floor(m / safe[:, None] * scale + 0.5).astype(np.int64)
+                packed = [",".join(map(str, row)) for row in ints]
+            else:
+                norms, packed = [], []
+                for r in rows:
+                    v = np.asarray(r, dtype=np.float64)
+                    n = np.sqrt(np.cumsum(v * v)[-1]) if len(v) else 0.0
+                    norms.append(n)
+                    s = n if n != 0.0 else 1.0
+                    packed.append(
+                        ",".join(
+                            str(int(np.floor(x / s * scale + 0.5))) for x in v
+                        )
+                    )
+                norms = np.asarray(norms)
+            norm_e6 = np.floor(norms * scale + 0.5).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(dims, type=pa.int64()),
+                    pa.array(norm_e6, type=pa.int64()),
+                    pa.array(packed, type=pa.string()),
+                ],
+                names=[id_col, "dim", "norm_e6", "packed"],
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(normalize, out_schema)

@@ -4218,6 +4218,36 @@ def q116_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q117_arrow_normalize",
+    """
+    WITH n AS (
+      SELECT vec_id, len(embedding) AS dim,
+             sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+             embedding
+      FROM embeddings
+    )
+    SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+           CAST(FLOOR(nrm*1000000 + 0.5) AS BIGINT) AS norm_e6,
+           array_to_string(list_transform(embedding,
+               x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE)/nrm*1000000 + 0.5) AS BIGINT) AS VARCHAR)),
+               ',') AS packed
+    FROM n
+    """,
+)
+def q117_arrow_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native batch transform (X16/X21 extension): L2-normalize
+    every embedding via ``mapInArrow`` — RecordBatches in, numpy math,
+    RecordBatches out, no pandas layer. The oracle recomputes the same
+    normalization in SQL; outputs are integer-scaled (1e-6 grid) so the
+    string comparison is engine-portable. See
+    operators.similarity.l2_normalize_arrow for the summation-order
+    note (cumsum == the oracle's sequential list_sum fold)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.l2_normalize_arrow(emb)
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------

@@ -189,3 +189,27 @@ def test_semantic_dedup_drops_planted_near_identical(spark, embeddings):
     assert 200001 not in kept
     assert 7 in kept
     assert len(kept) >= embeddings.count() - 5
+
+
+def test_l2_normalize_arrow_fixed_and_ragged(spark):
+    """mapInArrow normalization: normalized norm is 1.0 (norm_e6 of the
+    OUTPUT vector == scale) on the fixed-dim fast path, and the ragged
+    fallback produces identical results for the same vector."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.similarity import l2_normalize_arrow
+
+    fixed = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in l2_normalize_arrow(fixed).collect()}
+    assert out[1]["norm_e6"] == 5_000_000 and out[1]["dim"] == 2
+    assert out[1]["packed"] == "600000,800000"  # (0.6, 0.8)
+    assert out[2]["packed"] == "1000000,0"
+
+    ragged = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (3, [2.0, 2.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rout = {r["vec_id"]: r for r in l2_normalize_arrow(ragged).collect()}
+    assert rout[1]["packed"] == out[1]["packed"]  # fallback == fast path
+    assert rout[3]["norm_e6"] == 3_000_000 and rout[3]["dim"] == 3
