@@ -230,3 +230,49 @@ def test_round3_queries_plan_shapes(spark):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastHashJoin" in plan, name
         assert explain.count_exchanges(df) <= budget, name
+
+
+def test_new_curation_queries_plan_shapes(spark):
+    """q114-q117 scale contracts: repeated-line removal stays at its
+    3-exchange floor (freq agg, anti-join, reassembly), the URL rollup
+    at 2 (countDistinct split), token-budget at its single per-source
+    window shuffle, and the Arrow normalization is a pure map (0)."""
+    budgets = {
+        "q114_repeated_line_removal": 3,
+        "q115_url_battery": 2,
+        "q116_token_budget": 1,
+        "q117_arrow_normalize": 0,
+    }
+    for name, budget in budgets.items():
+        df = QUERIES[name](spark, SF)
+        assert explain.count_exchanges(df) <= budget, name
+        assert "CartesianProduct" not in explain.formatted(df), name
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """Runtime row-group filtering: a shuffled join whose build side has
+    a selective filter gets a bloom filter injected on the probe side
+    (might_contain over xxhash64 of the join key) — at 100 TB this skips
+    whole row groups of the fact scan before the shuffle. Thresholds are
+    forced here because the local corpus is far below the 10 GB
+    application-side default; the assert pins that the OPTIMIZER RULE
+    fires, which is plan shape, not data size."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1B",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        plan = explain.formatted(li.join(o, li.l_orderkey == o.o_orderkey))
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
