@@ -388,3 +388,117 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+# --- Versioned snapshot tables (reader-safe commits without a catalog) -----
+#
+# The rename-based fallbacks above trade away concurrent readers. This
+# layout does not: data lives in immutable version directories
+# (<table>/v=N/), and a one-line manifest file (<table>/_CURRENT) names
+# the live version. Commit = write the NEW version completely, then flip
+# the manifest with an atomic temp-file+rename. A reader either sees the
+# old pointer (old snapshot still fully on disk) or the new one (new
+# snapshot fully written before the flip) — never a half table. This is
+# the Delta/Iceberg commit protocol in miniature; what a real table
+# format adds on top is multi-writer coordination (optimistic CAS on the
+# log) and object-store-safe pointers (conditional PUT), so the contract
+# here is SINGLE WRITER, any number of readers, local filesystem.
+
+
+def snapshot_versions(table_dir: str) -> list[int]:
+    """All on-disk versions of a snapshot table, ascending."""
+    import pathlib
+
+    root = pathlib.Path(table_dir)
+    if not root.is_dir():
+        return []
+    return sorted(
+        int(p.name[2:]) for p in root.glob("v=*") if p.name[2:].isdigit()
+    )
+
+
+def _current_version(table_dir: str) -> int | None:
+    import pathlib
+
+    manifest = pathlib.Path(table_dir, "_CURRENT")
+    if not manifest.is_file():
+        return None
+    return int(manifest.read_text().strip())
+
+
+def write_snapshot(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Commit ``df`` as the next version of a snapshot table and return
+    the new version number. Readers concurrent with this call keep
+    seeing the previous version until the atomic manifest flip."""
+    _require_local_path(table_dir, "write_snapshot")
+    import os
+    import pathlib
+
+    prev = _current_version(table_dir)
+    version = (prev or 0) + 1
+    vdir = os.path.join(table_dir, f"v={version}")
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(vdir)
+    # atomic pointer flip: full write + rename, never truncate-in-place
+    tmp = pathlib.Path(table_dir, "_CURRENT.tmp")
+    tmp.write_text(str(version))
+    os.rename(tmp, pathlib.Path(table_dir, "_CURRENT"))
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the current snapshot, or time-travel to ``version``."""
+    import os
+
+    v = version if version is not None else _current_version(table_dir)
+    if v is None:
+        raise FileNotFoundError(f"no _CURRENT manifest in {table_dir!r}")
+    vdir = os.path.join(table_dir, f"v={v}")
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(
+            f"snapshot version {v} of {table_dir!r} does not exist "
+            f"(on disk: {snapshot_versions(table_dir)}; vacuumed?)"
+        )
+    return spark.read.parquet(vdir)
+
+
+def merge_upsert_snapshot(
+    spark: SparkSession, updates: DataFrame, table_dir: str, keys: list[str]
+) -> int:
+    """MERGE-style upsert as a snapshot commit: same merge dataflow as
+    merge_upsert_parquet (one distributed left-anti join), but the
+    result lands as a NEW version with an atomic pointer flip — so
+    unlike the rename-pair fallback, concurrent readers are safe.
+    Returns the committed version."""
+    if _current_version(table_dir) is not None:
+        current = read_snapshot(spark, table_dir)
+        keep = current.join(updates.select(*keys).distinct(), keys, "left_anti")
+        merged = updates.unionByName(keep)
+    else:
+        merged = updates
+    return write_snapshot(spark, merged, table_dir)
+
+
+def vacuum_snapshots(table_dir: str, keep: int = 2) -> list[int]:
+    """Delete all but the newest ``keep`` versions (never the current
+    one); returns the versions removed. Readers of a vacuumed version
+    get a clear FileNotFoundError from read_snapshot rather than a
+    partial scan — the same contract as Delta's VACUUM retention."""
+    import pathlib
+    import shutil
+
+    versions = snapshot_versions(table_dir)
+    current = _current_version(table_dir)
+    drop = [v for v in versions[:-keep] if v != current] if keep else versions
+    for v in drop:
+        shutil.rmtree(pathlib.Path(table_dir, f"v={v}"), ignore_errors=True)
+    return drop

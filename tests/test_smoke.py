@@ -140,3 +140,46 @@ def test_maintenance_ops_refuse_object_store_paths(spark):
         sio.compact_parquet(spark, "s3a://bucket/table")
     with _pytest.raises(NotImplementedError, match="LOCAL-filesystem"):
         sio.merge_upsert_parquet(spark, df, "abfs://c@a.dfs.core.windows.net/t", ["id"])
+
+
+def test_snapshot_table_versioned_commits(spark, tmp_path):
+    """Snapshot commits are reader-safe: a reader planned against v1
+    still scans v1's intact files after v2 commits (no missing-table
+    window, unlike the rename-pair fallback); time travel and vacuum
+    follow the Delta retention contract."""
+    import pytest
+
+    from spark_lakehouse_medallion_pipeline_spark.sources import io as sio
+
+    tdir = str(tmp_path / "snap")
+    v1 = sio.write_snapshot(
+        spark, spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), tdir
+    )
+    assert v1 == 1
+    reader_v1 = sio.read_snapshot(spark, tdir)  # plan pinned to v=1 path
+
+    v2 = sio.write_snapshot(
+        spark, spark.createDataFrame([(1, "a2")], "k long, v string"), tdir
+    )
+    assert v2 == 2
+    # concurrent-reader guarantee: the v1 plan still reads complete data
+    assert sorted(r["v"] for r in reader_v1.collect()) == ["a", "b"]
+    assert [r["v"] for r in sio.read_snapshot(spark, tdir).collect()] == ["a2"]
+    # time travel
+    assert sio.read_snapshot(spark, tdir, version=1).count() == 2
+
+    # upsert commits a third version: k=1 replaced, k=3 appended
+    v3 = sio.merge_upsert_snapshot(
+        spark,
+        spark.createDataFrame([(1, "a3"), (3, "c")], "k long, v string"),
+        tdir,
+        ["k"],
+    )
+    assert v3 == 3
+    got = {r["k"]: r["v"] for r in sio.read_snapshot(spark, tdir).collect()}
+    assert got == {1: "a3", 3: "c"}
+
+    assert sio.vacuum_snapshots(tdir, keep=2) == [1]
+    assert sio.snapshot_versions(tdir) == [2, 3]
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        sio.read_snapshot(spark, tdir, version=1)
