@@ -4248,6 +4248,85 @@ def q117_arrow_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.l2_normalize_arrow(emb)
 
 
+@_q(
+    "q118_group_ols",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '2023-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+             CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), centered AS (
+      SELECT event_type, d - MIN(d) OVER (PARTITION BY event_type) AS x, y
+      FROM daily
+    ), s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x*y) AS BIGINT) AS sxy,
+             CAST(SUM(x*x) AS BIGINT) AS sxx
+      FROM centered GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+             AS slope_cents_per_day,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+              * CAST(sx AS DOUBLE)) / n AS intercept_cents
+    FROM s
+    WHERE n*sxx - sx*sx <> 0
+    """,
+)
+def q118_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group model fit (X16 extension): closed-form OLS trend of
+    daily revenue per event type, fitted inside ``applyInPandas`` — the
+    grouped-model pattern (one model per key) that per-entity
+    forecasting/feature pipelines use. All moment sums are EXACT int64
+    (cents x day-index), so the final slope/intercept doubles come from
+    identical integer inputs on both engines — bit-stable without any
+    rounding idiom. The daily pre-aggregate runs JVM-side first, so the
+    pandas stage sees ~30 rows per group, not raw events."""
+    import numpy as np
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2023-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(sum_cents(F.col("value")).alias("y"))
+
+    def ols(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = pdf["d"].to_numpy(np.int64)
+        y = pdf["y"].to_numpy(np.int64)
+        x = d - d.min()
+        n = len(x)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy, sxx = int((x * y).sum()), int((x * x).sum())
+        denom = n * sxx - sx * sx
+        if denom == 0:
+            return pd.DataFrame(
+                columns=["event_type", "n_days", "slope_cents_per_day", "intercept_cents"]
+            )
+        slope = float(n * sxy - sx * sy) / float(denom)
+        intercept = (float(sy) - slope * float(sx)) / n
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [n],
+                "slope_cents_per_day": [slope],
+                "intercept_cents": [intercept],
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandas(
+        ols,
+        schema="event_type string, n_days long, slope_cents_per_day double, intercept_cents double",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
