@@ -415,3 +415,53 @@ def chunk_documents(
         )
         .withColumn("chunk_len", F.length(F.col("chunk")))
     )
+
+
+# classifier_score constants. The token hash is a portable character
+# mix (both Spark and ANSI-ish SQL can compute it), standing in for
+# fastText's FNV hash; weights derive deterministically from the bucket
+# id, standing in for learned weights (which ship as a broadcast
+# array/map literal at deploy time). Weights are INTEGER millis in
+# [-1000, 1000] so the token sum is exact int64 on every engine.
+_CLF_BUCKETS = 4096
+_CLF_MIX = 2_654_435_761  # Knuth multiplicative constant
+_CLF_WMIX = 1_103_515_245  # glibc LCG multiplier
+
+
+def classifier_score(
+    text: Column,
+    n_buckets: int = _CLF_BUCKETS,
+    weight_seed: int = 7,
+) -> Column:
+    """fastText-style linear quality-classifier INFERENCE as pure Column
+    math (the model-based filtering step of DCLM / FineWeb-Edu style
+    curation): hash each token into ``n_buckets``, look up the bucket's
+    weight, average over tokens, squash with a logistic. The dataflow
+    (hash -> weight lookup -> mean -> sigmoid) is the production one and
+    runs at scan speed — no shuffle, no UDF, no model server. The
+    token-weight sum stays exact int64 (millis); only the final
+    mean/sigmoid is float, so results are engine-reproducible up to one
+    libm exp() ulp (round before comparing).
+
+    Returns a double in (0, 1)."""
+    toks = whitespace_tokens(F.lower(text))
+
+    def weight_millis(t: Column) -> Column:
+        # portable char mix: pad so 1-2 char tokens still index safely
+        p = F.concat(t, F.lit("__"))
+        m = (
+            F.ascii(p.substr(F.lit(1), F.lit(1))) * 131
+            + F.ascii(p.substr(F.lit(2), F.lit(1))) * 31
+            + F.ascii(p.substr(F.lit(3), F.lit(1))) * 17
+            + F.length(t)
+        ).cast("long")
+        b = F.pmod(m * F.lit(_CLF_MIX), F.lit(n_buckets))
+        return F.pmod(b * F.lit(_CLF_WMIX) + F.lit(weight_seed), F.lit(2001)) - 1000
+
+    sum_millis = F.aggregate(
+        F.transform(toks, weight_millis),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    mean_w = sum_millis.cast("double") / (F.size(toks) * F.lit(1000.0))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-mean_w))

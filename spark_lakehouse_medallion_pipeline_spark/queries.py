@@ -4327,6 +4327,55 @@ def q118_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q119_classifier_filter",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, source, len(toks) AS n_tokens,
+             CAST(list_sum(list_transform(toks, tk ->
+               ((((ascii(substr(tk || '__', 1, 1))*131
+                  + ascii(substr(tk || '__', 2, 1))*31
+                  + ascii(substr(tk || '__', 3, 1))*17
+                  + length(tk)) * 2654435761) % 4096) * 1103515245 + 7) % 2001
+               - 1000)) AS BIGINT) AS sum_millis
+      FROM t
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           {S_FLOOR("1.0 / (1.0 + exp(-(CAST(sum_millis AS DOUBLE) / (n_tokens * 1000.0))))", 6)}
+             AS clf_score
+    FROM s
+    WHERE 1.0 / (1.0 + exp(-(CAST(sum_millis AS DOUBLE) / (n_tokens * 1000.0)))) > 0.5
+    """,
+)
+def q119_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (X20 extension; the DCLM /
+    FineWeb-Edu curation step): score every document with a
+    fastText-style hashed linear classifier computed entirely in Column
+    math, keep docs scoring > 0.5. The weight sum is exact int64 so
+    both engines sigmoid the identical double; output rounds at 1e-6 to
+    absorb the one-ulp libm exp() difference. The >0.5 threshold
+    compares sigmoid(x) > 0.5 <=> x > 0, which is exact-integer, so the
+    kept SET cannot differ across engines. See
+    operators.text.classifier_score."""
+    docs = _t(spark, sf_dir, "documents")
+    score = text.classifier_score(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            text.token_count(F.col("text")).cast("long").alias("n_tokens"),
+            floor_round(score, 6).alias("clf_score"),
+            score.alias("_raw"),
+        )
+        .filter(F.col("_raw") > 0.5)
+        .drop("_raw")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------

@@ -269,3 +269,21 @@ def test_token_budget_curation_orders_and_stops(spark):
     # source b has its own budget: its single 16-token doc fits
     assert rows[4]["cum_tokens"] == 16
     assert rows[1]["quality"] == 1.0
+
+
+def test_classifier_score_bounds_and_determinism(spark):
+    """Hashed-linear classifier: scores in (0,1), deterministic for
+    identical text, safe on 1-char tokens (the padded mix)."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.text import classifier_score
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "the quick brown fox jumps high")],
+        "id long, t string",
+    )
+    rows = {
+        r["id"]: r["s"]
+        for r in df.select("id", classifier_score(F.col("t")).alias("s")).collect()
+    }
+    assert all(0.0 < v < 1.0 for v in rows.values())
+    assert rows[1] == rows[2]            # pure function of text
+    assert rows[1] != rows[3]            # different text -> different score
