@@ -4376,6 +4376,67 @@ def q119_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q120_vocab_encode",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ), tok AS (
+      SELECT doc_id, CAST(g AS BIGINT) AS pos, t[g+1] AS w
+      FROM toks, LATERAL UNNEST(range(len(t))) AS u(g)
+    ), wc AS (
+      SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w
+    ), vocab AS (
+      SELECT w, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS BIGINT) AS tid
+      FROM wc QUALIFY tid <= 25
+    ), enc AS (
+      SELECT tok.doc_id, tok.pos, COALESCE(vocab.tid, 0) AS tid
+      FROM tok LEFT JOIN vocab USING (w)
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS ids
+    FROM enc GROUP BY doc_id
+    """,
+)
+def q120_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer encode (X20 extension): build a frequency-ranked
+    vocabulary from the corpus itself (id 1 = most frequent word, ties
+    word-ascending, top 25 kept), then encode every document as its
+    ordered token-id sequence with 0 = UNK — the id-ization step between
+    text curation and training-shard writes. Scale shape: wordcount is
+    one map-combined shuffle; the rank window runs over the VOCAB (fixed
+    small K, the one acceptable single-partition window); the encode
+    join broadcasts the vocab; reassembly is one per-doc aggregate. In
+    production the vocab is a fixed artifact — the encode+reassemble
+    stages are unchanged."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(text.whitespace_tokens(F.col("text"))).alias("pos", "w"),
+    )
+    wc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        wc.withColumn(
+            "tid",
+            F.row_number().over(W.orderBy(F.desc("cnt"), "w")).cast("long"),
+        )
+        .filter(F.col("tid") <= 25)
+        .select("w", "tid")
+    )
+    enc = tok.join(F.broadcast(vocab), "w", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("tid"), F.lit(0)).alias("tid")
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "tid")))
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.array_join(
+            F.transform(ordered, lambda s: s["tid"].cast("string")), ","
+        ).alias("ids"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
