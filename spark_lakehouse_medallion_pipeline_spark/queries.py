@@ -4437,6 +4437,59 @@ def q120_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q121_split_leakage",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               (string_split_regex(trim(lower(text)), '\s+'))[1:8], ' ')) AS fp,
+             CASE WHEN ((doc_id % 1000003) * 2654435761 % 4294967296)
+                       / 4294967296.0 < 0.8
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT a.doc_id AS train_doc_id, b.doc_id AS test_doc_id, a.fp AS fingerprint
+    FROM s a JOIN s b ON a.fp = b.fp
+    WHERE a.split = 'train' AND b.split = 'test'
+    """,
+)
+def q121_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split assignment + leakage audit (X17/X20 extension):
+    deterministically assign every document to train (80%) or test via
+    the engine-portable Knuth-hash uniform (the q106 machinery — a
+    rerun-stable split rand() cannot give), then report every pair whose
+    8-token opening PREFIX matches across the split — held-out
+    contamination (a test prompt copied into a training doc), the error
+    every eval pipeline must check before trusting numbers. Prefix
+    fingerprints (not whole-text) are the production form: contaminated
+    copies rarely match byte-for-byte past the opening span. The pair
+    join is on the md5 fingerprint (well-spread key, never all-pairs);
+    at 100 TB the same join runs fingerprint-bucketed exactly as
+    written."""
+    docs = _t(spark, sf_dir, "documents")
+    prefix8 = F.array_join(
+        F.slice(text.whitespace_tokens(F.lower(F.col("text"))), 1, 8), " "
+    )
+    s = docs.select(
+        "doc_id",
+        F.md5(prefix8).alias("fp"),
+        F.when(
+            text.mixture_uniform(F.col("doc_id")) < 0.8, "train"
+        ).otherwise("test").alias("split"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, F.col("a.fp") == F.col("b.fp"))
+        .filter((F.col("a.split") == "train") & (F.col("b.split") == "test"))
+        .select(
+            F.col("a.doc_id").alias("train_doc_id"),
+            F.col("b.doc_id").alias("test_doc_id"),
+            F.col("a.fp").alias("fingerprint"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
