@@ -4490,6 +4490,47 @@ def q121_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q122_sql_script",
+    """
+    SELECT 3 AS n_months,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS q1_revenue
+    FROM lineitem
+    WHERE MONTH(l_shipdate) IN (1, 2, 3)
+    """,
+)
+def q122_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting surface (Spark 4, S11 extension): a BEGIN..END
+    script with DECLARE'd variables and a WHILE loop accumulating
+    monthly revenue into a session variable — the procedural-ETL shape
+    (SQL-standard SQL/PSM control flow) that previously needed driver
+    Python. Each loop iteration's aggregate is a normal distributed
+    job; only the scalar accumulator lives in the script. The oracle is
+    the equivalent set-based aggregate — identical cents-exact total."""
+    prev = spark.conf.get("spark.sql.scripting.enabled", "true")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(
+            f"""
+            BEGIN
+              DECLARE m INT DEFAULT 1;
+              DECLARE total BIGINT DEFAULT 0;
+              WHILE m <= 3 DO
+                SET total = total + COALESCE(
+                  (SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+                   FROM parquet.`{sf_dir}/lineitem.parquet`
+                   WHERE MONTH(l_shipdate) = m), 0);
+                SET m = m + 1;
+              END WHILE;
+              SELECT 3 AS n_months, CAST(total AS DOUBLE) / 100.0 AS q1_revenue;
+            END
+            """
+        )
+    finally:
+        spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
