@@ -4531,6 +4531,50 @@ def q122_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.scripting.enabled", prev)
 
 
+@_q(
+    "q123_xml_battery",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q123_xml_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML functions (X22 extension, Spark 4 expression variants):
+    serialize each event to an XML fragment with to_xml, recover fields
+    BOTH ways — typed from_xml struct parse and xpath_string /
+    xpath_long point extraction — and aggregate the round-tripped
+    values. A filter pins xpath == from_xml per row, so any asymmetry
+    between the two parsers drops rows and breaks the count. The oracle
+    aggregates the raw columns directly: the XML round trip must be
+    lossless (values ride as exact integer cents). Scan-side expression
+    work only — one aggregate shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    xml = ev.select(
+        F.to_xml(
+            F.struct(
+                F.col("event_id"),
+                F.col("event_type"),
+                cents(F.col("value")).alias("cents"),
+            )
+        ).alias("x")
+    )
+    parsed = xml.select(
+        F.from_xml("x", "event_id BIGINT, event_type STRING, cents BIGINT").alias("b"),
+        F.xpath_string("x", F.lit("/ROW/event_type")).alias("xp_type"),
+        F.xpath_long("x", F.lit("/ROW/cents")).alias("xp_cents"),
+    ).filter(
+        (F.col("b.event_type") == F.col("xp_type"))
+        & (F.col("b.cents") == F.col("xp_cents"))
+    )
+    return parsed.groupBy(F.col("b.event_type").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("b.cents").alias("total_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
