@@ -4575,6 +4575,48 @@ def q123_xml_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q124_python_datasource",
+    """
+    WITH src AS (
+      SELECT range AS doc_id,
+             (range % 1000003) * 2654435761 % 4294967296 AS mixed
+      FROM range(5000)
+    )
+    SELECT 'shard' || CAST(mixed % 4 AS VARCHAR) AS shard,
+           COUNT(*) AS n,
+           CAST(SUM(mixed % 4096) AS BIGINT) AS bucket_sum,
+           MIN(CAST(mixed AS DOUBLE) / 4294967296.0) AS min_u,
+           MAX(CAST(mixed AS DOUBLE) / 4294967296.0) AS max_u
+    FROM src GROUP BY 1
+    """,
+)
+def q124_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Python Data Source API (Spark 4; S-family
+    extension): read 5000 rows from the registered ``synthetic_docs``
+    source across 8 executor-side partitions and aggregate per shard.
+    Every value is a pure function of the row id (Knuth mix), so DuckDB
+    recomputes the identical rows from range(5000) — a value-for-value
+    oracle over a CUSTOM SOURCE, proving the connector's partition
+    slicing loses/duplicates nothing. See sources/pydatasource.py."""
+    from spark_lakehouse_medallion_pipeline_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    src = (
+        spark.read.format("synthetic_docs")
+        .option("rows", "5000")
+        .option("partitions", "8")
+        .option("shards", "4")
+        .load()
+    )
+    return src.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("bucket").alias("bucket_sum"),
+        F.min("u").alias("min_u"),
+        F.max("u").alias("max_u"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------

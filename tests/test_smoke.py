@@ -183,3 +183,29 @@ def test_snapshot_table_versioned_commits(spark, tmp_path):
     assert sio.snapshot_versions(tdir) == [2, 3]
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         sio.read_snapshot(spark, tdir, version=1)
+
+
+def test_python_datasource_partition_slicing(spark):
+    """synthetic_docs custom source: exact row count under uneven
+    ceil-division slicing, executor-side parallelism equal to the
+    partitions option, and values independent of the partitioning."""
+    from spark_lakehouse_medallion_pipeline_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+
+    def load(rows, parts):
+        return (
+            spark.read.format("synthetic_docs")
+            .option("rows", str(rows))
+            .option("partitions", str(parts))
+            .load()
+        )
+
+    df = load(103, 8)  # 103 does not divide by 8 -> last slice short
+    assert df.count() == 103
+    assert df.rdd.getNumPartitions() == 8
+    assert df.select("doc_id").distinct().count() == 103
+    # repartitioning the SOURCE must not change the data
+    a = sorted(load(50, 7).collect())
+    b = sorted(load(50, 2).collect())
+    assert a == b
