@@ -19,7 +19,12 @@ CUSTOM SOURCE value-for-value in DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 # same constants as operators.text.mixture_uniform (kept literal here so
 # the source has no package deps when pickled to executors)
@@ -47,6 +52,9 @@ class SyntheticDocsDataSource(DataSource):
     def reader(self, schema) -> "SyntheticDocsReader":
         return SyntheticDocsReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SyntheticDocsStreamReader":
+        return SyntheticDocsStreamReader(self.options)
+
 
 class SyntheticDocsReader(DataSourceReader):
     def __init__(self, options: dict):
@@ -63,15 +71,44 @@ class SyntheticDocsReader(DataSourceReader):
         per = -(-self.rows // self.n_parts)  # ceil division
         start = partition.value * per
         end = min(start + per, self.rows)
-        shards = self.shards
         for doc_id in range(start, end):
-            mixed = (doc_id % _P) * _K % _M
-            yield (
-                doc_id,
-                mixed % 4096,
-                mixed / _M,
-                f"shard{mixed % shards}",
-            )
+            yield _row(doc_id, self.shards)
+
+
+def _row(doc_id: int, shards: int) -> tuple:
+    mixed = (doc_id % _P) * _K % _M
+    return (doc_id, mixed % 4096, mixed / _M, f"shard{mixed % shards}")
+
+
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming variant of the same feed: each microbatch advances the
+    offset by ``batch`` ids until ``rows`` is exhausted — the
+    incremental-shard-ingest shape (new corpus slices arriving over
+    time) with EXACTLY the batch source's values, so stream output ==
+    batch output row-for-row (pinned in pytest). Offsets are plain
+    ``{"pos": n}`` dicts: checkpointable, replayable
+    (readBetweenOffsets re-derives any committed range exactly — the
+    source is a pure function of id, so replay after failure is
+    deterministic)."""
+
+    def __init__(self, options: dict):
+        self.rows = int(options.get("rows", 1000))
+        self.batch = max(1, int(options.get("batch", 100)))
+        self.shards = max(1, int(options.get("shards", 4)))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        pos = start["pos"]
+        end = min(pos + self.batch, self.rows)
+        return (
+            iter([_row(i, self.shards) for i in range(pos, end)]),
+            {"pos": end},
+        )
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_row(i, self.shards) for i in range(start["pos"], end["pos"])])
 
 
 def register(spark) -> None:

@@ -314,3 +314,33 @@ def test_incremental_gold_refresh_matches_batch(spark, tmp_path):
                 assert abs(vg - vw) < 1e-6
             else:
                 assert vg == vw
+
+
+def test_python_streaming_source_equals_batch(spark, tmp_path):
+    """Custom Python streaming source: microbatched ingest over offsets
+    produces exactly the batch source's rows (same pure-function
+    derivation), across multiple batches with a checkpoint."""
+    from spark_lakehouse_medallion_pipeline_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    stream = (
+        spark.readStream.format("synthetic_docs")
+        .option("rows", "250")
+        .option("batch", "100")  # 3 microbatches: 100+100+50
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pyds_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ck_pyds"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(spark.table("pyds_stream_out").collect())
+    want = sorted(
+        spark.read.format("synthetic_docs").option("rows", "250").load().collect()
+    )
+    assert got == want and len(got) == 250
