@@ -4617,6 +4617,66 @@ def q124_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q125_cogroup_asof",
+    """
+    SELECT l.event_id, l.user_id, r.value AS asof_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q125_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped pandas surface (X16): the SAME as-of semantics as q24,
+    but via ``groupBy().cogroup().applyInPandas`` + pandas merge_asof —
+    the two-sided grouped-map API (per-key pairs of Arrow batches),
+    which custom join/alignment logic uses when the composition route
+    (q24's union + carry-forward window) can't express it. Same oracle
+    as q24: both routes must produce identical rows. Scale shape: one
+    co-partitioning shuffle on the key; each user's slice is tiny."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+
+    def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "user_id": pd.Series(dtype="int64"),
+                 "asof_click_value": pd.Series(dtype="float64")}
+            )
+        left = left.sort_values("ts")
+        if right.empty:
+            out = left[["event_id", "user_id"]].copy()
+            out["asof_click_value"] = float("nan")
+            return out
+        merged = pd.merge_asof(
+            left,
+            right.sort_values("ts")[["ts", "value"]],
+            on="ts",
+            direction="backward",
+        )
+        return pd.DataFrame(
+            {
+                "event_id": merged["event_id"],
+                "user_id": merged["user_id"],
+                "asof_click_value": merged["value"],
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            asof, schema="event_id long, user_id long, asof_click_value double"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
