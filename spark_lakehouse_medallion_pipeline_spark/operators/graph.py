@@ -1,0 +1,76 @@
+"""Iterative graph analytics on DataFrames.
+
+Companion to operators.dedup.connected_components (pointer-jumping label
+propagation): this module holds rank-propagation style algorithms. All
+integer arithmetic — floor divisions at every step — so a fixed
+iteration count yields BIT-IDENTICAL results on any engine, which is
+what lets an iterative algorithm be value-oracled in SQL (unrolled
+CTEs) instead of settling for a rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAGERANK_SCALE = 1_000_000_000_000  # ranks are parts-per-10^12
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = PAGERANK_SCALE,
+) -> DataFrame:
+    """PageRank with 0.85 damping over a directed edge list, in pure
+    integer arithmetic: every node starts at ``scale``; one iteration is
+
+        contrib(v) = sum over edges (u, v) of  r(u) DIV outdeg(u)
+        r'(v)      = (15*scale + 85*contrib(v)) DIV 100
+
+    (floor division at both steps — deterministic on every engine, no
+    float summation order to diverge). Dangling mass is dropped, the
+    classic simplification.
+
+    Scale shape per iteration: one hash join of the edge list against
+    the (|V|-row) rank table + one map-combined aggregate — the standard
+    distributed PageRank step. The rank/degree tables are node-sized, so
+    AQE broadcasts them against a 100 TB edge list; lineage is truncated
+    every iteration with localCheckpoint (the connected_components
+    lesson — without it the plan doubles per round).
+
+    Returns (name, rank) with rank in parts-per-``scale``.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("name"))
+        .union(edges.select(F.col(dst).alias("name")))
+        .distinct()
+    )
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_outdeg"))
+    e = edges.join(deg, src)  # (src, dst, _outdeg)
+    ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
+    base = 15 * scale
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("name", src), src)
+            .select(
+                F.col(dst).alias("name"),
+                F.expr("r DIV _outdeg").alias("_c"),
+            )
+            .groupBy("name")
+            .agg(F.sum("_c").alias("_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, "name", "left")
+            .select(
+                "name",
+                (
+                    (F.lit(base) + F.lit(85) * F.coalesce(F.col("_sum"), F.lit(0)))
+                    .cast("long")
+                ).alias("_num"),
+            )
+            .select("name", F.expr("_num DIV 100").alias("r"))
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("name", F.col("r").alias("rank"))

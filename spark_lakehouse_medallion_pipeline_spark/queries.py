@@ -4677,6 +4677,81 @@ def q125_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q126_pagerank_nations",
+    """
+    WITH e AS (
+      SELECT DISTINCT cn.n_name AS src, sn.n_name AS dst
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    ), nodes AS (
+      SELECT src AS name FROM e UNION SELECT dst FROM e
+    ), deg AS (
+      SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src
+    ), r0 AS (
+      SELECT name, CAST(1000000000000 AS BIGINT) AS r FROM nodes
+    ), r1 AS (
+      SELECT n.name,
+             (15000000000000 + 85*COALESCE(c.s, 0)) // 100 AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS name, CAST(SUM(r.r // d.outdeg) AS BIGINT) AS s
+        FROM e JOIN r0 r ON e.src = r.name JOIN deg d ON e.src = d.src
+        GROUP BY e.dst) c ON n.name = c.name
+    ), r2 AS (
+      SELECT n.name,
+             (15000000000000 + 85*COALESCE(c.s, 0)) // 100 AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS name, CAST(SUM(r.r // d.outdeg) AS BIGINT) AS s
+        FROM e JOIN r1 r ON e.src = r.name JOIN deg d ON e.src = d.src
+        GROUP BY e.dst) c ON n.name = c.name
+    ), r3 AS (
+      SELECT n.name,
+             (15000000000000 + 85*COALESCE(c.s, 0)) // 100 AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS name, CAST(SUM(r.r // d.outdeg) AS BIGINT) AS s
+        FROM e JOIN r2 r ON e.src = r.name JOIN deg d ON e.src = d.src
+        GROUP BY e.dst) c ON n.name = c.name
+    )
+    SELECT name, CAST(r AS BIGINT) AS rank FROM r3
+    """,
+)
+def q126_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph analytics (beyond connected components): 3
+    PageRank iterations over the nation-level trade graph (customer
+    nation -> supplier nation edges from the order/lineitem fact). The
+    integer-arithmetic formulation (operators.graph.pagerank_int) makes
+    a fixed-iteration ITERATIVE algorithm bit-exact cross-engine — the
+    oracle unrolls the three iterations as CTEs and every rank must
+    match to the last digit."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.graph import pagerank_int
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(cn, c.c_nationkey == F.col("c_nk"))
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(sn, s.s_nationkey == F.col("s_nk"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return pagerank_int(edges, iterations=3)
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------

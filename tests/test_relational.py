@@ -237,3 +237,26 @@ def test_q113_approx_top_k_exact_at_test_scale(spark, sf_dir):
     # every strictly-above-cut part must be present
     must = {p for p, n in exact_counts.items() if n > kth}
     assert must <= {p for p, _ in got}
+
+
+def test_pagerank_int_hand_computed(spark):
+    """Integer PageRank: a 2-cycle is a fixed point at the initial rank;
+    a source->sink edge gives the sink exactly the damped formula value,
+    reproduced here with python ints (same floor divisions)."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.graph import (
+        PAGERANK_SCALE as S,
+    )
+    from spark_lakehouse_medallion_pipeline_spark.operators.graph import pagerank_int
+
+    cyc = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    got = {r["name"]: r["rank"] for r in pagerank_int(cyc, iterations=3).collect()}
+    assert got == {"a": S, "b": S}  # symmetric cycle is a fixed point
+
+    chain = spark.createDataFrame([("a", "b")], "src string, dst string")
+    ra, rb = S, S
+    for _ in range(3):
+        contrib_b = ra // 1
+        ra, rb = (15 * S + 85 * 0) // 100, (15 * S + 85 * contrib_b) // 100
+    got = {r["name"]: r["rank"] for r in pagerank_int(chain, iterations=3).collect()}
+    assert got == {"a": ra, "b": rb}
+    assert got["b"] > got["a"]
