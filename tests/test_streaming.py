@@ -344,3 +344,39 @@ def test_python_streaming_source_equals_batch(spark, tmp_path):
         spark.read.format("synthetic_docs").option("rows", "250").load().collect()
     )
     assert got == want and len(got) == 250
+
+
+def test_streaming_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Exactly-once across restart: a query consumes 150 rows into a
+    file sink, stops, and a NEW query over the same checkpoint (with
+    the feed grown to 250) appends ONLY rows 150..249 — committed
+    offsets survive the restart, nothing is re-emitted and nothing is
+    skipped, so the sink holds each id exactly once."""
+    from spark_lakehouse_medallion_pipeline_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    ck = str(tmp_path / "ck_restart")
+    out = str(tmp_path / "restart_out")
+
+    def run(rows):
+        q = (
+            spark.readStream.format("synthetic_docs")
+            .option("rows", str(rows))
+            .option("batch", "50")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(150)
+    assert spark.read.parquet(out).count() == 150
+
+    run(250)  # restart: offsets resume at 150, feed has grown
+    ids = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert ids == list(range(250))  # every id exactly once
