@@ -4752,6 +4752,60 @@ def q126_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(edges, iterations=3)
 
 
+@_q(
+    "q127_data_quality",
+    """
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             COUNT(user_id) AS c_user,
+             COUNT(DISTINCT event_id) AS d_event,
+             CAST(SUM(CASE WHEN value BETWEEN 0 AND 400 THEN 1 ELSE 0 END) AS BIGINT) AS in_bounds,
+             CAST(SUM(CASE WHEN event_type IN ('click','view','purchase','signup')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS in_set
+      FROM events
+    )
+    SELECT * FROM (
+      SELECT 'completeness' AS rule, 'user_id' AS "column",
+             CAST(c_user AS DOUBLE)/n AS observed,
+             CAST(1.0 AS DOUBLE) AS threshold,
+             CAST(c_user AS DOUBLE)/n >= 1.0 AS passed FROM m
+      UNION ALL
+      SELECT 'uniqueness', 'event_id', CAST(d_event AS DOUBLE)/n,
+             CAST(1.0 AS DOUBLE),
+             CAST(d_event AS DOUBLE)/n >= 1.0 FROM m
+      UNION ALL
+      SELECT 'bounds', 'value', CAST(in_bounds AS DOUBLE)/n,
+             CAST(1.0 AS DOUBLE),
+             CAST(in_bounds AS DOUBLE)/n >= 1.0 FROM m
+      UNION ALL
+      SELECT 'membership', 'event_type', CAST(in_set AS DOUBLE)/n,
+             CAST(1.0 AS DOUBLE),
+             CAST(in_set AS DOUBLE)/n >= 1.0 FROM m
+    )
+    """,
+)
+def q127_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality contract (Deequ-style; beyond the
+    reference's count()==0 guards): completeness, key uniqueness, value
+    bounds and enum membership over events, ALL evaluated in one
+    aggregate pass (operators.quality.check_constraints) and reported
+    per rule. The bounds/membership rules are deliberately violated by
+    part of the data (value > 400 rows, 'error' events), so the report
+    exercises both passed=true and passed=false paths."""
+    from spark_lakehouse_medallion_pipeline_spark.operators import quality as Q
+
+    ev = _t(spark, sf_dir, "events")
+    return Q.check_constraints(
+        ev,
+        [
+            Q.completeness("user_id", 1.0),
+            Q.uniqueness("event_id", 1.0),
+            Q.bounds("value", 0, 400),
+            Q.membership("event_type", ["click", "view", "purchase", "signup"]),
+        ],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
