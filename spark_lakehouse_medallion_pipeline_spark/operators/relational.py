@@ -153,3 +153,37 @@ def write_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a change-data-capture batch onto a snapshot: ``changes``
+    carries (key, seq, op in {I,U,D}, payload columns matching base's
+    schema minus the op/seq columns). Per key, the HIGHEST-seq change
+    wins (late-arriving lower-seq ops are ignored — standard CDC
+    compaction); a winning D removes the key, a winning I/U replaces the
+    row, untouched base rows survive.
+
+    Scale shape: one window shuffle to compact the change batch to its
+    winners (change batches are deltas — small next to the snapshot),
+    then one left-anti join keyed on the snapshot (AQE broadcasts the
+    compacted winners when they fit) + a union. This is the dataflow a
+    Delta MERGE compiles to; here it is explicit and format-agnostic —
+    pair with sources.io.write_snapshot for a reader-safe commit."""
+    from pyspark.sql import Window
+
+    payload = [c for c in base.columns]
+    w = Window.partitionBy(key).orderBy(F.desc(seq_col))
+    winners = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    survivors = base.join(winners.select(key), key, "left_anti")
+    upserts = winners.filter(F.col(op_col) != "D").select(*payload)
+    return survivors.unionByName(upserts)

@@ -4806,6 +4806,81 @@ def q127_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q128_cdc_apply",
+    """
+    WITH ch AS (
+      SELECT o_custkey AS c_custkey,
+             'updated_' || CAST(o_custkey AS VARCHAR) AS c_name,
+             o_totalprice AS c_acctbal,
+             o_orderkey AS seq,
+             CASE WHEN o_custkey % 97 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM orders
+    ), w AS (
+      SELECT * FROM ch
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY seq DESC) = 1
+    ), surv AS (
+      SELECT c.c_custkey, c.c_name, c.c_acctbal
+      FROM customer c ANTI JOIN w USING (c_custkey)
+    ), ups AS (
+      SELECT c_custkey, c_name, c_acctbal FROM w WHERE op <> 'D'
+    )
+    SELECT c_custkey, c_name,
+           CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_cents
+    FROM (SELECT * FROM surv UNION ALL SELECT * FROM ups)
+    """,
+)
+def q128_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply (warehouse maintenance): compact a CDC
+    batch (derived deterministically from orders: highest order per
+    customer wins; custkey % 97 == 0 arrives as a delete) and merge it
+    onto the customer snapshot — late-arriving lower-seq ops ignored,
+    deletes removing keys, upserts replacing rows, untouched rows
+    surviving. The full post-merge state is value-checked. See
+    operators.relational.apply_cdc for the window-compact + anti-join
+    + union dataflow (what a Delta MERGE compiles to, format-agnostic)."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.relational import apply_cdc
+
+    base = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    o = _t(spark, sf_dir, "orders")
+    changes = o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(F.lit("updated_"), F.col("o_custkey").cast("string")).alias("c_name"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_custkey") % 97 == 0, "D").otherwise("U").alias("op"),
+    )
+    merged = apply_cdc(base, changes, key="c_custkey", seq_col="seq")
+    return merged.select(
+        "c_custkey", "c_name", cents(F.col("c_acctbal")).alias("acctbal_cents")
+    )
+
+
+@_q(
+    "q129_scd2_history",
+    """
+    SELECT user_id,
+           CAST(ROUND(value*100) AS BIGINT) AS value_cents,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q129_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 build (warehouse versioning):
+    each user's purchase stream becomes validity intervals
+    [valid_from, valid_to) closed by the next change, latest row open
+    with is_current — one lead() window, no self-join
+    (operators.timeseries.scd2_intervals). Timestamps round-trip the
+    NTZ read path; the value rides as exact cents."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.timeseries import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    ch = ev.select("user_id", "ts", cents(F.col("value")).alias("value_cents"))
+    return scd2_intervals(ch, key="user_id", ts_col="ts", attr_cols=["value_cents"])
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
