@@ -4881,6 +4881,51 @@ def q129_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_intervals(ch, key="user_id", ts_col="ts", attr_cols=["value_cents"])
 
 
+@_q(
+    "q130_point_in_time",
+    """
+    WITH hist AS (
+      SELECT user_id,
+             CAST(ROUND(value*100) AS BIGINT) AS value_cents,
+             ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id, h.value_cents AS feature_value_cents
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN hist h
+      ON c.user_id = h.user_id
+     AND c.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR c.ts < h.valid_to)
+    """,
+)
+def q130_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature lookup (the feature-store join): each click
+    reads the purchase-history version VALID AT ITS TIMESTAMP from the
+    q129 SCD2 intervals — no leakage from the future, no stale reads
+    from before the version opened. Implemented as the as-of composition
+    (union + carry-forward window, ONE shuffle — the interval
+    containment against half-open [valid_from, valid_to) is exactly
+    'latest valid_from <= ts', so no interval join is needed); inner
+    semantics drop clicks before a user's first version, matching the
+    oracle's containment join."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    hist = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", cents(F.col("value")).alias("value_cents")
+    )
+    joined = timeseries.asof_join_backward(
+        clicks, hist, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["value_cents"],
+    )
+    return joined.filter(F.col("asof_value_cents").isNotNull()).select(
+        "event_id", "user_id",
+        F.col("asof_value_cents").alias("feature_value_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
