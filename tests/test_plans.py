@@ -276,3 +276,22 @@ def test_runtime_bloom_filter_injected(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_partitioned_join(spark, tmp_path):
+    """Joining a Hive-partitioned fact to a filtered dim on the
+    partition column must inject a dynamicpruning PartitionFilter — at
+    100 TB this is the difference between scanning one partition and
+    scanning the table. The filter appears as a subquery against the
+    dim side feeding the fact scan's partition pruning."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    fact_dir = str(tmp_path / "dpp_fact")
+    ev.selectExpr("event_id", "user_id", "value", "event_type").write.partitionBy(
+        "event_type"
+    ).parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("click", "c"), ("view", "v")], "event_type string, label string"
+    ).filter("label = 'c'")
+    plan = explain.formatted(fact.join(dim, "event_type"))
+    assert "dynamicpruningexpression" in plan.lower()
