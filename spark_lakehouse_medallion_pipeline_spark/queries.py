@@ -4926,6 +4926,39 @@ def q130_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q131_sql_sugar",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority, n, total_cents
+    """,
+)
+def q131_sql_sugar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern SQL sugar battery (S11 extension): SELECT * EXCEPT
+    (projection by exclusion — the wide-table idiom), GROUP BY ALL
+    (group on every non-aggregate output) and ORDER BY ALL, all in one
+    statement. The oracle is the fully-expanded classic form, so the
+    sugar must desugar to exactly the same grouping and ordering."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q131_orders")
+    return spark.sql(
+        """
+        WITH slim AS (
+          SELECT * EXCEPT (o_orderkey, o_custkey, o_orderdate) FROM q131_orders
+        )
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM slim
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
