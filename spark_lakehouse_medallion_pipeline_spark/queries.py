@@ -4959,6 +4959,38 @@ def q131_sql_sugar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q132_parameterized_sql",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_totalprice > 150000.0 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def q132_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL with named markers + the IDENTIFIER() clause
+    (S11 extension): values bind as TYPED parameters (:threshold,
+    :status — injection-safe templating, no string interpolation of
+    values) and the table name binds through IDENTIFIER(:tbl), the safe
+    form of dynamic object references. The oracle is the same query
+    with literals inlined."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q132_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice > :threshold AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"tbl": "q132_orders", "threshold": 150000.0, "status": "F"},
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
