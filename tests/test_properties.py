@@ -101,3 +101,88 @@ def test_asof_join_matches_naive(spark, lefts, rights):
             max(cands, key=lambda r: r["rts"])["val"] if cands else None
         )
     assert got == naive
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    changes=st.lists(
+        st.tuples(
+            st.integers(0, 5),          # key
+            st.integers(0, 100),        # seq
+            st.sampled_from(["I", "U", "D"]),
+            st.integers(0, 999),        # payload value
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_apply_cdc_idempotent_and_matches_naive(spark, changes):
+    """apply_cdc == naive python fold by (key, max seq); applying the
+    same batch twice equals applying it once (idempotence — retried
+    batches must be safe)."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.relational import apply_cdc
+
+    base_rows = [(k, -1) for k in range(3)]  # keys 0..2 pre-exist
+    base = spark.createDataFrame(base_rows, "k long, v long")
+    # de-dup (key, seq) pairs: CDC streams have unique sequence numbers
+    seen = {}
+    for k, seq, op, v in changes:
+        seen[(k, seq)] = (k, seq, op, v)
+    log = list(seen.values())
+    ch = spark.createDataFrame(log, "k long, seq long, op string, v long")
+    ch = ch.select("k", "v", "seq", "op")
+
+    def naive():
+        state = dict(base_rows)
+        winners = {}
+        for k, seq, op, v in log:
+            if k not in winners or seq > winners[k][0]:
+                winners[k] = (seq, op, v)
+        for k, (seq, op, v) in winners.items():
+            if op == "D":
+                state.pop(k, None)
+            else:
+                state[k] = v
+        return sorted(state.items())
+
+    once = apply_cdc(base, ch, key="k", seq_col="seq")
+    assert sorted((r["k"], r["v"]) for r in once.collect()) == naive()
+    twice = apply_cdc(once, ch, key="k", seq_col="seq")
+    assert sorted((r["k"], r["v"]) for r in twice.collect()) == naive()
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ts=st.lists(
+        st.tuples(st.integers(0, 3), offsets), min_size=1, max_size=30
+    )
+)
+def test_scd2_intervals_partition_timeline(spark, ts):
+    """SCD2 output per key: half-open intervals are ordered, disjoint,
+    contiguous (each valid_to == next valid_from), and exactly one open
+    (is_current) row per key."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.timeseries import scd2_intervals
+
+    rows = sorted({(k, BASE + timedelta(seconds=s)) for k, s in ts})
+    df = spark.createDataFrame(
+        [(k, t, 1) for k, t in rows], "k long, ts timestamp, attr long"
+    )
+    out = scd2_intervals(df, key="k", ts_col="ts", attr_cols=["attr"]).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, ivs in by_key.items():
+        ivs.sort(key=lambda r: r["valid_from"])
+        assert sum(r["is_current"] for r in ivs) == 1
+        assert ivs[-1]["is_current"] and ivs[-1]["valid_to"] is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"]  # contiguous
+            assert a["valid_from"] < a["valid_to"]   # non-degenerate
