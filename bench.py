@@ -66,6 +66,8 @@ HEADLINE = [
     "q114_repeated_line_removal",
     "q119_classifier_filter",
     "q120_vocab_encode",
+    "q126_pagerank_nations",
+    "q128_cdc_apply",
     "medallion_gold_kpis",
 ]
 

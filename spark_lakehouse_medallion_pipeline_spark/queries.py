@@ -1037,7 +1037,7 @@ def q37_lsh_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "q126_pagerank_nations",
+    "q38_embedding_stats",
     f"""
     SELECT vec_id,
            len(embedding) AS dim,
@@ -1602,6 +1602,7 @@ def q52_pivot_daily_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q53_unpivot_charges",
     f"""
     SELECT measure, CAST(SUM(c) AS BIGINT) AS total_cents FROM (
       SELECT 'l_quantity' AS measure, {SC('l_quantity')} AS c FROM lineitem
@@ -1629,6 +1630,7 @@ def q53_unpivot_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q54_window_distribution",
     f"""
     SELECT c_custkey, c_mktsegment,
            NTILE(4) OVER w AS quartile,
@@ -1826,7 +1828,7 @@ def q59_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "q123_xml_battery",
+    "q60_map_struct_battery",
     """
     SELECT user_id,
            COUNT(*) AS n_types,
@@ -2078,7 +2080,7 @@ def q66_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "q114_repeated_line_removal",
+    "q67_dedup_clusters",
     f"""
     WITH RECURSIVE
     t AS (
@@ -4989,6 +4991,42 @@ def q132_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q133_salted_join",
+    """
+    SELECT e.event_type, d.weight, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(e.value*100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events e
+    JOIN (VALUES ('click', 1), ('view', 2), ('purchase', 10), ('signup', 5),
+                 ('error', 0)) AS d(event_type, weight)
+      ON e.event_type = d.event_type
+    GROUP BY e.event_type, d.weight
+    """,
+)
+def q133_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join, value-verified (X1 at-scale variant): events
+    join a 5-row dim on event_type — five keys for the whole fact table
+    is the degenerate skew a plain shuffled join dies on (five straggler
+    tasks). operators.relational.salted_join spreads each key over
+    n_salts sub-partitions (left rows get a random salt, the small side
+    replicates n_salts times), and the oracle's PLAIN join pins that
+    salting changes the distribution, never the result. AQE's skew
+    handling covers sort-merge cases; explicit salting is the form that
+    also fixes aggregate-after-join hotspots and pre-AQE engines."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.relational import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 10), ("signup", 5), ("error", 0)],
+        "event_type string, weight int",
+    )
+    joined = salted_join(ev, dim, key="event_type", n_salts=8)
+    return joined.groupBy("event_type", "weight").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents(F.col("value"))).alias("total_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
@@ -5074,6 +5112,24 @@ _DRIVER_SNAPSHOT_50 = [
 
 
 def _reorder_for_driver_snapshot() -> None:
+    import re as _re
+
+    # Registry integrity: every name well-formed and q-numbers contiguous.
+    # (A bad multi-site edit once turned two decorator names into their
+    # oracle SQL strings and silently shadowed three more — this catches
+    # both classes at import time.)
+    nums = []
+    for name in QUERIES:
+        assert _re.fullmatch(r"q\d+_[a-z0-9_]+|medallion_[a-z_]+", name), (
+            f"malformed query name: {name!r:.80}"
+        )
+        if name.startswith("q"):
+            nums.append(int(_re.match(r"q(\d+)", name).group(1)))
+    nums.sort()
+    assert nums == list(range(1, len(nums) + 1)), (
+        f"q-number gaps (shadowed registration?): "
+        f"{[i for i in range(1, len(nums) + 1) if i not in set(nums)]}"
+    )
     assert len(_DRIVER_SNAPSHOT_50) == 50, len(_DRIVER_SNAPSHOT_50)
     head = set(_DRIVER_SNAPSHOT_50)
     missing = head - set(QUERIES)
