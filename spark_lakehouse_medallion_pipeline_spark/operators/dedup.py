@@ -729,3 +729,90 @@ def fuzzy_pairs(
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-bitset bloom prefilter (X17 at-scale variant)
+# ---------------------------------------------------------------------------
+
+
+def bitset_bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 2,
+) -> DataFrame:
+    """Build a bloom filter over ``keys[key_col]`` as a TABLE of set
+    64-bit words: (word_idx bigint, word bigint), at most m_bits/64 rows.
+
+    Distributed build: each key maps to ``n_hashes`` bit positions
+    (pmod(xxhash64(key, seed), m_bits)); positions group by word index
+    with a bit_or partial aggregate — map-side combined, one shuffle of
+    at most m_bits/64 * shuffle_partitions rows. The result is kilobytes
+    for m_bits = 2^20 and broadcastable at any corpus size because its
+    size is bounded by m_bits, NOT by the key count (pick m_bits ~ 10x
+    expected keys for a ~1% false-positive rate at n_hashes=2).
+    """
+    if m_bits % 64 != 0:
+        raise ValueError(f"m_bits ({m_bits}) must be a multiple of 64")
+    pos = [
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
+        for i in range(n_hashes)
+    ]
+    exploded = keys.select(
+        F.explode(F.array(*pos)).alias("_pos")
+    ).select(
+        F.expr("_pos div 64").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))").alias("_bit"),
+    )
+    return exploded.groupBy("word_idx").agg(F.bit_or("_bit").alias("word"))
+
+
+def bloom_prefilter_semi_join(
+    probe: DataFrame,
+    reference: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 2,
+    verify: bool = True,
+) -> DataFrame:
+    """Semi-join ``probe`` against ``reference`` on ``key_col`` with a
+    broadcast bloom-bitset prefilter.
+
+    Why not a plain semi-join: at 100 TB the shuffle moves EVERY probe
+    row. The bloom table (bounded by m_bits/64 words, see
+    bitset_bloom_build) broadcasts to every executor; rows whose k bits
+    are not all set are dropped AT THE SCAN, so only candidate rows (true
+    matches + ~1% false positives) reach the exact verify semi-join. Same
+    physics as Spark's own runtime bloom pruning
+    (spark.sql.optimizer.runtime.bloomFilter.enabled, pinned in
+    test_plans), exposed as a composable operator for when the optimizer
+    cannot see the relationship (pre-built reference sets, cross-job
+    reuse of a persisted filter table).
+
+    With ``verify=False`` returns the prefiltered candidates only
+    (exact-verify skipped — acceptable when downstream tolerates the
+    false-positive rate, e.g. routing to a verification queue).
+    """
+    bloom = bitset_bloom_build(reference.select(key_col), key_col, m_bits, n_hashes)
+    out = probe
+    for i in range(n_hashes):
+        out = out.withColumn(
+            f"_pos{i}", F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
+        )
+        w = bloom.select(
+            F.col("word_idx").alias(f"_wi{i}"), F.col("word").alias(f"_w{i}")
+        )
+        out = out.join(
+            F.broadcast(w),
+            F.expr(f"_pos{i} div 64") == F.col(f"_wi{i}"),
+            "inner",
+        ).filter(
+            F.expr(f"shiftright(_w{i}, CAST(_pos{i} % 64 AS INT)) % 2 != 0")
+        )
+    out = out.drop(
+        *[c for i in range(n_hashes) for c in (f"_wi{i}", f"_w{i}", f"_pos{i}")]
+    )
+    if not verify:
+        return out
+    return out.join(reference.select(key_col).distinct(), key_col, "left_semi")

@@ -5028,6 +5028,276 @@ def q133_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Product analytics: funnels and retention cohorts (gold-layer shapes)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q134_funnel_conversion",
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS t FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+          JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+          JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY e.user_id)
+    SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+    UNION ALL
+    SELECT '2_click_after_view', COUNT(*) FROM c
+    UNION ALL
+    SELECT '3_purchase_after_click', COUNT(*) FROM p
+    """,
+)
+def q134_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel view -> click -> purchase: each
+    stage keeps users whose first stage-N event is strictly AFTER their
+    first stage-(N-1) event. Three aggregates, every one keyed on
+    user_id — after the first shuffle the join and the next aggregate
+    reuse the same hash partitioning, so stages 2-3 add no extra
+    exchange of the big side, and each stage's output only shrinks.
+    Timestamps compare engine-internally (counts out), so the ns/us
+    parquet question never reaches the hash."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def stage(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(label).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(v, "1_view")
+        .unionAll(stage(c, "2_click_after_view"))
+        .unionAll(stage(p, "3_purchase_after_click"))
+    )
+
+
+@_q(
+    "q135_retention_cohorts",
+    """
+    WITH first_wk AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    )
+    SELECT f.cohort, CAST(date_diff('day', f.cohort, a.wk) / 7 AS BIGINT)
+             AS week_offset,
+           COUNT(*) AS n_active
+    FROM active a JOIN first_wk f ON f.user_id = a.user_id
+    GROUP BY f.cohort, week_offset
+    ORDER BY f.cohort, week_offset
+    """,
+)
+def q135_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort matrix: cohort = Monday-truncated week of
+    a user's first event; one row per (cohort, week_offset) counting
+    users still active that week. Both engines truncate weeks to Monday,
+    and offsets are exact multiples of 7 days, so the /7 stays exact in
+    double on both. The distinct-activity aggregate and the cohort
+    aggregate share the user_id shuffle key; n_active is a plain COUNT
+    because (user_id, wk) is already distinct."""
+    ev = _t(spark, sf_dir, "events")
+    first_wk = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    return (
+        active.join(first_wk, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort", "week_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM scoring (CCNet/Gopher perplexity-filter shape, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q136_bigram_lm_score",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS l FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, l[i] AS w1, array_to_string(l[i:i+1], ' ') AS bigram
+      FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM toks)
+    ),
+    c2 AS (SELECT bigram, COUNT(*) AS n2 FROM grams GROUP BY bigram),
+    c1 AS (SELECT word, COUNT(*) AS n1 FROM (
+             SELECT unnest(l) AS word FROM toks) GROUP BY word),
+    v AS (SELECT COUNT(DISTINCT word) AS vsize FROM (
+             SELECT unnest(l) AS word FROM toks)),
+    scored AS (
+      SELECT g.doc_id,
+             (c2.n2 * CAST(1000000000 AS BIGINT)) // (c1.n1 + v.vsize)
+               AS prob_e9
+      FROM grams g
+      JOIN c2 ON c2.bigram = g.bigram
+      JOIN c1 ON c1.word = g.w1
+      CROSS JOIN v
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(prob_e9) AS BIGINT) AS sum_prob_e9,
+           CAST(SUM(prob_e9) AS DOUBLE) / COUNT(*) / 1000000000.0
+             AS avg_prob
+    FROM scored GROUP BY doc_id
+    ORDER BY avg_prob DESC, doc_id LIMIT 20
+    """,
+)
+def q136_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring of every document against a model
+    trained on the same corpus — the CCNet/Gopher perplexity-filter
+    shape (keep docs the LM finds most in-distribution). Probability of
+    each bigram is add-V smoothed n2/(n1+V); the per-bigram value is
+    held as the INTEGER floor((n2*1e9)/(n1+V)) so per-doc sums are
+    engine-exact (a float ln() would differ in the last ulp between JVM
+    and libm and break the value hash — documented trade: arithmetic
+    rather than geometric mean of probabilities, same ranking intent).
+
+    Plan shape: one tokenize pass feeds bigram counts, unigram counts,
+    and V; doc-bigrams join the two count tables on well-spread token
+    keys (map-side-combined aggregates, AQE broadcasts the tail), and V
+    rides a broadcast 1-row cross join. No Python, no collect."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("l"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(F.col("l")) - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("l"), i).alias("w1"),
+                    F.concat_ws(
+                        " ", F.element_at(F.col("l"), i), F.element_at(F.col("l"), i + 1)
+                    ).alias("bigram"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.bigram")
+    words = toks.select(F.explode("l").alias("word"))
+    c2 = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = words.groupBy("word").agg(F.count(F.lit(1)).alias("n1"))
+    v = words.agg(F.countDistinct("word").alias("vsize"))
+    scored = (
+        grams.join(c2, "bigram")
+        .join(c1, grams["w1"] == c1["word"])
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.expr("(n2 * CAST(1000000000 AS BIGINT)) div (n1 + vsize)").alias(
+                "prob_e9"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("prob_e9").alias("sum_prob_e9"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_prob_e9",
+            (
+                F.col("sum_prob_e9").cast("double")
+                / F.col("n_bigrams")
+                / F.lit(1000000000.0)
+            ).alias("avg_prob"),
+        )
+        .orderBy(F.desc("avg_prob"), "doc_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-bitset bloom prefilter (X17 at-scale ingest shape)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q137_bloom_prefilter_dedup",
+    r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             md5(array_to_string(
+                 (string_split_regex(lower(text), '\s+'))[1:2], ' ')) AS fp
+      FROM documents
+    ),
+    ref AS (SELECT DISTINCT fp FROM d WHERE doc_id % 7 = 0),
+    probe AS (SELECT doc_id, source, fp FROM d WHERE doc_id % 7 <> 0)
+    SELECT p.source, COUNT(*) AS n_dup
+    FROM probe p
+    WHERE EXISTS (SELECT 1 FROM ref r WHERE r.fp = p.fp)
+    GROUP BY p.source ORDER BY p.source
+    """,
+)
+def q137_bloom_prefilter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-ingest dedup with a broadcast bloom-bitset prefilter
+    (operators.dedup.bloom_prefilter_semi_join): the already-ingested
+    shard's fingerprints compress into a bit-table bounded by m_bits/64
+    words (kilobytes, independent of corpus size); probe rows whose k
+    hash bits are not all set drop at the scan, so the exact verify
+    semi-join shuffles only candidates — the oracle is the PLAIN
+    semi-join, pinning that the prefilter is invisible to results. At
+    100 TB this is the difference between shuffling every ingested row
+    and shuffling ~the duplicate rate. The fingerprint is the first two
+    lowercased tokens (a boilerplate-header key with real collisions in
+    this corpus — exact-text md5 finds zero and would pin nothing)."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.dedup import (
+        bloom_prefilter_semi_join,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat_ws(" ", F.slice(F.split(F.lower(F.col("text")), r"\s+"), 1, 2))
+        ).alias("fp"),
+    )
+    ref = docs.filter(F.col("doc_id") % 7 == 0).select("fp")
+    probe = docs.filter(F.col("doc_id") % 7 != 0)
+    dups = bloom_prefilter_semi_join(probe, ref, "fp", m_bits=1 << 20, n_hashes=2)
+    return (
+        dups.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The round driver records correctness rows for the FIRST 50 entries of

@@ -285,3 +285,56 @@ def test_fuzzy_pairs_exact_recall_vs_naive(spark):
 
     with pytest.raises(NotImplementedError, match="max_dist=1"):
         dedup.fuzzy_pairs(df, max_dist=2)
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-bitset bloom prefilter
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bloom_tables(spark):
+    ref = spark.range(0, 500).select(
+        F.concat(F.lit("key-"), (F.col("id") * 3).cast("string")).alias("k")
+    )
+    probe = spark.range(0, 2000).select(
+        F.col("id").alias("pid"),
+        F.concat(F.lit("key-"), F.col("id").cast("string")).alias("k"),
+    )
+    return ref.cache(), probe.cache()
+
+
+def test_bloom_semi_join_matches_plain_semi_join(bloom_tables):
+    ref, probe = bloom_tables
+    got = sorted(
+        r["pid"]
+        for r in dedup.bloom_prefilter_semi_join(probe, ref, "k").collect()
+    )
+    want = sorted(r["pid"] for r in probe.join(ref, "k", "left_semi").collect())
+    assert got == want  # prefilter is invisible to results
+    assert len(want) == 500  # non-vacuous: multiples of 3 under 1500
+
+
+def test_bloom_prefilter_no_false_negatives_and_bounded_fp(bloom_tables):
+    ref, probe = bloom_tables
+    cand = dedup.bloom_prefilter_semi_join(
+        probe, ref, "k", m_bits=1 << 16, verify=False
+    )
+    ids = {r["pid"] for r in cand.collect()}
+    true_ids = {r["pid"] for r in probe.join(ref, "k", "left_semi").collect()}
+    assert true_ids <= ids  # a bloom filter never drops a true match
+    # 2000 probes against 2^16 bits / 2 hashes: fp rate well under 10%
+    assert len(ids - true_ids) < 200
+
+
+def test_bloom_build_rejects_unaligned_m_bits(bloom_tables):
+    ref, _ = bloom_tables
+    with pytest.raises(ValueError, match="multiple of 64"):
+        dedup.bitset_bloom_build(ref, "k", m_bits=100)
+
+
+def test_bloom_build_is_bounded_by_m_bits(bloom_tables):
+    ref, _ = bloom_tables
+    words = dedup.bitset_bloom_build(ref, "k", m_bits=1 << 12).collect()
+    assert len(words) <= (1 << 12) // 64
+    assert all(w["word"] != 0 for w in words)  # only set words materialize
