@@ -5298,6 +5298,121 @@ def q137_bloom_prefilter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SQL-defined UDF + ordered listagg (S11/Spark-4 SQL surface)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q138_sql_udf_listagg",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)
+             AS revenue_e4,
+           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+             AS statuses
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q138_sql_udf_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar UDF (CREATE TEMPORARY FUNCTION ... RETURN expr,
+    Spark 4) + ordered-set listagg ... WITHIN GROUP. A SQL UDF is the
+    fast path for user-defined logic: the body INLINES into the plan as
+    a Catalyst expression (whole-stage codegen, pushdown-eligible) — no
+    Python, no serialization boundary, unlike F.udf. listagg(DISTINCT ..
+    ORDER BY) pins the deterministic ordered-set aggregate added in
+    4.0; the oracle spells both as plain SQL (string_agg + inlined
+    expression), proving the UDF is semantics-neutral."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_price_e4(p DOUBLE, d DOUBLE)
+        RETURNS BIGINT
+        RETURN CAST(ROUND(p*100) AS BIGINT) * (100 - CAST(ROUND(d*100) AS BIGINT))
+        """
+    )
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q138_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               SUM(disc_price_e4(l_extendedprice, l_discount)) AS revenue_e4,
+               listagg(DISTINCT l_linestatus, ',')
+                 WITHIN GROUP (ORDER BY l_linestatus) AS statuses
+        FROM q138_lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust (median/MAD) outlier gate — quality-signal shape
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q139_mad_outliers",
+    """
+    WITH c AS (
+      SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS v
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(v, 0.5) AS med FROM c GROUP BY event_type
+    ),
+    dev AS (
+      SELECT c.event_type, c.v, ABS(c.v - med.med) AS adev, med.med
+      FROM c JOIN med ON med.event_type = c.event_type
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev
+      GROUP BY event_type
+    )
+    SELECT d.event_type, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN d.adev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           mad.mad AS mad_cents
+    FROM dev d JOIN mad ON mad.event_type = d.event_type
+    GROUP BY d.event_type, mad.mad
+    ORDER BY d.event_type
+    """,
+)
+def q139_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier gate: median absolute deviation (MAD),
+    the quality-signal form that survives heavy-tailed value columns
+    where mean/stddev z-scores (q40) are dragged by the outliers being
+    hunted. Two exact-percentile aggregates over cents-integers; each
+    produces a GROUP-COUNT-sized table that joins back BROADCAST, so
+    the big side shuffles once per percentile and never sorts globally.
+    Linear-interpolated medians of integers are k/4-exact doubles on
+    both engines (percentile == quantile_cont), so the hash is safe."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", cents(F.col("value")).alias("v")
+    )
+    med = ev.groupBy("event_type").agg(F.expr("percentile(v, 0.5)").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "v", F.abs(F.col("v") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)).alias(
+                "n_outliers"
+            ),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_outliers",
+            F.col("mad").alias("mad_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The round driver records correctness rows for the FIRST 50 entries of

@@ -295,3 +295,34 @@ def test_dynamic_partition_pruning_on_partitioned_join(spark, tmp_path):
     ).filter("label = 'c'")
     plan = explain.formatted(fact.join(dim, "event_type"))
     assert "dynamicpruningexpression" in plan.lower()
+
+
+def test_bloom_prefilter_broadcasts_bitset_not_reference(spark):
+    """q137 scale contract: the bloom word-table joins BROADCAST (2
+    hash probes), no cartesian, and the probe side's only shuffle is
+    the final exact-verify semi-join + the per-source aggregate — the
+    bit-table build aggregate is bounded by m_bits/64 rows."""
+    plan = plan_of(spark, "q137_bloom_prefilter_dedup")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    df = QUERIES["q137_bloom_prefilter_dedup"](spark, SF)
+    # build-agg (1) + verify semi-join side (1) + final groupBy (1) + sort (1)
+    assert explain.count_exchanges(df) <= 5
+
+
+def test_analytics_and_lm_plan_shapes(spark):
+    """Funnel/retention/bigram-LM scale contracts: no cartesian products
+    (q136's V scalar rides a broadcast nested-loop, which is fine for a
+    1-row build side), and funnel stages reuse the user_id partitioning
+    rather than re-exchanging per stage."""
+    for name, budget in {
+        # measured floors at sf0.001 (3 of q134's 8 are 1-row stage counts)
+        "q134_funnel_conversion": 8,
+        "q135_retention_cohorts": 4,
+        "q136_bigram_lm_score": 5,
+        "q139_mad_outliers": 5,
+    }.items():
+        df = QUERIES[name](spark, SF)
+        plan = explain.formatted(df)
+        assert "CartesianProduct" not in plan, name
+        assert explain.count_exchanges(df) <= budget, name
