@@ -5446,7 +5446,6 @@ _DRIVER_SNAPSHOT_50 = [
     "q48_interval_join",
     # grouping extensions
     "q09_rollup_returnflag",
-    "q10_cube_events",
     "q52_pivot_daily_type_revenue",
     # windows
     "q11_top_parts_per_brand",
@@ -5471,7 +5470,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q123_xml_battery",
     # dedup family
     "q28_exact_dedup_docs",
-    "q35_ngram_jaccard_adjacent",
+    "q137_bloom_prefilter_dedup",
     "q114_repeated_line_removal",
     "q93_common_prefix_strip",
     # similarity family
@@ -5480,6 +5479,7 @@ _DRIVER_SNAPSHOT_50 = [
     # text analysis family
     "q29_text_stats",
     "q75_tfidf_top_terms",
+    "q136_bigram_lm_score",
     "q90_pii_redaction",
     "q95_sequence_packing",
     "q119_classifier_filter",
