@@ -68,6 +68,8 @@ HEADLINE = [
     "q120_vocab_encode",
     "q126_pagerank_nations",
     "q128_cdc_apply",
+    "q136_bigram_lm_score",
+    "q137_bloom_prefilter_dedup",
     "medallion_gold_kpis",
 ]
 

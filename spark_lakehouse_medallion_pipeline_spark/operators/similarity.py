@@ -688,3 +688,215 @@ def l2_normalize_arrow(
             )
 
     return df.select(id_col, vec_col).mapInArrow(normalize, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-scan ANN with exact re-rank
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 2,
+) -> list[list[list[float]]]:
+    """Deterministic PQ training (Jegou et al., 'Product Quantization
+    for Nearest Neighbor Search', TPAMI 2011): seed n_codes codes per
+    subspace from the corpus vectors with lowest xxhash64(id) (a
+    reproducible uniform sample), then run ``lloyd_iters`` k-means
+    refinement passes PER SUBSPACE as distributed aggregates — assign
+    every corpus subvector to its nearest code (scan-local expression),
+    groupBy (subspace, code) and average each dimension (map-side
+    combined; the shuffle is n_subspaces * n_codes groups). Each
+    iteration collects only the n_subspaces * n_codes refined means —
+    the model, not the data. Empty cells keep their previous code.
+    Fully deterministic: seeded sample + fixed iteration count."""
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_codes)
+        .collect()
+    )
+    vecs = [[float(x) for x in r[1]] for r in rows]
+    dim = len(vecs[0])
+    if dim % n_subspaces != 0:
+        raise ValueError(f"dim ({dim}) not divisible by n_subspaces ({n_subspaces})")
+    sub = dim // n_subspaces
+    books = [[v[s * sub : (s + 1) * sub] for v in vecs] for s in range(n_subspaces)]
+    for _ in range(lloyd_iters):
+        assigned = corpus.select(
+            F.col(vec_col).alias("_v"),
+            F.posexplode(pq_encode_udf(books)(F.col(vec_col))).alias("_s", "_code"),
+        )
+        means = (
+            assigned.groupBy("_s", "_code")
+            .agg(
+                *[
+                    F.avg(
+                        F.element_at(
+                            F.col("_v"), F.col("_s") * sub + d + 1
+                        ).cast("double")
+                    ).alias(f"_m{d}")
+                    for d in range(sub)
+                ]
+            )
+            .collect()
+        )
+        for r in means:
+            books[r["_s"]][r["_code"]] = [float(r[f"_m{d}"]) for d in range(sub)]
+    return books
+
+
+def _books_arrays(books: list[list[list[float]]]):
+    """books -> list of (n_codes, sub) float64 numpy arrays, validated."""
+    import numpy as np
+
+    return [np.asarray(book, dtype=np.float64) for book in books]
+
+
+def pq_encode_udf(books: list[list[list[float]]]):
+    """Vectorized (Arrow/numpy) PQ encoder: array<int> of per-subspace
+    nearest-code ids — the n_subspaces-bytes-per-vector compressed
+    representation (stored as int array here; a production sink would
+    pack to binary).
+
+    A pandas UDF, not a JVM expression, deliberately: the expression
+    form is n_subspaces * n_codes * sub_dim arithmetic terms (4096 at
+    the 4x64x16 defaults), which blows past janino's method limits,
+    falls back to per-node interpretation, and pays seconds of
+    parse/analyze time per plan — the same trap rhp_signature's
+    docstring documents. Here each Arrow batch does one
+    ||x||^2 - 2xC' + ||c||^2 gemm per subspace and an argmin."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = _books_arrays(books)
+    sub = C[0].shape[1]
+
+    def enc(v):
+        if not len(v):
+            return pd.Series([], dtype=object)
+        X = np.array(v.tolist(), dtype=np.float64)
+        cols = []
+        for s, Cs in enumerate(C):
+            Xs = X[:, s * sub : (s + 1) * sub]
+            d = (
+                (Xs * Xs).sum(1)[:, None]
+                - 2.0 * (Xs @ Cs.T)
+                + (Cs * Cs).sum(1)[None, :]
+            )
+            cols.append(d.argmin(1))
+        codes = np.stack(cols, axis=1).astype("int32")
+        return pd.Series(list(codes))
+
+    enc.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(enc, "array<int>")
+
+
+def pq_dist_tables_udf(books: list[list[list[float]]]):
+    """Vectorized query-side ADC model: array<array<double>> of
+    per-subspace distance tables from the vector's subvectors to every
+    code (same batch-gemm rationale as pq_encode_udf)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = _books_arrays(books)
+    sub = C[0].shape[1]
+
+    def tables(v):
+        if not len(v):
+            return pd.Series([], dtype=object)
+        X = np.array(v.tolist(), dtype=np.float64)
+        per_sub = []
+        for s, Cs in enumerate(C):
+            Xs = X[:, s * sub : (s + 1) * sub]
+            d = (
+                (Xs * Xs).sum(1)[:, None]
+                - 2.0 * (Xs @ Cs.T)
+                + (Cs * Cs).sum(1)[None, :]
+            )
+            per_sub.append(d)
+        stacked = np.stack(per_sub, axis=1)  # (n, n_subspaces, n_codes)
+        return pd.Series([list(map(list, row)) for row in stacked])
+
+    tables.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(tables, "array<array<double>>")
+
+
+def pq_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_subspaces: int = 4,
+    n_codes: int = 64,
+    refine: int = 8,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_rows: int = 1024,
+) -> DataFrame:
+    """PQ ANN k-NN join: asymmetric-distance (ADC) scan over CODES, then
+    exact cosine re-rank of the top refine*k candidates.
+
+    The scale story differs from LSH/IVF: PQ does not prune candidates —
+    it shrinks each vector to n_subspaces code bytes (64 floats -> 8
+    bytes here), so the 'full scan' reads ~3% of the bytes and each
+    ADC score is n_subspaces table lookups instead of a dim-length dot
+    product. Queries broadcast as per-subspace distance tables (the
+    model — max_query_rows guards the same posture as
+    knn_join_vectorized); candidates join BACK to the full-precision
+    corpus BY ID for the exact re-rank, so uncompressed vectors are
+    only touched for refine*k rows per query. Combine with IVF cells
+    for the classic IVF-PQ when candidate pruning is also needed.
+    """
+    from pyspark.sql import Window
+
+    n_q = queries.limit(max_query_rows + 1).count()
+    if n_q > max_query_rows:
+        raise ValueError(
+            f"pq_knn_join broadcasts the query side as ADC tables; it has "
+            f">{max_query_rows} rows. Use lsh_knn_join/ivf_knn_join for "
+            f"large query sets, or raise max_query_rows explicitly."
+        )
+    books = pq_codebooks(corpus, n_subspaces, n_codes, c_id, vec_col)
+    codes = corpus.select(
+        F.col(c_id), pq_encode_udf(books)(F.col(vec_col)).alias("_codes")
+    )
+    qt = queries.select(
+        F.col(q_id),
+        F.col(vec_col).alias("_qvec"),
+        pq_dist_tables_udf(books)(F.col(vec_col)).alias("_tabs"),
+    )
+    adc = codes.crossJoin(F.broadcast(qt)).select(
+        q_id,
+        c_id,
+        "_qvec",
+        F.expr(
+            "aggregate(zip_with(_codes, _tabs, (c, t) -> element_at(t, c + 1)), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        ).alias("_adc"),
+    )
+    w_c = Window.partitionBy(q_id).orderBy(F.asc("_adc"), F.col(c_id))
+    cand = (
+        adc.withColumn("_rn", F.row_number().over(w_c))
+        .filter(F.col("_rn") <= refine * k)
+        .drop("_rn", "_adc")
+    )
+    rescored = cand.join(
+        corpus.select(F.col(c_id), F.col(vec_col).alias("_cvec")), c_id
+    ).select(
+        q_id,
+        c_id,
+        F.round(cosine(F.col("_cvec"), F.col("_qvec")), 6).alias("cosine_sim"),
+    )
+    w_k = Window.partitionBy(q_id).orderBy(F.desc("cosine_sim"), F.col(c_id))
+    return (
+        rescored.withColumn("_rn", F.row_number().over(w_k))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -5413,6 +5413,26 @@ def q139_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Product-quantization ANN (X19 scale path #4)
+# ---------------------------------------------------------------------------
+
+
+@_q("q140_pq_knn")  # compressed-scan ADC ANN; recall checked in pytest
+def q140_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN k-NN join (X19 scale path #4, Jegou et al. TPAMI 2011):
+    Lloyd-refined per-subspace codebooks, asymmetric-distance scan over
+    4-byte codes, exact cosine re-rank of refine*k candidates joined
+    back by id. Rows-only (the deterministic Lloyd means are not
+    SQL-expressible in one statement); recall vs brute force pinned in
+    tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.pq_knn_join(queries, emb, k=5)
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The round driver records correctness rows for the FIRST 50 entries of

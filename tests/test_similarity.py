@@ -213,3 +213,41 @@ def test_l2_normalize_arrow_fixed_and_ragged(spark):
     rout = {r["vec_id"]: r for r in l2_normalize_arrow(ragged).collect()}
     assert rout[1]["packed"] == out[1]["packed"]  # fallback == fast path
     assert rout[3]["norm_e6"] == 3_000_000 and rout[3]["dim"] == 3
+
+
+def test_pq_knn_recall_vs_brute(embeddings):
+    """ADC over 8-byte PQ codes + exact re-rank of 4x candidates must
+    recover most of the true top-5; the self-pair must always survive
+    (its ADC distance to itself is the subspace quantization floor,
+    comfortably inside the refine window on this corpus)."""
+    qs = embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    brute = similarity.knn_join_brute(qs, embeddings, k=5)
+    pq = similarity.pq_knn_join(qs, embeddings, k=5)
+    truth = {(r["q_id"], r["vec_id"]) for r in brute.collect()}
+    got = {(r["q_id"], r["vec_id"]) for r in pq.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, recall
+    assert all((q, q) in got for q in range(10))
+
+
+def test_pq_codebooks_deterministic_and_shaped(embeddings):
+    b1 = similarity.pq_codebooks(embeddings, n_subspaces=8, n_codes=4)
+    b2 = similarity.pq_codebooks(embeddings, n_subspaces=8, n_codes=4)
+    assert b1 == b2
+    assert len(b1) == 8 and len(b1[0]) == 4 and len(b1[0][0]) == 8
+
+
+def test_pq_knn_refuses_oversized_query_side(embeddings):
+    with pytest.raises(ValueError, match="broadcasts the query side"):
+        similarity.pq_knn_join(
+            embeddings.select(F.col("vec_id").alias("q_id"), "embedding"),
+            embeddings,
+            max_query_rows=10,
+        )
+
+
+def test_pq_codebooks_reject_indivisible_dim(embeddings):
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_codebooks(embeddings, n_subspaces=7)
