@@ -5413,6 +5413,100 @@ def q139_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Error-safe evaluation battery (ANSI-robust ingest surface)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q141_try_battery",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN (o_custkey % 5) <> 0 THEN 1 END) AS n_ratio,
+           CAST(SUM(FLOOR(CAST(ROUND(o_totalprice*100) AS BIGINT)
+                          / (o_custkey % 5) + 0.5)) AS BIGINT) AS sum_ratio_r,
+           CAST(SUM(TRY_CAST(string_split(o_orderpriority, '-')[1] AS BIGINT))
+             AS BIGINT) AS sum_prio,
+           COUNT(TRY_CAST(o_orderpriority AS INT)) AS n_bogus_casts,
+           CAST(SUM(([10,20,30])[CAST(1 + o_orderkey % 5 AS INT)]) AS BIGINT)
+             AS sum_elem
+    FROM orders
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q141_try_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe evaluation surface: try_divide / try_cast /
+    try_element_at — what keeps a 100 TB ingest job alive when a shard
+    contains malformed rows, instead of dying at task 40k of 50k. The
+    oracle pins each NULL-on-error semantic against DuckDB's native
+    equivalents (x/0 -> NULL, TRY_CAST, out-of-bounds list index ->
+    NULL). Per-row FLOOR before SUM keeps the division battery
+    integer-exact; 1-based element_at with index o_orderkey%5 covers
+    the in-range and past-end cases (index 0 stays an error even under
+    try_element_at — Spark defines it as a programming mistake, not a
+    data problem, so the battery indexes 1..5)."""
+    o = _t(spark, sf_dir, "orders")
+    ratio = F.expr("try_divide(CAST(ROUND(o_totalprice*100) AS BIGINT), o_custkey % 5)")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(ratio).alias("n_ratio"),
+            F.sum(F.floor(ratio + F.lit(0.5))).alias("sum_ratio_r"),
+            F.sum(
+                F.expr("try_cast(split_part(o_orderpriority, '-', 1) AS BIGINT)")
+            ).alias("sum_prio"),
+            F.count(F.expr("try_cast(o_orderpriority AS INT)")).alias("n_bogus_casts"),
+            F.sum(
+                F.expr(
+                    "try_element_at(array(10, 20, 30), CAST(1 + o_orderkey % 5 AS INT))"
+                )
+            ).alias("sum_elem"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hidden file metadata (layout observability)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q142_file_metadata",
+    """
+    SELECT 'orders.parquet' AS file,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_orderkey) AS n_keys
+    FROM orders
+    """,
+)
+def q142_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file row accounting via the hidden _metadata struct — the
+    observability hook for layout audits (small-files detection, rows
+    per file before/after compaction) with no extra scan: _metadata is
+    produced by the reader itself. The oracle sees only the registered
+    view (no filename function through a view), so it pins the
+    per-file counts against the known single-file layout; the Spark
+    side genuinely derives the name from _metadata.file_path."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.select(
+            F.regexp_extract(F.col("_metadata.file_path"), r"([^/]+)$", 1).alias(
+                "file"
+            ),
+            "o_orderkey",
+        )
+        .groupBy("file")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("o_orderkey").alias("n_keys"),
+        )
+        .orderBy("file")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Product-quantization ANN (X19 scale path #4)
 # ---------------------------------------------------------------------------
 

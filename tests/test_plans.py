@@ -326,3 +326,31 @@ def test_analytics_and_lm_plan_shapes(spark):
         plan = explain.formatted(df)
         assert "CartesianProduct" not in plan, name
         assert explain.count_exchanges(df) <= budget, name
+
+
+def test_skew_report_and_salt_suggestion(spark):
+    """A 90%-hot key must be reported with the right shares and a salt
+    factor that scales with the measured ratio; a uniform key suggests
+    no salting."""
+    from pyspark.sql import functions as F
+
+    from spark_lakehouse_medallion_pipeline_spark.plans import skew
+
+    hot = spark.range(0, 1000).select(
+        F.when(F.col("id") < 900, F.lit("hot")).otherwise(
+            F.concat(F.lit("k"), F.col("id").cast("string"))
+        ).alias("k")
+    )
+    rep = skew.skew_report(hot, "k")
+    assert rep.n_rows == 1000 and rep.n_keys == 101
+    assert rep.top_keys[0] == ("hot", 900)
+    assert abs(rep.max_share - 0.9) < 1e-9
+    assert rep.skew_ratio == pytest.approx(0.9 * 101)
+    assert 1 < skew.suggest_salts(rep) <= 256
+    assert skew.suggest_salts(rep, max_salts=8) == 8
+
+    uniform = spark.range(0, 1000).select((F.col("id") % 100).alias("k"))
+    assert skew.suggest_salts(skew.skew_report(uniform, "k")) == 1
+
+    empty = skew.skew_report(spark.range(0).select(F.col("id").alias("k")), "k")
+    assert empty.n_rows == 0 and skew.suggest_salts(empty) == 1
