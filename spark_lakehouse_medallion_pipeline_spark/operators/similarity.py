@@ -900,3 +900,86 @@ def pq_knn_join(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def ivfpq_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probes: int = 4,
+    n_subspaces: int = 4,
+    n_codes: int = 64,
+    refine: int = 8,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_rows: int = 1024,
+) -> DataFrame:
+    """IVF-PQ composite ANN: IVF cells prune WHICH rows are scored
+    (n_probes/n_centroids of the corpus), PQ codes shrink WHAT is read
+    per scored row (n_subspaces bytes instead of dim floats), exact
+    cosine re-ranks the refine*k survivors joined back by id — the
+    billion-scale index layout (Jegou et al. TPAMI 2011; global
+    codebooks rather than per-cell residual codebooks — the IVFFlat-PQ
+    variant — to keep the model deterministic and cell-independent).
+
+    Plan: corpus side carries (cell, codes) — both scan-local
+    expressions; query side explodes to its probed cells with its ADC
+    tables; one hash join on cell id; two bounded windows. The shuffle
+    carries codes (bytes/row), not vectors; uncompressed vectors move
+    only for refine*k rows per query.
+    """
+    from pyspark.sql import Window
+
+    n_q = queries.limit(max_query_rows + 1).count()
+    if n_q > max_query_rows:
+        raise ValueError(
+            f"ivfpq_knn_join broadcasts the query side as ADC tables; it has "
+            f">{max_query_rows} rows. Use lsh_knn_join/ivf_knn_join for large "
+            f"query sets, or raise max_query_rows explicitly."
+        )
+    cents = ivf_centroids(corpus, n_centroids, c_id, vec_col)
+    books = pq_codebooks(corpus, n_subspaces, n_codes, c_id, vec_col)
+    c_idx = corpus.select(
+        F.col(c_id),
+        F.array_max(_centroid_scores(vec_col, cents))["cid"].alias("_cell"),
+        pq_encode_udf(books)(F.col(vec_col)).alias("_codes"),
+    )
+    probed = F.slice(
+        F.reverse(F.array_sort(_centroid_scores(vec_col, cents))), 1, n_probes
+    )
+    q_side = queries.select(
+        F.col(q_id),
+        F.col(vec_col).alias("_qvec"),
+        pq_dist_tables_udf(books)(F.col(vec_col)).alias("_tabs"),
+        F.explode(probed).alias("_probe"),
+    ).select(q_id, "_qvec", "_tabs", F.col("_probe.cid").alias("_cell"))
+    adc = c_idx.join(F.broadcast(q_side), on="_cell").select(
+        q_id,
+        c_id,
+        "_qvec",
+        F.expr(
+            "aggregate(zip_with(_codes, _tabs, (c, t) -> element_at(t, c + 1)), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        ).alias("_adc"),
+    )
+    w_c = Window.partitionBy(q_id).orderBy(F.asc("_adc"), F.col(c_id))
+    cand = (
+        adc.withColumn("_rn", F.row_number().over(w_c))
+        .filter(F.col("_rn") <= refine * k)
+        .drop("_rn", "_adc")
+    )
+    rescored = cand.join(
+        corpus.select(F.col(c_id), F.col(vec_col).alias("_cvec")), c_id
+    ).select(
+        q_id,
+        c_id,
+        F.round(cosine(F.col("_cvec"), F.col("_qvec")), 6).alias("cosine_sim"),
+    )
+    w_k = Window.partitionBy(q_id).orderBy(F.desc("cosine_sim"), F.col(c_id))
+    return (
+        rescored.withColumn("_rn", F.row_number().over(w_k))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -5526,6 +5526,19 @@ def q140_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_knn_join(queries, emb, k=5)
 
 
+@_q("q143_ivfpq_knn")  # cell-pruned + code-compressed ANN; recall in pytest
+def q143_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN (X19 scale path #5): IVF cells prune which
+    rows are scored, PQ codes shrink what each scored row reads, exact
+    re-rank by id join-back — the billion-scale index layout. Rows-only;
+    recall vs brute force pinned in tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.ivfpq_knn_join(queries, emb, k=5, n_centroids=8, n_probes=4)
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------

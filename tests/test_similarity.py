@@ -251,3 +251,20 @@ def test_pq_knn_refuses_oversized_query_side(embeddings):
 def test_pq_codebooks_reject_indivisible_dim(embeddings):
     with pytest.raises(ValueError, match="not divisible"):
         similarity.pq_codebooks(embeddings, n_subspaces=7)
+
+
+def test_ivfpq_knn_recall_vs_brute(embeddings):
+    """IVF-cell pruning stacked on PQ-ADC scoring: with 4 of 8 cells
+    probed and 8x refine, the composite must keep most of the true
+    top-5; every query's self-pair lives in its own top probe cell and
+    must survive."""
+    qs = embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    brute = similarity.knn_join_brute(qs, embeddings, k=5)
+    ivfpq = similarity.ivfpq_knn_join(qs, embeddings, k=5, n_centroids=8, n_probes=4)
+    truth = {(r["q_id"], r["vec_id"]) for r in brute.collect()}
+    got = {(r["q_id"], r["vec_id"]) for r in ivfpq.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.4, recall
+    assert all((q, q) in got for q in range(10))
