@@ -214,6 +214,52 @@ def main() -> None:
         finally:
             spark.conf.set("spark.sql.parquet.enableVectorizedReader", prev)
 
+    # Scaled dedup: the driver corpus tops out at 5k documents (sf0.1),
+    # too small to evidence the MinHash->LSH pipeline's throughput claim.
+    # Generate a deterministic 100k-doc corpus (30 words/doc, 10% planted
+    # near-duplicates) and time the full signature->banding->candidate
+    # pipeline; the pair count is a correctness canary (exactly the
+    # planted 10k pairs — zero false candidates at these parameters).
+    try:
+        from pyspark.sql import functions as Fd
+
+        from spark_lakehouse_medallion_pipeline_spark.operators.dedup import (
+            minhash_lsh_candidates,
+        )
+
+        word_expr = (
+            "concat_ws(' ', transform(sequence(0, 29), "
+            "j -> concat('w', pmod(xxhash64(_seed, j), 5000))))"
+        )
+        docs100k = (
+            spark.range(100_000)
+            .withColumn("_seed", Fd.expr("CASE WHEN id % 10 = 0 THEN id + 1 ELSE id END"))
+            .select(
+                Fd.col("id").alias("doc_id"),
+                Fd.expr(
+                    f"CASE WHEN id % 10 = 0 THEN concat('variant ', {word_expr}) "
+                    f"ELSE {word_expr} END"
+                ).alias("text"),
+            )
+        )
+        samples, n_pairs = [], -1
+        for _ in range(2):
+            t0 = time.time()
+            n_pairs = minhash_lsh_candidates(
+                docs100k, num_hashes=64, bands=16, shingle_k=3
+            ).count()
+            samples.append(round(time.time() - t0, 3))
+        timings["dedup_lsh_100k"] = min(samples)
+        variance["dedup_lsh_100k_runs_sec"] = samples
+        print(
+            f"# dedup_lsh_100k: {min(samples):.2f}s (runs {samples}, "
+            f"{n_pairs} candidate pairs)",
+            file=sys.stderr,
+        )
+    except Exception as exc:
+        errors["dedup_lsh_100k"] = str(exc).split("\n")[0][:200]
+        print(f"# dedup_lsh_100k: FAILED ({errors['dedup_lsh_100k']})", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_query_wall_clock_total",

@@ -5540,6 +5540,60 @@ def q143_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Heterogeneous-schema union (multi-shard ingest reconciliation)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q144_union_by_name",
+    """
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 2 = 0
+    ),
+    v2 AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey % 2 = 1
+    ),
+    u AS (SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2)
+    SELECT COALESCE(o_orderstatus, '<missing>') AS status,
+           COALESCE(o_orderpriority, '<missing>') AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM u GROUP BY status, priority ORDER BY status, priority
+    """,
+)
+def q144_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous-schema shard union: two shards whose projections
+    disagree in column ORDER and column SET reconcile by NAME
+    (unionByName allowMissingColumns; absent columns become NULL) —
+    the multi-month crawl-ingest shape where old shards predate a
+    column. Positional unionAll here would silently pair o_orderstatus
+    with o_orderpriority; BY NAME is the only safe form, pinned against
+    DuckDB's UNION ALL BY NAME."""
+    o = _t(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return (
+        u.groupBy(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<missing>")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<missing>")).alias("priority"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("o_totalprice"))).alias("total_cents"),
+        )
+        .orderBy("status", "priority")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The round driver records correctness rows for the FIRST 50 entries of
