@@ -5594,6 +5594,57 @@ def q144_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bitmap-exact distinct counting (mergeable EXACT sketches)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q145_bitmap_distinct",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT CASE WHEN CAST(ROUND(value*100) AS BIGINT) > 5000
+                               THEN user_id END) AS n_big_spenders
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q145_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counts via bitmap aggregates (Spark 3.5 bitmap_*):
+    each integer key sets one bit in a bucketed bitmap;
+    bitmap_construct_agg merges map-side (a bitwise OR — associative and
+    commutative like a sketch, but exact unlike HLL), and bitmap_count
+    reads cardinality without re-scanning. This is the warehouse pattern
+    for pre-aggregated distinct-user rollups: persisted per-day bitmaps
+    OR-merge into exact month/quarter distincts, where COUNT(DISTINCT)
+    would re-shuffle raw events every time. Oracle pins bitmap counts ==
+    plain COUNT(DISTINCT). Grouping includes bitmap_bucket_number so ids
+    beyond one 32K-bit bucket stay exact at any scale (each id sets its
+    bit in ITS bucket's bitmap; per-bucket counts sum) — the same
+    two-level shape COUNT(DISTINCT) plans, but with mergeable state."""
+    ev = _t(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("_bucket")
+    ).agg(
+        F.expr(
+            "bitmap_count(bitmap_construct_agg(bitmap_bit_position(user_id)))"
+        ).alias("_n"),
+        F.expr(
+            "bitmap_count(bitmap_construct_agg(bitmap_bit_position("
+            "CASE WHEN CAST(ROUND(value*100) AS BIGINT) > 5000 "
+            "THEN user_id END)))"
+        ).alias("_n_big"),
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(
+            F.sum("_n").alias("n_users"),
+            F.sum("_n_big").alias("n_big_spenders"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The round driver records correctness rows for the FIRST 50 entries of
