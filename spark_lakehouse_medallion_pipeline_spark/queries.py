@@ -5644,6 +5644,39 @@ def q145_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q146_bitmap_rollup_merge",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users_month
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q146_bitmap_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-merge of persisted bitmap state (the follow-on to q145): build
+    per-DAY user bitmaps — the granularity a warehouse would persist —
+    then OR-merge them with bitmap_or_agg into per-month exact
+    distincts. The monthly rollup touches |days| x |buckets| bitmap
+    rows, never the raw events again; COUNT(DISTINCT) would re-shuffle
+    the fact table for every new rollup granularity. Oracle pins the
+    merged result == plain COUNT(DISTINCT) over the whole range."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("_day"),
+        F.expr("bitmap_bucket_number(user_id)").alias("_bucket"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("_bm")
+    )
+    merged = daily.groupBy("event_type", "_bucket").agg(
+        F.expr("bitmap_count(bitmap_or_agg(_bm))").alias("_n")
+    )
+    return (
+        merged.groupBy("event_type")
+        .agg(F.sum("_n").alias("n_users_month"))
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------

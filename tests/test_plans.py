@@ -354,3 +354,21 @@ def test_skew_report_and_salt_suggestion(spark):
 
     empty = skew.skew_report(spark.range(0).select(F.col("id").alias("k")), "k")
     assert empty.n_rows == 0 and skew.suggest_salts(empty) == 1
+
+
+def test_robustness_and_bitmap_plan_shapes(spark):
+    """q141/q144/q145/q146 scale contracts: no cartesian products; the
+    by-name union stays one scan per shard feeding ONE aggregate
+    exchange; the bitmap families hold their two-level aggregate floors
+    (per-bucket partial -> tiny merged state, never a distinct
+    re-shuffle of raw rows per rollup)."""
+    for name, budget in {
+        "q141_try_battery": 2,
+        "q144_union_by_name": 2,
+        "q145_bitmap_distinct": 3,
+        "q146_bitmap_rollup_merge": 4,
+    }.items():
+        df = QUERIES[name](spark, SF)
+        plan = explain.formatted(df)
+        assert "CartesianProduct" not in plan, name
+        assert explain.count_exchanges(df) <= budget, name
