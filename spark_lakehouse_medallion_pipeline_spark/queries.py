@@ -5692,7 +5692,12 @@ def q146_bitmap_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # over-represented slots (second window/text/map reps) for the families
 # added this round: line-level dedup (q114), classifier curation (q119),
 # SQL scripting (q122), XML (q123), Python data source (q124), PageRank
-# (q126), quality contracts (q127), CDC/point-in-time (q128/q130).
+# (q126), quality contracts (q127), CDC/point-in-time (q128/q130); later
+# in round 3, four more near-duplicate slots made way for the newest
+# families: bigram-LM scoring (q136 for q10's second grouping rep),
+# bloom-prefilter dedup (q137 for q35's third dedup rep), the conversion
+# funnel (q134 for q77's second frame-window rep), and bitmap exact
+# distincts (q145 for q15 — semi-joins stay covered by q07/q56).
 
 _DRIVER_SNAPSHOT_50 = [
     # reference surface: aggregates, scalars, datetime, medallion KPIs
@@ -5705,7 +5710,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q04_regional_revenue",
     "q06_customer_order_stats",
     "q07_customers_without_orders",
-    "q15_clickers_who_purchase",
+    "q145_bitmap_distinct",
     "q25_late_shipments_theta",
     "q24_asof_purchase_click",
     "q48_interval_join",
@@ -5716,7 +5721,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q11_top_parts_per_brand",
     "q12_user_event_gaps",
     "q13_running_customer_spend",
-    "q77_rolling_1h_by_user",
+    "q134_funnel_conversion",
     # sort/limit, set ops, sketches
     "q03_top_orders_by_revenue",
     "q55_multiset_ops",
