@@ -5678,6 +5678,55 @@ def q146_bitmap_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Collation-aware comparison (Spark 4 collations)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q147_collation_battery",
+    """
+    WITH v AS (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderkey % 2 = 0 THEN lower(o_orderpriority)
+                  ELSE o_orderpriority END AS pri
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           COUNT(DISTINCT pri) AS n_case_sensitive,
+           COUNT(DISTINCT lower(pri)) AS n_case_insensitive,
+           COUNT(CASE WHEN lower(pri) = '1-urgent' THEN 1 END) AS n_urgent_ci
+    FROM v GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q147_collation_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware comparison (Spark 4): COLLATE UTF8_LCASE makes
+    case-insensitivity a property of the COMPARISON — distinct counts,
+    equality filters — without rewriting every expression through
+    lower() (and, on a real corpus, without breaking characters where
+    lowercasing isn't a round trip). The oracle spells the same
+    semantics with explicit lower(), pinning that the collation path is
+    equivalent where both are defined. Mixed-case data is planted via
+    orderkey parity so both branches are exercised."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q147_orders")
+    return spark.sql(
+        """
+        WITH v AS (
+          SELECT o_orderstatus,
+                 CASE WHEN o_orderkey % 2 = 0 THEN lower(o_orderpriority)
+                      ELSE o_orderpriority END AS pri
+          FROM q147_orders
+        )
+        SELECT o_orderstatus,
+               COUNT(DISTINCT pri) AS n_case_sensitive,
+               COUNT(DISTINCT pri COLLATE UTF8_LCASE) AS n_case_insensitive,
+               COUNT(CASE WHEN pri COLLATE UTF8_LCASE = '1-URGENT' THEN 1 END)
+                 AS n_urgent_ci
+        FROM v GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The round driver records correctness rows for the FIRST 50 entries of
