@@ -5727,6 +5727,57 @@ def q147_collation_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Null-preserving explode (explode_outer)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q148_explode_outer",
+    """
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_exploded_rows,
+           COUNT(o.o_orderkey) AS n_big_orders,
+           COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END)
+             AS n_customers_without
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+               WHERE o_totalprice > 400000.0) o
+      ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)
+def q148_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer semantics: a customer whose collected big-order
+    array is EMPTY survives the explode as one NULL row (plain explode
+    silently drops them — the classic lost-rows bug in array-modeled
+    pipelines). The oracle states the same relation as the LEFT JOIN it
+    must be equivalent to, so the hash pins the null-preservation
+    contract exactly: exploded rows = matches + one row per unmatched
+    customer."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    arrays = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.collect_list("o_orderkey").alias("big_orders")
+        )
+    )
+    exploded = arrays.select(
+        "c_mktsegment", F.explode_outer("big_orders").alias("o_orderkey")
+    )
+    return (
+        exploded.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_exploded_rows"),
+            F.count("o_orderkey").alias("n_big_orders"),
+            count_if(F.col("o_orderkey").isNull()).alias("n_customers_without"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The round driver records correctness rows for the FIRST 50 entries of
