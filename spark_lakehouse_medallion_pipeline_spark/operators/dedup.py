@@ -816,3 +816,65 @@ def bloom_prefilter_semi_join(
     if not verify:
         return out
     return out.join(reference.select(key_col).distinct(), key_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Contrastive pair mining (embedding/reranker training data)
+# ---------------------------------------------------------------------------
+
+
+def contrastive_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    neg_per_pos: int = 1,
+) -> DataFrame:
+    """Mine (anchor, other, label) training pairs for embedding /
+    reranker models: positives are LSH near-dup candidates (label 1),
+    negatives are deterministic pseudo-random pairings that do NOT
+    collide in any LSH band (label 0), ``neg_per_pos`` per positive.
+
+    Negative generation is scale-safe: ids hash into buckets, a window
+    partitioned BY BUCKET pairs hash-adjacent ids (no global sort, no
+    cross join), and a left-anti join against the positives removes
+    accidental near-dups. The hash ordering makes every step
+    deterministic — the same corpus always yields the same pairs.
+
+    Returns (id_a, id_b, label) with id_a < id_b.
+    """
+    from pyspark.sql import Window
+
+    pos = minhash_lsh_candidates(docs, id_col, text_col, num_hashes, bands, shingle_k)
+    pos_pairs = pos.select("id_a", "id_b", F.lit(1).alias("label"))
+    n_pos = pos_pairs.count()
+    if n_pos == 0:
+        return pos_pairs  # empty, schema-stable
+
+    ids = docs.select(F.col(id_col).alias("_id")).distinct()
+    n_buckets = 64
+    bucketed = ids.select(
+        "_id", F.pmod(F.xxhash64(F.col("_id").cast("string")), F.lit(n_buckets)).alias("_bkt")
+    )
+    w = Window.partitionBy("_bkt").orderBy(
+        F.xxhash64(F.col("_id").cast("string"), F.lit(1)), F.col("_id")
+    )
+    ranked = bucketed.withColumn("_rn", F.row_number().over(w))
+    left = ranked.filter(F.col("_rn") % 2 == 1).select(
+        "_bkt", ((F.col("_rn") + 1) / 2).cast("long").alias("_pair"), F.col("_id").alias("_l")
+    )
+    right = ranked.filter(F.col("_rn") % 2 == 0).select(
+        "_bkt", (F.col("_rn") / 2).cast("long").alias("_pair"), F.col("_id").alias("_r")
+    )
+    neg_raw = left.join(right, ["_bkt", "_pair"]).select(
+        F.least("_l", "_r").alias("id_a"), F.greatest("_l", "_r").alias("id_b")
+    )
+    neg = (
+        neg_raw.join(pos_pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+        .orderBy(F.xxhash64(F.col("id_a").cast("string"), F.col("id_b").cast("string")))
+        .limit(n_pos * neg_per_pos)
+        .select("id_a", "id_b", F.lit(0).alias("label"))
+    )
+    return pos_pairs.unionAll(neg)

@@ -5778,6 +5778,51 @@ def q148_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Contrastive pair mining (embedding-training data)
+# ---------------------------------------------------------------------------
+
+
+@_q("q149_contrastive_pairs")  # LSH banding not SQL-expressible; pytest-backed
+def q149_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining (dedup.contrastive_pairs):
+    LSH near-dup candidates as positives, hash-bucket-paired non-
+    colliding docs as negatives, 1:1. Output audits the mined set:
+    per-label pair counts and mean token-set jaccard (positives must
+    separate from negatives — also pinned in pytest). Rows-only: the
+    banding construction isn't one SQL statement; determinism and
+    label separation are pytest-verified."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.dedup import (
+        contrastive_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = contrastive_pairs(docs, shingle_k=2)
+    toks = docs.select(
+        F.col("doc_id"),
+        F.array_distinct(F.split(F.lower(F.col("text")), r"\s+")).alias("_t"),
+    )
+    scored = (
+        pairs.join(toks.select(F.col("doc_id").alias("id_a"), F.col("_t").alias("_ta")), "id_a")
+        .join(toks.select(F.col("doc_id").alias("id_b"), F.col("_t").alias("_tb")), "id_b")
+        .select(
+            "label",
+            (
+                F.size(F.array_intersect("_ta", "_tb")).cast("double")
+                / F.size(F.array_union("_ta", "_tb"))
+            ).alias("_j"),
+        )
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.floor(F.avg("_j") * 1e6 + F.lit(0.5)).cast("long").alias("mean_jaccard_e6"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The round driver records correctness rows for the FIRST 50 entries of

@@ -338,3 +338,34 @@ def test_bloom_build_is_bounded_by_m_bits(bloom_tables):
     words = dedup.bitset_bloom_build(ref, "k", m_bits=1 << 12).collect()
     assert len(words) <= (1 << 12) // 64
     assert all(w["word"] != 0 for w in words)  # only set words materialize
+
+
+# ---------------------------------------------------------------------------
+# Contrastive pair mining
+# ---------------------------------------------------------------------------
+
+
+def test_contrastive_pairs_labels_separate_and_deterministic(documents):
+    pairs = dedup.contrastive_pairs(documents, shingle_k=2)
+    rows = pairs.collect()
+    pos = [(r["id_a"], r["id_b"]) for r in rows if r["label"] == 1]
+    neg = [(r["id_a"], r["id_b"]) for r in rows if r["label"] == 0]
+    assert pos, "corpus must yield LSH positives"
+    assert len(neg) == len(pos)  # 1:1 by construction
+    assert not set(pos) & set(neg)
+    assert all(a < b for a, b in pos + neg)
+    # deterministic: a second mining run yields the identical pair set
+    again = dedup.contrastive_pairs(documents, shingle_k=2).collect()
+    assert {(r["id_a"], r["id_b"], r["label"]) for r in again} == {
+        (r["id_a"], r["id_b"], r["label"]) for r in rows
+    }
+
+
+def test_contrastive_pairs_empty_when_no_positives(spark):
+    df = spark.createDataFrame(
+        [(1, "aa bb cc"), (2, "dd ee ff"), (3, "gg hh ii")],
+        "doc_id long, text string",
+    )
+    out = dedup.contrastive_pairs(df, shingle_k=2)
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "label"]
