@@ -372,3 +372,40 @@ def test_robustness_and_bitmap_plan_shapes(spark):
         plan = explain.formatted(df)
         assert "CartesianProduct" not in plan, name
         assert explain.count_exchanges(df) <= budget, name
+
+
+def test_lint_plan_flags_antipatterns_and_passes_clean(spark):
+    from pyspark.sql import functions as F
+
+    from spark_lakehouse_medallion_pipeline_spark.plans import lint
+
+    # clean: the flagship aggregate must produce zero findings
+    assert lint.lint_plan(QUERIES["q01_pricing_summary"](spark, SF)) == []
+
+    # cartesian: two unconditioned sides too big to broadcast (threshold
+    # off forces the CartesianProduct plan a real oversized case gets)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.range(0, 1000).select(F.col("id").alias("x"))
+        b = spark.range(0, 1000).select(F.col("id").alias("y"))
+        finds = lint.lint_plan(a.crossJoin(b))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert any(f.startswith("cartesian") for f in finds)
+
+    # python-udf: a row-at-a-time udf in the projection
+    from pyspark.sql.functions import udf
+
+    slow = spark.range(0, 10).select(udf(lambda v: v + 1, "long")(F.col("id")))
+    finds = lint.lint_plan(slow)
+    assert any(f.startswith("python-udf") for f in finds)
+
+    # exchange-count: re-keyed aggregates that each force a new shuffle
+    # (unlike stacked repartition() calls, which CollapseRepartition folds)
+    df = spark.range(0, 1000).select((F.col("id") % 7).alias("k7"), "id")
+    g1 = df.groupBy("k7").agg(F.count(F.lit(1)).alias("n"))
+    g2 = g1.groupBy((F.col("n") % 5).alias("k5")).agg(F.sum("n").alias("s"))
+    g3 = g2.groupBy((F.col("s") % 3).alias("k3")).agg(F.count(F.lit(1)).alias("m"))
+    finds = lint.lint_plan(g3, max_exchanges=2)
+    assert any(f.startswith("exchange-count") for f in finds)
