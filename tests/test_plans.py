@@ -409,3 +409,35 @@ def test_lint_plan_flags_antipatterns_and_passes_clean(spark):
     g3 = g2.groupBy((F.col("s") % 3).alias("k3")).agg(F.count(F.lit(1)).alias("m"))
     finds = lint.lint_plan(g3, max_exchanges=2)
     assert any(f.startswith("exchange-count") for f in finds)
+
+
+def test_lint_clean_across_driver_snapshot(spark):
+    """Whole-battery hygiene: every driver-snapshot query must be free
+    of cartesian products and row-at-a-time Python UDFs. (q65's UDTF is
+    a deliberate Python-surface query — BatchEvalPythonUDTF is its
+    documented cost; generator-based medallion entries run pipelines,
+    not single plans, and are audited by their own tests.)"""
+    from spark_lakehouse_medallion_pipeline_spark.plans import lint
+    from spark_lakehouse_medallion_pipeline_spark.queries import QUERIES as Q
+
+    allow_python = {"q65_udtf_tokenize", "q39_multimodal_features", "q40_zscore_by_type",
+                    "q124_python_datasource", "q118_ols_by_group"}
+    snapshot = list(Q)[:50]
+    bad = {}
+    for name in snapshot:
+        if name.startswith("medallion_"):
+            continue
+        try:
+            finds = [
+                f
+                for f in lint.lint_plan(Q[name](spark, SF), max_exchanges=99)
+                if f.startswith(("cartesian", "python-udf"))
+            ]
+        except Exception as exc:  # pragma: no cover - surface build errors
+            bad[name] = [f"plan build failed: {exc}"][:1]
+            continue
+        if name in allow_python:
+            finds = [f for f in finds if not f.startswith("python-udf")]
+        if finds:
+            bad[name] = finds
+    assert not bad, bad
