@@ -183,3 +183,36 @@ def scd2_intervals(
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+def asof_join_backward_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tolerance_seconds: int,
+) -> DataFrame:
+    """As-of join (backward) with a staleness bound: matches older than
+    ``tolerance_seconds`` are nulled out — the feature-freshness contract
+    of a point-in-time feature store (a price from last week must NOT
+    leak into a trade enriched 'as of' now). Same single-shuffle
+    union-and-carry-forward plan as asof_join_backward; the tolerance is
+    a scan-local post-filter on the carried timestamp, so it adds no
+    exchange."""
+    carry = right_cols if right_ts in right_cols else [*right_cols, right_ts]
+    carried = asof_join_backward(left, right, key, left_ts, right_ts, carry)
+    # Python-side multiply: a lit(int)*lit(int) product past 2^31 overflows
+    # Spark's checked int32 multiply before it ever widens.
+    tol_us = F.lit(int(tolerance_seconds) * 1_000_000).cast("long")
+    fresh = (
+        F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col(f"asof_{right_ts}"))
+        <= tol_us
+    )
+    out = carried
+    for c in right_cols:
+        out = out.withColumn(
+            f"asof_{c}", F.when(fresh, F.col(f"asof_{c}"))
+        )
+    return out.withColumn(f"asof_{right_ts}", F.when(fresh, F.col(f"asof_{right_ts}")))

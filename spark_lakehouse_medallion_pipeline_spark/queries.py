@@ -5823,6 +5823,50 @@ def q149_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Tolerance-bounded as-of join (feature-freshness contract)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q150_asof_tolerance",
+    """
+    SELECT l.event_id, l.user_id,
+           CASE WHEN r.ts IS NOT NULL
+                 AND epoch_us(l.ts) - epoch_us(r.ts) <= 3600000000
+                THEN r.value END AS fresh_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q150_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 1-hour staleness bound
+    (timeseries.asof_join_backward_tolerance): the latest prior click
+    counts only if it is fresh enough — the point-in-time feature-store
+    contract that q24's unbounded form doesn't capture. Same
+    single-shuffle carry-forward plan; the tolerance nulls stale
+    matches scan-locally. Oracle: DuckDB ASOF JOIN + an epoch_us
+    freshness CASE (exact integer microsecond arithmetic both sides)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = timeseries.asof_join_backward_tolerance(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["value"],
+        tolerance_seconds=3600,
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("asof_value").alias("fresh_click_value")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The round driver records correctness rows for the FIRST 50 entries of
