@@ -5867,6 +5867,48 @@ def q150_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# width_bucket boundary semantics
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q151_width_bucket",
+    """
+    WITH c AS (SELECT CAST(ROUND(value*100) AS BIGINT) AS v FROM events)
+    SELECT CASE WHEN v < 0 THEN 0
+                WHEN v >= 2000 THEN 11
+                ELSE v // 200 + 1 END AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(v) AS BIGINT) AS min_cents,
+           CAST(MAX(v) AS BIGINT) AS max_cents
+    FROM c GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q151_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """width_bucket boundary semantics pinned against an explicit CASE
+    spelling of its rules (DuckDB has no width_bucket): inclusive lower
+    / exclusive upper edges, underflow to bucket 0, overflow to n+1
+    (events.value extends past the 2000-cent upper bound, so the
+    overflow bucket is exercised with real rows). q81's floor-division
+    histogram is the hand-rolled mid-range form; this pins the
+    builtin's edge rules, which are exactly what hand-rolled code gets
+    wrong. Bucketing on exact cents keeps every edge comparison
+    integer."""
+    ev = _t(spark, sf_dir, "events").select(cents(F.col("value")).alias("v"))
+    return (
+        ev.groupBy(
+            F.expr("width_bucket(v, 0, 2000, 10)").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("min_cents"),
+            F.max("v").alias("max_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
 # The round driver records correctness rows for the FIRST 50 entries of
