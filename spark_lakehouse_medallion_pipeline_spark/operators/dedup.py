@@ -668,51 +668,90 @@ def fuzzy_pairs(
     id_col: str = "doc_id",
     name_col: str = "text",
     max_dist: int = 1,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Entity-resolution candidate pairs: all (id_a < id_b) whose
     ``name_col`` values are within levenshtein distance ``max_dist``,
     found WITHOUT an all-pairs comparison.
 
     Blocking is the SymSpell deletion-neighborhood (Garbe's public
-    algorithm): Δ(s) = {s} ∪ {s with one char deleted}. Two strings at
-    edit distance <= 1 ALWAYS share a Δ key (equal → s itself; deletion
-    → the shorter string; substitution → delete the differing position
-    from both), so recall is exact — the bucket join produces a
-    candidate superset (shared keys imply distance <= 2) and the final
-    levenshtein filter keeps the true pairs. Scale shape: explode factor
-    is len+1 per row, but the keys ship as xxhash64 LONGS and the bucket
-    join carries (id, id) only — names re-attach to the ~|result|-sized
-    distinct pair set afterwards, so the candidate shuffle is two longs
-    per row instead of two full strings (measured 3x: 8.7s -> 2.9s on
-    15k adversarially-dense synthetic names). Hash collisions can only
-    ADD candidates (removed by the final filter), never drop a true
-    pair, so recall stays exact. Only max_dist=1 is supported (d=2 needs
-    the 2-delete neighborhood; same construction, quadratic explode).
+    algorithm): Δd(s) = all strings reachable from s by deleting up to d
+    characters. Two strings at edit distance <= d ALWAYS share a Δd key
+    (align the optimal edit script: each substitution deletes the
+    differing position from both sides, each insertion/deletion deletes
+    from the longer side — at most d deletes per side), so recall is
+    exact — the shared-key buckets produce a candidate superset (shared
+    keys imply distance <= 2d) and the final levenshtein filter keeps
+    the true pairs.
+
+    Scale shape: keys ship as xxhash64 LONGS, and pair generation is ONE
+    shuffle — groupBy the key hash collecting each bucket's ids, pairs
+    generated inside the bucket row (same shape as
+    ``minhash_lsh_candidates_from_signatures``) — so the candidate path
+    carries longs, never full strings; names re-attach to the
+    ~|result|-sized distinct pair set afterwards (measured 3x: 8.7s ->
+    2.9s on 15k adversarially-dense synthetic names). Hash collisions
+    can only ADD candidates (removed by the final filter), never drop a
+    true pair, so recall stays exact.
+
+    ``max_bucket`` drops degenerate buckets before pair generation: a
+    key shared by thousands of records (one name repeated across a
+    customer file — routine in real entity resolution) is |bucket|^2
+    candidates of near-zero information. None = exact recall; with a
+    cap, pairs inside dropped hot buckets are lost unless they also
+    share a cooler key — the same contract as the MinHash path's cap.
+
+    Explode factor per row: len+1 keys at d=1, O(len^2/2) at d=2 — the
+    documented quadratic cost of the 2-delete neighborhood. Distances
+    above 2 explode combinatorially and are refused.
     """
-    if max_dist != 1:
+    if max_dist not in (1, 2):
         raise NotImplementedError(
-            "fuzzy_pairs supports max_dist=1 (2-delete neighborhoods are a "
-            "straightforward extension with a quadratic explode factor)"
+            "fuzzy_pairs supports max_dist in (1, 2); higher distances need "
+            "C(len, d) delete-neighborhood keys per row, which explodes "
+            "combinatorially — block on phonetic/qgram keys instead"
         )
     name = F.col(name_col)
-    deletes = F.transform(
+    d1 = F.transform(
         F.sequence(F.lit(1), F.length(name)),
         lambda i: F.concat(
             name.substr(F.lit(1), i - 1), name.substr(i + 1, F.length(name))
         ),
     )
+    keys = F.array_union(F.array(name), d1)
+    if max_dist == 2:
+        # Delete positions j < i in one pass over the ORIGINAL string:
+        # concat(chars 1..j-1, chars j+1..i-1, chars i+1..end). Generating
+        # from the original (not by re-deleting from d1 strings) keeps the
+        # key set distinct-by-construction and the expression codegen-able.
+        d2 = F.flatten(
+            F.transform(
+                F.sequence(F.lit(2), F.greatest(F.length(name), F.lit(2))),
+                lambda i: F.transform(
+                    F.sequence(F.lit(1), i - 1),
+                    lambda j: F.concat(
+                        name.substr(F.lit(1), j - 1),
+                        name.substr(j + 1, i - j - 1),
+                        name.substr(i + 1, F.length(name)),
+                    ),
+                ),
+            )
+        )
+        keys = F.array_union(keys, d2)
     keyed = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(
-            F.transform(
-                F.array_union(F.array(name), deletes), lambda s: F.xxhash64(s)
-            )
-        ).alias("_kh"),
+        F.explode(F.transform(keys, lambda s: F.xxhash64(s))).alias("_kh"),
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
+    buckets = (
+        keyed.groupBy("_kh")
+        .agg(F.array_sort(F.collect_set("_id")).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("_ids") <= max_bucket)
     pairs = (
-        a.join(b, (F.col("a._kh") == F.col("b._kh")) & (F.col("a._id") < F.col("b._id")))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        buckets.select(F.explode(_bucket_pairs(F.col("_ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     na = df.select(F.col(id_col).alias("id_a"), name.alias("name_a"))

@@ -3379,9 +3379,10 @@ def q94_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT doc_id, source, n_tokens,
-           (cum - n_tokens) // 512 AS pack_id,
-           (cum - n_tokens) % 512 AS pack_offset,
-           (cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS n_packs_spanned
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
+           CAST((cum - n_tokens) % 512 AS BIGINT) AS pack_offset,
+           CAST((cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS BIGINT)
+             AS n_packs_spanned
     FROM c
     """,
 )

@@ -283,8 +283,60 @@ def test_fuzzy_pairs_exact_recall_vs_naive(spark):
     assert (1, 4, 0) in got and (1, 3, 1) in got and (1, 5, 1) in got
     assert not any({a, b} == {1, 2} for a, b, _ in got)  # dist-2 excluded
 
-    with pytest.raises(NotImplementedError, match="max_dist=1"):
-        dedup.fuzzy_pairs(df, max_dist=2)
+    with pytest.raises(NotImplementedError, match="max_dist in"):
+        dedup.fuzzy_pairs(df, max_dist=3)
+
+
+def test_fuzzy_pairs_d2_exact_recall_vs_naive(spark):
+    """2-delete neighborhoods must reproduce the naive quadratic d<=2
+    predicate exactly: transpositions (two substitutions under plain
+    levenshtein), double deletes, delete+substitute — and nothing at 3+."""
+    df = spark.createDataFrame(
+        [
+            (1, "martha"),
+            (2, "marhta"),   # transposition -> dist 2, now included
+            (3, "mart"),     # two deletions -> dist 2
+            (4, "mertha"),   # substitution -> dist 1
+            (5, "xerthq"),   # dist 3 from martha -> excluded
+            (6, "ab"),       # short strings exercise the len<2 guard
+            (7, "a"),
+            (8, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in dedup.fuzzy_pairs(df, max_dist=2).collect()
+    }
+    naive = df.alias("a").join(
+        df.alias("b"), F.col("a.doc_id") < F.col("b.doc_id")
+    ).filter(F.levenshtein("a.text", "b.text") <= 2)
+    want = {
+        (r[0], r[1], r[2])
+        for r in naive.select(
+            "a.doc_id", "b.doc_id", F.levenshtein("a.text", "b.text").cast("long")
+        ).collect()
+    }
+    assert got == want
+    assert (1, 2, 2) in got and (1, 3, 2) in got and (6, 7, 1) in got
+
+
+def test_fuzzy_pairs_hot_bucket_cap(spark):
+    """An adversarial block of identical names is |bucket|^2 candidates;
+    max_bucket must drop it BEFORE pair generation while cooler buckets
+    still pair up."""
+    rows = [(i, "acme corporation") for i in range(1, 101)]  # hot block
+    rows += [(201, "zenith"), (202, "zenath")]               # cool dist-1 pair
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = dedup.fuzzy_pairs(df, max_bucket=50).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    assert got == {(201, 202)}  # hot bucket dropped, cool pair survives
+
+    uncapped = dedup.fuzzy_pairs(df)
+    assert uncapped.filter(
+        (F.col("id_a") <= 100) & (F.col("id_b") <= 100)
+    ).count() == 100 * 99 // 2  # default stays exact
 
 
 # ---------------------------------------------------------------------------

@@ -40,6 +40,79 @@ def frame_to_key_rows(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...
     return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
 
 
+def spark_kind(dtype: str) -> str:
+    """Collapse a Spark simpleString dtype to a hash-affecting 'kind'.
+
+    The driver's value hash is typed: a DuckDB HUGEINT (int128) hashes
+    differently from Spark's int64 even when every value is equal (the
+    round-3 q95 red row). Kinds are coarse on purpose — int widths hash
+    alike after normalization, but int vs decimal vs float do not.
+    """
+    d = dtype.lower()
+    if d in ("tinyint", "smallint", "int", "integer", "bigint", "long", "short", "byte"):
+        return "int"
+    if d in ("float", "double"):
+        return "float"
+    if d.startswith("decimal"):
+        return "decimal"
+    if d == "boolean":
+        return "bool"
+    if d == "string":
+        return "str"
+    if d == "date":
+        return "date"
+    if d.startswith("timestamp"):
+        return "datetime"
+    if d == "binary":
+        return "binary"
+    return "complex"  # array/map/struct — value compare handles these
+
+
+def arrow_kind(t) -> str:
+    """Same collapse for a pyarrow DataType from DuckDB's fetch_arrow_table."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "datetime"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    return "complex"
+
+
+def dtype_problems(s_dtypes: list[tuple[str, str]], d_schema) -> list[str]:
+    """Compare per-column type *kind* between Spark and DuckDB results.
+
+    Returns a list of human-readable mismatch strings. DuckDB's Arrow
+    schema is authoritative for the oracle side (HUGEINT -> decimal128,
+    nullable BIGINT stays int64 — none of pandas' null-driven coercions).
+    """
+    spark_map = {name: dt for name, dt in s_dtypes}
+    probs = []
+    for field in d_schema:
+        if field.name not in spark_map:
+            continue  # schema compare reports missing columns
+        sk = spark_kind(spark_map[field.name])
+        dk = arrow_kind(field.type)
+        if sk != dk:
+            probs.append(
+                f"dtype[{field.name}]: spark={spark_map[field.name]}({sk}) "
+                f"duckdb={field.type}({dk})"
+            )
+    return probs
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -79,6 +152,7 @@ def main() -> None:
             res = con.execute(oracles[name])
             d_cols = [d[0] for d in res.description]
             d_rows = res.fetchall()
+            d_schema = con.execute(oracles[name]).fetch_arrow_table().schema
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
@@ -87,6 +161,7 @@ def main() -> None:
         problems = []
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"schema: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        problems.extend(dtype_problems(sdf.dtypes, d_schema))
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount: spark={len(s_rows)} duckdb={len(d_rows)}")
         if not problems:
