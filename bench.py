@@ -70,6 +70,14 @@ HEADLINE = [
     "q128_cdc_apply",
     "q136_bigram_lm_score",
     "q137_bloom_prefilter_dedup",
+    # round-4 rotation: families promoted to the driver snapshot
+    "q110_variant_props",
+    "q117_arrow_normalize",
+    "q133_salted_join",
+    "q146_bitmap_rollup_merge",
+    "q150_asof_tolerance",
+    "q152_fuzzy_name_pairs_d2",
+    "q153_ann_rerank",
     "medallion_gold_kpis",
 ]
 
@@ -206,13 +214,39 @@ def main() -> None:
     # Payload-heavy regime (the reference's tuned path: 256 KB payloads,
     # vectorized reader OFF, batch 1024 — 43-silver-build.yaml:92-94). Run
     # the medallion at the reference's true payload size both ways.
+    # INTERLEAVED off/on, 3 reps each, MEDIAN recorded: this pair exists
+    # to compare the two reader modes, and a 2-sample min is too noisy to
+    # support a comparison (round 3 recorded [6.33, 11.99] s for one side
+    # — a 90% spread — while claiming the modes were "within noise").
+    # Interleaving cancels slow drift (page cache, GC); the median ignores
+    # one transient per side.
     prev = spark.conf.get("spark.sql.parquet.enableVectorizedReader", "true")
-    for label, vectorized in (("payload256k_vec_off", "false"), ("payload256k_vec_on", "true")):
-        try:
-            spark.conf.set("spark.sql.parquet.enableVectorizedReader", vectorized)
-            timed_e2e(f"medallion_{label}", rows=1_000, payload_kb=256)
-        finally:
-            spark.conf.set("spark.sql.parquet.enableVectorizedReader", prev)
+    payload_modes = (
+        ("medallion_payload256k_vec_off", "false"),
+        ("medallion_payload256k_vec_on", "true"),
+    )
+    payload_samples: dict[str, list[float]] = {label: [] for label, _ in payload_modes}
+    try:
+        for _rep in range(3):
+            for label, vectorized in payload_modes:
+                spark.conf.set("spark.sql.parquet.enableVectorizedReader", vectorized)
+                tmp = tempfile.mkdtemp(prefix=f"bench_{label}_")
+                try:
+                    t0 = time.time()
+                    run_pipeline(spark, tmp, rows=1_000, payload_kb=256)
+                    payload_samples[label].append(round(time.time() - t0, 3))
+                except Exception as exc:
+                    errors[label] = str(exc).split("\n")[0][:200]
+                    print(f"# {label}: FAILED ({errors[label]})", file=sys.stderr)
+                finally:
+                    shutil.rmtree(tmp, ignore_errors=True)
+    finally:
+        spark.conf.set("spark.sql.parquet.enableVectorizedReader", prev)
+    for label, samples in payload_samples.items():
+        if samples:
+            timings[label] = sorted(samples)[len(samples) // 2]
+            variance[f"{label}_runs_sec"] = samples
+            print(f"# {label}: {timings[label]:.2f}s (runs {samples})", file=sys.stderr)
 
     # Scaled dedup: the driver corpus tops out at 5k documents (sf0.1),
     # too small to evidence the MinHash->LSH pipeline's throughput claim.

@@ -882,10 +882,17 @@ def contrastive_pairs(
     accidental near-dups. The hash ordering makes every step
     deterministic — the same corpus always yields the same pairs.
 
+    Label balance: one pairing pass can fall short of
+    ``n_pos * neg_per_pos`` (odd-sized hash buckets strand one id each;
+    the anti-join removes accidental near-dup pairings without
+    replacement), so when it does, up to three more pairings with fresh
+    hash seeds top up the deficit. A corpus can still come up short
+    after the top-ups if it is tiny or so duplicated that most pairings
+    collide with positives — callers needing strict 1:neg_per_pos
+    should check the returned label counts.
+
     Returns (id_a, id_b, label) with id_a < id_b.
     """
-    from pyspark.sql import Window
-
     pos = minhash_lsh_candidates(docs, id_col, text_col, num_hashes, bands, shingle_k)
     pos_pairs = pos.select("id_a", "id_b", F.lit(1).alias("label"))
     n_pos = pos_pairs.count()
@@ -893,12 +900,54 @@ def contrastive_pairs(
         return pos_pairs  # empty, schema-stable
 
     ids = docs.select(F.col(id_col).alias("_id")).distinct()
-    n_buckets = 64
+    # Bucket count scales with the corpus: each pairing pass strands up
+    # to one id per bucket, so a tiny corpus spread over 64 buckets would
+    # pair almost nothing. ~16+ ids per bucket keeps stranding <6%.
+    n_ids = ids.count()
+    n_buckets = max(1, min(64, n_ids // 16))
+    target = n_pos * neg_per_pos
+    neg = (
+        _hash_paired(ids, seed=1, n_buckets=n_buckets)
+        .join(pos_pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+        .orderBy(F.xxhash64(F.col("id_a").cast("string"), F.col("id_b").cast("string")))
+        .limit(target)
+    )
+    for seed in (2, 3, 4):
+        deficit = target - neg.count()
+        if deficit <= 0:
+            break
+        topup = (
+            _hash_paired(ids, seed=seed, n_buckets=n_buckets)
+            .join(pos_pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+            .join(neg, ["id_a", "id_b"], "left_anti")
+            .orderBy(
+                F.xxhash64(F.col("id_a").cast("string"), F.col("id_b").cast("string"))
+            )
+            .limit(deficit)
+        )
+        neg = neg.unionAll(topup)
+    return pos_pairs.unionAll(neg.select("id_a", "id_b", F.lit(0).alias("label")))
+
+
+def _hash_paired(ids: DataFrame, seed: int, n_buckets: int = 64) -> DataFrame:
+    """Deterministic pseudo-random disjoint pairing of ``ids['_id']``:
+    hash into buckets, rank by a seeded hash inside each bucket, pair
+    rank 2k-1 with rank 2k. No global sort, no cross join; different
+    seeds yield (near-)independent pairings for top-up passes."""
+    from pyspark.sql import Window
+
+    # Seed participates in the BUCKET hash too — with only the ordering
+    # seeded, a 2-id bucket would re-produce the identical pair on every
+    # seed and the top-up pass could never find fresh candidates.
     bucketed = ids.select(
-        "_id", F.pmod(F.xxhash64(F.col("_id").cast("string")), F.lit(n_buckets)).alias("_bkt")
+        "_id",
+        F.pmod(
+            F.xxhash64(F.col("_id").cast("string"), F.lit(seed * 1000)),
+            F.lit(n_buckets),
+        ).alias("_bkt"),
     )
     w = Window.partitionBy("_bkt").orderBy(
-        F.xxhash64(F.col("_id").cast("string"), F.lit(1)), F.col("_id")
+        F.xxhash64(F.col("_id").cast("string"), F.lit(seed)), F.col("_id")
     )
     ranked = bucketed.withColumn("_rn", F.row_number().over(w))
     left = ranked.filter(F.col("_rn") % 2 == 1).select(
@@ -907,13 +956,6 @@ def contrastive_pairs(
     right = ranked.filter(F.col("_rn") % 2 == 0).select(
         "_bkt", (F.col("_rn") / 2).cast("long").alias("_pair"), F.col("_id").alias("_r")
     )
-    neg_raw = left.join(right, ["_bkt", "_pair"]).select(
+    return left.join(right, ["_bkt", "_pair"]).select(
         F.least("_l", "_r").alias("id_a"), F.greatest("_l", "_r").alias("id_b")
     )
-    neg = (
-        neg_raw.join(pos_pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
-        .orderBy(F.xxhash64(F.col("id_a").cast("string"), F.col("id_b").cast("string")))
-        .limit(n_pos * neg_per_pos)
-        .select("id_a", "id_b", F.lit(0).alias("label"))
-    )
-    return pos_pairs.unionAll(neg)

@@ -713,7 +713,13 @@ def pq_codebooks(
     combined; the shuffle is n_subspaces * n_codes groups). Each
     iteration collects only the n_subspaces * n_codes refined means —
     the model, not the data. Empty cells keep their previous code.
-    Fully deterministic: seeded sample + fixed iteration count."""
+    Determinism: seeded sample + fixed iteration count, and refined
+    means are rounded to 1e-9 before storing — F.avg over doubles is
+    partial-aggregation-order dependent, so unrounded codebooks could
+    differ in the last ulp across partitionings/cluster layouts; at
+    1e-9 the embedding-scale values are stable across plans (an exact
+    guarantee would need scaled-integer sums, overkill for a codebook
+    whose assignments tolerate far larger perturbations)."""
     rows = (
         corpus.select(F.col(id_col), F.col(vec_col))
         .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
@@ -746,8 +752,60 @@ def pq_codebooks(
             .collect()
         )
         for r in means:
-            books[r["_s"]][r["_code"]] = [float(r[f"_m{d}"]) for d in range(sub)]
+            books[r["_s"]][r["_code"]] = [
+                round(float(r[f"_m{d}"]), 9) for d in range(sub)
+            ]
     return books
+
+
+def _floor_round6(col: Column) -> Column:
+    """FLOOR(x*1e6 + 0.5)/1e6 — the cross-engine-stable round used by the
+    oracle gate (matches queries.floor_round / S_FLOOR op-for-op, so a
+    DuckDB oracle reproduces the value bit-identically; plain round()
+    disagrees with SQL engines on negative midpoints)."""
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+def exact_rerank(
+    cand_ids: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine re-rank — the final stage every ANN path here (LSH /
+    IVF / PQ / IVF-PQ) shares: candidate (q_id, c_id) pairs join BACK to
+    the full-precision corpus BY ID, score exactly, keep top-k per query.
+
+    Factored out so the stage is independently testable/oracle-able: the
+    candidate generator (ADC scan, cell probe, band collision) is the
+    approximate, engine-specific part; this tail is exact and
+    SQL-expressible over any pinned candidate set. Plan shape: the
+    query side broadcasts (bounded by the callers' max_query_rows), the
+    corpus join moves full vectors only for |cand_ids| rows, and top-k
+    is a bounded per-query window."""
+    from pyspark.sql import Window
+
+    scored = (
+        cand_ids.join(
+            F.broadcast(queries.select(F.col(q_id), F.col(vec_col).alias("_qvec"))),
+            q_id,
+        )
+        .join(corpus.select(F.col(c_id), F.col(vec_col).alias("_cvec")), c_id)
+        .select(
+            q_id,
+            c_id,
+            _floor_round6(cosine(F.col("_cvec"), F.col("_qvec"))).alias("cosine_sim"),
+        )
+    )
+    w_k = Window.partitionBy(q_id).orderBy(F.desc("cosine_sim"), F.col(c_id))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w_k))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
 
 
 def _books_arrays(books: list[list[list[float]]]):
@@ -869,13 +927,11 @@ def pq_knn_join(
     )
     qt = queries.select(
         F.col(q_id),
-        F.col(vec_col).alias("_qvec"),
         pq_dist_tables_udf(books)(F.col(vec_col)).alias("_tabs"),
     )
     adc = codes.crossJoin(F.broadcast(qt)).select(
         q_id,
         c_id,
-        "_qvec",
         F.expr(
             "aggregate(zip_with(_codes, _tabs, (c, t) -> element_at(t, c + 1)), "
             "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
@@ -885,21 +941,9 @@ def pq_knn_join(
     cand = (
         adc.withColumn("_rn", F.row_number().over(w_c))
         .filter(F.col("_rn") <= refine * k)
-        .drop("_rn", "_adc")
+        .select(q_id, c_id)
     )
-    rescored = cand.join(
-        corpus.select(F.col(c_id), F.col(vec_col).alias("_cvec")), c_id
-    ).select(
-        q_id,
-        c_id,
-        F.round(cosine(F.col("_cvec"), F.col("_qvec")), 6).alias("cosine_sim"),
-    )
-    w_k = Window.partitionBy(q_id).orderBy(F.desc("cosine_sim"), F.col(c_id))
-    return (
-        rescored.withColumn("_rn", F.row_number().over(w_k))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return exact_rerank(cand, queries, corpus, k, q_id, c_id, vec_col)
 
 
 def ivfpq_knn_join(
@@ -951,14 +995,12 @@ def ivfpq_knn_join(
     )
     q_side = queries.select(
         F.col(q_id),
-        F.col(vec_col).alias("_qvec"),
         pq_dist_tables_udf(books)(F.col(vec_col)).alias("_tabs"),
         F.explode(probed).alias("_probe"),
-    ).select(q_id, "_qvec", "_tabs", F.col("_probe.cid").alias("_cell"))
+    ).select(q_id, "_tabs", F.col("_probe.cid").alias("_cell"))
     adc = c_idx.join(F.broadcast(q_side), on="_cell").select(
         q_id,
         c_id,
-        "_qvec",
         F.expr(
             "aggregate(zip_with(_codes, _tabs, (c, t) -> element_at(t, c + 1)), "
             "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
@@ -968,18 +1010,6 @@ def ivfpq_knn_join(
     cand = (
         adc.withColumn("_rn", F.row_number().over(w_c))
         .filter(F.col("_rn") <= refine * k)
-        .drop("_rn", "_adc")
+        .select(q_id, c_id)
     )
-    rescored = cand.join(
-        corpus.select(F.col(c_id), F.col(vec_col).alias("_cvec")), c_id
-    ).select(
-        q_id,
-        c_id,
-        F.round(cosine(F.col("_cvec"), F.col("_qvec")), 6).alias("cosine_sim"),
-    )
-    w_k = Window.partitionBy(q_id).orderBy(F.desc("cosine_sim"), F.col(c_id))
-    return (
-        rescored.withColumn("_rn", F.row_number().over(w_k))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return exact_rerank(cand, queries, corpus, k, q_id, c_id, vec_col)

@@ -101,9 +101,15 @@ def asof_join_backward(
     )
     unioned = l_tag.unionByName(r_tag)
     # Right rows sort before left rows at equal timestamps => "<=" semantics.
+    # _rvals is the final tiebreaker: with duplicate (key, right_ts) rows
+    # carrying different payloads, plain (ts, side) ordering would carry an
+    # arbitrary one (and flake oracle hashes across partitionings) — the
+    # struct comparison pins last() to the greatest payload. Requires
+    # right_cols to be orderable types (atomics/structs/arrays, not maps),
+    # which Spark enforces at analysis time.
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("_ts"), F.col("_is_left"))
+        .orderBy(F.col("_ts"), F.col("_is_left"), F.col("_rvals"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn("_last_r", F.last("_rvals", ignorenulls=True).over(w))

@@ -32,14 +32,21 @@ class SkewReport(NamedTuple):
 def skew_report(df: DataFrame, key_col: str, top_n: int = 10) -> SkewReport:
     """Profile key-frequency skew with ONE map-side-combined aggregate
     (the groupBy shuffles at most n_keys rows) plus a bounded top-n
-    heap. Collects top_n + 2 scalars — the report, not the data."""
-    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
-    totals = counts.agg(
-        F.sum("_n").alias("_rows"), F.count(F.lit(1)).alias("_keys")
-    ).collect()[0]
-    n_rows, n_keys = int(totals["_rows"] or 0), int(totals["_keys"] or 0)
-    top = counts.orderBy(F.desc("_n"), key_col).limit(top_n).collect()
-    top_keys = [(r[key_col], int(r["_n"])) for r in top]
+    heap. Collects top_n + 2 scalars — the report, not the data.
+
+    The key-count table is persisted across the two actions (totals,
+    top-n) so the full-input scan + shuffle runs once; only the
+    n_keys-row counts table is re-read for the heap."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n")).persist()
+    try:
+        totals = counts.agg(
+            F.sum("_n").alias("_rows"), F.count(F.lit(1)).alias("_keys")
+        ).collect()[0]
+        n_rows, n_keys = int(totals["_rows"] or 0), int(totals["_keys"] or 0)
+        top = counts.orderBy(F.desc("_n"), key_col).limit(top_n).collect()
+        top_keys = [(r[key_col], int(r["_n"])) for r in top]
+    finally:
+        counts.unpersist()
     if n_rows == 0 or n_keys == 0:
         return SkewReport(0, 0, [], 0.0, 0.0, 0.0)
     max_share = top_keys[0][1] / n_rows

@@ -2696,9 +2696,18 @@ def q79_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregable; top-20 is a TakeOrdered heap, not a full sort."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), r"\s+")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(F.col("l")) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(F.col("l"), i), F.element_at(F.col("l"), i + 1)),
+    # Guarded: a 1-token doc would make sequence(1, 0) DESCENDING [1, 0]
+    # and element_at(l, 0) is an unconditional error — when() yields NULL
+    # for such docs and explode() drops the row (matches the oracle's
+    # range(1, len), which is empty at len=1).
+    bigrams = F.when(
+        F.size(F.col("l")) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("l")) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("l"), i), F.element_at(F.col("l"), i + 1)
+            ),
+        ),
     )
     return (
         docs.select(toks.alias("l"))
@@ -5193,16 +5202,24 @@ def q136_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides a broadcast 1-row cross join. No Python, no collect."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("l"))
+    # Guarded like q79: a 1-token doc would make sequence(1, 0) the
+    # DESCENDING [1, 0] and element_at(l, 0) errors — when() yields NULL,
+    # explode drops the doc, matching the oracle's empty range(1, 1).
     grams = toks.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(F.col("l")) - 1),
-                lambda i: F.struct(
-                    F.element_at(F.col("l"), i).alias("w1"),
-                    F.concat_ws(
-                        " ", F.element_at(F.col("l"), i), F.element_at(F.col("l"), i + 1)
-                    ).alias("bigram"),
+            F.when(
+                F.size(F.col("l")) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(F.col("l")) - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("l"), i).alias("w1"),
+                        F.concat_ws(
+                            " ",
+                            F.element_at(F.col("l"), i),
+                            F.element_at(F.col("l"), i + 1),
+                        ).alias("bigram"),
+                    ),
                 ),
             )
         ).alias("g"),
@@ -5909,6 +5926,77 @@ def q151_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q152_fuzzy_name_pairs_d2",
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE a.c_custkey % 5 = 0 AND b.c_custkey % 5 = 0
+      AND levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def q152_fuzzy_name_pairs_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution at distance 2 (record linkage's common
+    ask): customer-name pairs within levenshtein distance 2 — catches
+    transpositions, which plain levenshtein scores as TWO substitutions
+    and q109's d=1 therefore misses. The oracle is the naive quadratic
+    form; the Spark side blocks by 2-delete SymSpell neighborhoods
+    (exact recall at d<=2, operators.dedup.fuzzy_pairs) at the
+    documented O(len^2/2)-keys-per-row explode cost — the engine never
+    materializes the O(n^2) comparison. Restricted to custkey % 5 == 0:
+    the synthetic digit-tail names make d<=2 pairs ~18% dense, so the
+    unrestricted result is ~n^2/5 rows — noise for a driver-collected
+    comparison, same operator coverage either way."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 5 == 0)
+        .select("c_custkey", "c_name")
+    )
+    return dedup.fuzzy_pairs(cust, id_col="c_custkey", name_col="c_name", max_dist=2)
+
+
+@_q(
+    "q153_ann_rerank",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             {S_FLOOR("list_cosine_similarity(e.embedding::DOUBLE[], q.v)", 6)}
+               AS cosine_sim
+      FROM embeddings e, q
+      WHERE (e.vec_id * 2654435761) % 97 < 25
+    )
+    SELECT q_id, vec_id, cosine_sim FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY q_id ORDER BY cosine_sim DESC, vec_id
+    ) <= 5
+    """,
+)
+def q153_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-oracle for the exact re-rank stage every ANN path shares
+    (operators.similarity.exact_rerank — the tail of q37/q45/q140/q143,
+    whose candidate GENERATORS are engine-side and hence rows-only):
+    candidates are pinned by a deterministic, SQL-expressible
+    multiplicative-hash sample (Knuth 2654435761 mod 97, ~26% of the
+    corpus — standing in for an ADC/cell-probe survivor set), then
+    joined back to full-precision vectors by id, floor-rounded cosine,
+    bounded top-k window per query. DuckDB reproduces candidate set,
+    scores, and ranking end-to-end, so the stage's values — not just
+    its row count — are hash-checked."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    sampled = emb.filter((F.col("vec_id") * F.lit(2654435761)) % 97 < 25)
+    cand = sampled.select("vec_id").crossJoin(F.broadcast(queries.select("q_id")))
+    return similarity.exact_rerank(cand, queries, emb, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
@@ -5930,6 +6018,15 @@ def q151_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bloom-prefilter dedup (q137 for q35's third dedup rep), the conversion
 # funnel (q134 for q77's second frame-window rep), and bitmap exact
 # distincts (q145 for q15 — semi-joins stay covered by q07/q56).
+# Round 4 rotated eight more redundant slots to families that had never
+# earned a driver row, all oracle-hashed: recursive-CTE spine (q108 for
+# q03's second top-k rep), VARIANT (q110 for q93 — dedup keeps
+# q28/q137/q114), mapInArrow (q117 for q122 — SQL surface keeps q49/q56),
+# salted join (q133 for q07 — anti/exists stays via q97/q56), bitmap
+# rollup re-merge (q146 for q52's second grouping-extension rep), as-of
+# tolerance (q150 for q24's plain as-of), d=2 fuzzy ER (q152 for q75's
+# fourth text rep), and the ANN exact-re-rank stage (q153, value-oracling
+# the tail of the rows-only PQ/IVF-PQ paths, for q90's fifth text rep).
 
 _DRIVER_SNAPSHOT_50 = [
     # reference surface: aggregates, scalars, datetime, medallion KPIs
@@ -5941,21 +6038,21 @@ _DRIVER_SNAPSHOT_50 = [
     # joins
     "q04_regional_revenue",
     "q06_customer_order_stats",
-    "q07_customers_without_orders",
+    "q133_salted_join",
     "q145_bitmap_distinct",
     "q25_late_shipments_theta",
-    "q24_asof_purchase_click",
+    "q150_asof_tolerance",
     "q48_interval_join",
     # grouping extensions
     "q09_rollup_returnflag",
-    "q52_pivot_daily_type_revenue",
+    "q146_bitmap_rollup_merge",
     # windows
     "q11_top_parts_per_brand",
     "q12_user_event_gaps",
     "q13_running_customer_spend",
     "q134_funnel_conversion",
     # sort/limit, set ops, sketches
-    "q03_top_orders_by_revenue",
+    "q108_monthly_order_spine",
     "q55_multiset_ops",
     "q18_value_percentiles",
     # time windows / sessionization
@@ -5964,7 +6061,7 @@ _DRIVER_SNAPSHOT_50 = [
     # SQL surface: subqueries, lateral, UDTF, interactive SQL
     "q49_sql_surface",
     "q56_correlated_subqueries",
-    "q122_sql_script",
+    "q117_arrow_normalize",
     "q65_udtf_tokenize",
     # semi-structured: JSON, arrays, maps/structs
     "q23_json_props",
@@ -5974,15 +6071,15 @@ _DRIVER_SNAPSHOT_50 = [
     "q28_exact_dedup_docs",
     "q137_bloom_prefilter_dedup",
     "q114_repeated_line_removal",
-    "q93_common_prefix_strip",
+    "q110_variant_props",
     # similarity family
     "q36_knn_vec0",
     "q126_pagerank_nations",
     # text analysis family
     "q29_text_stats",
-    "q75_tfidf_top_terms",
+    "q152_fuzzy_name_pairs_d2",
     "q136_bigram_lm_score",
-    "q90_pii_redaction",
+    "q153_ann_rerank",
     "q95_sequence_packing",
     "q119_classifier_filter",
     # multimodal, pandas-UDF, layout, TPC-H decorrelated shapes

@@ -421,3 +421,19 @@ def test_contrastive_pairs_empty_when_no_positives(spark):
     out = dedup.contrastive_pairs(df, shingle_k=2)
     assert out.count() == 0
     assert out.columns == ["id_a", "id_b", "label"]
+
+
+def test_contrastive_pairs_topup_restores_balance(spark):
+    """A small corpus whose ids scatter one-per-bucket strands most of
+    them in the first pairing pass; the second-seed top-up must restore
+    the neg_per_pos balance instead of silently under-delivering."""
+    near = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma deltx")]
+    fillers = [(i, f"w{i}a w{i}b w{i}c w{i}d") for i in range(10, 30)]
+    df = spark.createDataFrame(near + fillers, "doc_id long, text string")
+    pairs = dedup.contrastive_pairs(df, shingle_k=2, neg_per_pos=3).collect()
+    n_pos = sum(1 for r in pairs if r["label"] == 1)
+    n_neg = sum(1 for r in pairs if r["label"] == 0)
+    assert n_pos >= 1
+    assert n_neg == 3 * n_pos
+    neg_set = {(r["id_a"], r["id_b"]) for r in pairs if r["label"] == 0}
+    assert len(neg_set) == n_neg  # top-up never duplicates a pairing

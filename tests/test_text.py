@@ -327,3 +327,29 @@ def test_repeated_lines_regexp_equals_hof_construction(spark):
     )
     assert regex_lines.exceptAll(hof_lines).count() == 0
     assert hof_lines.exceptAll(regex_lines).count() == 0
+
+
+def test_bigram_queries_survive_one_token_docs(spark, tmp_path):
+    """A 1-token (or empty) doc makes F.sequence(1, size-1) descend to
+    [1, 0] and element_at(l, 0) raise — q79/q136 must instead emit no
+    bigrams for such docs, matching the DuckDB oracle's empty range."""
+    from spark_lakehouse_medallion_pipeline_spark import queries as q
+
+    rows = [
+        (1, "single", "en", "web", 6),
+        (2, "", "en", "web", 0),
+        (3, "two tokens here", "en", "web", 15),
+        (4, "two tokens near", "en", "web", 15),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    bigrams = q.q79_bigram_counts(spark, sf_dir).collect()
+    assert {r["bigram"] for r in bigrams} >= {"two tokens", "tokens here"}
+    assert all(r["bigram"] for r in bigrams)  # no rows from docs 1/2
+
+    scored = q.q136_bigram_lm_score(spark, sf_dir).collect()
+    assert {r["doc_id"] for r in scored} == {3, 4}

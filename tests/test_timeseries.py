@@ -109,3 +109,24 @@ def test_interval_join_bucketed_boundaries(spark):
         for r in timeseries.interval_join_bucketed(events, iv, "ts").collect()
     )
     assert got == [1, 2]
+
+
+def test_asof_join_tied_right_timestamps_deterministic(spark):
+    """Duplicate (key, right_ts) rows with different payloads must carry a
+    DETERMINISTIC value (the greatest payload struct) regardless of input
+    order or partitioning — tied ticks were a latent hash-flake."""
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 12, 0, 0))], "k long, lts timestamp"
+    )
+    tied = [
+        (1, datetime(2024, 1, 1, 11, 0, 0), v) for v in (30.0, 10.0, 20.0)
+    ]
+    for perm in (tied, tied[::-1], [tied[1], tied[2], tied[0]]):
+        right = spark.createDataFrame(
+            perm, "k long, rts timestamp, price double"
+        ).repartition(4)
+        got = timeseries.asof_join_backward(
+            left, right, key="k", left_ts="lts", right_ts="rts",
+            right_cols=["price"],
+        ).collect()
+        assert len(got) == 1 and got[0]["asof_price"] == 30.0
