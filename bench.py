@@ -78,6 +78,8 @@ HEADLINE = [
     "q150_asof_tolerance",
     "q152_fuzzy_name_pairs_d2",
     "q153_ann_rerank",
+    "q154_stratified_sample",
+    "q155_gap_fill_interpolate",
     "medallion_gold_kpis",
 ]
 

@@ -187,3 +187,44 @@ def apply_cdc(
     survivors = base.join(winners.select(key), key, "left_anti")
     upserts = winners.filter(F.col(op_col) != "D").select(*payload)
     return survivors.unionByName(upserts)
+
+
+def stratified_exact_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    frac_num: int,
+    frac_den: int,
+    order_col: str,
+    salt: int = 2654435761,
+    mod: int = 1_000_000_007,
+) -> DataFrame:
+    """Exact stratified sampling: keep floor(n_s * frac_num / frac_den)
+    rows of EVERY stratum, chosen by a deterministic multiplicative-hash
+    rank over ``order_col`` — the corpus-curation step where each
+    domain/language must contribute an exact proportion (a probabilistic
+    filter like text.mixture_sample drifts per stratum; training-mixture
+    specs are usually contractual).
+
+    The fraction is a rational (frac_num/frac_den) and the quota test is
+    pure integer arithmetic (rank*den <= n*num), so results are
+    bit-identical across engines — float fractions like 0.2 round-trip
+    to 0.2000...011 and flip ceil/floor at exact multiples. The hash
+    rank (Knuth multiplicative, SQL-expressible) makes the choice
+    deterministic AND uniform within the stratum.
+
+    Scale shape: ONE shuffle on the strata columns serving both the
+    per-stratum count (window aggregate) and the rank ordering; no
+    global sort, no collect. Skew note: a stratum is ranked by one
+    task — for web-scale single-domain strata prefer the shuffle-free
+    approximate text.mixture_sample and reserve this for the final
+    exact quota pass on the (much smaller) curated output.
+    """
+    rank = (F.col(order_col) * F.lit(salt)) % F.lit(mod)
+    w = Window.partitionBy(*strata_cols).orderBy(rank.asc(), F.col(order_col).asc())
+    w_n = Window.partitionBy(*strata_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(w_n))
+        .filter(F.col("_rn") * F.lit(frac_den) <= F.col("_n") * F.lit(frac_num))
+        .drop("_rn", "_n")
+    )

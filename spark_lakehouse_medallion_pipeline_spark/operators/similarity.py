@@ -1013,3 +1013,119 @@ def ivfpq_knn_join(
         .select(q_id, c_id)
     )
     return exact_rerank(cand, queries, corpus, k, q_id, c_id, vec_col)
+
+
+def pca_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+) -> dict:
+    """Tall-skinny distributed PCA fit: the classic layout for n >> d
+    (Halko et al. 2011 notation; no randomization needed at d<=~1k).
+    Per Arrow batch, mapInPandas emits one partial (count, sum(x),
+    sum(x x')) row; partials reduce through a map-side-combined
+    posexplode/groupBy-position aggregate (d + d^2 groups — the model,
+    never the data); the driver assembles the d x d covariance and
+    eigendecomposes locally with numpy. At 100 TB the only thing that
+    grows is the number of partial rows, and those collapse in the
+    combiner — the same partial-aggregate shape as any sum.
+
+    Returns {"mean": [d], "components": [k][d], "explained_var": [k]}.
+    Determinism: partial sums are rounded to 1e-6 before eigh (float
+    partial-aggregation order is plan-dependent — same trade as
+    pq_codebooks), and each component's sign is fixed so its
+    largest-magnitude coordinate is positive (eigenvectors are
+    sign-ambiguous)."""
+    import numpy as np
+    import pandas as pd
+
+    first = corpus.select(vec_col).first()
+    if first is None:
+        raise ValueError("pca_fit: empty corpus")
+    d = len(first[0])
+    if not 0 < k <= d:
+        raise ValueError(f"pca_fit: k={k} must be in 1..dim={d}")
+
+    def partials(batches):
+        for pdf in batches:
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if not len(X):
+                continue
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "g": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    part = corpus.select(vec_col).mapInPandas(
+        partials, schema="n long, s array<double>, g array<double>"
+    )
+    n_total = part.agg(F.sum("n").alias("n")).collect()[0]["n"]
+    sums = (
+        part.select(F.posexplode("s").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum("x").alias("x"))
+        .collect()
+    )
+    grams = (
+        part.select(F.posexplode("g").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum("x").alias("x"))
+        .collect()
+    )
+    s = np.zeros(d)
+    for r in sums:
+        s[r["i"]] = round(r["x"], 6)
+    G = np.zeros(d * d)
+    for r in grams:
+        G[r["i"]] = round(r["x"], 6)
+    G = G.reshape(d, d)
+    mean = s / n_total
+    cov = G / n_total - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for j in order:
+        v = vecs[:, j]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return {
+        "mean": [float(x) for x in mean],
+        "components": comps,
+        "explained_var": [float(vals[j]) for j in order],
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project vectors onto a pca_fit model: out[i] = (x - mean) . c_i.
+    One Arrow-gemm pandas UDF per batch (k x d model broadcast in the
+    UDF closure — same no-shuffle batch-transform shape as
+    pq_encode_udf); output is array<double> length k."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    mean = np.asarray(model["mean"], dtype=np.float64)
+    C = np.asarray(model["components"], dtype=np.float64)  # (k, d)
+
+    def proj(v):
+        if not len(v):
+            return pd.Series([], dtype=object)
+        X = np.array(v.tolist(), dtype=np.float64) - mean
+        Y = X @ C.T
+        return pd.Series([row.tolist() for row in Y])
+
+    # `from __future__ import annotations` stringifies inline hints (see
+    # rhp_signature_udf) — attach live objects instead.
+    proj.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    proj_udf = pandas_udf(proj, "array<double>")
+    return df.select(F.col(id_col), proj_udf(F.col(vec_col)).alias(out_col))

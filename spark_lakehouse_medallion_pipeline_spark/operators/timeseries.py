@@ -222,3 +222,71 @@ def asof_join_backward_tolerance(
             f"asof_{c}", F.when(fresh, F.col(f"asof_{c}"))
         )
     return out.withColumn(f"asof_{right_ts}", F.when(fresh, F.col(f"asof_{right_ts}")))
+
+
+def gap_fill_interpolate(
+    df: DataFrame,
+    key_cols: list[str],
+    idx_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Dense resample + linear interpolation: for each key, emit one row
+    per integer index in [min(idx), max(idx)] of that key's observations,
+    carrying the observed value where present and the linear
+    interpolation between the two nearest observations where missing —
+    the time-series regularization step (sensor gaps, missing trading
+    days) done relationally.
+
+    Values are integer units in, integer MILLI-units out (observed rows
+    are val*1000 too): the interpolation is exact integer arithmetic
+    (prev*1000 + ((next-prev)*1000*dt) div span), so results are
+    bit-identical across engines — no float slope, no rounding drift.
+
+    Scale shape: the spine is generated per key from a map-side-combined
+    (min, max) aggregate — never a driver-side date range; one shuffle
+    on the key serves the spine join and all four carry windows. Each
+    key's series is ranked within one task — the same per-key
+    partitioning every window operator here uses.
+    """
+    from pyspark.sql import Window
+
+    keys = [F.col(k) for k in key_cols]
+    bounds = df.groupBy(*keys).agg(
+        F.min(idx_col).alias("_lo"), F.max(idx_col).alias("_hi")
+    )
+    spine = bounds.select(
+        *keys, F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias(idx_col)
+    )
+    joined = spine.join(df, [*key_cols, idx_col], "left")
+
+    w_back = (
+        Window.partitionBy(*keys)
+        .orderBy(idx_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(idx_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col(val_col)
+    obs_idx = F.when(v.isNotNull(), F.col(idx_col))
+    stepped = (
+        joined.withColumn("_pv", F.last(v, ignorenulls=True).over(w_back))
+        .withColumn("_pi", F.last(obs_idx, ignorenulls=True).over(w_back))
+        .withColumn("_nv", F.first(v, ignorenulls=True).over(w_fwd))
+        .withColumn("_ni", F.first(obs_idx, ignorenulls=True).over(w_fwd))
+    )
+    interp = F.col("_pv") * 1000 + F.expr(
+        f"((_nv - _pv) * 1000 * ({idx_col} - _pi)) div (_ni - _pi)"
+    )
+    return stepped.select(
+        *key_cols,
+        idx_col,
+        F.when(v.isNotNull(), v * 1000)
+        .otherwise(
+            F.when(F.col("_pi").isNotNull() & F.col("_ni").isNotNull(), interp)
+        )
+        .alias(f"{val_col}_milli"),
+        v.isNull().alias("interpolated"),
+    )

@@ -31,7 +31,13 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_lakehouse_medallion_pipeline_spark.functions.scalars import count_if
-from spark_lakehouse_medallion_pipeline_spark.operators import dedup, similarity, text, timeseries
+from spark_lakehouse_medallion_pipeline_spark.operators import (
+    dedup,
+    relational,
+    similarity,
+    text,
+    timeseries,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -5995,6 +6001,122 @@ def q153_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = emb.filter((F.col("vec_id") * F.lit(2654435761)) % 97 < 25)
     cand = sampled.select("vec_id").crossJoin(F.broadcast(queries.select("q_id")))
     return similarity.exact_rerank(cand, queries, emb, k=5)
+
+
+@_q(
+    "q154_stratified_sample",
+    """
+    WITH r AS (
+      SELECT doc_id, source, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY (doc_id * 2654435761) % 1000000007, doc_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT doc_id, source, lang, n_chars
+    FROM r WHERE rn * 5 <= n * 1
+    """,
+)
+def q154_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified corpus sampling (training-mixture quota): keep
+    exactly floor(n/5) documents of EVERY source, chosen by a
+    deterministic multiplicative-hash rank — the contractual-mixture
+    counterpart of q88's probabilistic mixture_sample, whose per-stratum
+    share drifts binomially. Quota test is integer arithmetic (rn*5 <=
+    n*1): float fractions flip floor/ceil at exact multiples across
+    engines. One shuffle on the stratum serves count + rank
+    (operators.relational.stratified_exact_sample)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    return relational.stratified_exact_sample(
+        docs, ["source"], frac_num=1, frac_den=5, order_col="doc_id"
+    )
+
+
+@_q(
+    "q155_gap_fill_interpolate",
+    """
+    WITH s AS (
+      SELECT o_orderpriority AS pri,
+             (EXTRACT(year FROM o_orderdate)::BIGINT - 1992) * 12
+               + EXTRACT(month FROM o_orderdate)::BIGINT - 1 AS m,
+             COUNT(*)::BIGINT AS v
+      FROM orders
+      GROUP BY 1, 2
+    ),
+    sparse AS (SELECT * FROM s WHERE m % 3 <> 1),
+    b AS (SELECT pri, MIN(m) AS lo, MAX(m) AS hi FROM sparse GROUP BY pri),
+    spine AS (SELECT pri, unnest(range(lo, hi + 1)) AS m FROM b),
+    j AS (
+      SELECT spine.pri, spine.m, sparse.v
+      FROM spine LEFT JOIN sparse
+        ON spine.pri = sparse.pri AND spine.m = sparse.m
+    ),
+    stepped AS (
+      SELECT pri, m, v,
+             LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY pri ORDER BY m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN m END IGNORE NULLS) OVER (
+               PARTITION BY pri ORDER BY m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+             FIRST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY pri ORDER BY m
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN m END IGNORE NULLS) OVER (
+               PARTITION BY pri ORDER BY m
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+      FROM j
+    )
+    SELECT pri, m,
+           CASE WHEN v IS NOT NULL THEN v * 1000
+                WHEN pi IS NOT NULL AND ni IS NOT NULL
+                THEN pv * 1000 + ((nv - pv) * 1000 * (m - pi)) // (ni - pi)
+           END AS v_milli,
+           v IS NULL AS interpolated
+    FROM stepped
+    """,
+)
+def q155_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: monthly order counts per priority with
+    every (month % 3 == 1) observation knocked out, then densified to a
+    full per-key month spine and linearly interpolated — integer
+    milli-unit arithmetic end to end, so Spark and DuckDB agree
+    bit-for-bit (operators.timeseries.gap_fill_interpolate; per-key
+    spine from a map-combined min/max, one key shuffle for spine join +
+    carry windows, no driver-side date range)."""
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderpriority").alias("pri"),
+        (
+            (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1
+        ).cast("long").alias("m"),
+    )
+    sparse = (
+        base.groupBy("pri", "m")
+        .agg(F.count(F.lit(1)).alias("v"))
+        .filter(F.col("m") % 3 != 1)
+    )
+    return timeseries.gap_fill_interpolate(sparse, ["pri"], "m", "v")
+
+
+@_q("q156_pca_project")  # eigendecomposition is float/driver-side; rows-only + pytest
+def q156_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA dimensionality reduction (embedding-table
+    preprocessing ahead of ANN indexing / SemDeDup): tall-skinny fit —
+    per-batch Arrow partials of (count, sum, gram), map-combined
+    position-wise reduction (d + d^2 groups, the model not the data),
+    driver-side d x d eigh — then an Arrow-gemm projection of every
+    vector to 8 components (operators.similarity.pca_fit/pca_project).
+    Rows-only: eigenvectors are not SQL-expressible; variance capture
+    and agreement with numpy's full PCA are pinned in
+    tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    model = similarity.pca_fit(emb, k=8)
+    return similarity.pca_project(emb, model, id_col="vec_id")
 
 
 # ---------------------------------------------------------------------------

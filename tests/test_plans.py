@@ -473,3 +473,15 @@ def test_lint_clean_across_bench_headline(spark):
         if finds:
             bad[name] = finds
     assert not bad, bad
+
+
+def test_new_sampling_and_gapfill_plans_are_single_keyed_shuffles(spark):
+    """stratified_exact_sample must serve count + rank from ONE stratum
+    shuffle; gap_fill_interpolate's spine join and carry windows must
+    reuse the sparse aggregate's key partitioning (2 exchanges total:
+    the pre-agg shuffle and the per-key one)."""
+    from spark_lakehouse_medallion_pipeline_spark.plans import explain
+    from spark_lakehouse_medallion_pipeline_spark.queries import QUERIES as Q
+
+    assert explain.count_exchanges(Q["q154_stratified_sample"](spark, SF)) == 1
+    assert explain.count_exchanges(Q["q155_gap_fill_interpolate"](spark, SF)) <= 2

@@ -260,3 +260,33 @@ def test_pagerank_int_hand_computed(spark):
     got = {r["name"]: r["rank"] for r in pagerank_int(chain, iterations=3).collect()}
     assert got == {"a": ra, "b": rb}
     assert got["b"] > got["a"]
+
+
+def test_stratified_exact_sample_quota_and_determinism(spark):
+    from spark_lakehouse_medallion_pipeline_spark.operators import relational
+
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(7)]
+    rows += [(2000 + i, "tiny") for i in range(3)]  # floor(3/5) = 0 kept
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = relational.stratified_exact_sample(
+        df, ["source"], frac_num=1, frac_den=5, order_col="doc_id"
+    )
+    got = out.groupBy("source").count().collect()
+    counts = {r["source"]: r["count"] for r in got}
+    assert counts == {"big": 20, "small": 1}  # exact floor quotas; tiny absent
+    # deterministic: same ids on rerun, and a subset of the next-larger quota
+    ids1 = {r["doc_id"] for r in out.collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in relational.stratified_exact_sample(
+            df, ["source"], 1, 5, "doc_id"
+        ).collect()
+    }
+    assert ids1 == ids2
+    bigger = {
+        r["doc_id"]
+        for r in relational.stratified_exact_sample(
+            df, ["source"], 2, 5, "doc_id"
+        ).collect()
+    }
+    assert ids1 < bigger  # nested quotas: rank prefix property

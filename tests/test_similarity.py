@@ -268,3 +268,40 @@ def test_ivfpq_knn_recall_vs_brute(embeddings):
     recall = len(truth & got) / len(truth)
     assert recall >= 0.4, recall
     assert all((q, q) in got for q in range(10))
+
+
+def test_pca_fit_matches_numpy(embeddings):
+    import numpy as np
+
+    model = similarity.pca_fit(embeddings, k=4)
+    rows = embeddings.select("vec_id", "embedding").collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cov = np.cov(X, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:4]
+    np.testing.assert_allclose(
+        model["explained_var"], vals[order], rtol=1e-5, atol=1e-7
+    )
+    for got, j in zip(model["components"], order):
+        v = vecs[:, j]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v  # same sign convention as pca_fit
+        np.testing.assert_allclose(got, v, rtol=1e-4, atol=1e-6)
+    # variance must be sorted descending (top components first)
+    ev = model["explained_var"]
+    assert all(a >= b for a, b in zip(ev, ev[1:]))
+
+
+def test_pca_project_reduces_and_centers(embeddings):
+    import numpy as np
+
+    model = similarity.pca_fit(embeddings, k=3)
+    proj = similarity.pca_project(embeddings, model, id_col="vec_id").collect()
+    assert {len(r["pca"]) for r in proj} == {3}
+    P = np.array([r["pca"] for r in proj])
+    # projections of centered data onto orthonormal axes have ~zero mean
+    np.testing.assert_allclose(P.mean(axis=0), 0.0, atol=1e-6)
+    # per-axis variance equals the eigenvalue it came from
+    np.testing.assert_allclose(
+        P.var(axis=0), model["explained_var"][:3], rtol=1e-5, atol=1e-7
+    )

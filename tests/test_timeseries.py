@@ -130,3 +130,22 @@ def test_asof_join_tied_right_timestamps_deterministic(spark):
             right_cols=["price"],
         ).collect()
         assert len(got) == 1 and got[0]["asof_price"] == 30.0
+
+
+def test_gap_fill_interpolate_known_series(spark):
+    df = spark.createDataFrame(
+        [("a", 0, 10), ("a", 3, 40), ("a", 5, 30), ("b", 7, 5)],
+        "k string, m long, v long",
+    )
+    got = {
+        (r["k"], r["m"]): (r["v_milli"], r["interpolated"])
+        for r in timeseries.gap_fill_interpolate(df, ["k"], "m", "v").collect()
+    }
+    assert got[("a", 0)] == (10_000, False)
+    assert got[("a", 1)] == (20_000, True)   # 10 + 30*(1/3)
+    assert got[("a", 2)] == (30_000, True)
+    assert got[("a", 3)] == (40_000, False)
+    assert got[("a", 4)] == (35_000, True)   # negative slope 40 -> 30
+    assert got[("a", 5)] == (30_000, False)
+    assert got[("b", 7)] == (5_000, False)   # single point: spine of one
+    assert len(got) == 7
