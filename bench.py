@@ -80,6 +80,7 @@ HEADLINE = [
     "q153_ann_rerank",
     "q154_stratified_sample",
     "q155_gap_fill_interpolate",
+    "q157_bmp_image_features",
     "medallion_gold_kpis",
 ]
 

@@ -165,3 +165,244 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFr
             )
 
     return media.select("media_id", "blob").mapInPandas(fn, RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL codecs — formats decodable with stdlib + numpy alone
+# ---------------------------------------------------------------------------
+# BMP (uncompressed 24-bit BI_RGB) and WAV (PCM16, stdlib `wave`) need no
+# external libraries, so for these two formats the whole pipeline —
+# synthesize, decode, feature-extract, box-resize — is REAL end to end.
+# JPEG/PNG/MP3/H.264 remain the documented environment stubs above (their
+# codecs aren't installable in this container); swapping them in changes
+# only the per-row codec call, none of the Spark plumbing.
+
+
+def bmp_encode(arr) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, bottom-up rows, BGR order, 4-byte row padding —
+    the format every viewer reads)."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    assert c == 3, "bmp_encode expects (h, w, 3) RGB"
+    row_size = (w * 3 + 3) & ~3
+    pix_bytes = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + pix_bytes, 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, pix_bytes, 2835, 2835, 0, 0)
+    rows = []
+    bgr = a[:, :, ::-1]  # RGB -> BGR
+    pad = b"\x00" * (row_size - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows.append(bgr[y].tobytes() + pad)
+    return header + info + b"".join(rows)
+
+
+def bmp_decode(blob: bytes):
+    """Decode an uncompressed 24-bit BMP into an (h, w, 3) uint8 RGB
+    array. Raises ValueError on anything else (compressed / other bit
+    depths are out of scope for the stdlib codec)."""
+    import struct
+
+    import numpy as np
+
+    if len(blob) < 54 or blob[:2] != b"BM":
+        raise ValueError("not a BMP blob")
+    data_off = struct.unpack_from("<I", blob, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", blob, 14)
+    planes, bpp, comp = struct.unpack_from("<HHI", blob, 26)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    px = np.frombuffer(blob, dtype=np.uint8, count=row_size * h, offset=data_off)
+    px = px.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        px = px[::-1]
+    return px[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def wav_encode(samples, sample_rate: int = 16000, n_channels: int = 1) -> bytes:
+    """Encode int16 PCM samples ((n,) mono or (n, ch)) as a WAV blob via
+    the stdlib `wave` module."""
+    import io
+    import wave
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(n_channels)
+        wv.setsampwidth(2)
+        wv.setframerate(sample_rate)
+        wv.writeframes(a.tobytes())
+    return buf.getvalue()
+
+
+def wav_decode(blob: bytes):
+    """Decode a PCM16 WAV blob -> (sample_rate, n_channels, int16 array
+    of shape (n_frames, n_channels))."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(bytes(blob)), "rb") as wv:
+        if wv.getsampwidth() != 2:
+            raise ValueError("only PCM16 WAV supported by the stdlib codec")
+        rate, ch, n = wv.getframerate(), wv.getnchannels(), wv.getnframes()
+        a = np.frombuffer(wv.readframes(n), dtype=np.int16).reshape(-1, ch)
+    return rate, ch, a
+
+
+def extract_image_features_bmp(media: DataFrame) -> DataFrame:
+    """REAL image feature extraction over BMP blobs: Arrow-batched
+    mapInPandas, numpy decode per row, integer-exact mean luma
+    (milli-units of the Rec.601 weights computed in integer arithmetic,
+    so the output is deterministic and oracle-hashable)."""
+    import numpy as np
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "n_channels": [], "mean_luma": []}
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                a = bmp_decode(bytes(blob))
+                h, w, c = a.shape
+                # integer Rec.601: (299 R + 587 G + 114 B) / 1000, summed
+                # exactly then floor-divided — no float accumulation.
+                s = a.astype(np.int64)
+                luma_sum = int(
+                    299 * s[:, :, 0].sum() + 587 * s[:, :, 1].sum() + 114 * s[:, :, 2].sum()
+                )
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_channels"].append(c)
+                out["mean_luma"].append(str(luma_sum // (h * w)))  # milli-luma
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_extract, schema=IMAGE_FEATURES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("rms_milli", LongType()),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio feature extraction over PCM16 WAV blobs: sample rate,
+    channel count, frame count, duration, RMS amplitude — RMS via exact
+    integer sum-of-squares and isqrt (milli-units), so values are
+    bit-stable across runs and partitionings."""
+    import math
+
+    import numpy as np
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "sample_rate", "n_channels", "n_frames", "duration_ms", "rms_milli")}
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                rate, ch, a = wav_decode(bytes(blob))
+                n = a.shape[0]
+                sq = int((a.astype(np.int64) ** 2).sum())
+                rms_milli = math.isqrt((sq * 1_000_000) // max(n * ch, 1))
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(ch)
+                out["n_frames"].append(n)
+                out["duration_ms"].append((n * 1000) // max(rate, 1))
+                out["rms_milli"].append(rms_milli)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_extract, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def resize_images_bmp(media: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """REAL resize for BMP blobs: integer box-average downsample (each
+    target pixel is the mean of its source box — antialiased thumbnail),
+    re-encoded as BMP. Requires source dims to be multiples of the
+    target (the common power-of-two thumbnail path); arbitrary ratios
+    would need interpolation weights, out of scope for the stdlib
+    codec."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "blob": []}
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                a = bmp_decode(bytes(blob))
+                h, w, _ = a.shape
+                if h % height or w % width:
+                    raise ValueError(f"resize {w}x{h} -> {width}x{height}: not integer boxes")
+                bh, bw = h // height, w // width
+                boxed = a.reshape(height, bh, width, bw, 3).astype(np.uint32)
+                small = (boxed.sum(axis=(1, 3)) // (bh * bw)).astype(np.uint8)
+                out["media_id"].append(mid)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["blob"].append(bmp_encode(small))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "blob").mapInPandas(fn, RESIZED_SCHEMA)
+
+
+def synthesize_bmp_blobs(df: DataFrame, id_col: str, size: int = 16) -> DataFrame:
+    """Deterministic BMP test-pattern generator (size x size gradient
+    keyed on the id) — lets the full encode->decode->extract pipeline run
+    on tables that carry no real media. Arrow-batched like the decoders."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                g = np.arange(size, dtype=np.uint32)
+                r = ((g[:, None] * 255) // max(size - 1, 1)).astype(np.uint8)
+                r = np.repeat(r[:, :, None], 1, axis=2)
+                img = np.zeros((size, size, 3), dtype=np.uint8)
+                img[:, :, 0] = r[:, :, 0]                        # R: row gradient
+                img[:, :, 1] = r[:, :, 0].T                      # G: col gradient
+                img[:, :, 2] = int(mid) % 256                    # B: id-keyed
+                ids.append(int(mid))
+                blobs.append(bmp_encode(img))
+            yield pd.DataFrame({"media_id": ids, "blob": blobs})
+
+    return df.select(id_col).mapInPandas(
+        fn, schema="media_id long, blob binary"
+    )
+
+
+def synthesize_wav_blobs(
+    df: DataFrame, id_col: str, n_frames: int = 1600, sample_rate: int = 16000
+) -> DataFrame:
+    """Deterministic PCM16 WAV generator: a square wave of amplitude
+    (id % 100) * 100 — chosen because a square wave's RMS equals its
+    amplitude EXACTLY, so the decoded features are closed-form in the id
+    and the real decode path can be value-oracled in SQL."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                amp = (int(mid) % 100) * 100
+                s = np.empty(n_frames, dtype=np.int16)
+                s[0::2] = amp
+                s[1::2] = -amp
+                ids.append(int(mid))
+                blobs.append(wav_encode(s, sample_rate=sample_rate, n_channels=1))
+            yield pd.DataFrame({"media_id": ids, "blob": blobs})
+
+    return df.select(id_col).mapInPandas(fn, schema="media_id long, blob binary")

@@ -6119,6 +6119,57 @@ def q156_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pca_project(emb, model, id_col="vec_id")
 
 
+@_q(
+    "q157_bmp_image_features",
+    """
+    SELECT doc_id AS media_id,
+           16 AS width, 16 AS height, 3 AS n_channels,
+           CAST((886 * 32640 + 29184 * (doc_id % 256)) // 256 AS VARCHAR)
+             AS mean_luma
+    FROM documents
+    """,
+)
+def q157_bmp_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, value-oracled (X21 upgraded from stub): BMP
+    test patterns are synthesized per doc_id (16x16, R row-gradient /
+    G col-gradient / B id-keyed), byte-encoded as actual uncompressed
+    24-bit BMPs, decoded back with the stdlib+numpy codec, and reduced
+    to integer Rec.601 milli-luma — all inside Arrow mapInPandas stages.
+    The pattern's luma is closed-form in the id, so DuckDB reproduces
+    the decoded values exactly: the codec path itself is hash-checked,
+    not just its row count. JPEG/PNG stay documented env stubs
+    (operators/multimodal.py)."""
+    from spark_lakehouse_medallion_pipeline_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    blobs = multimodal.synthesize_bmp_blobs(docs, "doc_id", size=16)
+    return multimodal.extract_image_features_bmp(blobs)
+
+
+@_q(
+    "q158_wav_audio_features",
+    """
+    SELECT doc_id AS media_id,
+           16000 AS sample_rate, 1 AS n_channels,
+           CAST(1600 AS BIGINT) AS n_frames,
+           CAST(100 AS BIGINT) AS duration_ms,
+           CAST((doc_id % 100) * 100000 AS BIGINT) AS rms_milli
+    FROM documents
+    """,
+)
+def q158_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, value-oracled (X21): per-doc PCM16 WAV square
+    waves of amplitude (id % 100)*100 are wave-encoded, decoded back with
+    the stdlib codec, and reduced to integer features (isqrt RMS in
+    milli-units — a square wave's RMS equals its amplitude exactly, which
+    is what makes the real decode path closed-form checkable in SQL)."""
+    from spark_lakehouse_medallion_pipeline_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    blobs = multimodal.synthesize_wav_blobs(docs, "doc_id")
+    return multimodal.extract_audio_features(blobs)
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
@@ -6147,8 +6198,11 @@ def q156_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 # salted join (q133 for q07 — anti/exists stays via q97/q56), bitmap
 # rollup re-merge (q146 for q52's second grouping-extension rep), as-of
 # tolerance (q150 for q24's plain as-of), d=2 fuzzy ER (q152 for q75's
-# fourth text rep), and the ANN exact-re-rank stage (q153, value-oracling
-# the tail of the rows-only PQ/IVF-PQ paths, for q90's fifth text rep).
+# fourth text rep), the ANN exact-re-rank stage (q153, value-oracling
+# the tail of the rows-only PQ/IVF-PQ paths, for q90's fifth text rep),
+# and the REAL-codec BMP decode pipeline (q157 for q39's stub-codec
+# multimodal rep — the family's driver row is now value-hashed through
+# an actual encode->decode->feature path).
 
 _DRIVER_SNAPSHOT_50 = [
     # reference surface: aggregates, scalars, datetime, medallion KPIs
@@ -6205,7 +6259,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q95_sequence_packing",
     "q119_classifier_filter",
     # multimodal, pandas-UDF, layout, TPC-H decorrelated shapes
-    "q39_multimodal_features",
+    "q157_bmp_image_features",
     "q40_zscore_by_type",
     "q92_zorder_values",
     "q97_waiting_supplier",

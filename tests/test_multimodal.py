@@ -75,3 +75,60 @@ def test_binary_file_source_feeds_media_pipeline(spark, tmp_path):
     )
     feats = multimodal.extract_image_features(media).collect()
     assert len(feats) == 2
+
+
+def test_bmp_roundtrip_exact():
+    import numpy as np
+
+    from spark_lakehouse_medallion_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(7)
+    for h, w in ((5, 3), (16, 16), (1, 7)):  # odd widths exercise row padding
+        a = rng.randint(0, 256, size=(h, w, 3)).astype("uint8")
+        assert (mm.bmp_decode(mm.bmp_encode(a)) == a).all()
+
+
+def test_wav_roundtrip_exact():
+    import numpy as np
+
+    from spark_lakehouse_medallion_pipeline_spark.operators import multimodal as mm
+
+    s = (np.sin(np.arange(800) / 10.0) * 12000).astype("int16")
+    rate, ch, back = mm.wav_decode(mm.wav_encode(s, 8000))
+    assert (rate, ch) == (8000, 1)
+    assert (back[:, 0] == s).all()
+
+
+def test_bmp_box_resize_matches_numpy(spark):
+    import numpy as np
+
+    from spark_lakehouse_medallion_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 256, size=(8, 8, 3)).astype("uint8")
+    df = spark.createDataFrame([(1, bytearray(mm.bmp_encode(a)))], "media_id long, blob binary")
+    out = mm.resize_images_bmp(df, width=4, height=4).collect()[0]
+    got = mm.bmp_decode(bytes(out["blob"]))
+    want = (a.reshape(4, 2, 4, 2, 3).astype("uint32").sum(axis=(1, 3)) // 4).astype("uint8")
+    assert (got == want).all()
+
+
+def test_image_and_audio_features_closed_form(spark):
+    from spark_lakehouse_medallion_pipeline_spark.operators import multimodal as mm
+
+    ids = spark.range(5, 8).selectExpr("id AS doc_id")
+    img = mm.extract_image_features_bmp(
+        mm.synthesize_bmp_blobs(ids, "doc_id", size=16)
+    ).collect()
+    for r in img:
+        assert (r["width"], r["height"], r["n_channels"]) == (16, 16, 3)
+        want = (886 * 32640 + 29184 * (r["media_id"] % 256)) // 256
+        assert r["mean_luma"] == str(want)
+
+    aud = mm.extract_audio_features(
+        mm.synthesize_wav_blobs(ids, "doc_id")
+    ).collect()
+    for r in aud:
+        assert (r["sample_rate"], r["n_channels"], r["n_frames"]) == (16000, 1, 1600)
+        assert r["duration_ms"] == 100
+        assert r["rms_milli"] == (r["media_id"] % 100) * 100 * 1000
