@@ -959,3 +959,94 @@ def _hash_paired(ids: DataFrame, seed: int, n_buckets: int = 64) -> DataFrame:
     return left.join(right, ["_bkt", "_pair"]).select(
         F.least("_l", "_r").alias("id_a"), F.greatest("_l", "_r").alias("id_b")
     )
+
+
+def jaccard_join_prefix_filter(
+    docs: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """EXACT-threshold jaccard similarity self-join via prefix filtering
+    (Chaudhuri et al. ICDE'06 / Bayardo et al. WWW'07 'All Pairs'): every
+    (id_a < id_b) pair whose distinct-token jaccard >= num/den — with
+    guaranteed recall, unlike the MinHash-LSH path (which trades recall
+    for speed and is verified probabilistically).
+
+    Filter correctness: order all tokens by ascending global document
+    frequency (rarest first; ties by token). A doc with L tokens keeps a
+    PREFIX of its p = L - ceil(t*L) + 1 globally-smallest tokens. For any
+    pair with jaccard >= t, the globally-smallest SHARED token w is in
+    both prefixes: if w missed A's prefix, A would hold >= p tokens
+    smaller than w, all outside the intersection I (w is I's smallest),
+    but |A \\ I| = L - |I| <= L - ceil(t*L) < p. So bucketing on prefix
+    tokens yields a candidate superset; the exact jaccard test (integer
+    cross-multiplication — no float threshold) finishes the job.
+
+    Scale shape: token-df is one map-combined aggregate; the prefix is
+    carried per doc by a sort over its OWN tokens (scan-local); pair
+    generation is the same single groupBy-bucket shuffle as the MinHash
+    path, with the same ``max_bucket`` guard — a stopword that survives
+    into prefixes (short docs make p ~ L) would otherwise pair a huge
+    bucket quadratically. Effectiveness note: pruning power comes from
+    rare tokens; on a homogeneous-vocabulary corpus the candidate set
+    degrades toward all-pairs and MinHash-LSH (with its recall trade) is
+    the better tool — this operator is for when recall must be exact.
+    """
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("threshold must satisfy 0 < num/den <= 1")
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+        ).alias("_toks"),
+    ).filter(F.size("_toks") > 0)
+    df_tok = (
+        toks.select(F.explode("_toks").alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    ranked = (
+        toks.select("_id", F.explode("_toks").alias("_tok"))
+        .join(df_tok, "_tok")
+        .groupBy("_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("_tok")))
+            ).alias("_ordered"),
+        )
+    )
+    num, den = F.lit(threshold_num), F.lit(threshold_den)
+    L = F.size("_ordered")
+    p = L - ((num * L + den - F.lit(1)) / den).cast("long") + F.lit(1)
+    prefixes = ranked.select(
+        "_id", F.explode(F.slice(F.col("_ordered"), 1, p)).alias("_pt")
+    ).select("_id", F.col("_pt._tok").alias("_tok"))
+    buckets = (
+        prefixes.groupBy("_tok")
+        .agg(F.array_sort(F.collect_set("_id")).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("_ids") <= max_bucket)
+    cand = (
+        buckets.select(F.explode(_bucket_pairs(F.col("_ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    a = toks.select(F.col("_id").alias("id_a"), F.col("_toks").alias("_ta"))
+    b = toks.select(F.col("_id").alias("id_b"), F.col("_toks").alias("_tb"))
+    inter = F.size(F.array_intersect(F.col("_ta"), F.col("_tb")))
+    union = F.size(F.array_union(F.col("_ta"), F.col("_tb")))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(inter * den >= num * union)
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+    )

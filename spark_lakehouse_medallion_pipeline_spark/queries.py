@@ -6170,6 +6170,37 @@ def q158_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_audio_features(blobs)
 
 
+@_q(
+    "q159_jaccard_prefix_join",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex({_NORM_SQL}, '\\s+')) AS toks
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks)) * 10
+            >= 9 * len(list_distinct(list_concat(a.toks, b.toks)))
+    """,
+)
+def q159_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-threshold similarity self-join (X18's guaranteed-recall
+    complement to MinHash-LSH): all doc pairs with token-set jaccard >=
+    0.9, found by prefix filtering — rarest-token prefixes bucket the
+    corpus, the threshold test is integer cross-multiplication, and
+    recall is provable, not probabilistic
+    (operators.dedup.jaccard_join_prefix_filter; the ORACLE is the naive
+    quadratic form). This corpus's shared vocabulary is the documented
+    worst case for prefix pruning — the operator stays correct, the
+    docstring says when to prefer LSH."""
+    return dedup.jaccard_join_prefix_filter(
+        _t(spark, sf_dir, "documents"), threshold_num=9, threshold_den=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------

@@ -437,3 +437,47 @@ def test_contrastive_pairs_topup_restores_balance(spark):
     assert n_neg == 3 * n_pos
     neg_set = {(r["id_a"], r["id_b"]) for r in pairs if r["label"] == 0}
     assert len(neg_set) == n_neg  # top-up never duplicates a pairing
+
+
+def test_jaccard_prefix_join_exact_vs_naive(spark):
+    """Prefix filtering must find EXACTLY the naive quadratic answer —
+    recall is provable, so any miss is a bug, not a tuning issue."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),     # jacc 4/6 with 1
+        (3, "alpha beta gamma delta epsilon"),  # jacc 1.0 with 1
+        (4, "completely different words here"),
+        (5, "unrelated content again entirely"),
+        (6, "alpha solo"),                      # shares a stopword-ish token
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for num, den in ((1, 2), (9, 10), (1, 1)):
+        got = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in dedup.jaccard_join_prefix_filter(df, num, den).collect()
+        }
+        toks = {
+            r[0]: set(r[1].split())
+            for r in rows
+        }
+        want = set()
+        for a in toks:
+            for b in toks:
+                if a < b:
+                    i = len(toks[a] & toks[b])
+                    u = len(toks[a] | toks[b])
+                    if i * den >= num * u:
+                        want.add((a, b, round(i / u, 9)))
+        assert got == want, (num, den)
+
+
+def test_jaccard_prefix_join_prunes_on_diverse_vocab(spark):
+    """With a diverse vocabulary (the intended regime), the candidate
+    bucket stage must NOT degenerate to all-pairs: every bucket is tiny,
+    so the hot-bucket cap never bites and results stay exact."""
+    rows = [(i, f"u{i}a u{i}b u{i}c shared{i % 50}") for i in range(200)]
+    rows += [(1000, "u5a u5b u5c shared5")]  # exact dup of doc 5's tokens
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.jaccard_join_prefix_filter(df, 9, 10, max_bucket=64).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(5, 1000)}
+    assert out[0]["jaccard"] == 1.0

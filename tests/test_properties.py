@@ -186,3 +186,47 @@ def test_scd2_intervals_partition_timeline(spark, ts):
         for a, b in zip(ivs, ivs[1:]):
             assert a["valid_to"] == b["valid_from"]  # contiguous
             assert a["valid_from"] < a["valid_to"]   # non-degenerate
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    names=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=6), min_size=2, max_size=25
+    ),
+    d=st.sampled_from([1, 2]),
+)
+def test_fuzzy_pairs_match_naive_levenshtein(spark, names, d):
+    """Deletion-neighborhood blocking == naive quadratic levenshtein for
+    random short strings over a 2-letter alphabet (dense collisions,
+    empty strings, exact duplicates — the adversarial regime for the
+    recall proof)."""
+    from spark_lakehouse_medallion_pipeline_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        list(enumerate(names)), "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in dedup.fuzzy_pairs(df, max_dist=d).collect()
+    }
+    want = {
+        (i, j, _lev(a, b))
+        for i, a in enumerate(names)
+        for j, b in enumerate(names)
+        if i < j and _lev(a, b) <= d
+    }
+    assert got == want
