@@ -468,3 +468,25 @@ def classifier_score(
     )
     mean_w = sum_millis.cast("double") / (F.size(toks) * F.lit(1000.0))
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-mean_w))
+
+
+def nfc_normalized(df: DataFrame, text_col: str = "text", out_col: str = "text_nfc") -> DataFrame:
+    """Unicode NFC canonicalization (Arrow pandas UDF — Spark has no
+    normalization builtin): composed vs decomposed codepoint sequences
+    ('é' as U+00E9 vs 'e'+U+0301) are byte-different but canonically
+    equal, so web-scraped corpora defeat exact dedup without this pass.
+    Python only at the edge (batch-vectorized unicodedata.normalize);
+    the downstream groupBy stays a JVM hash aggregate on the
+    canonical bytes."""
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def norm(s):
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    norm.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return df.withColumn(out_col, pandas_udf(norm, "string")(F.col(text_col)))

@@ -6201,6 +6201,49 @@ def q159_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q160_unicode_nfc_dedup",
+    """
+    WITH v AS (
+      SELECT doc_id,
+             'résum' || CASE WHEN doc_id % 2 = 0 THEN 'é'
+                             ELSE 'e' || chr(769) END
+               || ' doc ' || CAST(doc_id // 2 AS VARCHAR) AS text
+      FROM documents
+    )
+    SELECT nfc_normalize(text) AS content_key,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies
+    FROM v GROUP BY 1
+    """,
+)
+def q160_unicode_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-canonical exact dedup (web-corpus reality: composed
+    U+00E9 'é' and decomposed 'e'+U+0301 are byte-different, so plain
+    hash dedup misses canonically-equal documents): per-doc texts are
+    synthesized in both encodings (even ids composed, odd decomposed,
+    paired by doc_id div 2), NFC-normalized via the Arrow pandas UDF
+    (operators.text.nfc_normalized — Spark has no normalization
+    builtin), then hash-deduped on the canonical bytes. DuckDB's
+    nfc_normalize reproduces the canonical form, so the whole path is
+    value-hashed — each pair collapses to one group of n_copies=2."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    variant = F.concat(
+        F.lit("résum"),
+        # composed U+00E9 for even ids, decomposed e + U+0301 for odd
+        F.when(F.col("doc_id") % 2 == 0, F.lit("\u00e9")).otherwise(
+            F.lit("e\u0301")
+        ),
+        F.lit(" doc "),
+        F.expr("CAST(doc_id div 2 AS STRING)"),
+    )
+    normed = text.nfc_normalized(docs.withColumn("text", variant))
+    return normed.groupBy(F.col("text_nfc").alias("content_key")).agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------

@@ -353,3 +353,17 @@ def test_bigram_queries_survive_one_token_docs(spark, tmp_path):
 
     scored = q.q136_bigram_lm_score(spark, sf_dir).collect()
     assert {r["doc_id"] for r in scored} == {3, 4}
+
+
+def test_nfc_normalized_collapses_decomposed(spark):
+    from spark_lakehouse_medallion_pipeline_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        # doc 1 composed (U+00E9), doc 2 decomposed (e + U+0301) — 
+        # byte-different, canonically equal
+        [(1, "r\u00e9sum\u00e9"), (2, "re\u0301sume\u0301"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text_nfc"] for r in t.nfc_normalized(df).collect()}
+    assert got[1] == got[2] == "r\u00e9sum\u00e9"
+    assert got[3] is None
