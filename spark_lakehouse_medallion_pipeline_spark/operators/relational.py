@@ -210,7 +210,10 @@ def stratified_exact_sample(
     bit-identical across engines — float fractions like 0.2 round-trip
     to 0.2000...011 and flip ceil/floor at exact multiples. The hash
     rank (Knuth multiplicative, SQL-expressible) makes the choice
-    deterministic AND uniform within the stratum.
+    deterministic AND uniform within the stratum. Determinism requires
+    ``order_col`` to be unique (it is both the hash input and the final
+    tiebreaker); with duplicate values the choice among exact ties is
+    partitioning-dependent.
 
     Scale shape: ONE shuffle on the strata columns serving both the
     per-stratum count (window aggregate) and the rank ordering; no

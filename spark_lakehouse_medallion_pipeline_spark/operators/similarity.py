@@ -785,7 +785,11 @@ def exact_rerank(
     SQL-expressible over any pinned candidate set. Plan shape: the
     query side broadcasts (bounded by the callers' max_query_rows), the
     corpus join moves full vectors only for |cand_ids| rows, and top-k
-    is a bounded per-query window."""
+    is a bounded per-query window. Contract: ``cand_ids`` pairs are
+    distinct (every caller here builds them via distinct() or a
+    row_number filter) — duplicates would occupy multiple top-k slots;
+    dedup is the candidate generator's job, not a hidden extra shuffle
+    on every re-rank."""
     from pyspark.sql import Window
 
     scored = (

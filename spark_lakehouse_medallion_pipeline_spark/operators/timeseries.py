@@ -247,6 +247,10 @@ def gap_fill_interpolate(
     on the key serves the spine join and all four carry windows. Each
     key's series is ranked within one task — the same per-key
     partitioning every window operator here uses.
+
+    Contract: one observation per (key, idx) — duplicate observations
+    would fan out through the spine join (pre-aggregate first, as q155
+    does); a NULL in ``val_col`` is treated as a gap at that index.
     """
     from pyspark.sql import Window
 
