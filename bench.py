@@ -297,6 +297,37 @@ def main() -> None:
         errors["dedup_lsh_100k"] = str(exc).split("\n")[0][:200]
         print(f"# dedup_lsh_100k: FAILED ({errors['dedup_lsh_100k']})", file=sys.stderr)
 
+    # Scale-linearity point: the same LSH pipeline at 1M docs (one timed
+    # run — the 100k entry above carries the variance signal). Expected
+    # ~4x wall for 10x docs as fixed overhead amortizes; the pair count
+    # stays the exact planted 10% (100k pairs) — recall at scale, not
+    # just throughput.
+    try:
+        docs1m = (
+            spark.range(1_000_000)
+            .withColumn("_seed", Fd.expr("CASE WHEN id % 10 = 0 THEN id + 1 ELSE id END"))
+            .select(
+                Fd.col("id").alias("doc_id"),
+                Fd.expr(
+                    f"CASE WHEN id % 10 = 0 THEN concat('variant ', {word_expr}) "
+                    f"ELSE {word_expr} END"
+                ).alias("text"),
+            )
+        )
+        t0 = time.time()
+        n_pairs_1m = minhash_lsh_candidates(
+            docs1m, num_hashes=64, bands=16, shingle_k=3
+        ).count()
+        timings["dedup_lsh_1m"] = round(time.time() - t0, 3)
+        print(
+            f"# dedup_lsh_1m: {timings['dedup_lsh_1m']:.2f}s "
+            f"({n_pairs_1m} candidate pairs)",
+            file=sys.stderr,
+        )
+    except Exception as exc:
+        errors["dedup_lsh_1m"] = str(exc).split("\n")[0][:200]
+        print(f"# dedup_lsh_1m: FAILED ({errors['dedup_lsh_1m']})", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_query_wall_clock_total",
