@@ -6244,6 +6244,51 @@ def q160_unicode_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q161_triangle_count",
+    """
+    WITH os AS (
+      SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+      FROM lineitem WHERE l_suppkey % 4 = 0
+    ),
+    e AS (
+      SELECT DISTINCT x.s AS a, y.s AS b
+      FROM os x JOIN os y ON x.o = y.o AND x.s < y.s
+    ),
+    w AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1 JOIN e e2 ON e1.b = e2.a)
+    SELECT COUNT(*) AS n_triangles
+    FROM w WHERE EXISTS (SELECT 1 FROM e WHERE e.a = w.a AND e.b = w.c)
+    """,
+)
+def q161_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (the third classic graph statistic after q126
+    PageRank and q67's connected components) over the co-supply graph:
+    suppliers are adjacent when they ship lines of the same order.
+    Wedges are ordered a<b<c so each triangle counts exactly once at its
+    smallest vertex — the standard trick that keeps high-degree hubs
+    from sitting in the middle of every wedge
+    (operators.graph.triangle_count; edge build is one within-order
+    self-join, restricted to suppkey % 4 == 0 because co-supply over
+    every order approaches a complete graph whose wedge count is the
+    quadratic cost inherent to triangle enumeration)."""
+    from spark_lakehouse_medallion_pipeline_spark.operators import graph
+
+    os_ = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") % 4 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = (
+        os_.alias("x")
+        .join(os_.alias("y"), "o")
+        .filter(F.col("x.s") < F.col("y.s"))
+        .select(F.col("x.s").alias("src"), F.col("y.s").alias("dst"))
+        .distinct()
+    )
+    return graph.triangle_count(edges)
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------

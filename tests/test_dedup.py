@@ -481,3 +481,20 @@ def test_jaccard_prefix_join_prunes_on_diverse_vocab(spark):
     out = dedup.jaccard_join_prefix_filter(df, 9, 10, max_bucket=64).collect()
     assert {(r["id_a"], r["id_b"]) for r in out} == {(5, 1000)}
     assert out[0]["jaccard"] == 1.0
+
+
+def test_triangle_count_known_graphs(spark):
+    from spark_lakehouse_medallion_pipeline_spark.operators.graph import triangle_count
+
+    # K4 (4 triangles) + pendant edge + self-loop + duplicate/reversed edges
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (10, 11), (5, 5), (2, 1), (3, 1)],
+        "src long, dst long",
+    )
+    assert triangle_count(edges).collect()[0]["n_triangles"] == 4
+    # triangle-free bipartite graph
+    bip = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 11)], "src long, dst long"
+    )
+    assert triangle_count(bip).collect()[0]["n_triangles"] == 0
