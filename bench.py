@@ -81,6 +81,13 @@ HEADLINE = [
     "q154_stratified_sample",
     "q155_gap_fill_interpolate",
     "q157_bmp_image_features",
+    # q159 (exact-threshold jaccard join) excluded: at sf0.1 the corpus is
+    # homogeneous enough that ~965k pairs clear the threshold — the output
+    # materialization (26s) would swamp the headline signal. It stays in
+    # the oracle gate for correctness.
+    "q160_unicode_nfc_dedup",
+    "q161_triangle_count",
+    "q162_minhash_portable",
     "medallion_gold_kpis",
 ]
 

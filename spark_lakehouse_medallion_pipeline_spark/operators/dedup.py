@@ -1050,3 +1050,100 @@ def jaccard_join_prefix_filter(
             (inter.cast("double") / union).alias("jaccard"),
         )
     )
+
+
+def minhash_lsh_candidates_portable(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidates with a PORTABLE hash family — every stage
+    reproducible bit-for-bit in any engine with md5 (the property the
+    xxhash64 fast path in ``minhash_lsh_candidates`` trades away for
+    speed: xxhash64 is Spark-specific, so that path can only be
+    rows-only/recall-tested; this one is value-oracle-able end to end).
+
+    Hash i of shingle s = the low 60 bits of md5(s || ':' || i), read as
+    a decimal integer from hex digits 18..32 — ``conv(substr(md5(x),
+    18, 15), 16, 10)`` here, ``('0x' || substr(md5(x), 18, 15))::BIGINT``
+    in DuckDB/Trino. 60 bits keeps the value inside a signed int64 in
+    every engine (no unsigned-overflow divergence) while leaving min-hash
+    collision probability negligible.
+
+    Plan shape is identical to the fast path: explode per-doc shingles,
+    compute the n-hash family as n codegen'd columns, per-position mins
+    in ONE map-side-combined hash aggregate, band keys as concat_ws
+    strings, then the single groupBy-(band, key) bucket shuffle with
+    in-bucket pair generation. Docs shorter than ``shingle_k`` tokens
+    are dropped (documented contract — mirrors the oracle's empty
+    range). Returns (id_a, id_b, n_shared_bands), id_a < id_b.
+
+    Reference parity: same near-dup semantics as the corpus-dedup stage
+    the survey mandates; md5 portability is what lets the driver value-
+    hash it against DuckDB rather than trusting recall tests alone.
+    """
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_hashes ({num_hashes})"
+        )
+    rpb = num_hashes // bands
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.lower(F.col(text_col)), r"\s+").alias("_l"),
+    ).filter(F.size("_l") >= shingle_k)
+    # size >= shingle_k guarantees sequence() ascends (the sequence(1, 0)
+    # -> [1, 0] descending trap is documented at q136).
+    shingles = toks.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_l") - (shingle_k - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(F.col("_l"), i + j) for j in range(shingle_k)]
+                ),
+            )
+        ).alias("_s"),
+    )
+    hashed = shingles.select(
+        "_id",
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("_s"), F.lit(f":{i}"))), 18, 15),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias(f"_x{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    mins = hashed.groupBy("_id").agg(
+        *[F.min(f"_x{i}").alias(f"_m{i}") for i in range(num_hashes)]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",", *[F.col(f"_m{b * rpb + j}") for j in range(rpb)]
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = mins.select("_id", F.explode(band_structs).alias("bb")).select(
+        "_id", "bb.band", "bb.bkey"
+    )
+    buckets = (
+        banded.groupBy("band", "bkey")
+        .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
+    return (
+        buckets.select(F.explode(_bucket_pairs(F.col("_ids"))).alias("p"))
+        .groupBy("p.id_a", "p.id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )

@@ -6289,6 +6289,52 @@ def q161_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_count(edges)
 
 
+@_q(
+    "q162_minhash_portable",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS l FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, array_to_string(l[i:i+2], ' ') AS s
+      FROM (SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS i
+            FROM toks WHERE len(l) >= 3)
+    ),
+    h AS (
+      SELECT doc_id, seed,
+             MIN(('0x' || substr(md5(s || ':' || seed), 18, 15))::BIGINT) AS m
+      FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    b AS (
+      SELECT doc_id, seed // 4 AS band,
+             string_agg(m, ',' ORDER BY seed) AS bkey
+      FROM h GROUP BY doc_id, seed // 4
+    ),
+    p AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM b x JOIN b y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+    )
+    SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+    FROM p GROUP BY id_a, id_b
+    """,
+)
+def q162_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates with a PORTABLE md5 hash family —
+    the first VALUE-oracled entry in the LSH family (q33's xxhash64 fast
+    path is Spark-specific, so it can only ever be rows-only + recall-
+    pytested; here hash i of each 3-shingle is the low 60 bits of
+    md5(shingle || ':' || i), reproduced digit-for-digit by the DuckDB
+    oracle, so signatures, band keys, bucket membership, and the final
+    (id_a, id_b, n_shared_bands) all hash-compare). Same plan shape as
+    the fast path: one map-side-combined min aggregate, one bucket
+    shuffle, in-bucket pair generation — never a cross join."""
+    return dedup.minhash_lsh_candidates_portable(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, shingle_k=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------

@@ -498,3 +498,19 @@ def test_triangle_count_known_graphs(spark):
         [(1, 10), (1, 11), (2, 10), (2, 11)], "src long, dst long"
     )
     assert triangle_count(bip).collect()[0]["n_triangles"] == 0
+
+
+def test_minhash_portable_planted_dups(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "completely unrelated text about parquet shuffle partitions"),
+            (4, "short doc"),  # < 3 tokens after split: dropped by contract
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.minhash_lsh_candidates_portable(docs).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared_bands"] for r in out}
+    # identical docs share every band; the unrelated doc pairs with nothing
+    assert pairs == {(1, 2): 4}
