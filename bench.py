@@ -88,6 +88,8 @@ HEADLINE = [
     "q160_unicode_nfc_dedup",
     "q161_triangle_count",
     "q162_minhash_portable",
+    "q163_pmi_collocations",
+    "q164_pseudonymize_ids",
     "medallion_gold_kpis",
 ]
 

@@ -6335,6 +6335,175 @@ def q162_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q163_pmi_collocations",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS l FROM documents
+    ),
+    grams AS (
+      SELECT l[i] AS w1, l[i+1] AS w2,
+             array_to_string(l[i:i+1], ' ') AS bigram
+      FROM (SELECT l, unnest(range(1, len(l))) AS i FROM toks)
+    ),
+    c2 AS (SELECT w1, w2, bigram, COUNT(*) AS n_ab FROM grams
+           GROUP BY w1, w2, bigram),
+    c1 AS (SELECT word, COUNT(*) AS n FROM (
+             SELECT unnest(l) AS word FROM toks) GROUP BY word),
+    tot AS (SELECT (SELECT COUNT(*) FROM grams) AS n_bg,
+                   (SELECT SUM(n) FROM c1) AS n_w),
+    scored AS (
+      SELECT c2.bigram, c2.n_ab, a.n AS n_a, b.n AS n_b,
+             CAST(
+               ((c2.n_ab * CAST(1000000000 AS BIGINT)) // tot.n_bg)
+                 * CAST(1000000000 AS BIGINT)
+               // greatest(
+                    (((a.n * CAST(1000000000 AS BIGINT)) // CAST(tot.n_w AS BIGINT))
+                     * ((b.n * CAST(1000000000 AS BIGINT)) // CAST(tot.n_w AS BIGINT)))
+                    // 1000,
+                    1)
+               AS BIGINT) AS pmi_ratio_e3
+      FROM c2 JOIN c1 a ON a.word = c2.w1
+              JOIN c1 b ON b.word = c2.w2
+      CROSS JOIN tot
+      WHERE c2.n_ab >= 5
+    )
+    SELECT bigram, n_ab, n_a, n_b, pmi_ratio_e3
+    FROM scored ORDER BY pmi_ratio_e3 DESC, bigram LIMIT 50
+    """,
+)
+def q163_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-50 bigrams by pointwise mutual information
+    with min-support 5 — the classic phrase-detection pass a corpus
+    pipeline runs before tokenizer training (word2vec's phrase step).
+
+    PMI's log is monotone, so ranking uses the raw probability ratio
+    p(ab)/(p(a)p(b)) held as INTEGERS: each probability is e9-scaled by
+    integer division, and the ratio is one further exact division —
+    every intermediate stays under 1e18 at ANY corpus size (each factor
+    is a bounded probability scale, not a raw count product), so the
+    expression is overflow-safe at 100 TB, and Spark `div` == DuckDB
+    `//` truncation makes it engine-exact. greatest(..., 1) guards the
+    divisor for vanishingly rare unigram pairs.
+
+    Plan shape: one tokenize pass feeds bigram counts, unigram counts,
+    and the two corpus totals (broadcast 1-row cross join); the scored
+    join keys are well-spread token strings; TakeOrderedAndProject for
+    the top-50."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("l"))
+    grams = toks.select(
+        F.explode(
+            F.when(
+                F.size("l") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("l") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("l"), i).alias("w1"),
+                        F.element_at(F.col("l"), i + 1).alias("w2"),
+                        F.concat_ws(
+                            " ",
+                            F.element_at(F.col("l"), i),
+                            F.element_at(F.col("l"), i + 1),
+                        ).alias("bigram"),
+                    ),
+                ),
+            )
+        ).alias("g")
+    ).select("g.w1", "g.w2", "g.bigram")
+    c2 = grams.groupBy("w1", "w2", "bigram").agg(F.count(F.lit(1)).alias("n_ab"))
+    c1 = toks.select(F.explode("l").alias("word")).groupBy("word").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = grams.agg(F.count(F.lit(1)).alias("n_bg")).crossJoin(
+        c1.agg(F.sum("n").alias("n_w"))
+    )
+    a = c1.select(F.col("word").alias("w1"), F.col("n").alias("n_a"))
+    b = c1.select(F.col("word").alias("w2"), F.col("n").alias("n_b"))
+    scored = (
+        c2.filter(F.col("n_ab") >= 5)
+        .join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bigram",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(((n_ab * CAST(1000000000 AS BIGINT)) div n_bg)"
+                " * CAST(1000000000 AS BIGINT)"
+                " div greatest((((n_a * CAST(1000000000 AS BIGINT)) div CAST(n_w AS BIGINT))"
+                " * ((n_b * CAST(1000000000 AS BIGINT)) div CAST(n_w AS BIGINT)))"
+                " div 1000, 1) AS BIGINT)"
+            ).alias("pmi_ratio_e3"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_ratio_e3"), "bigram").limit(50)
+
+
+@_q(
+    "q164_pseudonymize_ids",
+    """
+    WITH p AS (
+      SELECT ('0x' || substr(md5('v1:' || user_id), 18, 15))::BIGINT AS pseudo_id,
+             user_id, event_type, value
+      FROM events
+    )
+    SELECT pseudo_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_real_ids,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
+    FROM p GROUP BY pseudo_id
+    ORDER BY n_events DESC, pseudo_id LIMIT 100
+    """,
+)
+def q164_pseudonymize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-preserving pseudonymization — the anonymization pass a
+    training pipeline runs BEFORE events data leaves the trust boundary
+    (distinct from q90's pattern redaction, which destroys joinability):
+    user_id is replaced by a salted 60-bit md5-derived token that is
+    deterministic (same user -> same pseudonym, so sessionization /
+    retention / dedup downstream still work) and non-reversible without
+    the salt. The per-pseudonym profile keeps n_real_ids so a collision
+    (two users collapsing to one pseudonym — ~n^2/2^61 birthday odds)
+    would surface as n_real_ids > 1 in BOTH engines rather than
+    silently skewing downstream counts.
+
+    Portable-hash trick shared with q162: conv(substr(md5(x), 18, 15),
+    16, 10) here == ('0x' || ...)::BIGINT in DuckDB, so the driver
+    value-hashes the full mapping. One map-side-combined aggregate on a
+    well-spread 60-bit key; TakeOrderedAndProject top-100."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.select(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("v1:"), F.col("user_id").cast("string"))), 18, 15
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("pseudo_id"),
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    return (
+        p.groupBy("pseudo_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_real_ids"),
+            F.countDistinct("event_type").alias("n_event_types"),
+            F.sum("cents").alias("sum_value_cents"),
+        )
+        .orderBy(F.desc("n_events"), "pseudo_id")
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
