@@ -90,6 +90,7 @@ HEADLINE = [
     "q162_minhash_portable",
     "q163_pmi_collocations",
     "q164_pseudonymize_ids",
+    "q165_simhash_portable",
     "medallion_gold_kpis",
 ]
 

@@ -1147,3 +1147,62 @@ def minhash_lsh_candidates_portable(
         .groupBy("p.id_a", "p.id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+
+
+def simhash_portable(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 60,
+) -> DataFrame:
+    """Per-document SimHash fingerprint with the PORTABLE md5 hash family
+    (companion to ``minhash_lsh_candidates_portable`` — the xxhash64
+    SimHash in ``simhash_fingerprints``/q34 is Spark-specific and can
+    only be recall-tested; this one value-oracles the full fingerprint:
+    every bit of every doc hash-compares against an engine that has md5
+    and integer bit ops).
+
+    Token hash = low 60 bits of md5(token) (signed-int64-safe in every
+    engine). Bit j of the fingerprint is set when the +1/-1 majority
+    vote of that bit across the doc's token MULTISET is positive (ties
+    -> 0, the conventional choice).
+
+    Plan shape: explode tokens once, then ONE map-side-combined hash
+    aggregate computing all ``n_bits`` conditional sums as codegen'd
+    columns (no bit-dimension row explosion — the oracle's readable
+    cross-join-with-range form would shuffle n_bits rows per doc), and
+    the fingerprint assembles from the sums scan-locally. Returns
+    (id, simhash, n_tokens)."""
+    if not 1 <= n_bits <= 60:
+        raise ValueError(f"n_bits must be in [1, 60], got {n_bits}")
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_w"),
+    )
+    hashed = toks.select(
+        "_id",
+        F.conv(F.substring(F.md5(F.col("_w")), 18, 15), 16, 10)
+        .cast("bigint")
+        .alias("_h"),
+    )
+    sums = hashed.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"_s{j}")
+            for j in range(n_bits)
+        ],
+    )
+    fingerprint = None
+    for j in range(n_bits):
+        term = F.when(
+            F.col(f"_s{j}") > 0, F.lit(1).cast("bigint") * (1 << j)
+        ).otherwise(F.lit(0).cast("bigint"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return sums.select(
+        F.col("_id").alias(id_col),
+        fingerprint.alias("simhash"),
+        "n_tokens",
+    )

@@ -6504,6 +6504,48 @@ def q164_pseudonymize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q165_simhash_portable",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(w), 18, 15))::BIGINT AS hh
+      FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN (hh >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT unnest(range(60)) AS j)
+      GROUP BY doc_id, j
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    ),
+    nt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+           FROM toks GROUP BY doc_id)
+    SELECT fp.doc_id, fp.simhash, nt.n_tokens
+    FROM fp JOIN nt ON fp.doc_id = nt.doc_id
+    """,
+)
+def q165_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints with the portable md5 hash family — every
+    bit of every document's 60-bit fingerprint value-hashes against the
+    DuckDB oracle (q34's xxhash64 SimHash is Spark-specific, so its
+    correctness rests on recall pytest; this entry pins the sketch
+    itself). Engine side computes the 60 majority votes as codegen'd
+    conditional sums in ONE map-side-combined aggregate — the oracle's
+    readable cross-join-with-range(60) form would shuffle 60 rows per
+    doc, exactly the explosion the column form avoids at 100 TB."""
+    return dedup.simhash_portable(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------

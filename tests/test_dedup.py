@@ -514,3 +514,20 @@ def test_minhash_portable_planted_dups(spark):
     pairs = {(r["id_a"], r["id_b"]): r["n_shared_bands"] for r in out}
     # identical docs share every band; the unrelated doc pairs with nothing
     assert pairs == {(1, 2): 4}
+
+
+def test_simhash_portable_locality(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base.replace("today", "tonight")
+    far = "parquet shuffle partition broadcast executor codegen catalyst tungsten arrow stage"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in dedup.simhash_portable(docs).collect()}
+    assert rows[1]["simhash"] == rows[2]["simhash"]  # identical docs
+    assert rows[1]["n_tokens"] == 14
+    ham = lambda a, b: bin(a ^ b).count("1")
+    # one-word edit stays closer than an unrelated doc
+    assert ham(rows[1]["simhash"], rows[3]["simhash"]) < ham(
+        rows[1]["simhash"], rows[4]["simhash"]
+    )
