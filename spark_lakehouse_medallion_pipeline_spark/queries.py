@@ -6579,6 +6579,13 @@ def q165_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and the REAL-codec BMP decode pipeline (q157 for q39's stub-codec
 # multimodal rep — the family's driver row is now value-hashed through
 # an actual encode->decode->feature path).
+# Late round 4: the portable-md5 hash family made three previously
+# rows-only-by-nature sketches fully value-oracled, and they take the
+# three most over-represented remaining slots: q162 MinHash-LSH (for
+# q57's fourth semi-structured rep), q165 SimHash (for q114 — dedup
+# family is now exact/bloom/MinHash/SimHash: q28/q137/q162/q165), and
+# q164 key-preserving pseudonymization (for q136 — text keeps
+# q29/q119/q95/q152; q57/q114/q136 all recorded green in r03).
 
 _DRIVER_SNAPSHOT_50 = [
     # reference surface: aggregates, scalars, datetime, medallion KPIs
@@ -6617,12 +6624,12 @@ _DRIVER_SNAPSHOT_50 = [
     "q65_udtf_tokenize",
     # semi-structured: JSON, arrays, maps/structs
     "q23_json_props",
-    "q57_array_hof_battery",
+    "q162_minhash_portable",  # r4: value-oracled LSH displaces 4th semi-structured rep
     "q123_xml_battery",
     # dedup family
     "q28_exact_dedup_docs",
     "q137_bloom_prefilter_dedup",
-    "q114_repeated_line_removal",
+    "q165_simhash_portable",  # r4: value-oracled SimHash (q114 recorded green r03)
     "q110_variant_props",
     # similarity family
     "q36_knn_vec0",
@@ -6630,7 +6637,7 @@ _DRIVER_SNAPSHOT_50 = [
     # text analysis family
     "q29_text_stats",
     "q152_fuzzy_name_pairs_d2",
-    "q136_bigram_lm_score",
+    "q164_pseudonymize_ids",  # r4: anonymization rep (q136 recorded green r03)
     "q153_ann_rerank",
     "q95_sequence_packing",
     "q119_classifier_filter",
