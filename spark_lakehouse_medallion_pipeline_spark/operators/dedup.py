@@ -1066,12 +1066,17 @@ def minhash_lsh_candidates_portable(
     speed: xxhash64 is Spark-specific, so that path can only be
     rows-only/recall-tested; this one is value-oracle-able end to end).
 
-    Hash i of shingle s = the low 60 bits of md5(s || ':' || i), read as
-    a decimal integer from hex digits 18..32 — ``conv(substr(md5(x),
-    18, 15), 16, 10)`` here, ``('0x' || substr(md5(x), 18, 15))::BIGINT``
-    in DuckDB/Trino. 60 bits keeps the value inside a signed int64 in
-    every engine (no unsigned-overflow divergence) while leaving min-hash
-    collision probability negligible.
+    Each md5 digest yields TWO independent 60-bit hashes (hex digits
+    2..16 and 18..32 of md5(s || ':' || i//2)), so an n-hash family
+    costs n/2 digests (measured ~10% end-to-end at sf0.1 — whole-stage
+    codegen's subexpression elimination already de-duplicated repeated
+    digests, and the shingle explode + n-column min aggregate dominate;
+    the halving still matters on engines without CSE). Read as decimal
+    via ``conv(substr(md5(x), off, 15), 16, 10)`` here, ``('0x' ||
+    substr(md5(x), off, 15))::BIGINT`` in DuckDB/Trino. 60 bits keeps
+    the value inside a signed int64 in every engine (no unsigned-
+    overflow divergence) while leaving min-hash collision probability
+    negligible. ``num_hashes`` must be even (pairs share a digest).
 
     Plan shape is identical to the fast path: explode per-doc shingles,
     compute the n-hash family as n codegen'd columns, per-position mins
@@ -1089,6 +1094,8 @@ def minhash_lsh_candidates_portable(
         raise ValueError(
             f"bands ({bands}) must evenly divide num_hashes ({num_hashes})"
         )
+    if num_hashes % 2 != 0:
+        raise ValueError(f"num_hashes must be even (got {num_hashes})")
     rpb = num_hashes // bands
     toks = docs.select(
         F.col(id_col).alias("_id"),
@@ -1107,14 +1114,19 @@ def minhash_lsh_candidates_portable(
             )
         ).alias("_s"),
     )
-    hashed = shingles.select(
+    # One digest per PAIR of hash slots: _d{k} = md5(s:k); slot 2k reads
+    # hex digits 2..16, slot 2k+1 reads 18..32 (both 60-bit halves).
+    digests = shingles.select(
         "_id",
         *[
-            F.conv(
-                F.substring(F.md5(F.concat(F.col("_s"), F.lit(f":{i}"))), 18, 15),
-                16,
-                10,
-            )
+            F.md5(F.concat(F.col("_s"), F.lit(f":{k}"))).alias(f"_d{k}")
+            for k in range(num_hashes // 2)
+        ],
+    )
+    hashed = digests.select(
+        "_id",
+        *[
+            F.conv(F.substring(F.col(f"_d{i // 2}"), 2 if i % 2 == 0 else 18, 15), 16, 10)
             .cast("bigint")
             .alias(f"_x{i}")
             for i in range(num_hashes)

