@@ -91,6 +91,7 @@ HEADLINE = [
     "q163_pmi_collocations",
     "q164_pseudonymize_ids",
     "q165_simhash_portable",
+    "q166_hilbert_layout",
     "medallion_gold_kpis",
 ]
 

@@ -6551,6 +6551,59 @@ def q165_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_portable(_t(spark, sf_dir, "documents"))
 
 
+def _q166_sql() -> str:
+    from spark_lakehouse_medallion_pipeline_spark.sources.io import hilbert_oracle_sql
+
+    return (
+        "WITH h0 AS (SELECT l_partkey % 256 AS px, l_suppkey % 256 AS py"
+        " FROM lineitem)"
+        + hilbert_oracle_sql(8, "px", "py")
+        + """
+    SELECT d8 // 256 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(px) AS min_x, MAX(px) AS max_x,
+           MIN(py) AS min_y, MAX(py) AS max_y
+    FROM h8 GROUP BY d8 // 256
+    """
+    )
+
+
+@_q("q166_hilbert_layout", _q166_sql())
+def q166_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering index over (l_partkey, l_suppkey) — the
+    locality-better companion to q92's Morton z-values: consecutive
+    Hilbert cells are ALWAYS Manhattan-adjacent, so a Hilbert-sorted
+    layout yields strictly tighter per-file (x, y) bounding boxes than
+    z-order, i.e. better parquet min/max pruning for 2-D range
+    predicates at 100 TB. The per-256-cell bucket profile (count + the
+    bounding box actually covered) is exactly the statistic a layout
+    optimizer inspects.
+
+    Engine side is an Arrow-vectorized UDF (sources.io.hilbert_udf) —
+    the rotation recurrence inlines to a ~3^order expression tree under
+    CollapseProject, the documented janino giant-expr trap — while the
+    oracle unrolls the IDENTICAL integer recurrence to 8 chained SQL
+    stages (sources.io.hilbert_oracle_sql), so the curve arithmetic is
+    verified value-exact despite the Python fast path."""
+    from spark_lakehouse_medallion_pipeline_spark.sources.io import hilbert_udf
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("px"),
+        (F.col("l_suppkey") % 256).alias("py"),
+    )
+    hd = li.withColumn("hd", hilbert_udf(8)(F.col("px"), F.col("py")))
+    return (
+        hd.groupBy(F.expr("hd div 256").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("px").alias("min_x"),
+            F.max("px").alias("max_x"),
+            F.min("py").alias("min_y"),
+            F.max("py").alias("max_y"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
