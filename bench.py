@@ -92,6 +92,7 @@ HEADLINE = [
     "q164_pseudonymize_ids",
     "q165_simhash_portable",
     "q166_hilbert_layout",
+    "q167_local_clustering",
     "medallion_gold_kpis",
 ]
 

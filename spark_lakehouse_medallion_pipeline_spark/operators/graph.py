@@ -106,16 +106,70 @@ def triangle_count(
     keeps high-degree hubs from being the middle of every wedge).
     Returns a 1-row (n_triangles) DataFrame.
     """
+    closed = _triangle_rows(_canonical_edges(edges, src, dst))
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge list canonicalized to (_a < _b), deduped;
+    self-loops dropped."""
     lo = F.least(F.col(src), F.col(dst))
     hi = F.greatest(F.col(src), F.col(dst))
-    e = (
+    return (
         edges.filter(F.col(src) != F.col(dst))
         .select(lo.alias("_a"), hi.alias("_b"))
         .distinct()
     )
+
+
+def _triangle_rows(e: DataFrame) -> DataFrame:
+    """One row (a < b < c) per triangle of the canonical edge list."""
     ab = e.select(F.col("_a").alias("a"), F.col("_b").alias("b"))
     bc = e.select(F.col("_a").alias("b"), F.col("_b").alias("c"))
     ac = e.select(F.col("_a").alias("a"), F.col("_b").alias("c"))
     wedges = ab.join(bc, "b")
-    closed = wedges.join(ac, ["a", "c"], "left_semi")
-    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return wedges.join(ac, ["a", "c"], "left_semi")
+
+
+def local_clustering(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-vertex local clustering coefficient — how close each vertex's
+    neighborhood is to a clique (the community-tightness signal next to
+    q161's global triangle count): lcc(v) = 2*tri(v) / (deg(v) *
+    (deg(v)-1)) for deg >= 2.
+
+    tri(v) comes from exploding each enumerated triangle (a<b<c) to its
+    three member vertices — one extra narrow shuffle over the triangle
+    set (small relative to the wedge join that found them); deg(v) is
+    one map-side-combined count over exploded edge endpoints. The
+    coefficient is held as the INTEGER floor of 2e6*tri/(deg*(deg-1))
+    (Spark `div` == DuckDB `//`), so results are engine-exact. Returns
+    (vertex, degree, n_triangles, lcc_e6); vertices with deg < 2 are
+    excluded (coefficient undefined).
+    """
+    e = _canonical_edges(edges, src, dst)
+    deg = (
+        e.select(F.explode(F.array("_a", "_b")).alias("vertex"))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri_v = (
+        _triangle_rows(e)
+        .select(F.explode(F.array("a", "b", "c")).alias("vertex"))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri_v, "vertex", "left")
+        .select(
+            "vertex",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.expr(
+                "(2 * coalesce(n_triangles, 0) * CAST(1000000 AS BIGINT))"
+                " div (degree * (degree - 1))"
+            ).alias("lcc_e6"),
+        )
+    )

@@ -6604,6 +6604,63 @@ def q166_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q167_local_clustering",
+    """
+    WITH os AS (
+      SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+      FROM lineitem WHERE l_suppkey % 4 = 0
+    ),
+    e AS (
+      SELECT DISTINCT x.s AS a, y.s AS b
+      FROM os x JOIN os y ON x.o = y.o AND x.s < y.s
+    ),
+    w AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1 JOIN e e2 ON e1.b = e2.a),
+    t AS (SELECT a, b, c FROM w
+          WHERE EXISTS (SELECT 1 FROM e WHERE e.a = w.a AND e.b = w.c)),
+    deg AS (SELECT v AS vertex, COUNT(*) AS degree FROM
+              (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+    tv AS (SELECT v AS vertex, COUNT(*) AS n_triangles FROM
+              (SELECT a AS v FROM t UNION ALL SELECT b FROM t
+               UNION ALL SELECT c FROM t) GROUP BY v)
+    SELECT deg.vertex, deg.degree,
+           COALESCE(tv.n_triangles, 0) AS n_triangles,
+           (2 * COALESCE(tv.n_triangles, 0) * CAST(1000000 AS BIGINT))
+             // (deg.degree * (deg.degree - 1)) AS lcc_e6
+    FROM deg LEFT JOIN tv ON tv.vertex = deg.vertex
+    WHERE deg.degree >= 2
+    ORDER BY lcc_e6 DESC, deg.vertex LIMIT 100
+    """,
+)
+def q167_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex local clustering coefficient over the q161 co-supply
+    graph — which suppliers sit in near-clique communities vs sparse
+    hubs. Integer-exact: lcc_e6 = floor(2e6 * tri(v) / (deg(v) *
+    (deg(v)-1))), so the driver value-hashes it. Engine path is
+    operators.graph.local_clustering (triangle enumeration shared with
+    q161, one narrow vertex-explode shuffle on top)."""
+    from spark_lakehouse_medallion_pipeline_spark.operators import graph
+
+    os_ = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") % 4 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = (
+        os_.alias("x")
+        .join(os_.alias("y"), "o")
+        .filter(F.col("x.s") < F.col("y.s"))
+        .select(F.col("x.s").alias("src"), F.col("y.s").alias("dst"))
+        .distinct()
+    )
+    return (
+        graph.local_clustering(edges)
+        .orderBy(F.desc("lcc_e6"), "vertex")
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------

@@ -531,3 +531,22 @@ def test_simhash_portable_locality(spark):
     assert ham(rows[1]["simhash"], rows[3]["simhash"]) < ham(
         rows[1]["simhash"], rows[4]["simhash"]
     )
+
+
+def test_local_clustering_known_graph(spark):
+    from spark_lakehouse_medallion_pipeline_spark.operators.graph import (
+        local_clustering,
+    )
+
+    # K4 (every vertex: deg 3, tri 3, lcc 1.0) + path 20-21-22 (21: deg 2,
+    # tri 0, lcc 0) + pendant (10-11, deg 1: excluded)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (10, 11), (20, 21), (21, 22)],
+        "src long, dst long",
+    )
+    out = {r["vertex"]: r for r in local_clustering(edges).collect()}
+    assert set(out) == {1, 2, 3, 4, 21}
+    for v in (1, 2, 3, 4):
+        assert (out[v]["degree"], out[v]["n_triangles"], out[v]["lcc_e6"]) == (3, 3, 1000000)
+    assert (out[21]["degree"], out[21]["n_triangles"], out[21]["lcc_e6"]) == (2, 0, 0)
