@@ -418,3 +418,72 @@ def incremental_gold_refresh(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_near_dup_ingest(
+    docs_stream: DataFrame,
+    out_dir: str,
+    sig_store: str,
+    checkpoint_dir: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> None:
+    """Streaming corpus ingest with cross-batch near-dup filtering — the
+    X15 x X18 integration a continuously-fed training corpus needs:
+    every micro-batch is (1) self-deduped (for each LSH candidate pair
+    id_a < id_b within the batch, the higher id drops — deterministic
+    keep-first; transitive chains resolve over the pair set, documented
+    approximation of full clustering), then (2) probed with a LEFT ANTI
+    band-bucket join against the PERSISTED signature store built from
+    every previously-accepted document (operators.dedup.
+    incremental_near_dup_filter), and (3) survivors append to the
+    corpus while their signatures append to the store — so batch N+1
+    sees batch N's accepted docs without ever re-signing the corpus.
+
+    Scale: the store carries (_id, _sig) only (num_hashes longs per
+    accepted doc); the probe is one hash join on well-spread band
+    buckets; nothing in the loop is O(corpus). First batch against an
+    empty store skips the probe (parquet dir does not exist yet).
+    availableNow semantics: a bounded backlog drains to the same result
+    as sequential batch application — pinned by
+    tests/test_streaming.py::test_streaming_near_dup_ingest_matches_sequential.
+    """
+    from spark_lakehouse_medallion_pipeline_spark.operators import dedup as _dd
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        # (1) within-batch: drop the higher id of every candidate pair
+        pairs = _dd.minhash_lsh_candidates(
+            batch_df, num_hashes=num_hashes, bands=bands
+        )
+        survivors = batch_df.join(
+            pairs.select(F.col("id_b").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+        # (2) cross-batch: probe the persisted signature store
+        try:
+            existing = spark.read.parquet(sig_store)
+            has_store = True
+        except Exception:
+            has_store = False
+        if has_store:
+            survivors = _dd.incremental_near_dup_filter(
+                survivors, existing, num_hashes=num_hashes, bands=bands
+            )
+        # (3) accept: docs to the corpus, signatures to the store
+        survivors = survivors.localCheckpoint(eager=True)
+        survivors.write.mode("append").parquet(out_dir)
+        _dd.minhash_signatures(survivors, num_hashes=num_hashes).write.mode(
+            "append"
+        ).parquet(sig_store)
+
+    (
+        docs_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

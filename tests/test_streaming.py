@@ -380,3 +380,62 @@ def test_streaming_restart_resumes_from_checkpoint(spark, tmp_path):
     run(250)  # restart: offsets resume at 150, feed has grown
     ids = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert ids == list(range(250))  # every id exactly once
+
+
+def test_streaming_near_dup_ingest_matches_sequential(spark, tmp_path):
+    """Cross-batch near-dup ingest: each micro-batch self-dedups, then
+    probes the signature store of everything previously accepted —
+    exactly one survivor per near-dup group across the whole drain."""
+    import os
+    import time as _time
+
+    from spark_lakehouse_medallion_pipeline_spark.streaming.jobs import (
+        streaming_near_dup_ingest,
+    )
+
+    ta = "alpha beta gamma delta epsilon zeta eta theta"
+    tb = "one two three four five six seven eight nine"
+    tc = "red orange yellow green blue indigo violet colors"
+    td = "north south east west compass rose navigation chart"
+    shards = [
+        [(1, ta), (2, ta), (3, tb)],   # 2 drops within-batch (same text as 1)
+        [(4, ta), (5, tc)],            # 4 drops vs store
+        [(6, tb), (7, tc), (8, td)],   # 6, 7 drop vs store
+    ]
+    src = tmp_path / "shards"
+    src.mkdir()
+    for i, rows in enumerate(shards):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(src / f"shard{i}"))
+        for f in (src / f"shard{i}").glob("*.parquet"):
+            os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    # flatten: file source watches one dir of files
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i in range(len(shards)):
+        for f in (src / f"shard{i}").glob("*.parquet"):
+            dst = flat / f"s{i}.parquet"
+            os.rename(f, dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(flat))
+    )
+    out, sigs, ckpt = (str(tmp_path / d) for d in ("out", "sigs", "ckpt"))
+    streaming_near_dup_ingest(stream, out, sigs, ckpt)
+
+    rows = spark.read.parquet(out).collect()
+    by_text = {}
+    for r in rows:
+        by_text.setdefault(r["text"], []).append(r["doc_id"])
+    # exactly one survivor per near-dup group, and it is the group's
+    # first-processed lowest id (files drained oldest-first)
+    assert {t: ids for t, ids in by_text.items()} == {ta: [1], tb: [3], tc: [5], td: [8]}
+    # the signature store holds exactly the accepted docs
+    assert sorted(
+        r["_id"] for r in spark.read.parquet(sigs).collect()
+    ) == [1, 3, 5, 8]
