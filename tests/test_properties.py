@@ -230,3 +230,36 @@ def test_fuzzy_pairs_match_naive_levenshtein(spark, names, d):
         if i < j and _lev(a, b) <= d
     }
     assert got == want
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_portable_hash_duckdb_semantics(strings):
+    """The cross-engine contract every portable-hash oracle (q162, q164,
+    q165) rests on: DuckDB's ('0x' || substr(md5(s), off, 15))::BIGINT
+    equals the mathematical int(md5_hex[off-1 : off+14], 16) for BOTH
+    digest halves, over arbitrary unicode (Spark's conv() side is pinned
+    by the value-hashing oracle gate itself)."""
+    import hashlib
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(s,) for s in strings])
+    rows = con.sql(
+        "SELECT s, ('0x' || substr(md5(s), 2, 15))::BIGINT,"
+        " ('0x' || substr(md5(s), 18, 15))::BIGINT FROM t"
+    ).fetchall()
+    for s, hi, lo in rows:
+        hx = hashlib.md5(s.encode("utf-8")).hexdigest()
+        assert hi == int(hx[1:16], 16)
+        assert lo == int(hx[17:32], 16)
