@@ -93,6 +93,7 @@ HEADLINE = [
     "q165_simhash_portable",
     "q166_hilbert_layout",
     "q167_local_clustering",
+    "q168_time_weighted_avg",
     "medallion_gold_kpis",
 ]
 

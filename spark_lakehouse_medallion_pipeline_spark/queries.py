@@ -6661,6 +6661,64 @@ def q167_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q168_time_weighted_avg",
+    """
+    WITH ticks AS (
+      SELECT user_id, ts,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - epoch_us(ts) AS dur_us
+      FROM events WHERE user_id % 7 = 0
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dur_us) AS BIGINT) AS total_us,
+           CAST(SUM(cents * dur_us) // SUM(dur_us) AS BIGINT) AS twap_cents
+    FROM ticks WHERE dur_us IS NOT NULL AND dur_us > 0
+    GROUP BY user_id
+    """,
+)
+def q168_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP — the finance/metering aggregate where
+    each observation counts for how LONG it was current, not how often
+    it ticked): per user, weight each value by the microseconds until
+    that user's next event. Integer-exact end to end — values as cents,
+    durations as epoch-microsecond differences, one exact integer
+    division at the end — so the driver value-hashes it. Zero-duration
+    ticks (same-timestamp pairs) are excluded from both weight and
+    numerator in BOTH engines; ties order by (ts, event_id) so lead() is
+    deterministic.
+
+    Plan shape: one window (partitioned by the grouping key — no extra
+    shuffle beyond the groupBy's own on well-spread user_id) feeding one
+    map-side-combined aggregate. SUM(cents*dur_us) bounds: cents <= 1e5,
+    dur_us <= ~1e13 per interval, ~2e3 intervals/user at sf1 -> ~1e18;
+    DuckDB's HUGEINT sum is casted, Spark's long sum is the documented
+    engine-exactness trade at this scale envelope."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ticks = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        (
+            F.lead(F.unix_micros(F.col("ts"))).over(w)
+            - F.unix_micros(F.col("ts"))
+        ).alias("dur_us"),
+    )
+    return (
+        ticks.filter(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dur_us").alias("total_us"),
+            F.expr("CAST(SUM(cents * dur_us) div SUM(dur_us) AS BIGINT)").alias(
+                "twap_cents"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
