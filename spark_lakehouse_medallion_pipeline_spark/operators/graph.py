@@ -106,7 +106,14 @@ def triangle_count(
     keeps high-degree hubs from being the middle of every wedge).
     Returns a 1-row (n_triangles) DataFrame.
     """
-    closed = _triangle_rows(_canonical_edges(edges, src, dst))
+    # Materialize the canonical edge list once: _triangle_rows reads it
+    # THREE times (ab/bc/ac), and without truncation each branch re-runs
+    # the caller's whole edge-derivation subtree (plan audit showed 13
+    # static shuffles on the co-supply build; any real triangle pipeline
+    # materializes its edge list first). Lazy checkpoint keeps plan
+    # construction action-free.
+    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=False)
+    closed = _triangle_rows(e)
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
@@ -148,7 +155,9 @@ def local_clustering(
     (vertex, degree, n_triangles, lcc_e6); vertices with deg < 2 are
     excluded (coefficient undefined).
     """
-    e = _canonical_edges(edges, src, dst)
+    # Same materialization rationale as triangle_count — e feeds the
+    # degree count AND all three _triangle_rows branches (five reads).
+    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=False)
     deg = (
         e.select(F.explode(F.array("_a", "_b")).alias("vertex"))
         .groupBy("vertex")
