@@ -894,12 +894,19 @@ def contrastive_pairs(
     Returns (id_a, id_b, label) with id_a < id_b.
     """
     pos = minhash_lsh_candidates(docs, id_col, text_col, num_hashes, bands, shingle_k)
-    pos_pairs = pos.select("id_a", "id_b", F.lit(1).alias("label"))
+    # Materialize both reused inputs once: pos_pairs feeds the count,
+    # every per-seed anti-join, and the final union; ids feeds one
+    # pairing pass per seed. Without truncation each re-read re-runs the
+    # whole LSH candidate derivation (the plan audit counted 12 static
+    # shuffles). Eager is right here — .count() runs immediately anyway.
+    pos_pairs = pos.select("id_a", "id_b", F.lit(1).alias("label")).localCheckpoint(
+        eager=True
+    )
     n_pos = pos_pairs.count()
     if n_pos == 0:
         return pos_pairs  # empty, schema-stable
 
-    ids = docs.select(F.col(id_col).alias("_id")).distinct()
+    ids = docs.select(F.col(id_col).alias("_id")).distinct().localCheckpoint(eager=True)
     # Bucket count scales with the corpus: each pairing pass strands up
     # to one id per bucket, so a tiny corpus spread over 64 buckets would
     # pair almost nothing. ~16+ ids per bucket keeps stranding <6%.
@@ -911,6 +918,7 @@ def contrastive_pairs(
         .join(pos_pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
         .orderBy(F.xxhash64(F.col("id_a").cast("string"), F.col("id_b").cast("string")))
         .limit(target)
+        .localCheckpoint(eager=True)  # counted + anti-joined per top-up seed
     )
     for seed in (2, 3, 4):
         deficit = target - neg.count()
@@ -925,7 +933,7 @@ def contrastive_pairs(
             )
             .limit(deficit)
         )
-        neg = neg.unionAll(topup)
+        neg = neg.unionAll(topup).localCheckpoint(eager=True)
     return pos_pairs.unionAll(neg.select("id_a", "id_b", F.lit(0).alias("label")))
 
 
