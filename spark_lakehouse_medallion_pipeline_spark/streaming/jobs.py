@@ -463,11 +463,16 @@ def streaming_near_dup_ingest(
             "doc_id",
             "left_anti",
         )
-        # (2) cross-batch: probe the persisted signature store
+        # (2) cross-batch: probe the persisted signature store.
+        # AnalysisException == path-not-found (first batch, empty store);
+        # anything else (corrupt store, permission loss) must FAIL the
+        # batch — swallowing it would silently re-accept duplicates.
+        from pyspark.errors import AnalysisException
+
         try:
             existing = spark.read.parquet(sig_store)
             has_store = True
-        except Exception:
+        except AnalysisException:
             has_store = False
         if has_store:
             survivors = _dd.incremental_near_dup_filter(

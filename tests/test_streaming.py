@@ -439,3 +439,36 @@ def test_streaming_near_dup_ingest_matches_sequential(spark, tmp_path):
     assert sorted(
         r["_id"] for r in spark.read.parquet(sigs).collect()
     ) == [1, 3, 5, 8]
+
+
+def test_streaming_near_dup_ingest_fails_on_corrupt_store(spark, tmp_path):
+    """A signature store that exists but cannot be read must FAIL the
+    batch, not be treated as empty (silently re-accepting duplicates)."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from spark_lakehouse_medallion_pipeline_spark.streaming.jobs import (
+        streaming_near_dup_ingest,
+    )
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(tmp_path / "stage"))
+    for f in (tmp_path / "stage").glob("*.parquet"):
+        f.rename(flat / "s0.parquet")
+
+    sigs = tmp_path / "sigs"
+    sigs.mkdir()
+    (sigs / "garbage.parquet").write_bytes(b"not a parquet file")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    with pytest.raises(StreamingQueryException):
+        streaming_near_dup_ingest(
+            stream, str(tmp_path / "out"), str(sigs), str(tmp_path / "ckpt")
+        )
