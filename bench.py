@@ -94,6 +94,7 @@ HEADLINE = [
     "q166_hilbert_layout",
     "q167_local_clustering",
     "q168_time_weighted_avg",
+    "q169_join_cardinality_estimate",
     "medallion_gold_kpis",
 ]
 

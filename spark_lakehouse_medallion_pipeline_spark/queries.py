@@ -6719,6 +6719,66 @@ def q168_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q169_join_cardinality_estimate",
+    """
+    WITH co AS (SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY o_custkey),
+    cc AS (SELECT c_custkey AS k, COUNT(*) AS n FROM customer GROUP BY c_custkey),
+    exact AS (SELECT CAST(SUM(co.n * cc.n) AS BIGINT) AS actual_rows
+              FROM co JOIN cc ON co.k = cc.k),
+    sampled AS (
+      SELECT CAST(16 * SUM(co.n * cc.n) AS BIGINT) AS est_rows
+      FROM co JOIN cc ON co.k = cc.k
+      WHERE ('0x' || substr(md5('s:' || co.k), 18, 15))::BIGINT % 16 = 0
+    )
+    SELECT est_rows, actual_rows,
+           CAST((ABS(est_rows - actual_rows) * 1000) // actual_rows AS BIGINT)
+             AS rel_err_e3
+    FROM sampled CROSS JOIN exact
+    """,
+)
+def q169_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size prediction — the pre-flight a 100 TB pipeline runs
+    before committing to a join strategy: per-key counts on both sides,
+    then SUM(n_left * n_right) over a 1/16 DETERMINISTIC key sample
+    (portable md5 hash of the key, so the same keys sample in every
+    engine and the driver value-hashes the estimate), scaled by 16,
+    next to the exact figure and the integer relative error. Key-sampled
+    (not row-sampled) on purpose: join size is quadratic in per-key
+    counts, so row sampling biases heavy keys down while key sampling
+    keeps each sampled key's contribution exact.
+
+    Plan: two map-side-combined counts, a key-equi-join of the (tiny)
+    count tables, one broadcast cross of two 1-row aggregates."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    co = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_o")
+    )
+    cc = cust.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_c")
+    )
+    joined = co.join(cc, "k").select(
+        "k", (F.col("n_o") * F.col("n_c")).alias("prod")
+    )
+    exact = joined.agg(F.sum("prod").cast("bigint").alias("actual_rows"))
+    khash = F.conv(
+        F.substring(F.md5(F.concat(F.lit("s:"), F.col("k").cast("string"))), 18, 15),
+        16,
+        10,
+    ).cast("bigint")
+    sampled = joined.filter(khash % 16 == 0).agg(
+        (F.lit(16) * F.sum("prod")).cast("bigint").alias("est_rows")
+    )
+    return sampled.crossJoin(F.broadcast(exact)).select(
+        "est_rows",
+        "actual_rows",
+        F.expr(
+            "CAST((ABS(est_rows - actual_rows) * 1000) div actual_rows AS BIGINT)"
+        ).alias("rel_err_e3"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
