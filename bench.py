@@ -342,6 +342,60 @@ def main() -> None:
         errors["dedup_lsh_1m"] = str(exc).split("\n")[0][:200]
         print(f"# dedup_lsh_1m: FAILED ({errors['dedup_lsh_1m']})", file=sys.stderr)
 
+    # Corpus-curation e2e — the LLM-data counterpart of medallion_e2e:
+    # generate 100k docs (10% planted near-dups) -> token-budget filter ->
+    # LSH near-dup removal (drop the higher id of each candidate pair) ->
+    # sequence packing -> write survivors + pack assignments, timed with
+    # the writes. The row counts are correctness canaries: near-dup
+    # removal must drop exactly the 10k planted variants.
+    try:
+        from spark_lakehouse_medallion_pipeline_spark.operators.text import (
+            pack_sequences,
+        )
+
+        docs_cur = (
+            spark.range(100_000)
+            .withColumn("_seed", Fd.expr("CASE WHEN id % 10 = 0 THEN id + 1 ELSE id END"))
+            .select(
+                Fd.col("id").alias("doc_id"),
+                Fd.expr("concat('s', pmod(id, 8))").alias("source"),
+                Fd.expr(
+                    f"CASE WHEN id % 10 = 0 THEN concat('variant ', {word_expr}) "
+                    f"ELSE {word_expr} END"
+                ).alias("text"),
+            )
+        )
+        tmp = tempfile.mkdtemp(prefix="bench_corpus_")
+        try:
+            t0 = time.time()
+            filtered = docs_cur.filter(
+                Fd.expr("size(split(text, '\\\\s+')) BETWEEN 8 AND 64")
+            )
+            cands = minhash_lsh_candidates(
+                filtered, num_hashes=64, bands=16, shingle_k=3
+            )
+            survivors = filtered.join(
+                cands.select(Fd.col("id_b").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_anti",
+            ).localCheckpoint(eager=True)
+            survivors.write.mode("overwrite").parquet(f"{tmp}/docs")
+            pack_sequences(survivors, ctx_len=512).write.mode("overwrite").parquet(
+                f"{tmp}/packs"
+            )
+            n_surv = spark.read.parquet(f"{tmp}/docs").count()
+            timings["corpus_e2e_100k"] = round(time.time() - t0, 3)
+            print(
+                f"# corpus_e2e_100k: {timings['corpus_e2e_100k']:.2f}s "
+                f"({n_surv} survivors of 100000)",
+                file=sys.stderr,
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    except Exception as exc:
+        errors["corpus_e2e_100k"] = str(exc).split("\n")[0][:200]
+        print(f"# corpus_e2e_100k: FAILED ({errors['corpus_e2e_100k']})", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_query_wall_clock_total",
