@@ -6732,8 +6732,8 @@ def q168_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE ('0x' || substr(md5('s:' || co.k), 18, 15))::BIGINT % 16 = 0
     )
     SELECT est_rows, actual_rows,
-           CAST((ABS(est_rows - actual_rows) * 1000) // actual_rows AS BIGINT)
-             AS rel_err_e3
+           CAST((ABS(est_rows - actual_rows) * 1000)
+                // greatest(actual_rows, 1) AS BIGINT) AS rel_err_e3
     FROM sampled CROSS JOIN exact
     """,
 )
@@ -6773,8 +6773,11 @@ def q169_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFram
     return sampled.crossJoin(F.broadcast(exact)).select(
         "est_rows",
         "actual_rows",
+        # greatest(..., 1): on an empty join DuckDB's // 0 ERRORS while
+        # Spark's div 0 yields NULL — guard keeps the engines aligned.
         F.expr(
-            "CAST((ABS(est_rows - actual_rows) * 1000) div actual_rows AS BIGINT)"
+            "CAST((ABS(est_rows - actual_rows) * 1000)"
+            " div greatest(actual_rows, CAST(1 AS BIGINT)) AS BIGINT)"
         ).alias("rel_err_e3"),
     )
 
