@@ -95,6 +95,7 @@ HEADLINE = [
     "q167_local_clustering",
     "q168_time_weighted_avg",
     "q169_join_cardinality_estimate",
+    "q170_rolling_median",
     "medallion_gold_kpis",
 ]
 

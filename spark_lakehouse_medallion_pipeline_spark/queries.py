@@ -6782,6 +6782,50 @@ def q169_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@_q(
+    "q170_rolling_median",
+    """
+    SELECT event_id, user_id,
+           CAST(quantile_disc(CAST(FLOOR(value * 100 + 0.5) AS BIGINT), 0.5)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS med7_cents
+    FROM events WHERE user_id % 31 = 0
+    """,
+)
+def q170_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rolling median (7-row trailing frame per user) — the robust
+    smoother running mean can't be (one outlier tick drags an average
+    for the whole frame). Spark has no exact windowed percentile, so the
+    frame's values are collected, sorted, and the lower-middle element
+    taken at 1-indexed position (n+1) div 2 — EXACTLY DuckDB's
+    quantile_disc(0.5) discrete-quantile definition (probed: n=4 -> 2nd
+    element, n=5 -> 3rd), on integer cents so the hash compares.
+
+    Scale shape: the window partitions by user_id (well-spread key, no
+    global sort) and the frame is a bounded 7 rows, so the per-row
+    collect_list is O(7) — constant memory per row, shuffle only on the
+    partition key. Deterministic (ts, event_id) ordering."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 31 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    frame = F.array_sort(
+        F.collect_list(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        ).over(w)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.element_at(frame, ((F.size(frame) + 1) / 2).cast("int"))
+        .cast("bigint")
+        .alias("med7_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
