@@ -96,6 +96,7 @@ HEADLINE = [
     "q168_time_weighted_avg",
     "q169_join_cardinality_estimate",
     "q170_rolling_median",
+    "q171_event_runs",
     "medallion_gold_kpis",
 ]
 

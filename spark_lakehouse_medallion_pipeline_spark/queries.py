@@ -6826,6 +6826,54 @@ def q170_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q171_event_runs",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id)
+               - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS grp
+      FROM events WHERE user_id % 31 = 0
+    )
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS run_len,
+           MIN(event_id) AS first_event_id,
+           MAX(event_id) AS last_event_id
+    FROM seq GROUP BY user_id, event_type, grp
+    """,
+)
+def q171_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: collapse each user's CONSECUTIVE same-type
+    events into runs (the sequence-compression shape behind session
+    labeling, bot-burst detection, and state-machine mining). The
+    classic two-row_number difference — rank within the user stream
+    minus rank within the (user, type) stream is constant exactly along
+    a consecutive same-type run — keeps it one pass: two windows over
+    the SAME (user_id) partitioning (one shuffle, the second window
+    reuses the sort) and a map-side-combined aggregate. Deterministic
+    (ts, event_id) ordering; engine-exact integers throughout."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 31 == 0)
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("grp"),
+    )
+    return (
+        seq.groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("event_id").alias("first_event_id"),
+            F.max("event_id").alias("last_event_id"),
+        )
+        .drop("grp")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
