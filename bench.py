@@ -97,6 +97,7 @@ HEADLINE = [
     "q169_join_cardinality_estimate",
     "q170_rolling_median",
     "q171_event_runs",
+    "q172_event_transitions",
     "medallion_gold_kpis",
 ]
 

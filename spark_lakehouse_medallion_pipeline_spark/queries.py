@@ -6874,6 +6874,54 @@ def q171_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q172_event_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    t AS (SELECT from_type, to_type, COUNT(*) AS n FROM seq
+          WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+    tot AS (SELECT from_type, SUM(n) AS n_from FROM t GROUP BY from_type)
+    SELECT t.from_type, t.to_type, t.n AS n_transitions,
+           CAST((t.n * CAST(1000000 AS BIGINT))
+                // CAST(tot.n_from AS BIGINT) AS BIGINT) AS p_e6
+    FROM t JOIN tot ON tot.from_type = t.from_type
+    """,
+)
+def q172_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    (the state-machine statistic behind next-action prediction and
+    anomalous-flow detection): count each (state -> next state) hop,
+    then the row-normalized probability as the INTEGER floor of
+    n*1e6/n_from — engine-exact, no float normalization drift. Output
+    is |event_types|^2 rows, model-scale regardless of input size.
+
+    Plan: one lead() window partitioned by user_id (single shuffle on
+    the stream key), a map-side-combined hop count, and the tiny
+    normalization join (AQE broadcasts it). Deterministic (ts,
+    event_id) ordering."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    t = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = t.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return t.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").alias("n_transitions"),
+        F.expr(
+            "CAST((n * CAST(1000000 AS BIGINT)) div CAST(n_from AS BIGINT) AS BIGINT)"
+        ).alias("p_e6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
