@@ -98,6 +98,7 @@ HEADLINE = [
     "q170_rolling_median",
     "q171_event_runs",
     "q172_event_transitions",
+    "q173_mad_outliers",
     "medallion_gold_kpis",
 ]
 

@@ -6922,6 +6922,83 @@ def q172_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q173_mad_outliers",
+    """
+    WITH c AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    med AS (SELECT event_type, quantile_cont(cents, 0.5) AS med
+            FROM c GROUP BY event_type),
+    dev AS (
+      SELECT c.event_type, c.cents, med.med,
+             ABS(c.cents - med.med) AS adev
+      FROM c JOIN med ON med.event_type = c.event_type
+    ),
+    mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY event_type)
+    SELECT dev.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(dev.med * 2 AS BIGINT) AS med_half_cents,
+           CAST(mad.mad * 2 AS BIGINT) AS mad_half_cents,
+           CAST(SUM(CASE WHEN dev.adev > 3 * mad.mad THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_outliers
+    FROM dev JOIN mad ON mad.event_type = dev.event_type
+    GROUP BY dev.event_type, dev.med, mad.mad
+    """,
+)
+def q173_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    dispersion statistic a z-score can't give you when the outliers
+    themselves corrupt the mean/stddev. Two exact interpolated medians
+    (values then absolute deviations) and a 3x-MAD threshold count per
+    event type.
+
+    Exactness argument: cents are integers, so every interpolated
+    median is an exact multiple of 0.5, exactly representable in
+    binary64 — ABS differences, the 3x multiply, and the > comparison
+    are all FP-exact, no ulp flipping between engines (the med/mad
+    columns are reported x2 as integers for the same reason). Plan: two
+    grouped exact percentiles + a broadcast-size (|event_types|) join
+    back; the heavy input scans twice, once per median level — the
+    inherent two-pass structure of MAD."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    med = c.groupBy("event_type").agg(
+        F.percentile("cents", F.lit(0.5)).alias("med")
+    )
+    dev = c.join(med, "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("cents") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            (F.col("med") * 2).cast("bigint").alias("med_half_cents"),
+            (F.col("mad") * 2).cast("bigint").alias("mad_half_cents"),
+            "n_outliers",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
