@@ -99,6 +99,7 @@ HEADLINE = [
     "q171_event_runs",
     "q172_event_transitions",
     "q173_mad_outliers",
+    "q174_pareto_abc",
     "medallion_gold_kpis",
 ]
 

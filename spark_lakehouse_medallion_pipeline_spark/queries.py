@@ -6999,6 +6999,75 @@ def q173_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q174_pareto_abc",
+    """
+    WITH spend AS (
+      SELECT o_custkey AS custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT custkey, cents,
+             NTILE(10) OVER (ORDER BY cents DESC, custkey) AS decile,
+             SUM(cents) OVER (ORDER BY cents DESC, custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_cents
+      FROM spend
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM spend)
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS decile_cents,
+           CAST((MAX(cum_cents) * 1000000) // tot.total AS BIGINT)
+             AS cum_share_e6
+    FROM ranked CROSS JOIN tot
+    GROUP BY decile, tot.total
+    ORDER BY decile
+    """,
+)
+def q174_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC concentration analysis — what share of revenue the top
+    deciles of customers carry (the 80/20 curve every commercial
+    analytics stack reports). Customers rank by exact integer spend
+    (deterministic (cents DESC, custkey) tiebreak), ntile(10) assigns
+    deciles, and the cumulative share at each decile boundary is an
+    integer e6 fraction of the broadcast 1-row total.
+
+    The ranking window is global by construction (a concentration curve
+    IS a total order) — but it runs over the CUSTOMER AGGREGATE, i.e.
+    |customers| rows after the heavy groupBy, the standard
+    reduce-then-rank shape; at 100 TB the rank input is table-stats
+    scale, not fact-table scale."""
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(cents(F.col("o_totalprice"))).alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), "custkey")
+    ranked = spend.select(
+        "custkey",
+        "cents",
+        F.ntile(10).over(w).alias("decile"),
+        F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum_cents"
+        ),
+    )
+    tot = spend.agg(F.sum("cents").cast("bigint").alias("total"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("decile", "total")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("decile_cents"),
+            F.expr("CAST((MAX(cum_cents) * 1000000) div total AS BIGINT)").alias(
+                "cum_share_e6"
+            ),
+        )
+        .select("decile", "n_customers", "decile_cents", "cum_share_e6")
+        .orderBy("decile")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
