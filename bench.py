@@ -100,6 +100,7 @@ HEADLINE = [
     "q172_event_transitions",
     "q173_mad_outliers",
     "q174_pareto_abc",
+    "q175_behavior_diversity",
     "medallion_gold_kpis",
 ]
 

@@ -7068,6 +7068,59 @@ def q174_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q175_behavior_diversity",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n_i
+      FROM events WHERE user_id % 31 = 0
+      GROUP BY user_id, event_type
+    ),
+    u AS (SELECT user_id, CAST(SUM(n_i) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS n_types
+          FROM c GROUP BY user_id)
+    SELECT u.user_id, u.n AS n_events, u.n_types,
+           CAST(1000000 - SUM(((c.n_i * 1000) // u.n)
+                              * ((c.n_i * 1000) // u.n)) AS BIGINT)
+             AS gini_impurity_e6
+    FROM c JOIN u ON u.user_id = c.user_id
+    GROUP BY u.user_id, u.n, u.n_types
+    """,
+)
+def q175_behavior_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user as Gini impurity (1 - sum p_i^2) —
+    the entropy surrogate that stays INTEGER-exact: a Shannon entropy
+    needs ln(), whose last-ulp differs between JVM and libm and would
+    break the value hash, while impurity is pure integer arithmetic on
+    e3-scaled proportions (truncation identical in both engines).
+    Single-type users score 0; uniform k-type behavior approaches
+    1 - 1/k. Plan: one map-side-combined (user, type) count, a per-user
+    rollup, and the join-back on user_id — all on the same well-spread
+    key, so AQE coalesces into one shuffle lineage."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 31 == 0)
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n_i"))
+    u = c.groupBy("user_id").agg(
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    return (
+        c.join(u, "user_id")
+        .groupBy("user_id", "n", "n_types")
+        .agg(
+            F.expr(
+                "CAST(1000000 - SUM(((n_i * 1000) div n) * ((n_i * 1000) div n))"
+                " AS BIGINT)"
+            ).alias("gini_impurity_e6")
+        )
+        .select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            "n_types",
+            "gini_impurity_e6",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
