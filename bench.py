@@ -390,6 +390,14 @@ def main() -> None:
                 f"{tmp}/packs"
             )
             n_surv = spark.read.parquet(f"{tmp}/docs").count()
+            # Enforce the canary, don't just print it: LSH must drop
+            # exactly the 10k planted variants or the timing is
+            # meaningless (a parameter regression would otherwise
+            # record a green entry).
+            if n_surv != 90_000:
+                raise AssertionError(
+                    f"corpus_e2e_100k canary: {n_surv} survivors, expected 90000"
+                )
             timings["corpus_e2e_100k"] = round(time.time() - t0, 3)
             print(
                 f"# corpus_e2e_100k: {timings['corpus_e2e_100k']:.2f}s "

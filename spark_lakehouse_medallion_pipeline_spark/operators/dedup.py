@@ -191,6 +191,27 @@ def _bucket_pairs(ids: Column) -> Column:
     )
 
 
+def _pairs_from_banded(
+    banded: DataFrame, key_cols: list[str], max_bucket: int | None = None
+) -> DataFrame:
+    """Hash-agnostic bucket-to-pairs tail shared by the xxhash64 fast
+    path and the portable-md5 path: groupBy the band bucket collecting
+    sorted ids, optionally cap degenerate buckets, generate in-bucket
+    (id_a < id_b) pairs, count shared bands. ONE shuffle."""
+    buckets = (
+        banded.groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("_ids") <= max_bucket)
+    return (
+        buckets.select(F.explode(_bucket_pairs(F.col("_ids"))).alias("p"))
+        .groupBy("p.id_a", "p.id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
 def minhash_lsh_candidates_from_signatures(
     sig_df: DataFrame,
     num_hashes: int = 64,
@@ -209,18 +230,7 @@ def minhash_lsh_candidates_from_signatures(
     information — capping is standard practice, None = exact).
     """
     banded = _banded(sig_df, num_hashes, bands)
-    buckets = (
-        banded.groupBy("band", "band_hash")
-        .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
-        .filter(F.size("_ids") >= 2)
-    )
-    if max_bucket is not None:
-        buckets = buckets.filter(F.size("_ids") <= max_bucket)
-    return (
-        buckets.select(F.explode(_bucket_pairs(F.col("_ids"))).alias("p"))
-        .groupBy("p.id_a", "p.id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
-    )
+    return _pairs_from_banded(banded, ["band", "band_hash"], max_bucket)
 
 
 def minhash_lsh_candidates(
@@ -1067,6 +1077,7 @@ def minhash_lsh_candidates_portable(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates with a PORTABLE hash family — every stage
     reproducible bit-for-bit in any engine with md5 (the property the
@@ -1090,7 +1101,9 @@ def minhash_lsh_candidates_portable(
     compute the n-hash family as n codegen'd columns, per-position mins
     in ONE map-side-combined hash aggregate, band keys as concat_ws
     strings, then the single groupBy-(band, key) bucket shuffle with
-    in-bucket pair generation. Docs shorter than ``shingle_k`` tokens
+    in-bucket pair generation (shared tail ``_pairs_from_banded``;
+    ``max_bucket`` caps degenerate buckets exactly like the fast path).
+    Docs shorter than ``shingle_k`` tokens
     are dropped (documented contract — mirrors the oracle's empty
     range). Returns (id_a, id_b, n_shared_bands), id_a < id_b.
 
@@ -1157,16 +1170,7 @@ def minhash_lsh_candidates_portable(
     banded = mins.select("_id", F.explode(band_structs).alias("bb")).select(
         "_id", "bb.band", "bb.bkey"
     )
-    buckets = (
-        banded.groupBy("band", "bkey")
-        .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
-        .filter(F.size("_ids") >= 2)
-    )
-    return (
-        buckets.select(F.explode(_bucket_pairs(F.col("_ids"))).alias("p"))
-        .groupBy("p.id_a", "p.id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
-    )
+    return _pairs_from_banded(banded, ["band", "bkey"], max_bucket)
 
 
 def simhash_portable(

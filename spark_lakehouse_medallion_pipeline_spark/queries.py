@@ -6244,6 +6244,29 @@ def q160_unicode_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared co-supply graph for q161/q167: suppliers are adjacent when
+    they ship lines of the same order (restricted to suppkey % 4 == 0 —
+    co-supply over every order approaches a complete graph whose wedge
+    count is the quadratic cost inherent to triangle enumeration). No
+    trailing distinct here: the graph operators canonicalize and dedup
+    the edge list themselves (_canonical_edges), so a caller-side
+    distinct would just pay a second full-edge-list shuffle."""
+    os_ = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") % 4 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    return (
+        os_.alias("x")
+        .join(os_.alias("y"), "o")
+        .filter(F.col("x.s") < F.col("y.s"))
+        .select(F.col("x.s").alias("src"), F.col("y.s").alias("dst"))
+    )
+
+
+
 @_q(
     "q161_triangle_count",
     """
@@ -6270,23 +6293,11 @@ def q161_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators.graph.triangle_count; edge build is one within-order
     self-join, restricted to suppkey % 4 == 0 because co-supply over
     every order approaches a complete graph whose wedge count is the
-    quadratic cost inherent to triangle enumeration)."""
+    quadratic cost inherent to triangle enumeration; edge build shared
+    with q167 via _cosupply_edges)."""
     from spark_lakehouse_medallion_pipeline_spark.operators import graph
 
-    os_ = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_suppkey") % 4 == 0)
-        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    edges = (
-        os_.alias("x")
-        .join(os_.alias("y"), "o")
-        .filter(F.col("x.s") < F.col("y.s"))
-        .select(F.col("x.s").alias("src"), F.col("y.s").alias("dst"))
-        .distinct()
-    )
-    return graph.triangle_count(edges)
+    return graph.triangle_count(_cosupply_edges(spark, sf_dir))
 
 
 @_q(
@@ -6384,12 +6395,14 @@ def q163_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     PMI's log is monotone, so ranking uses the raw probability ratio
     p(ab)/(p(a)p(b)) held as INTEGERS: each probability is e9-scaled by
-    integer division, and the ratio is one further exact division —
-    every intermediate stays under 1e18 at ANY corpus size (each factor
-    is a bounded probability scale, not a raw count product), so the
-    expression is overflow-safe at 100 TB, and Spark `div` == DuckDB
-    `//` truncation makes it engine-exact. greatest(..., 1) guards the
-    divisor for vanishingly rare unigram pairs.
+    integer division, the ratio is one further exact division, and
+    Spark `div` == DuckDB `//` truncation makes it engine-exact.
+    greatest(..., 1) guards the divisor for vanishingly rare unigram
+    pairs. Overflow envelope: after the first division every factor is
+    a bounded e9 probability (products <= 1e18), but the count*1e9
+    numerators bound the single-term frequency at ~9.2e9 occurrences —
+    petabyte-class text; beyond that, drop the probability scale to e6
+    (trading three digits of rank resolution) before re-running.
 
     Plan shape: one tokenize pass feeds bigram counts, unigram counts,
     and the two corpus totals (broadcast 1-row cross join); the scored
@@ -6466,13 +6479,18 @@ def q163_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q164_pseudonymize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Key-preserving pseudonymization — the anonymization pass a
-    training pipeline runs BEFORE events data leaves the trust boundary
-    (distinct from q90's pattern redaction, which destroys joinability):
-    user_id is replaced by a salted 60-bit md5-derived token that is
-    deterministic (same user -> same pseudonym, so sessionization /
-    retention / dedup downstream still work) and non-reversible without
-    the salt. The per-pseudonym profile keeps n_real_ids so a collision
+    """Key-preserving pseudonymization — KEYED TOKENIZATION, not
+    anonymization (distinct from q90's pattern redaction, which
+    destroys joinability): user_id is replaced by a salted 60-bit
+    md5-derived token that is deterministic (same user -> same
+    pseudonym, so sessionization / retention / dedup downstream still
+    work). Privacy scope, stated precisely: anyone holding the salt —
+    or able to guess it, as with this demo's fixed 'v1:' literal —
+    inverts the mapping by hashing the id dictionary, since user ids
+    are a low-entropy domain; production use needs a secret
+    high-entropy salt managed outside the dataset, and the guarantee is
+    still only as strong as salt custody. The per-pseudonym profile
+    keeps n_real_ids so a collision
     (two users collapsing to one pseudonym — ~n^2/2^61 birthday odds)
     would surface as n_real_ids > 1 in BOTH engines rather than
     silently skewing downstream counts.
@@ -6637,25 +6655,13 @@ def q167_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph — which suppliers sit in near-clique communities vs sparse
     hubs. Integer-exact: lcc_e6 = floor(2e6 * tri(v) / (deg(v) *
     (deg(v)-1))), so the driver value-hashes it. Engine path is
-    operators.graph.local_clustering (triangle enumeration shared with
-    q161, one narrow vertex-explode shuffle on top)."""
+    operators.graph.local_clustering (triangle enumeration and the
+    _cosupply_edges graph build shared with q161, one narrow
+    vertex-explode shuffle on top)."""
     from spark_lakehouse_medallion_pipeline_spark.operators import graph
 
-    os_ = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_suppkey") % 4 == 0)
-        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    edges = (
-        os_.alias("x")
-        .join(os_.alias("y"), "o")
-        .filter(F.col("x.s") < F.col("y.s"))
-        .select(F.col("x.s").alias("src"), F.col("y.s").alias("dst"))
-        .distinct()
-    )
     return (
-        graph.local_clustering(edges)
+        graph.local_clustering(_cosupply_edges(spark, sf_dir))
         .orderBy(F.desc("lcc_e6"), "vertex")
         .limit(100)
     )
@@ -7019,7 +7025,8 @@ def q173_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT decile,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
            CAST(SUM(cents) AS BIGINT) AS decile_cents,
-           CAST((MAX(cum_cents) * 1000000) // tot.total AS BIGINT)
+           CAST(((CAST(MAX(cum_cents) AS BIGINT) // 1000) * 1000000)
+                // greatest(tot.total // 1000, 1) AS BIGINT)
              AS cum_share_e6
     FROM ranked CROSS JOIN tot
     GROUP BY decile, tot.total
@@ -7059,9 +7066,16 @@ def q174_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.sum("cents").cast("bigint").alias("decile_cents"),
-            F.expr("CAST((MAX(cum_cents) * 1000000) div total AS BIGINT)").alias(
-                "cum_share_e6"
-            ),
+            # cum_cents is pre-divided by 1000 BEFORE the e6 scale-up:
+            # MAX(cum)*1e6 directly would pass 2^63 near total spend
+            # ~9.2e12 cents (sf100-class), where Spark's long multiply
+            # throws while DuckDB's HUGEINT survives — the exact parity
+            # break the repo's cast conventions exist to prevent. The
+            # 1000-cent truncation costs <1e3/total of share precision.
+            F.expr(
+                "CAST(((CAST(MAX(cum_cents) AS BIGINT) div 1000) * 1000000)"
+                " div greatest(total div 1000, CAST(1 AS BIGINT)) AS BIGINT)"
+            ).alias("cum_share_e6"),
         )
         .select("decile", "n_customers", "decile_cents", "cum_share_e6")
         .orderBy("decile")

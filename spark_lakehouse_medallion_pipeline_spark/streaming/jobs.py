@@ -436,9 +436,15 @@ def streaming_near_dup_ingest(
     approximation of full clustering), then (2) probed with a LEFT ANTI
     band-bucket join against the PERSISTED signature store built from
     every previously-accepted document (operators.dedup.
-    incremental_near_dup_filter), and (3) survivors append to the
-    corpus while their signatures append to the store — so batch N+1
-    sees batch N's accepted docs without ever re-signing the corpus.
+    incremental_near_dup_filter), and (3) survivors land in the corpus
+    while their signatures land in the store — so batch N+1 sees batch
+    N's accepted docs without ever re-signing the corpus. Both writes
+    go to batch_id-scoped subdirectories with overwrite mode, making
+    the foreachBatch body IDEMPOTENT: a micro-batch retried after a
+    partial failure rewrites the same subdirs instead of appending
+    duplicates (plain mode-append here would violate the pipeline's own
+    dedup invariant on retry — foreachBatch offers at-least-once
+    delivery, so the sink must dedup by batch_id).
 
     Scale: the store carries (_id, _sig) only (num_hashes longs per
     accepted doc); the probe is one hash join on well-spread band
@@ -478,12 +484,15 @@ def streaming_near_dup_ingest(
             survivors = _dd.incremental_near_dup_filter(
                 survivors, existing, num_hashes=num_hashes, bands=bands
             )
-        # (3) accept: docs to the corpus, signatures to the store
+        # (3) accept: docs to the corpus, signatures to the store —
+        # overwrite of a batch_id-scoped subdir, so a retried batch is
+        # a no-op rewrite rather than a duplicate append. Readers see
+        # the subdirs as a `batch` partition column.
         survivors = survivors.localCheckpoint(eager=True)
-        survivors.write.mode("append").parquet(out_dir)
+        survivors.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
         _dd.minhash_signatures(survivors, num_hashes=num_hashes).write.mode(
-            "append"
-        ).parquet(sig_store)
+            "overwrite"
+        ).parquet(f"{sig_store}/batch={batch_id}")
 
     (
         docs_stream.writeStream.foreachBatch(ingest)
