@@ -101,6 +101,7 @@ HEADLINE = [
     "q173_mad_outliers",
     "q174_pareto_abc",
     "q175_behavior_diversity",
+    "q176_png_image_features",
     "medallion_gold_kpis",
 ]
 

@@ -6137,8 +6137,8 @@ def q157_bmp_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     to integer Rec.601 milli-luma — all inside Arrow mapInPandas stages.
     The pattern's luma is closed-form in the id, so DuckDB reproduces
     the decoded values exactly: the codec path itself is hash-checked,
-    not just its row count. JPEG/PNG stay documented env stubs
-    (operators/multimodal.py)."""
+    not just its row count. PNG is also real (q176); JPEG stays the one
+    documented env stub (operators/multimodal.py)."""
     from spark_lakehouse_medallion_pipeline_spark.operators import multimodal
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
@@ -7133,6 +7133,33 @@ def q175_behavior_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gini_impurity_e6",
         )
     )
+
+
+@_q(
+    "q176_png_image_features",
+    """
+    SELECT doc_id AS media_id,
+           16 AS width, 16 AS height, 3 AS n_channels,
+           CAST((886 * 32640 + 29184 * (doc_id % 256)) // 256 AS VARCHAR)
+             AS mean_luma
+    FROM documents
+    """,
+)
+def q176_png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode, value-oracled — closes the PNG half of X21's
+    stub note: the q157 test pattern is containered as actual PNGs
+    (stdlib zlib DEFLATE, CRC32 chunks, per-row filters; decoder
+    handles all five unfilter types, pinned in test_multimodal), then
+    decoded back and reduced to the same integer Rec.601 milli-luma.
+    Pixel content matches q157, so the closed-form oracle carries over —
+    what the hash check exercises here is the deflate+unfilter codec
+    path itself. JPEG remains the one documented env stub (DCT+Huffman
+    is out of honest-stdlib scope)."""
+    from spark_lakehouse_medallion_pipeline_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    blobs = multimodal.synthesize_png_blobs(docs, "doc_id", size=16)
+    return multimodal.extract_image_features_png(blobs)
 
 
 # ---------------------------------------------------------------------------

@@ -132,3 +132,74 @@ def test_image_and_audio_features_closed_form(spark):
         assert (r["sample_rate"], r["n_channels"], r["n_frames"]) == (16000, 1, 1600)
         assert r["duration_ms"] == 100
         assert r["rms_milli"] == (r["media_id"] % 100) * 100 * 1000
+
+
+def test_png_roundtrip_and_all_filters():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from spark_lakehouse_medallion_pipeline_spark.operators.multimodal import (
+        png_decode_rgb8,
+        png_encode_rgb8,
+    )
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+    assert (png_decode_rgb8(png_encode_rgb8(a)) == a).all()
+
+    # externally-filtered PNG: one row per filter type 0..4
+    img = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+    h, w, bpp = 5, 4, 3
+
+    def filt_row(y, ftype):
+        cur = img[y].reshape(-1).astype(np.int32)
+        prev = img[y - 1].reshape(-1).astype(np.int32) if y else np.zeros(w * 3, np.int32)
+        out = np.zeros(w * 3, np.int32)
+        for i in range(w * 3):
+            a_, b_ = (cur[i - bpp] if i >= bpp else 0), prev[i]
+            c_ = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a_
+            elif ftype == 2:
+                pred = b_
+            elif ftype == 3:
+                pred = (a_ + b_) // 2
+            else:
+                p = a_ + b_ - c_
+                pa, pb, pc = abs(p - a_), abs(p - b_), abs(p - c_)
+                pred = a_ if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c_)
+            out[i] = (cur[i] - pred) & 0xFF
+        return bytes([ftype]) + bytes(out.astype(np.uint8))
+
+    raw = b"".join(filt_row(y, y) for y in range(h))
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert (png_decode_rgb8(blob) == img).all()
+
+
+def test_png_features_agree_with_bmp(spark):
+    from spark_lakehouse_medallion_pipeline_spark.operators import multimodal
+
+    ids = spark.range(1, 9).select(F.col("id").alias("doc_id"))
+    bmp = multimodal.extract_image_features_bmp(
+        multimodal.synthesize_bmp_blobs(ids, "doc_id", size=16)
+    )
+    png = multimodal.extract_image_features_png(
+        multimodal.synthesize_png_blobs(ids, "doc_id", size=16)
+    )
+    assert sorted(map(tuple, bmp.collect())) == sorted(map(tuple, png.collect()))
