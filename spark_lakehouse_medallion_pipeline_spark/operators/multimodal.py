@@ -170,11 +170,14 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFr
 # ---------------------------------------------------------------------------
 # REAL codecs — formats decodable with stdlib + numpy alone
 # ---------------------------------------------------------------------------
-# BMP (uncompressed 24-bit BI_RGB) and WAV (PCM16, stdlib `wave`) need no
-# external libraries, so for these two formats the whole pipeline —
+# BMP (uncompressed 24-bit BI_RGB), WAV (PCM16, stdlib `wave`), and PNG
+# (8-bit RGB non-interlaced: chunk walk + CRC32 + stdlib zlib DEFLATE +
+# all five per-row unfilters, functions at the end of this module) need
+# no external libraries, so for these three formats the whole pipeline —
 # synthesize, decode, feature-extract, box-resize — is REAL end to end.
-# JPEG/PNG/MP3/H.264 remain the documented environment stubs above (their
-# codecs aren't installable in this container); swapping them in changes
+# JPEG/MP3/H.264 remain the documented environment stubs above (their
+# codecs aren't installable in this container, and a from-scratch
+# DCT+Huffman decoder is out of honest scope); swapping them in changes
 # only the per-row codec call, none of the Spark plumbing.
 
 
