@@ -102,6 +102,7 @@ HEADLINE = [
     "q174_pareto_abc",
     "q175_behavior_diversity",
     "q176_png_image_features",
+    "q177_gif_image_features",
     "medallion_gold_kpis",
 ]
 

@@ -565,3 +565,223 @@ def extract_image_features_png(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(_extract, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def gif_encode_rgb8(arr) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array with <= 256 distinct colors
+    as a REAL single-frame GIF89a (global palette + LZW image data).
+    The LZW stream uses the spec-valid 'literal' strategy: emit each
+    pixel's palette code at 9 bits and a CLEAR whenever the dictionary
+    would force a width change — simple, deterministic, and decodable
+    by every GIF reader (compression ratio is not the point here; the
+    DECODER below implements full growing-width LZW). Raises on more
+    than 256 distinct colors (GIF is palette-based; quantization is a
+    modeling choice this codec refuses to make silently)."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    assert c == 3, "gif_encode_rgb8 expects (h, w, 3) RGB"
+    flat = a.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"gif_encode_rgb8: {len(colors)} colors > 256")
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+
+    header = b"GIF89a"
+    lsd = struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # global table, 256 entries
+    img_desc = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+
+    # LZW: min code size 8 -> CLEAR=256, EOI=257, 9-bit codes
+    CLEAR, EOI = 256, 257
+    codes = [CLEAR]
+    next_code = 258
+    for px in idx:
+        codes.append(int(px))
+        next_code += 1
+        if next_code >= 511:  # widths would grow past 9 bits -> reset
+            codes.append(CLEAR)
+            next_code = 258
+    codes.append(EOI)
+
+    out = bytearray()
+    acc = n_bits = 0
+    for code in codes:
+        acc |= code << n_bits
+        n_bits += 9
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+    if n_bits:
+        out.append(acc & 0xFF)
+
+    blocks = bytearray()
+    for i in range(0, len(out), 255):
+        part = out[i : i + 255]
+        blocks.append(len(part))
+        blocks.extend(part)
+    blocks.append(0)
+
+    return (
+        header + lsd + pal.tobytes() + img_desc + b"\x08" + bytes(blocks) + b"\x3b"
+    )
+
+
+def gif_decode_rgb8(blob: bytes):
+    """Decode a single-frame GIF87a/89a into an (h, w, 3) uint8 RGB
+    array — REAL full LZW: growing code widths (up to 12 bits), CLEAR
+    resets, EOI, and the KwKwK first-use case, plus extension-block
+    skipping. Interlaced images and local color tables raise ValueError
+    (documented scope)."""
+    import struct
+
+    import numpy as np
+
+    blob = bytes(blob)
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF blob")
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
+    pos = 13
+    if not packed & 0x80:
+        raise ValueError("GIF without a global color table is out of scope")
+    gct_n = 2 << (packed & 0x07)
+    pal = np.frombuffer(blob, np.uint8, count=gct_n * 3, offset=pos).reshape(-1, 3)
+    pos += gct_n * 3
+
+    while True:
+        marker = blob[pos]
+        pos += 1
+        if marker == 0x21:  # extension: skip sub-blocks
+            pos += 1
+            while blob[pos]:
+                pos += 1 + blob[pos]
+            pos += 1
+        elif marker == 0x2C:
+            break
+        elif marker == 0x3B:
+            raise ValueError("GIF trailer before any image data")
+        else:
+            raise ValueError(f"unexpected GIF block 0x{marker:02x}")
+
+    _l, _t, iw, ih, ipacked = struct.unpack_from("<HHHHB", blob, pos)
+    pos += 9
+    if ipacked & 0x40:
+        raise ValueError("interlaced GIF is out of scope")
+    if ipacked & 0x80:
+        raise ValueError("local color tables are out of scope")
+
+    min_code = blob[pos]
+    pos += 1
+    data = bytearray()
+    while blob[pos]:
+        ln = blob[pos]
+        data.extend(blob[pos + 1 : pos + 1 + ln])
+        pos += 1 + ln
+
+    CLEAR, EOI = 1 << min_code, (1 << min_code) + 1
+    base = [[i] for i in range(1 << min_code)] + [None, None]
+
+    table = list(base)
+    width = min_code + 1
+    acc = n_bits = 0
+    prev = None
+    out: list[int] = []
+    for byte in data:
+        acc |= byte << n_bits
+        n_bits += 8
+        while n_bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            n_bits -= width
+            if code == CLEAR:
+                table = list(base)
+                width = min_code + 1
+                prev = None
+                continue
+            if code == EOI:
+                n_bits = 0
+                acc = 0
+                break
+            if prev is None:
+                entry = table[code]
+            elif code < len(table) and table[code] is not None:
+                entry = table[code]
+                table.append(table[prev] + [entry[0]])
+            elif code == len(table):  # KwKwK
+                entry = table[prev] + [table[prev][0]]
+                table.append(entry)
+            else:
+                raise ValueError(f"corrupt LZW stream (code {code})")
+            out.extend(entry)
+            prev = code
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    if len(out) != iw * ih:
+        raise ValueError(f"LZW produced {len(out)} pixels, expected {iw * ih}")
+    return pal[np.array(out, dtype=np.int32)].reshape(ih, iw, 3).copy()
+
+
+def _test_pattern(mid: int, size: int):
+    """The shared closed-form 16x16 gradient pattern (R row-gradient /
+    G col-gradient / B id-keyed) used by every real-codec query — its
+    integer Rec.601 luma is (886*32640 + 29184*(id%256)) // 256, which
+    is what lets the codec paths be value-oracled in SQL."""
+    import numpy as np
+
+    g = np.arange(size, dtype=np.uint32)
+    r = ((g[:, None] * 255) // max(size - 1, 1)).astype(np.uint8)
+    img = np.zeros((size, size, 3), dtype=np.uint8)
+    img[:, :, 0] = r[:, 0][:, None]
+    img[:, :, 1] = r[:, 0][None, :]
+    img[:, :, 2] = int(mid) % 256
+    return img
+
+
+def synthesize_media_blobs(
+    df: DataFrame, id_col: str, encode_fn, size: int = 16
+) -> DataFrame:
+    """Codec-agnostic test-pattern synthesizer: the shared gradient
+    pattern through any (h, w, 3)->bytes encoder (bmp_encode,
+    png_encode_rgb8, gif_encode_rgb8, ...)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                ids.append(int(mid))
+                blobs.append(encode_fn(_test_pattern(int(mid), size)))
+            yield pd.DataFrame({"media_id": ids, "blob": blobs})
+
+    return df.select(id_col).mapInPandas(fn, schema="media_id long, blob binary")
+
+
+def extract_image_features_codec(media: DataFrame, decode_fn) -> DataFrame:
+    """Codec-agnostic REAL feature extraction: Arrow-batched
+    mapInPandas, any bytes->(h, w, 3) decoder, integer Rec.601
+    milli-luma (exact sums then one floor division — deterministic and
+    oracle-hashable). The per-codec wrappers above keep their names for
+    API stability; new codecs use this directly."""
+    import numpy as np
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "n_channels": [], "mean_luma": []}
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                a = decode_fn(bytes(blob))
+                h, w, c = a.shape
+                s = a.astype(np.int64)
+                luma_sum = int(
+                    299 * s[:, :, 0].sum() + 587 * s[:, :, 1].sum() + 114 * s[:, :, 2].sum()
+                )
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_channels"].append(c)
+                out["mean_luma"].append(str(luma_sum // (h * w)))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_extract, schema=IMAGE_FEATURES_SCHEMA)

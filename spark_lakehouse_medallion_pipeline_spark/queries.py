@@ -7162,6 +7162,35 @@ def q176_png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_image_features_png(blobs)
 
 
+@_q(
+    "q177_gif_image_features",
+    """
+    SELECT doc_id AS media_id,
+           16 AS width, 16 AS height, 3 AS n_channels,
+           CAST((886 * 32640 + 29184 * (doc_id % 256)) // 256 AS VARCHAR)
+             AS mean_luma
+    FROM documents
+    """,
+)
+def q177_gif_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode, value-oracled — the third real image codec
+    (after BMP q157 and PNG q176), built on a hand-rolled LZW: growing
+    code widths to 12 bits, CLEAR resets, EOI, the KwKwK case, palette
+    lookup, extension skipping. The 16x16 test pattern has exactly 256
+    distinct colors, so it exercises the full GIF palette; pixel
+    content matches q157/q176 and the closed-form oracle carries over —
+    the hash check here verifies the LZW stream itself."""
+    from spark_lakehouse_medallion_pipeline_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    blobs = multimodal.synthesize_media_blobs(
+        docs, "doc_id", multimodal.gif_encode_rgb8, size=16
+    )
+    return multimodal.extract_image_features_codec(
+        blobs, multimodal.gif_decode_rgb8
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------

@@ -203,3 +203,43 @@ def test_png_features_agree_with_bmp(spark):
         multimodal.synthesize_png_blobs(ids, "doc_id", size=16)
     )
     assert sorted(map(tuple, bmp.collect())) == sorted(map(tuple, png.collect()))
+
+
+def test_gif_roundtrip_with_clear_resets():
+    import numpy as np
+
+    from spark_lakehouse_medallion_pipeline_spark.operators.multimodal import (
+        gif_decode_rgb8,
+        gif_encode_rgb8,
+    )
+
+    rng = np.random.default_rng(5)
+    palette = rng.integers(0, 256, (200, 3), dtype=np.uint8)
+    img = palette[rng.integers(0, 200, (23, 17))]
+    assert (gif_decode_rgb8(gif_encode_rgb8(img)) == img).all()
+    # 64x64 forces several LZW CLEAR resets in the literal encoder
+    img2 = palette[rng.integers(0, 200, (64, 64))]
+    assert (gif_decode_rgb8(gif_encode_rgb8(img2)) == img2).all()
+    # >256 distinct colors must refuse, not quantize silently
+    import pytest
+
+    rng2 = np.random.default_rng(11)
+    big = rng2.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        gif_encode_rgb8(big)
+
+
+def test_gif_features_agree_with_bmp(spark):
+    from spark_lakehouse_medallion_pipeline_spark.operators import multimodal
+
+    ids = spark.range(1, 9).select(F.col("id").alias("doc_id"))
+    bmp = multimodal.extract_image_features_bmp(
+        multimodal.synthesize_bmp_blobs(ids, "doc_id", size=16)
+    )
+    gif = multimodal.extract_image_features_codec(
+        multimodal.synthesize_media_blobs(
+            ids, "doc_id", multimodal.gif_encode_rgb8, size=16
+        ),
+        multimodal.gif_decode_rgb8,
+    )
+    assert sorted(map(tuple, bmp.collect())) == sorted(map(tuple, gif.collect()))
