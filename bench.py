@@ -103,6 +103,7 @@ HEADLINE = [
     "q175_behavior_diversity",
     "q176_png_image_features",
     "q177_gif_image_features",
+    "q178_spend_trend",
     "medallion_gold_kpis",
 ]
 

@@ -7191,6 +7191,75 @@ def q177_gif_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q178_spend_trend",
+    """
+    WITH pts AS (
+      SELECT user_id,
+             epoch_us(ts) // 1000000 AS xs,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+      FROM events WHERE user_id % 31 = 0
+    ),
+    ctr AS (SELECT user_id, CAST(SUM(xs) AS BIGINT) // COUNT(*) AS x0,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM pts GROUP BY user_id),
+    cen AS (
+      SELECT pts.user_id, ctr.n, pts.xs - ctr.x0 AS xc, pts.y
+      FROM pts JOIN ctr ON ctr.user_id = pts.user_id
+    ),
+    sums AS (
+      SELECT user_id, n,
+             CAST(SUM(xc * y) AS BIGINT) AS sxy,
+             CAST(SUM(xc * xc) AS BIGINT) AS sxx,
+             CAST(SUM(y) AS BIGINT) AS sy
+      FROM cen GROUP BY user_id, n
+    )
+    SELECT user_id, n AS n_points,
+           CAST(sy // n AS BIGINT) AS mean_cents,
+           CAST(sxy // greatest(sxx // 1000000, 1) AS BIGINT)
+             AS slope_cents_per_sec_e6
+    FROM sums WHERE n >= 3
+    """,
+)
+def q178_spend_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user spend TREND — the least-squares slope of (event time,
+    value) that powers growth/churn-risk scoring, computed
+    engine-exact: x is integer epoch seconds CENTERED by the integer
+    group mean (so the slope reduces to sum(x'y)/sum(x'^2) with no
+    n*Σ-product blowup), y is integer cents, and the e6-scaled slope
+    divides FIRST (sxx//1e6) so no intermediate passes 2^63 even at
+    year-long windows — the same divide-before-scale discipline as
+    q174. Two grouped passes (center stats, then moment sums) joined on
+    the grouping key; users with <3 points are excluded (slope
+    undefined/noise)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 31 == 0)
+    pts = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 1000000").alias("xs"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("y"),
+    )
+    ctr = pts.groupBy("user_id").agg(
+        F.expr("CAST(SUM(xs) AS BIGINT) div COUNT(*)").alias("x0"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cen = pts.join(ctr, "user_id").select(
+        "user_id", "n", (F.col("xs") - F.col("x0")).alias("xc"), "y"
+    )
+    sums = cen.groupBy("user_id", "n").agg(
+        F.expr("CAST(SUM(xc * y) AS BIGINT)").alias("sxy"),
+        F.expr("CAST(SUM(xc * xc) AS BIGINT)").alias("sxx"),
+        F.sum("y").alias("sy"),
+    )
+    return sums.filter(F.col("n") >= 3).select(
+        "user_id",
+        F.col("n").alias("n_points"),
+        F.expr("CAST(sy div n AS BIGINT)").alias("mean_cents"),
+        F.expr(
+            "CAST(sxy div greatest(sxx div 1000000, CAST(1 AS BIGINT)) AS BIGINT)"
+        ).alias("slope_cents_per_sec_e6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
