@@ -270,7 +270,10 @@ def main() -> None:
         spark.conf.set("spark.sql.parquet.enableVectorizedReader", prev)
     for label, samples in payload_samples.items():
         if samples:
-            timings[label] = sorted(samples)[len(samples) // 2]
+            # lower-middle median: with an even count (a rep failed) the
+            # upper-middle pick would bias exactly the on/off comparison
+            # this section exists to make noise-robust
+            timings[label] = sorted(samples)[(len(samples) - 1) // 2]
             variance[f"{label}_runs_sec"] = samples
             print(f"# {label}: {timings[label]:.2f}s (runs {samples})", file=sys.stderr)
 

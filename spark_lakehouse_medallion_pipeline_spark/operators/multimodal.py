@@ -707,17 +707,29 @@ def gif_decode_rgb8(blob: bytes):
                 acc = 0
                 break
             if prev is None:
+                # first code after CLEAR must be a literal already in the
+                # base table — bounds-check so a corrupt stream raises the
+                # documented ValueError, not IndexError
+                if code >= len(table) or table[code] is None:
+                    raise ValueError(
+                        f"corrupt LZW stream (first code {code} after CLEAR)"
+                    )
                 entry = table[code]
             elif code < len(table) and table[code] is not None:
                 entry = table[code]
-                table.append(table[prev] + [entry[0]])
-            elif code == len(table):  # KwKwK
+                if len(table) < 4096:
+                    table.append(table[prev] + [entry[0]])
+            elif code == len(table) and len(table) < 4096:  # KwKwK
                 entry = table[prev] + [table[prev][0]]
                 table.append(entry)
             else:
                 raise ValueError(f"corrupt LZW stream (code {code})")
             out.extend(entry)
             prev = code
+            # deferred clear (GIF89a app. F): once the table is full at
+            # max width 12 the ENCODER freezes its table until it emits
+            # CLEAR — the decoder must freeze too, or spec-valid streams
+            # desynchronize into corrupt pixels
             if len(table) == (1 << width) and width < 12:
                 width += 1
     if len(out) != iw * ih:

@@ -195,11 +195,9 @@ def stratified_exact_sample(
     frac_num: int,
     frac_den: int,
     order_col: str,
-    salt: int = 2654435761,
-    mod: int = 1_000_000_007,
 ) -> DataFrame:
     """Exact stratified sampling: keep floor(n_s * frac_num / frac_den)
-    rows of EVERY stratum, chosen by a deterministic multiplicative-hash
+    rows of EVERY stratum, chosen by a deterministic portable-md5-hash
     rank over ``order_col`` — the corpus-curation step where each
     domain/language must contribute an exact proportion (a probabilistic
     filter like text.mixture_sample drifts per stratum; training-mixture
@@ -209,11 +207,14 @@ def stratified_exact_sample(
     pure integer arithmetic (rank*den <= n*num), so results are
     bit-identical across engines — float fractions like 0.2 round-trip
     to 0.2000...011 and flip ceil/floor at exact multiples. The hash
-    rank (Knuth multiplicative, SQL-expressible) makes the choice
-    deterministic AND uniform within the stratum. Determinism requires
-    ``order_col`` to be unique (it is both the hash input and the final
-    tiebreaker); with duplicate values the choice among exact ties is
-    partitioning-dependent.
+    rank is the portable 60-bit md5 family (``conv(substr(md5(x),18,15),
+    16,10)`` here, ``('0x'||substr(md5(x),18,15))::BIGINT`` in
+    DuckDB/Trino): int64-safe for ANY order_col value, unlike a raw
+    Knuth multiply which silently wraps (ANSI off) or errors (ANSI on)
+    above ~2^31 — exactly the range hash-derived 63-bit ids live in.
+    Determinism requires ``order_col`` to be unique (it is both the
+    hash input and the final tiebreaker); with duplicate values the
+    choice among exact ties is partitioning-dependent.
 
     Scale shape: ONE shuffle on the strata columns serving both the
     per-stratum count (window aggregate) and the rank ordering; no
@@ -222,7 +223,9 @@ def stratified_exact_sample(
     approximate text.mixture_sample and reserve this for the final
     exact quota pass on the (much smaller) curated output.
     """
-    rank = (F.col(order_col) * F.lit(salt)) % F.lit(mod)
+    rank = F.conv(
+        F.substring(F.md5(F.col(order_col).cast("string")), 18, 15), 16, 10
+    ).cast("bigint")
     w = Window.partitionBy(*strata_cols).orderBy(rank.asc(), F.col(order_col).asc())
     w_n = Window.partitionBy(*strata_cols)
     return (

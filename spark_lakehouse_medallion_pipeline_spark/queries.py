@@ -6010,7 +6010,8 @@ def q153_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source, lang, n_chars,
              row_number() OVER (
                PARTITION BY source
-               ORDER BY (doc_id * 2654435761) % 1000000007, doc_id
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))::BIGINT,
+                        doc_id
              ) AS rn,
              COUNT(*) OVER (PARTITION BY source) AS n
       FROM documents
@@ -6022,7 +6023,8 @@ def q153_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q154_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact stratified corpus sampling (training-mixture quota): keep
     exactly floor(n/5) documents of EVERY source, chosen by a
-    deterministic multiplicative-hash rank — the contractual-mixture
+    deterministic portable-md5 hash rank (int64-safe for 63-bit ids,
+    unlike a raw Knuth multiply) — the contractual-mixture
     counterpart of q88's probabilistic mixture_sample, whose per-stratum
     share drifts binomially. Quota test is integer arithmetic (rn*5 <=
     n*1): float fractions flip floor/ceil at exact multiples across

@@ -444,7 +444,13 @@ def streaming_near_dup_ingest(
     partial failure rewrites the same subdirs instead of appending
     duplicates (plain mode-append here would violate the pipeline's own
     dedup invariant on retry — foreachBatch offers at-least-once
-    delivery, so the sink must dedup by batch_id).
+    delivery, so the sink must dedup by batch_id). The store probe
+    excludes the current batch's own batch=<id> partition for the same
+    reason: a retry whose signature write landed before the checkpoint
+    committed must not anti-join survivors against their own
+    signatures (which would rewrite the batch's subdirs empty —
+    permanent data loss). Pinned by
+    tests/test_streaming.py::test_streaming_near_dup_ingest_retry_idempotent.
 
     Scale: the store carries (_id, _sig) only (num_hashes longs per
     accepted doc); the probe is one hash join on well-spread band
@@ -473,6 +479,12 @@ def streaming_near_dup_ingest(
         # AnalysisException == path-not-found (first batch, empty store);
         # anything else (corrupt store, permission loss) must FAIL the
         # batch — swallowing it would silently re-accept duplicates.
+        # CRITICAL retry guard: exclude the CURRENT batch's own
+        # batch=<id> partition from the probe. foreachBatch is
+        # at-least-once — a batch retried after its signature write
+        # succeeded but before the checkpoint committed would otherwise
+        # anti-join every survivor against its own signature and rewrite
+        # both subdirs EMPTY, permanently dropping the batch.
         from pyspark.errors import AnalysisException
 
         try:
@@ -481,6 +493,10 @@ def streaming_near_dup_ingest(
         except AnalysisException:
             has_store = False
         if has_store:
+            # outside the try: a store written by this function ALWAYS
+            # has the batch partition column, so a resolution failure
+            # here should fail the batch, not read as "no store"
+            existing = existing.filter(F.col("batch") != batch_id)
             survivors = _dd.incremental_near_dup_filter(
                 survivors, existing, num_hashes=num_hashes, bands=bands
             )

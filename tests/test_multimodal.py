@@ -243,3 +243,122 @@ def test_gif_features_agree_with_bmp(spark):
         multimodal.gif_decode_rgb8,
     )
     assert sorted(map(tuple, bmp.collect())) == sorted(map(tuple, gif.collect()))
+
+
+def test_gif_deferred_clear_full_table_decodes():
+    """Spec-valid GIFs may use 'deferred clear': the encoder freezes its
+    dictionary once it reaches 4096 entries and keeps emitting 12-bit
+    codes without a CLEAR. The decoder must freeze its table too —
+    appending past 4096 desynchronizes the code space and decodes to
+    corrupt pixels (GIF89a appendix F)."""
+    import struct
+
+    import numpy as np
+
+    from spark_lakehouse_medallion_pipeline_spark.operators.multimodal import (
+        gif_decode_rgb8,
+    )
+
+    def lzw_deferred(pixels):
+        # full growing-width LZW that emits ONE initial CLEAR and then
+        # never clears: at 4096 entries the table freezes (deferred clear)
+        CLEAR, EOI = 256, 257
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        width = 9
+        buf = bytearray()
+        acc = n = 0
+
+        def emit(code):
+            nonlocal acc, n
+            acc |= code << n
+            n += width
+            while n >= 8:
+                buf.append(acc & 0xFF)
+                acc >>= 8
+                n -= 8
+
+        emit(CLEAR)
+        w = bytes([pixels[0]])
+        for px in pixels[1:]:
+            wk = w + bytes([px])
+            if wk in table:
+                w = wk
+                continue
+            emit(table[w])
+            if next_code < 4096:
+                table[wk] = next_code
+                next_code += 1
+                # decoder lag: its table length after reading our code is
+                # next_code - 1, and it bumps width when that hits 2^width
+                if next_code - 1 == (1 << width) and width < 12:
+                    width += 1
+            w = bytes([px])
+        emit(table[w])
+        emit(EOI)
+        if n:
+            buf.append(acc & 0xFF)
+        return buf, next_code
+
+    h = w = 128  # 16384 pixels of high-entropy data overfills 4096 entries
+    rng = np.random.default_rng(7)
+    idx = rng.integers(0, 256, h * w).astype(np.uint8)
+    data, next_code = lzw_deferred(idx.tolist())
+    assert next_code == 4096  # the stream genuinely exercises the freeze
+
+    pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    blocks = bytearray()
+    for i in range(0, len(data), 255):
+        part = data[i : i + 255]
+        blocks.append(len(part))
+        blocks.extend(part)
+    blocks.append(0)
+    blob = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+        + pal.tobytes()
+        + struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        + b"\x08"
+        + bytes(blocks)
+        + b"\x3b"
+    )
+    assert np.array_equal(gif_decode_rgb8(blob), pal[idx].reshape(h, w, 3))
+
+
+def test_gif_corrupt_first_code_raises_valueerror():
+    """An out-of-range first code after CLEAR must raise the documented
+    ValueError, not IndexError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from spark_lakehouse_medallion_pipeline_spark.operators.multimodal import (
+        gif_decode_rgb8,
+    )
+
+    # stream: CLEAR(256), 300 (out of base-table range), EOI(257) at 9 bits
+    buf = bytearray()
+    acc = n = 0
+    for code in (256, 300, 257):
+        acc |= code << n
+        n += 9
+        while n >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        buf.append(acc & 0xFF)
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    blob = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 2, 2, 0xF7, 0, 0)
+        + pal.tobytes()
+        + struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0)
+        + b"\x08"
+        + bytes([len(buf)])
+        + bytes(buf)
+        + b"\x00\x3b"
+    )
+    with pytest.raises(ValueError, match="corrupt LZW"):
+        gif_decode_rgb8(blob)

@@ -472,3 +472,41 @@ def test_streaming_near_dup_ingest_fails_on_corrupt_store(spark, tmp_path):
         streaming_near_dup_ingest(
             stream, str(tmp_path / "out"), str(sigs), str(tmp_path / "ckpt")
         )
+
+
+def test_streaming_near_dup_ingest_retry_idempotent(spark, tmp_path):
+    """A batch retried AFTER its signature write landed but BEFORE the
+    checkpoint committed must re-accept its own documents: the store
+    probe excludes the current batch's own batch=<id> partition.
+    Without that exclusion every survivor anti-joins against its own
+    signature and the retry rewrites the batch's subdirs EMPTY —
+    permanent data loss under at-least-once delivery."""
+    from spark_lakehouse_medallion_pipeline_spark.operators import dedup as _dd
+    from spark_lakehouse_medallion_pipeline_spark.streaming.jobs import (
+        streaming_near_dup_ingest,
+    )
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "stage"))
+    for f in (tmp_path / "stage").glob("*.parquet"):
+        f.rename(flat / "s0.parquet")
+
+    # simulate the half-committed first attempt: batch 0's signatures are
+    # already in the store, but the checkpoint has no record of the batch
+    sigs = str(tmp_path / "sigs")
+    _dd.minhash_signatures(docs, num_hashes=64).write.parquet(f"{sigs}/batch=0")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    out = str(tmp_path / "out")
+    streaming_near_dup_ingest(stream, out, sigs, str(tmp_path / "ckpt"))
+    # the retried batch re-accepts its own doc instead of dropping it
+    assert [r["doc_id"] for r in spark.read.parquet(out).collect()] == [1]
+    assert [r["_id"] for r in spark.read.parquet(sigs).collect()] == [1]
