@@ -104,6 +104,11 @@ HEADLINE = [
     "q176_png_image_features",
     "q177_gif_image_features",
     "q178_spend_trend",
+    "q179_chunk_dedup_first",
+    "q180_bpe_pair_stats",
+    "q181_bpe_train_2merges",
+    "q182_dup_ngram_fraction",
+    "q183_ann_recall_eval",
     "medallion_gold_kpis",
 ]
 

@@ -1230,3 +1230,73 @@ def simhash_portable(
         fingerprint.alias("simhash"),
         "n_tokens",
     )
+
+
+def dedup_chunks_keep_first(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 10,
+) -> DataFrame:
+    """Cross-document chunk-level EXACT dedup with first-occurrence
+    keeper and document reassembly — the paragraph-granularity
+    exact-substring dedup of RefinedWeb/"Deduplicating Training Data"
+    pipelines, adapted to whitespace corpora: split each document into
+    fixed ``chunk_tokens``-token chunks, keep only the GLOBALLY FIRST
+    occurrence of each chunk text (lowest (doc_id, chunk_pos) — exactly one
+    copy of every duplicated span survives corpus-wide, unlike
+    text.remove_repeated_lines which drops boilerplate from EVERY doc),
+    and rebuild each document from its surviving chunks in order.
+
+    Returns (id, n_chunks, n_kept, text_clean) for every input doc
+    (docs whose every chunk lost the race reassemble to '').
+
+    Scale shape: one explode (factor len/chunk_tokens), ONE shuffle on
+    chunk text for the min-(doc,pos) keeper (map-side combined), one
+    broadcast-eligible join back, one shuffle on id for reassembly. The
+    keeper aggregate is a MIN — no collect_list of doc ids, so a chunk
+    duplicated a million times still carries one struct through the
+    combiner. No driver collect, no all-pairs stage.
+    """
+    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = F.ceil(F.size(t) / F.lit(chunk_tokens)).cast("bigint")
+    chunks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda g: F.array_join(
+                    F.slice(t, g * chunk_tokens + 1, chunk_tokens), " "
+                ),
+            )
+        ).alias("_pos", "_chunk"),
+    )
+    keeper = chunks.groupBy("_chunk").agg(
+        F.min(F.struct("_id", "_pos")).alias("_first")
+    )
+    kept_flag = chunks.join(keeper, "_chunk").select(
+        "_id",
+        "_pos",
+        "_chunk",
+        (
+            (F.col("_first._id") == F.col("_id"))
+            & (F.col("_first._pos") == F.col("_pos"))
+        ).alias("_keep"),
+    )
+    return kept_flag.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("_pos", "_chunk"))
+                    )
+                ),
+                lambda s: s["_chunk"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    ).select(
+        F.col("_id").alias(id_col), "n_chunks", "n_kept", "text_clean"
+    )

@@ -490,3 +490,138 @@ def nfc_normalized(df: DataFrame, text_col: str = "text", out_col: str = "text_n
 
     norm.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return df.withColumn(out_col, pandas_udf(norm, "string")(F.col(text_col)))
+
+
+def bpe_word_symbols(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq, pos, sym): corpus word TYPES with frequency, each
+    split to per-position single-character symbols (pos 1-based dense)
+    — the working table of BPE tokenizer training (Sennrich 2016),
+    which operates on the word-frequency dict, never the raw token
+    stream: a 100 TB corpus collapses to its vocabulary here, so every
+    downstream merge iteration is vocabulary-sized."""
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return words.selectExpr(
+        "word",
+        "freq",
+        "posexplode(transform(sequence(1, length(word)), i -> substring(word, i, 1)))"
+        " AS (pos0, sym)",
+    ).select("word", "freq", (F.col("pos0") + 1).alias("pos"), "sym")
+
+
+def bpe_pair_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adjacent-symbol pair frequencies over the word-frequency dict —
+    the argmax statistic of one BPE training step. Returns (left_sym,
+    right_sym, pair_count), pair_count weighted by word frequency."""
+    from pyspark.sql import Window
+
+    sym = bpe_word_symbols(docs, text_col)
+    w = Window.partitionBy("word").orderBy("pos")
+    return (
+        sym.withColumn("nxt", F.lead("sym").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("sym").alias("left_sym"), F.col("nxt").alias("right_sym"))
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = 2, text_col: str = "text"
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """BPE tokenizer training, first ``n_merges`` merges (Sennrich
+    2016): iteratively (1) count adjacent-symbol pair frequencies over
+    the word-frequency dict, (2) pick the most frequent pair (ties:
+    lexicographically smallest — deterministic across engines), (3)
+    merge its occurrences in every word GREEDILY LEFT-TO-RIGHT. Greedy
+    non-overlap is the subtle part: in a run of CONSECUTIVE match
+    positions (only possible when left==right, e.g. merging ('a','a')
+    inside 'aaaa'), the standard tokenizer takes the 1st, 3rd, 5th...
+    match — implemented engine-side as run-grouping (pos - row_number)
+    + odd-rank filter, the same formula the SQL oracle unrolls.
+
+    Returns (merges, segmented): merges is a driver-side list of
+    (rank, left_sym, right_sym, pair_count) — ONE bounded 1-row collect
+    per iteration, the argmax, never the vocabulary — and segmented is
+    (word, freq, segmentation) with symbols space-joined in order.
+
+    Scale shape: everything after the first groupBy is
+    VOCABULARY-sized (a 100 TB corpus has a few million word types);
+    per iteration: one window pass for pairs, one map-side-combined
+    count, two vocabulary-keyed joins to apply the merge, and a
+    localCheckpoint to stop the iterative lineage from compounding
+    (the PageRank lesson, operators/dedup.py connected components)."""
+    from pyspark.sql import Window
+
+    sym = bpe_word_symbols(docs, text_col)
+    w_word = Window.partitionBy("word").orderBy("pos")
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        paired = sym.withColumn("nxt", F.lead("sym").over(w_word))
+        top = (
+            paired.filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("sym"), F.asc("nxt"))
+            .head(1)
+        )
+        if not top:
+            break
+        x, y, cnt = top[0]["sym"], top[0]["nxt"], int(top[0]["cnt"])
+        merges.append((step, x, y, cnt))
+        cand = paired.filter(
+            (F.col("sym") == F.lit(x)) & (F.col("nxt") == F.lit(y))
+        ).select("word", "pos")
+        runs = cand.withColumn(
+            "run",
+            F.col("pos")
+            - F.row_number().over(Window.partitionBy("word").orderBy("pos")),
+        )
+        keep = (
+            runs.withColumn(
+                "r",
+                F.row_number().over(
+                    Window.partitionBy("word", "run").orderBy("pos")
+                ),
+            )
+            .filter(F.col("r") % 2 == 1)
+            .select("word", "pos")
+        )
+        merged = (
+            paired.join(
+                keep.withColumn("_m", F.lit(True)), ["word", "pos"], "left"
+            )
+            .join(
+                keep.select(
+                    "word", (F.col("pos") + 1).alias("pos")
+                ).withColumn("_c", F.lit(True)),
+                ["word", "pos"],
+                "left",
+            )
+            .filter(F.col("_c").isNull())
+            .select(
+                "word",
+                "freq",
+                "pos",
+                F.when(F.col("_m"), F.concat("sym", "nxt"))
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+        )
+        sym = merged.select(
+            "word", "freq", F.row_number().over(w_word).alias("pos"), "sym"
+        ).localCheckpoint(eager=True)
+    segmented = sym.groupBy("word", "freq").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "sym"))),
+                lambda s: s["sym"],
+            ),
+            " ",
+        ).alias("segmentation")
+    )
+    return merges, segmented

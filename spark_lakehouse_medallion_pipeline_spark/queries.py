@@ -7262,6 +7262,337 @@ def q178_spend_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q179_chunk_dedup_first",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ), chunks AS (
+      SELECT doc_id, CAST(g AS BIGINT) AS pos,
+             array_to_string(t[g*10+1 : g*10+10], ' ') AS chunk
+      FROM toks, LATERAL UNNEST(range(CAST(ceil(len(t)/10.0) AS BIGINT))) AS u(g)
+    ), flagged AS (
+      SELECT doc_id, pos, chunk,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) = 1
+               AS keep
+      FROM chunks
+    )
+    SELECT doc_id, COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN keep THEN chunk END, ' '
+                               ORDER BY pos), '') AS text_clean
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def q179_chunk_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document chunk-level exact dedup with FIRST-OCCURRENCE
+    keeper and reassembly — paragraph-granularity exact-substring dedup
+    (RefinedWeb / "Deduplicating Training Data Makes LMs Better"):
+    exactly ONE copy of every duplicated 10-token span survives
+    corpus-wide (lowest (doc_id, pos) wins), each doc rebuilt from its
+    surviving chunks in order. Distinct from q114, which removes
+    boilerplate lines from EVERY doc including the first. The oracle
+    replays the identical dataflow; every reassembled string must match
+    byte-for-byte (operators.dedup.dedup_chunks_keep_first — one
+    min-struct keeper shuffle, no collect_list of doc ids)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.dedup_chunks_keep_first(docs, chunk_tokens=10)
+
+
+@_q(
+    "q180_bpe_pair_stats",
+    r"""
+    WITH words AS (
+      SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents) t
+      GROUP BY w
+    ), s0 AS (
+      SELECT word, freq, CAST(i AS BIGINT) AS pos,
+             substr(word, CAST(i AS INT), 1) AS sym
+      FROM words, LATERAL UNNEST(range(1, len(word)+1)) AS u(i)
+    ), p AS (
+      SELECT freq, sym,
+             lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+      FROM s0
+    )
+    SELECT sym AS left_sym, nxt AS right_sym,
+           CAST(SUM(freq) AS BIGINT) AS pair_count
+    FROM p WHERE nxt IS NOT NULL
+    GROUP BY sym, nxt
+    ORDER BY pair_count DESC, left_sym, right_sym
+    LIMIT 20
+    """,
+)
+def q180_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training statistics: top-20 adjacent-character pair
+    frequencies over the corpus WORD-FREQUENCY dict — the argmax
+    statistic of a byte-pair-encoding tokenizer's first merge step
+    (Sennrich 2016). The word-dict collapse is the scale move: a 100 TB
+    corpus reduces to its vocabulary before any per-character work
+    happens (operators.text.bpe_pair_counts)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        text.bpe_pair_counts(docs)
+        .orderBy(F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym"))
+        .limit(20)
+    )
+
+
+@_q(
+    "q181_bpe_train_2merges",
+    r"""
+    WITH words AS (
+      SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents) t
+      GROUP BY w
+    ), s0 AS (
+      SELECT word, freq, CAST(i AS BIGINT) AS pos,
+             substr(word, CAST(i AS INT), 1) AS sym
+      FROM words, LATERAL UNNEST(range(1, len(word)+1)) AS u(i)
+    ), p1 AS (
+      SELECT word, freq, pos, sym,
+             lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+      FROM s0
+    ), m1 AS (
+      SELECT sym AS x, nxt AS y
+      FROM p1 WHERE nxt IS NOT NULL
+      GROUP BY sym, nxt
+      ORDER BY CAST(SUM(freq) AS BIGINT) DESC, x, y LIMIT 1
+    ), r1 AS (
+      SELECT word, pos,
+             pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS run
+      FROM p1 WHERE sym = (SELECT x FROM m1) AND nxt = (SELECT y FROM m1)
+    ), k1 AS (
+      SELECT word, pos FROM (
+        SELECT word, pos,
+               row_number() OVER (PARTITION BY word, run ORDER BY pos) AS r
+        FROM r1) z
+      WHERE r % 2 = 1
+    ), s1 AS (
+      SELECT p1.word, p1.freq,
+             CAST(row_number() OVER (PARTITION BY p1.word ORDER BY p1.pos)
+                  AS BIGINT) AS pos,
+             CASE WHEN ks.pos IS NOT NULL THEN p1.sym || p1.nxt
+                  ELSE p1.sym END AS sym
+      FROM p1
+      LEFT JOIN k1 ks ON ks.word = p1.word AND ks.pos = p1.pos
+      LEFT JOIN k1 kc ON kc.word = p1.word AND kc.pos = p1.pos - 1
+      WHERE kc.pos IS NULL
+    ), p2 AS (
+      SELECT word, freq, pos, sym,
+             lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+      FROM s1
+    ), m2 AS (
+      SELECT sym AS x, nxt AS y
+      FROM p2 WHERE nxt IS NOT NULL
+      GROUP BY sym, nxt
+      ORDER BY CAST(SUM(freq) AS BIGINT) DESC, x, y LIMIT 1
+    ), r2 AS (
+      SELECT word, pos,
+             pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS run
+      FROM p2 WHERE sym = (SELECT x FROM m2) AND nxt = (SELECT y FROM m2)
+    ), k2 AS (
+      SELECT word, pos FROM (
+        SELECT word, pos,
+               row_number() OVER (PARTITION BY word, run ORDER BY pos) AS r
+        FROM r2) z
+      WHERE r % 2 = 1
+    ), s2 AS (
+      SELECT p2.word, p2.freq,
+             CAST(row_number() OVER (PARTITION BY p2.word ORDER BY p2.pos)
+                  AS BIGINT) AS pos,
+             CASE WHEN ks.pos IS NOT NULL THEN p2.sym || p2.nxt
+                  ELSE p2.sym END AS sym
+      FROM p2
+      LEFT JOIN k2 ks ON ks.word = p2.word AND ks.pos = p2.pos
+      LEFT JOIN k2 kc ON kc.word = p2.word AND kc.pos = p2.pos - 1
+      WHERE kc.pos IS NULL
+    )
+    SELECT word, freq, string_agg(sym, ' ' ORDER BY pos) AS segmentation
+    FROM s2 GROUP BY word, freq
+    """,
+)
+def q181_bpe_train_2merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, first TWO merges, over the corpus
+    word-frequency dict — every word type's segmentation after applying
+    both learned merges greedily left-to-right (Sennrich 2016; the
+    tokenizer-training stage of an LLM data pipeline). The oracle
+    unrolls both iterations as CTE stages, recomputing each argmax as a
+    scalar subquery and replaying the identical run-parity greedy-merge
+    formula (only left==right merges can overlap; the run-grouped
+    odd-rank filter resolves them exactly like the engine —
+    operators.text.bpe_train, pytest-pinned on a hand-computed
+    overlap/tie-break corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    _merges, segmented = text.bpe_train(docs, n_merges=2)
+    return segmented
+
+
+@_q(
+    "q182_dup_ngram_fraction",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ), ng AS (
+      SELECT doc_id, array_to_string(t[g+1 : g+8], ' ') AS ngram
+      FROM toks, LATERAL UNNEST(range(len(t) - 7)) AS u(g)
+      WHERE len(t) >= 8
+    ), hot AS (
+      SELECT ngram FROM ng GROUP BY ngram HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT ng.doc_id, COUNT(*) AS n_ngrams,
+           CAST(SUM(CASE WHEN h.ngram IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup,
+           CAST(SUM(CASE WHEN h.ngram IS NOT NULL THEN 1 ELSE 0 END) * 10000
+                // COUNT(*) AS BIGINT) AS dup_pct_e4
+    FROM ng LEFT JOIN hot h ON h.ngram = ng.ngram
+    GROUP BY ng.doc_id
+    """,
+)
+def q182_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-8-gram fraction — the corpus-level
+    memorization-risk signal of "Deduplicating Training Data" (Lee
+    2022): the share of a doc's sliding 8-grams that also occur in at
+    least one OTHER document. Distinct from q114 (which removes
+    boilerplate) and q80 (contamination vs a fixed benchmark set):
+    this SCORES every doc against the whole corpus so curation can
+    threshold. One explode, one distinct-doc count per n-gram, one
+    join-back — no pairwise stage; the fraction is integer-exact
+    (e4 fixed point). Docs under 8 tokens have no 8-grams and are
+    excluded (documented contract, mirrored by the oracle's range)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    ng = docs.filter(F.size(t) >= 8).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 8),
+                lambda g: F.array_join(F.slice(t, g + 1, 8), " "),
+            )
+        ).alias("ngram"),
+    )
+    hot = (
+        ng.groupBy("ngram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("ngram")
+        .withColumn("_h", F.lit(1))
+    )
+    return (
+        ng.join(hot, "ngram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.when(F.col("_h").isNotNull(), 1).otherwise(0)).alias(
+                "n_dup"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_dup",
+            F.expr("CAST(n_dup * 10000 div n_ngrams AS BIGINT)").alias(
+                "dup_pct_e4"
+            ),
+        )
+    )
+
+
+@_q(
+    "q183_ann_recall_eval",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.q_id, e.vec_id,
+             {S_FLOOR("list_cosine_similarity(e.embedding::DOUBLE[], q.qv)", 6)}
+               AS sim,
+             ('0x' || substr(md5(CAST(e.vec_id AS VARCHAR)), 18, 15))::BIGINT
+               % 4 = 0 AS sampled
+      FROM embeddings e, q WHERE e.vec_id <> q.q_id
+    ), ex AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY sim DESC, vec_id) AS rn
+        FROM scored) z
+      WHERE rn <= 10
+    ), ca AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY sim DESC, vec_id) AS rn
+        FROM scored WHERE sampled) z
+      WHERE rn <= 10
+    )
+    SELECT ex.q_id, CAST(COUNT(ca.vec_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(ca.vec_id) * 10 AS BIGINT) AS recall_pct
+    FROM ex LEFT JOIN ca ON ca.q_id = ex.q_id AND ca.vec_id = ex.vec_id
+    GROUP BY ex.q_id
+    """,
+)
+def q183_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality EVALUATION harness — recall@10 of a candidate-set
+    retrieval against the exact brute-force top-10, the metric every
+    production ANN deployment must report before trusting an index.
+    The candidate set here is the deterministic portable-md5 25%
+    sample (so the whole evaluation value-oracles end to end: sampling,
+    scoring, both rankings, and the recall join are replayed in SQL);
+    swapping the sample for any engine-side index (IVF/PQ/LSH) reuses
+    the same harness — that variant is recall-pytested instead
+    (tests/test_similarity.py). Cosine floor-rounded at 6dp with
+    vec_id tie-break: identical top-k SETS on both engines, making
+    the recall metric integer-exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            floor_round(
+                similarity.cosine(F.col("embedding"), F.col("qv")), 6
+            ).alias("sim"),
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("vec_id").cast("string")), 18, 15),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 4
+                == 0
+            ).alias("sampled"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    ex = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "vec_id")
+    )
+    ca = (
+        scored.filter("sampled")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "vec_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        ex.join(ca, ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"))
+        .select(
+            "q_id", "n_hits", (F.col("n_hits") * 10).alias("recall_pct")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
@@ -7302,6 +7633,15 @@ def q178_spend_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # family is now exact/bloom/MinHash/SimHash: q28/q137/q162/q165), and
 # q164 key-preserving pseudonymization (for q136 — text keeps
 # q29/q119/q95/q152; q57/q114/q136 all recorded green in r03).
+# Round 5 rotated eight late-round-4 families that had never earned a
+# driver row, each displacing a slot recorded green in BOTH r03 and
+# r04: triangle counting (q161), WAV audio features (q158), real-PNG
+# codec features (q176), exact rolling median (q170), PMI collocations
+# (q163), Pareto/ABC concentration (q174), time-weighted average
+# (q168), and Hilbert layout (q166, replacing its own family's q92
+# z-order rep). Displaced: q04/q06/q09/q23/q25/q29/q40/q92 — every
+# family they represented keeps another in-snapshot rep (see inline
+# comments below).
 
 _DRIVER_SNAPSHOT_50 = [
     # reference surface: aggregates, scalars, datetime, medallion KPIs
@@ -7311,15 +7651,15 @@ _DRIVER_SNAPSHOT_50 = [
     "q42_datetime_battery",
     "q46_order_lifecycle",
     # joins
-    "q04_regional_revenue",
-    "q06_customer_order_stats",
+    "q161_triangle_count",  # r5: graph metrics never driver-recorded (q04 green r03+r04; joins keep q133/q48/q97)
+    "q158_wav_audio_features",  # r5: audio codec never recorded (q06 green r03+r04)
     "q133_salted_join",
     "q145_bitmap_distinct",
-    "q25_late_shipments_theta",
+    "q170_rolling_median",  # r5: exact robust stats never recorded (q25 green r03+r04; X6 keeps q48)
     "q150_asof_tolerance",
     "q48_interval_join",
     # grouping extensions
-    "q09_rollup_returnflag",
+    "q176_png_image_features",  # r5: real-PNG codec never recorded (q09 green r03+r04; rollup keeps q146)
     "q146_bitmap_rollup_merge",
     # windows
     "q11_top_parts_per_brand",
@@ -7339,7 +7679,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q117_arrow_normalize",
     "q65_udtf_tokenize",
     # semi-structured: JSON, arrays, maps/structs
-    "q23_json_props",
+    "q168_time_weighted_avg",  # r5: TWAP never recorded (q23 green r03+r04; semi-structured keeps q123/q110)
     "q162_minhash_portable",  # r4: value-oracled LSH displaces 4th semi-structured rep
     "q123_xml_battery",
     # dedup family
@@ -7351,7 +7691,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q36_knn_vec0",
     "q126_pagerank_nations",
     # text analysis family
-    "q29_text_stats",
+    "q163_pmi_collocations",  # r5: collocation mining never recorded (q29 green r03+r04; text keeps q119/q95)
     "q152_fuzzy_name_pairs_d2",
     "q164_pseudonymize_ids",  # r4: anonymization rep (q136 recorded green r03)
     "q153_ann_rerank",
@@ -7359,8 +7699,8 @@ _DRIVER_SNAPSHOT_50 = [
     "q119_classifier_filter",
     # multimodal, pandas-UDF, layout, TPC-H decorrelated shapes
     "q157_bmp_image_features",
-    "q40_zscore_by_type",
-    "q92_zorder_values",
+    "q174_pareto_abc",  # r5: revenue-concentration never recorded (q40 green r03+r04; UDF keeps q117/q65)
+    "q166_hilbert_layout",  # r5: same layout family, never-recorded variant (q92 green r04)
     "q97_waiting_supplier",
     # round-3 families: connectors, warehouse maintenance, quality contracts
     "q124_python_datasource",

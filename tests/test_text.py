@@ -367,3 +367,31 @@ def test_nfc_normalized_collapses_decomposed(spark):
     got = {r["doc_id"]: r["text_nfc"] for r in t.nfc_normalized(df).collect()}
     assert got[1] == got[2] == "r\u00e9sum\u00e9"
     assert got[3] is None
+
+
+def test_bpe_train_greedy_overlap_and_tiebreak(spark):
+    """Hand-computed 2-merge BPE: 'aaaa aaa abab' has pair counts
+    (a,a)=5, (a,b)=2, (b,a)=1 -> merge 1 is ('a','a'); greedy
+    left-to-right takes the 1st and 3rd match in 'aaaa' (-> 'aa aa')
+    and only the 1st in 'aaa' (-> 'aa a') — the run-parity rule. After
+    merge 1 the top pair is ('a','b') -> 'abab' becomes 'ab ab'."""
+    from spark_lakehouse_medallion_pipeline_spark.operators import text as T
+
+    docs = spark.createDataFrame([(1, "aaaa abab aaa")], "doc_id long, text string")
+    merges, segmented = T.bpe_train(docs, n_merges=2)
+    assert merges == [(1, "a", "a", 5), (2, "a", "b", 2)]
+    got = {r["word"]: r["segmentation"] for r in segmented.collect()}
+    assert got == {"aaaa": "aa aa", "aaa": "aa a", "abab": "ab ab"}
+
+
+def test_bpe_pair_counts(spark):
+    from spark_lakehouse_medallion_pipeline_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab"), (2, "abc")], "doc_id long, text string"
+    )
+    got = {
+        (r["left_sym"], r["right_sym"]): r["pair_count"]
+        for r in T.bpe_pair_counts(docs).collect()
+    }
+    assert got == {("a", "b"): 3, ("b", "c"): 1}
