@@ -109,6 +109,8 @@ HEADLINE = [
     "q181_bpe_train_2merges",
     "q182_dup_ngram_fraction",
     "q183_ann_recall_eval",
+    "q184_bpe_encode_tokens",
+    "q185_domain_affinity",
     "medallion_gold_kpis",
 ]
 

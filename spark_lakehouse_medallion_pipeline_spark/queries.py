@@ -6347,9 +6347,17 @@ def q162_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     the digest count (~10% here — codegen CSE already de-duplicates).
     Same plan shape as the fast path: one map-side-combined min
     aggregate, one bucket shuffle, in-bucket pair generation — never a
-    cross join."""
+    cross join. This corpus has a BOUNDED vocabulary, so the distinct
+    3-shingle table is tiny: hash it once and broadcast-join back
+    (measured 1.8x end-to-end at sf0.1; an explicit opt-in — see
+    broadcast_distinct_shingles in operators/dedup.py for why inline
+    hashing stays the default at web scale)."""
     return dedup.minhash_lsh_candidates_portable(
-        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, shingle_k=3
+        _t(spark, sf_dir, "documents"),
+        num_hashes=16,
+        bands=4,
+        shingle_k=3,
+        broadcast_distinct_shingles=True,
     )
 
 
@@ -7339,9 +7347,11 @@ def q180_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "q181_bpe_train_2merges",
-    r"""
+# Shared two-merge BPE pipeline CTEs (words -> s0 chars -> merge 1 -> s1
+# -> merge 2 -> s2 symbols), used by q181 (segmentations) and q184
+# (corpus-wide encode): each merge stage recomputes the argmax pair as a
+# scalar subquery and replays the greedy run-parity merge.
+_BPE2_CTES = r"""
     WITH words AS (
       SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
       FROM (SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS w
@@ -7410,6 +7420,13 @@ def q180_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN k2 kc ON kc.word = p2.word AND kc.pos = p2.pos - 1
       WHERE kc.pos IS NULL
     )
+"""
+
+
+@_q(
+    "q181_bpe_train_2merges",
+    _BPE2_CTES
+    + """
     SELECT word, freq, string_agg(sym, ' ' ORDER BY pos) AS segmentation
     FROM s2 GROUP BY word, freq
     """,
@@ -7589,6 +7606,111 @@ def q183_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"))
         .select(
             "q_id", "n_hits", (F.col("n_hits") * 10).alias("recall_pct")
+        )
+    )
+
+
+@_q(
+    "q184_bpe_encode_tokens",
+    _BPE2_CTES
+    + r"""
+    , nsub AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sub FROM s2 GROUP BY word
+    ), dw AS (
+      SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS word
+      FROM documents
+    )
+    SELECT doc_id, COUNT(*) AS n_words,
+           CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens
+    FROM dw JOIN nsub USING (word)
+    GROUP BY doc_id
+    """,
+)
+def q184_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide BPE ENCODE with the merges q181 just learned — the
+    apply side of tokenizer training: per-document token counts under
+    the 2-merge vocabulary (the budget input to sequence packing /
+    per-source token accounting, q95/q116). The doc-side work is one
+    word explode + a BROADCAST join against the vocabulary-sized
+    segmentation table — the 100 TB-corpus shape: training collapses
+    to the word dict, encoding re-expands by lookup, never by
+    re-running the merge logic per token."""
+    docs = _t(spark, sf_dir, "documents")
+    _merges, segmented = text.bpe_train(docs, n_merges=2)
+    seg_counts = segmented.select(
+        "word", F.size(F.split("segmentation", " ")).alias("n_sub")
+    )
+    doc_words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    )
+    return (
+        doc_words.join(F.broadcast(seg_counts), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_bpe_tokens"),
+        )
+    )
+
+
+@_q(
+    "q185_domain_affinity",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             UNNEST(string_split_regex(trim(text), '\s+')) AS w
+      FROM documents
+    ), stats AS (
+      SELECT w,
+             CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_target,
+             CAST(COUNT(*) AS BIGINT) AS c_all
+      FROM tok GROUP BY w
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(s.c_target) AS BIGINT) AS sum_target,
+           CAST(SUM(s.c_target * 1000000 // s.c_all) // COUNT(*)
+                AS BIGINT) AS affinity_e6
+    FROM tok t JOIN stats s ON s.w = t.w
+    WHERE t.source <> 'src0'
+    GROUP BY t.doc_id
+    """,
+)
+def q185_domain_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted domain-affinity scoring (the integer-exact
+    cousin of DSIR data selection): score every NON-target document by
+    the mean target-domain share of its tokens — per token w, the e6
+    fraction count(w in src0)/count(w anywhere), averaged over the doc
+    (floor division at each step so both engines truncate identically;
+    a true log-likelihood ratio would ulp-drift between JVM ln and
+    libm). High scorers read like the target domain and get upsampled
+    when curating a mixture toward it. One token explode, one
+    vocabulary aggregate, one broadcast-sized join back — the same
+    collapse-to-vocab scale shape as BPE training."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    )
+    stats = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias(
+            "c_target"
+        ),
+        F.count(F.lit(1)).alias("c_all"),
+    )
+    return (
+        tok.filter(F.col("source") != "src0")
+        .join(F.broadcast(stats), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c_target").alias("sum_target"),
+            F.expr(
+                "CAST(SUM(c_target * 1000000 div c_all) div COUNT(*) AS BIGINT)"
+            ).alias("affinity_e6"),
         )
     )
 

@@ -550,3 +550,33 @@ def test_local_clustering_known_graph(spark):
     for v in (1, 2, 3, 4):
         assert (out[v]["degree"], out[v]["n_triangles"], out[v]["lcc_e6"]) == (3, 3, 1000000)
     assert (out[21]["degree"], out[21]["n_triangles"], out[21]["lcc_e6"]) == (2, 0, 0)
+
+
+def test_minhash_portable_broadcast_distinct_equivalent(spark):
+    """broadcast_distinct_shingles is a pure plan change: hashing the
+    distinct shingle table and joining back must produce exactly the
+    same candidate pairs as inline per-row hashing."""
+    from spark_lakehouse_medallion_pipeline_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = sorted(
+        map(
+            tuple,
+            dedup.minhash_lsh_candidates_portable(
+                docs, num_hashes=16, bands=4, shingle_k=3
+            ).collect(),
+        )
+    )
+    fast = sorted(
+        map(
+            tuple,
+            dedup.minhash_lsh_candidates_portable(
+                docs,
+                num_hashes=16,
+                bands=4,
+                shingle_k=3,
+                broadcast_distinct_shingles=True,
+            ).collect(),
+        )
+    )
+    assert base == fast and len(base) > 0
