@@ -111,6 +111,8 @@ HEADLINE = [
     "q183_ann_recall_eval",
     "q184_bpe_encode_tokens",
     "q185_domain_affinity",
+    "q186_tokenizer_fertility",
+    "q187_mixture_apportionment",
     "medallion_gold_kpis",
 ]
 
@@ -360,6 +362,56 @@ def main() -> None:
     except Exception as exc:
         errors["dedup_lsh_1m"] = str(exc).split("\n")[0][:200]
         print(f"# dedup_lsh_1m: FAILED ({errors['dedup_lsh_1m']})", file=sys.stderr)
+
+    # Chunk-level exact dedup at 100k docs (q179's operator): 10% of the
+    # corpus are EXACT copies of their successor doc, so first-occurrence
+    # chunk dedup must reassemble exactly 10k docs to '' (the higher id of
+    # each copy pair loses every chunk race) — ENFORCED, not just printed:
+    # a wrong keeper rule or a chunk-boundary bug flips the count.
+    try:
+        from spark_lakehouse_medallion_pipeline_spark.operators.dedup import (
+            dedup_chunks_keep_first,
+        )
+
+        docs100k_exact = (
+            spark.range(100_000)
+            .withColumn(
+                "_seed", Fd.expr("CASE WHEN id % 10 = 0 THEN id + 1 ELSE id END")
+            )
+            .select(Fd.col("id").alias("doc_id"), Fd.expr(word_expr).alias("text"))
+        )
+        samples = []
+        for _ in range(2):
+            t0 = time.time()
+            row = (
+                dedup_chunks_keep_first(docs100k_exact, chunk_tokens=10)
+                .agg(
+                    Fd.count(Fd.lit(1)).alias("total"),
+                    Fd.sum(
+                        Fd.when(Fd.col("n_kept") == 0, 1).otherwise(0)
+                    ).alias("lost"),
+                )
+                .collect()[0]
+            )
+            samples.append(round(time.time() - t0, 3))
+        if (row["total"], row["lost"]) != (100_000, 10_000):
+            raise AssertionError(
+                f"chunk-dedup canary: total={row['total']} lost={row['lost']}"
+                " (want 100000/10000)"
+            )
+        timings["chunk_dedup_100k"] = min(samples)
+        variance["chunk_dedup_100k_runs_sec"] = samples
+        print(
+            f"# chunk_dedup_100k: {min(samples):.2f}s (runs {samples}, "
+            f"canary 10000/100000 exact)",
+            file=sys.stderr,
+        )
+    except Exception as exc:
+        errors["chunk_dedup_100k"] = str(exc).split("\n")[0][:200]
+        print(
+            f"# chunk_dedup_100k: FAILED ({errors['chunk_dedup_100k']})",
+            file=sys.stderr,
+        )
 
     # Corpus-curation e2e — the LLM-data counterpart of medallion_e2e:
     # generate 100k docs (10% planted near-dups) -> token-budget filter ->

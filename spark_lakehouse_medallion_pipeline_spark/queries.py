@@ -7475,10 +7475,15 @@ def q182_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     least one OTHER document. Distinct from q114 (which removes
     boilerplate) and q80 (contamination vs a fixed benchmark set):
     this SCORES every doc against the whole corpus so curation can
-    threshold. One explode, one distinct-doc count per n-gram, one
-    join-back — no pairwise stage; the fraction is integer-exact
-    (e4 fixed point). Docs under 8 tokens have no 8-grams and are
-    excluded (documented contract, mirrored by the oracle's range)."""
+    threshold. Single-pass plan: ONE explode, grouped to (ngram, doc)
+    with multiplicity, the cross-doc count as a window over the SAME
+    shuffle's key, then one doc-keyed aggregate — the n-gram stream is
+    scanned once and no string join-back exists (the naive hot-set
+    formulation scans the 100 TB explode twice and shuffles full
+    n-gram strings a second time for the join). The fraction is
+    integer-exact (e4 fixed point). Docs under 8 tokens have no
+    8-grams and are excluded (documented contract, mirrored by the
+    oracle's range)."""
     docs = _t(spark, sf_dir, "documents")
     t = F.split(F.trim(F.col("text")), r"\s+")
     ng = docs.filter(F.size(t) >= 8).select(
@@ -7490,19 +7495,15 @@ def q182_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ngram"),
     )
-    hot = (
-        ng.groupBy("ngram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("ngram")
-        .withColumn("_h", F.lit(1))
+    per_doc = ng.groupBy("ngram", "doc_id").agg(F.count(F.lit(1)).alias("cnt"))
+    flagged = per_doc.withColumn(
+        "nd", F.count(F.lit(1)).over(Window.partitionBy("ngram"))
     )
     return (
-        ng.join(hot, "ngram", "left")
-        .groupBy("doc_id")
+        flagged.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_ngrams"),
-            F.sum(F.when(F.col("_h").isNotNull(), 1).otherwise(0)).alias(
+            F.sum("cnt").alias("n_ngrams"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("cnt")).otherwise(0)).alias(
                 "n_dup"
             ),
         )
@@ -7712,6 +7713,130 @@ def q185_domain_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(SUM(c_target * 1000000 div c_all) div COUNT(*) AS BIGINT)"
             ).alias("affinity_e6"),
         )
+    )
+
+
+@_q(
+    "q186_tokenizer_fertility",
+    _BPE2_CTES
+    + r"""
+    , nsub AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sub FROM s2 GROUP BY word
+    ), dw AS (
+      SELECT doc_id, source, n_chars,
+             UNNEST(string_split_regex(trim(text), '\s+')) AS word
+      FROM documents
+    ), per_doc AS (
+      SELECT doc_id, source, n_chars,
+             CAST(SUM(n_sub) AS BIGINT) AS n_bpe
+      FROM dw JOIN nsub USING (word)
+      GROUP BY doc_id, source, n_chars
+    )
+    SELECT source,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(n_chars) * 1000 // SUM(n_bpe) AS BIGINT)
+             AS fertility_chars_per_token_e3
+    FROM per_doc GROUP BY source
+    """,
+)
+def q186_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by source — characters per BPE token under
+    the q181-learned merges, the standard metric for how well a
+    tokenizer compresses each domain/language (low fertility = domain
+    poorly served; drives vocab-size and mixture decisions). e3 fixed
+    point with a single floor division so both engines truncate
+    identically; reuses the q184 encode path then one source-keyed
+    aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    _merges, segmented = text.bpe_train(docs, n_merges=2)
+    seg_counts = segmented.select(
+        "word", F.size(F.split("segmentation", " ")).alias("n_sub")
+    )
+    per_doc = (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+        )
+        .join(F.broadcast(seg_counts), "word")
+        .groupBy("doc_id", "source", "n_chars")
+        .agg(F.sum("n_sub").alias("n_bpe"))
+    )
+    return per_doc.groupBy("source").agg(
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_bpe").alias("total_bpe_tokens"),
+        F.expr(
+            "CAST(SUM(n_chars) * 1000 div SUM(n_bpe) AS BIGINT)"
+        ).alias("fertility_chars_per_token_e3"),
+    )
+
+
+@_q(
+    "q187_mixture_apportionment",
+    r"""
+    WITH w AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS weight
+      FROM documents GROUP BY source
+    ), tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS tw FROM w),
+    base AS (
+      SELECT source, weight,
+             CAST(1000000 * weight // tw AS BIGINT) AS floor_quota,
+             CAST(1000000 * weight % tw AS BIGINT) AS remainder
+      FROM w, tot
+    ), leftover AS (
+      SELECT CAST(1000000 - SUM(floor_quota) AS BIGINT) AS k FROM base
+    ), ranked AS (
+      SELECT source, weight, floor_quota,
+             row_number() OVER (ORDER BY remainder DESC, source) AS rk
+      FROM base
+    )
+    SELECT source, weight, floor_quota,
+           CAST(floor_quota + CASE WHEN rk <= (SELECT k FROM leftover)
+                                   THEN 1 ELSE 0 END AS BIGINT) AS token_quota
+    FROM ranked
+    """,
+)
+def q187_mixture_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture quota planning by LARGEST-REMAINDER (Hamilton)
+    apportionment: split a 1M-token budget across sources proportionally
+    to their character mass so the quotas are integers that sum EXACTLY
+    to the budget — floor quotas + one extra token to the largest
+    remainders (source-name tiebreak). Pure integer arithmetic end to
+    end (the float-share approach mis-sums the budget whenever shares
+    round the same way), the same contractual-mixture discipline as
+    q154's exact sampler, which consumes exactly these quotas. Plan: a
+    source-keyed aggregate, a 1-row total cross-joined back (broadcast),
+    one model-scale window."""
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.groupBy("source").agg(F.sum("n_chars").alias("weight"))
+    tot = w.agg(F.sum("weight").alias("tw"))
+    base = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "weight",
+        F.expr("CAST(1000000 * weight div tw AS BIGINT)").alias("floor_quota"),
+        F.expr("CAST(1000000 * weight % tw AS BIGINT)").alias("remainder"),
+    )
+    leftover = base.agg(
+        (F.lit(1000000) - F.sum("floor_quota")).alias("k")
+    )
+    ranked = base.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.desc("remainder"), F.asc("source"))
+        ),
+    )
+    return ranked.crossJoin(F.broadcast(leftover)).select(
+        "source",
+        "weight",
+        "floor_quota",
+        (
+            F.col("floor_quota")
+            + F.when(F.col("rk") <= F.col("k"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("token_quota"),
     )
 
 

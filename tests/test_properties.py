@@ -263,3 +263,61 @@ def test_portable_hash_duckdb_semantics(strings):
         hx = hashlib.md5(s.encode("utf-8")).hexdigest()
         assert hi == int(hx[1:16], 16)
         assert lo == int(hx[17:32], 16)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6), min_size=1, max_size=12
+    ),
+    n_merges=st.integers(1, 3),
+)
+def test_bpe_train_matches_reference(spark, words, n_merges):
+    """bpe_train vs a direct Python reference BPE (Sennrich 2016) on
+    random 2-letter corpora — the alphabet maximizes left==right merges
+    and overlapping runs, exactly the greedy edge cases the run-parity
+    window formula must reproduce."""
+    from spark_lakehouse_medallion_pipeline_spark.operators import text as T
+
+    def ref_bpe(word_list, k):
+        from collections import Counter
+
+        freq = Counter(word_list)
+        segs = {w: list(w) for w in freq}
+        merges = []
+        for rank in range(1, k + 1):
+            pairs = Counter()
+            for w, f in freq.items():
+                s = segs[w]
+                for i in range(len(s) - 1):
+                    pairs[(s[i], s[i + 1])] += f
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append((rank, best[0], best[1], pairs[best]))
+            for w in segs:
+                s, out, i = segs[w], [], 0
+                while i < len(s):
+                    if (
+                        i + 1 < len(s)
+                        and s[i] == best[0]
+                        and s[i + 1] == best[1]
+                    ):
+                        out.append(s[i] + s[i + 1])
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                segs[w] = out
+        return merges, {w: " ".join(s) for w, s in segs.items()}
+
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    merges, segmented = T.bpe_train(docs, n_merges=n_merges)
+    exp_merges, exp_segs = ref_bpe(words, n_merges)
+    assert merges == exp_merges
+    got = {r["word"]: r["segmentation"] for r in segmented.collect()}
+    assert got == exp_segs
