@@ -113,6 +113,7 @@ HEADLINE = [
     "q185_domain_affinity",
     "q186_tokenizer_fertility",
     "q187_mixture_apportionment",
+    "q188_label_propagation",
     "medallion_gold_kpis",
 ]
 

@@ -182,3 +182,49 @@ def local_clustering(
             ).alias("lcc_e6"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame, src: str = "src", dst: str = "dst", rounds: int = 3
+) -> DataFrame:
+    """SYNCHRONOUS label propagation (community detection): every
+    vertex starts labeled with its own id; each round, every vertex
+    adopts the most frequent label among its neighbors' PREVIOUS-round
+    labels, ties broken by smallest label. Synchronous + deterministic
+    tie-break is what makes the algorithm value-oracle-able (classic
+    async LPA is order-dependent by construction) at the cost of the
+    known oscillation mode on bipartite-ish structures — acceptable for
+    a fixed small round count, documented here.
+
+    Returns (vertex, community) after ``rounds`` rounds.
+
+    Scale shape per round: one join of the adjacency list against the
+    vocabulary-of-vertices label table (broadcastable when vertices <<
+    edges), one map-side-combined (vertex, label) count, one window for
+    the per-vertex argmax, then a localCheckpoint so the iterative
+    lineage never compounds (the PageRank lesson)."""
+    from pyspark.sql import Window
+
+    e = _canonical_edges(edges, src, dst)
+    adj = e.select(F.col("_a").alias("v"), F.col("_b").alias("n")).unionByName(
+        e.select(F.col("_b").alias("v"), F.col("_a").alias("n"))
+    ).localCheckpoint(eager=False)
+    labels = adj.select("v").distinct().select("v", F.col("v").alias("lbl"))
+    w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(rounds):
+        votes = (
+            adj.join(
+                labels.select(F.col("v").alias("n"), "lbl"), "n"
+            )
+            .groupBy("v", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", "lbl")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        F.col("v").alias("vertex"), F.col("lbl").alias("community")
+    )

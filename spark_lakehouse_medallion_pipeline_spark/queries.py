@@ -7840,6 +7840,64 @@ def q187_mixture_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q188_label_propagation",
+    """
+    WITH os AS (
+      SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+      FROM lineitem WHERE l_suppkey % 4 = 0
+    ), e AS (
+      SELECT DISTINCT x.s AS a, y.s AS b
+      FROM os x JOIN os y ON x.o = y.o AND x.s < y.s
+    ), adj AS (
+      SELECT a AS v, b AS n FROM e UNION ALL SELECT b AS v, a AS n FROM e
+    ), l0 AS (
+      SELECT DISTINCT v, v AS lbl FROM adj
+    ), v1 AS (
+      SELECT adj.v, l0.lbl, COUNT(*) AS c
+      FROM adj JOIN l0 ON l0.v = adj.n GROUP BY adj.v, l0.lbl
+    ), l1 AS (
+      SELECT v, lbl FROM (
+        SELECT v, lbl,
+               row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
+        FROM v1) z WHERE rn = 1
+    ), v2 AS (
+      SELECT adj.v, l1.lbl, COUNT(*) AS c
+      FROM adj JOIN l1 ON l1.v = adj.n GROUP BY adj.v, l1.lbl
+    ), l2 AS (
+      SELECT v, lbl FROM (
+        SELECT v, lbl,
+               row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
+        FROM v2) z WHERE rn = 1
+    ), v3 AS (
+      SELECT adj.v, l2.lbl, COUNT(*) AS c
+      FROM adj JOIN l2 ON l2.v = adj.n GROUP BY adj.v, l2.lbl
+    ), l3 AS (
+      SELECT v, lbl FROM (
+        SELECT v, lbl,
+               row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
+        FROM v3) z WHERE rn = 1
+    )
+    SELECT v AS vertex, lbl AS community FROM l3
+    """,
+)
+def q188_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation over the
+    co-supply graph, 3 rounds — completes the graph family (PageRank
+    q126, triangles q161, clustering q167, components q67) with the
+    standard near-linear community algorithm. Synchronous update +
+    smallest-label tie-break makes every round deterministic, so the
+    oracle unrolls all 3 rounds as CTEs and the final (vertex,
+    community) table hash-compares exactly (async LPA is
+    order-dependent by construction and could only ever be
+    rows-only). Per round: one adjacency-vs-labels join, one combined
+    count, one argmax window, localCheckpoint
+    (operators.graph.label_propagation)."""
+    from spark_lakehouse_medallion_pipeline_spark.operators import graph
+
+    return graph.label_propagation(_cosupply_edges(spark, sf_dir), rounds=3)
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------

@@ -290,3 +290,22 @@ def test_stratified_exact_sample_quota_and_determinism(spark):
         ).collect()
     }
     assert ids1 < bigger  # nested quotas: rank prefix property
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    """Hand-traced synchronous LPA: two triangles {1,2,3} and
+    {10,11,12} joined by a 3-10 bridge converge to two communities
+    (labels 1 and 3) in 3 rounds under the smallest-label tie-break."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)],
+        "src long, dst long",
+    )
+    got = {
+        r["vertex"]: r["community"]
+        for r in label_propagation(edges, rounds=3).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 3, 11: 3, 12: 3}
