@@ -114,6 +114,8 @@ HEADLINE = [
     "q186_tokenizer_fertility",
     "q187_mixture_apportionment",
     "q188_label_propagation",
+    "q189_rrf_fusion",
+    "q190_trimmed_mean",
     "medallion_gold_kpis",
 ]
 

@@ -7898,6 +7898,158 @@ def q188_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.label_propagation(_cosupply_edges(spark, sf_dir), rounds=3)
 
 
+@_q(
+    "q189_rrf_fusion",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.q_id, e.vec_id,
+             {S_FLOOR("list_cosine_similarity(e.embedding::DOUBLE[], q.qv)", 6)}
+               AS cos_sim,
+             {S_FLOOR("list_inner_product(e.embedding::DOUBLE[], q.qv)", 6)}
+               AS dot_sim
+      FROM embeddings e, q WHERE e.vec_id <> q.q_id
+    ), ranked AS (
+      SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank_cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY dot_sim DESC, vec_id) AS rank_dot
+      FROM scored
+    ), fused AS (
+      SELECT q_id, vec_id,
+             CAST(1000000 // (60 + rank_cos) + 1000000 // (60 + rank_dot)
+                  AS BIGINT) AS rrf_score_e6
+      FROM ranked
+    )
+    SELECT q_id, vec_id, rrf_score_e6 FROM (
+      SELECT q_id, vec_id, rrf_score_e6,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY rrf_score_e6 DESC, vec_id) AS rn
+      FROM fused) z
+    WHERE rn <= 10
+    """,
+)
+def q189_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings (cosine and raw
+    inner product) — the standard way hybrid search merges rankers
+    without score calibration (RRF, Cormack 2009): fused score =
+    sum over rankers of 1/(60+rank). Held integer-exact by flooring
+    each reciprocal at e6 BEFORE summing (both engines truncate
+    1000000//(60+rank) identically; float reciprocals could ulp-drift
+    at equal-score boundaries). Ranks themselves are deterministic via
+    the floor6 similarity + vec_id tie-break (the q36/q183
+    discipline). One scored pass feeds both rankings — two windows
+    over the same shuffle, no second scan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            floor_round(
+                similarity.cosine(F.col("embedding"), F.col("qv")), 6
+            ).alias("cos_sim"),
+            floor_round(
+                similarity.dot(F.col("embedding"), F.col("qv")), 6
+            ).alias("dot_sim"),
+        )
+    )
+    w_cos = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    w_dot = Window.partitionBy("q_id").orderBy(
+        F.desc("dot_sim"), F.asc("vec_id")
+    )
+    fused = scored.select(
+        "q_id",
+        "vec_id",
+        F.row_number().over(w_cos).alias("rank_cos"),
+        F.row_number().over(w_dot).alias("rank_dot"),
+    ).select(
+        "q_id",
+        "vec_id",
+        F.expr(
+            "CAST(1000000 div (60 + rank_cos) + 1000000 div (60 + rank_dot)"
+            " AS BIGINT)"
+        ).alias("rrf_score_e6"),
+    )
+    w_f = Window.partitionBy("q_id").orderBy(
+        F.desc("rrf_score_e6"), F.asc("vec_id")
+    )
+    return (
+        fused.withColumn("rn", F.row_number().over(w_f))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "vec_id", "rrf_score_e6")
+    )
+
+
+@_q(
+    "q190_trimmed_mean",
+    f"""
+    WITH c AS (
+      SELECT o_orderpriority AS pri, o_orderkey,
+             {SC("o_totalprice")} AS cents
+      FROM orders
+    ), r AS (
+      SELECT pri, cents,
+             row_number() OVER (PARTITION BY pri
+                                ORDER BY cents, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY pri) AS n
+      FROM c
+    )
+    SELECT pri, CAST(MAX(n) AS BIGINT) AS n_total,
+           COUNT(*) AS n_kept,
+           CAST(SUM(cents) // COUNT(*) AS BIGINT) AS trimmed_mean_cents
+    FROM r
+    WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY pri
+    """,
+)
+def q190_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% two-sided TRIMMED mean of order value per priority — the
+    robust-stats family's outlier-resistant location estimate (between
+    q173's MAD gate and a plain mean): rank within group by (cents,
+    orderkey), drop the bottom and top floor(n/10) ranks, integer-mean
+    the rest. All integer arithmetic — the rank cutoffs and the final
+    floor-divide mean cannot straddle an engine rounding boundary. One
+    shuffle serves rank + count (the q154 window discipline)."""
+    orders = _t(spark, sf_dir, "orders")
+    c = orders.select(
+        F.col("o_orderpriority").alias("pri"),
+        "o_orderkey",
+        F.expr(SC("o_totalprice")).alias("cents"),
+    )
+    wr = Window.partitionBy("pri").orderBy("cents", "o_orderkey")
+    wn = Window.partitionBy("pri")
+    r = c.select(
+        "pri",
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        r.filter(
+            (F.col("rn") > F.expr("n div 10"))
+            & (F.col("rn") <= F.col("n") - F.expr("n div 10"))
+        )
+        .groupBy("pri")
+        .agg(
+            F.max("n").alias("n_total"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.expr("CAST(SUM(cents) div COUNT(*) AS BIGINT)").alias(
+                "trimmed_mean_cents"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
