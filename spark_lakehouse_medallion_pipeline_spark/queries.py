@@ -8099,6 +8099,16 @@ def q190_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # z-order rep). Displaced: q04/q06/q09/q23/q25/q29/q40/q92 — every
 # family they represented keeps another in-snapshot rep (see inline
 # comments below).
+# Mid round 5: nine more never-recorded entries rotated in, each
+# displacing a slot already green in r04 (and earlier): RRF fusion
+# (q189 for q11 — ranking windows are q189's own core), Markov
+# transitions (q172 for q12's lag/lead), tokenizer fertility (q186 for
+# q134), trimmed mean (q190 for q146 — bitmaps keep q145), label
+# propagation (q188 for q165 — dedup keeps q28/q137/q162/q152),
+# ANN recall eval (q183 for q153, same exact_rerank inside), domain
+# affinity (q185 for q119), real-GIF LZW features (q177 for q157 —
+# multimodal keeps q176/q158), and largest-remainder apportionment
+# (q187 for q97 — EXISTS keeps q56).
 
 _DRIVER_SNAPSHOT_50 = [
     # reference surface: aggregates, scalars, datetime, medallion KPIs
@@ -8117,12 +8127,12 @@ _DRIVER_SNAPSHOT_50 = [
     "q48_interval_join",
     # grouping extensions
     "q176_png_image_features",  # r5: real-PNG codec never recorded (q09 green r03+r04; rollup keeps q146)
-    "q146_bitmap_rollup_merge",
+    "q190_trimmed_mean",  # r5: robust-location estimate never recorded (q146 green r04; bitmap family keeps q145)
     # windows
-    "q11_top_parts_per_brand",
-    "q12_user_event_gaps",
+    "q189_rrf_fusion",  # r5: hybrid-rank fusion never recorded (q11 green r01-r04; ranking windows are q189's own core)
+    "q172_event_transitions",  # r5: Markov transitions never recorded (q12 green r01-r04; lag/lead family)
     "q13_running_customer_spend",
-    "q134_funnel_conversion",
+    "q186_tokenizer_fertility",  # r5: fertility metric never recorded (q134 funnel green r03+r04)
     # sort/limit, set ops, sketches
     "q108_monthly_order_spine",
     "q55_multiset_ops",
@@ -8142,7 +8152,7 @@ _DRIVER_SNAPSHOT_50 = [
     # dedup family
     "q28_exact_dedup_docs",
     "q137_bloom_prefilter_dedup",
-    "q165_simhash_portable",  # r4: value-oracled SimHash (q114 recorded green r03)
+    "q188_label_propagation",  # r5: deterministic LPA never recorded (q165 SimHash green r04; X18 keeps q28/q137/q162/q152)
     "q110_variant_props",
     # similarity family
     "q36_knn_vec0",
@@ -8151,14 +8161,14 @@ _DRIVER_SNAPSHOT_50 = [
     "q163_pmi_collocations",  # r5: collocation mining never recorded (q29 green r03+r04; text keeps q119/q95)
     "q152_fuzzy_name_pairs_d2",
     "q164_pseudonymize_ids",  # r4: anonymization rep (q136 recorded green r03)
-    "q153_ann_rerank",
+    "q183_ann_recall_eval",  # r5: recall-vs-brute eval never recorded (q153 green r04; q183 embeds the same exact_rerank)
     "q95_sequence_packing",
-    "q119_classifier_filter",
+    "q185_domain_affinity",  # r5: domain scoring never recorded (q119 classifier green r03+r04)
     # multimodal, pandas-UDF, layout, TPC-H decorrelated shapes
-    "q157_bmp_image_features",
+    "q177_gif_image_features",  # r5: real-GIF LZW codec never recorded (q157 BMP green r04; multimodal keeps q176/q158)
     "q174_pareto_abc",  # r5: revenue-concentration never recorded (q40 green r03+r04; UDF keeps q117/q65)
     "q166_hilbert_layout",  # r5: same layout family, never-recorded variant (q92 green r04)
-    "q97_waiting_supplier",
+    "q187_mixture_apportionment",  # r5: largest-remainder quotas never recorded (q97 green r01-r04; EXISTS family keeps q56)
     # round-3 families: connectors, warehouse maintenance, quality contracts
     "q124_python_datasource",
     "q127_data_quality",
