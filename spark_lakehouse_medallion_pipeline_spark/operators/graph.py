@@ -228,3 +228,50 @@ def label_propagation(
     return labels.select(
         F.col("v").alias("vertex"), F.col("lbl").alias("community")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS hop distance over an undirected edge list:
+    every vertex in ``seeds`` (single column ``vertex``) starts at
+    distance 0; each round relaxes one hop —
+
+        d'(v) = min(d(v), 1 + min over neighbors n of d(n))
+
+    Pure integer min-plus relaxation, so a fixed round count is
+    deterministic and the result value-oracles as unrolled CTEs (the
+    label-propagation discipline). Returns (vertex, dist) for vertices
+    reached within ``rounds`` hops; unreached vertices are absent.
+
+    Scale shape per round: one adjacency-vs-frontier join (the frontier
+    table is the small side early on — AQE broadcasts it), one
+    map-side-combined min per vertex, localCheckpoint to keep the
+    iterative lineage flat. This is the Pregel-style BFS every graph
+    engine runs; reference analytics surface has no graph ops, so this
+    extends the family (PageRank/triangles/LPA) rather than mirroring
+    a reference file."""
+    e = _canonical_edges(edges, src, dst)
+    adj = (
+        e.select(F.col("_a").alias("v"), F.col("_b").alias("n"))
+        .unionByName(e.select(F.col("_b").alias("v"), F.col("_a").alias("n")))
+        .localCheckpoint(eager=False)
+    )
+    dist = seeds.select(
+        F.col("vertex").alias("v"), F.lit(0).cast("long").alias("d")
+    )
+    for _ in range(rounds):
+        relaxed = (
+            adj.join(dist.select(F.col("v").alias("n"), "d"), "n")
+            .select("v", (F.col("d") + F.lit(1)).alias("d"))
+            .unionByName(dist)
+            .groupBy("v")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        dist = relaxed
+    return dist.select(F.col("v").alias("vertex"), F.col("d").alias("dist"))
