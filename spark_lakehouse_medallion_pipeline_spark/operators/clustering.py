@@ -53,6 +53,16 @@ def kmeans_int_2d(
     )
     seed_rows = pts.orderBy("id").limit(k).collect()
     cents = [(int(r["x"]), int(r["y"])) for r in seed_rows]
+    # Fewer rows than k: clamp so the update loop never indexes past the
+    # collected seeds (cents[i] for i in range(k) below).
+    k = len(cents)
+    if k == 0:
+        return pts.select(
+            "id",
+            F.lit(None).cast("int").alias("cid"),
+            F.lit(None).cast("long").alias("cx"),
+            F.lit(None).cast("long").alias("cy"),
+        )
 
     def assign_expr(cents_: list[tuple[int, int]]):
         # array of (dist, cid) structs; array_min is lexicographic, so
