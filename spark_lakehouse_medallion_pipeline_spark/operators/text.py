@@ -498,11 +498,19 @@ def bpe_word_symbols(docs: DataFrame, text_col: str = "text") -> DataFrame:
     — the working table of BPE tokenizer training (Sennrich 2016),
     which operates on the word-frequency dict, never the raw token
     stream: a 100 TB corpus collapses to its vocabulary here, so every
-    downstream merge iteration is vocabulary-sized."""
+    downstream merge iteration is vocabulary-sized.
+
+    Zero-length words (split of an empty/whitespace-only document
+    yields ['']) are filtered out BEFORE the per-character explode:
+    Spark's sequence(1, 0) is DESCENDING [1, 0] and would emit two
+    phantom ''-symbol rows per empty word, while SQL engines' range(1,
+    1) is empty — the contract is "empty words contribute no symbols",
+    enforced here and mirrored in the oracle CTEs."""
     words = (
         docs.select(
             F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
         )
+        .filter(F.length("word") >= 1)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )

@@ -7314,6 +7314,7 @@ def q179_chunk_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
       FROM (SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS w
             FROM documents) t
+      WHERE len(w) >= 1
       GROUP BY w
     ), s0 AS (
       SELECT word, freq, CAST(i AS BIGINT) AS pos,
@@ -7356,6 +7357,7 @@ _BPE2_CTES = r"""
       SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
       FROM (SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS w
             FROM documents) t
+      WHERE len(w) >= 1
       GROUP BY w
     ), s0 AS (
       SELECT word, freq, CAST(i AS BIGINT) AS pos,
@@ -7475,12 +7477,17 @@ def q182_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     least one OTHER document. Distinct from q114 (which removes
     boilerplate) and q80 (contamination vs a fixed benchmark set):
     this SCORES every doc against the whole corpus so curation can
-    threshold. Single-pass plan: ONE explode, grouped to (ngram, doc)
-    with multiplicity, the cross-doc count as a window over the SAME
-    shuffle's key, then one doc-keyed aggregate — the n-gram stream is
-    scanned once and no string join-back exists (the naive hot-set
-    formulation scans the 100 TB explode twice and shuffles full
-    n-gram strings a second time for the join). The fraction is
+    threshold. Single-scan plan: ONE explode, then three narrow
+    post-aggregate exchanges — (ngram, doc_id) aggregate, ngram-keyed
+    window for the cross-doc count, doc_id-keyed final aggregate. The
+    n-gram stream is scanned once and no string join-back exists (the
+    naive hot-set formulation scans the 100 TB explode twice and
+    shuffles full n-gram strings a second time for the join).
+    Tradeoff: aggregating on (ngram, doc_id) FIRST keeps map-side
+    combine on hot n-grams (the skew killer at corpus scale) at the
+    cost of a third exchange; a repartition("ngram")-first plan would
+    merge the first two exchanges but ship every raw n-gram occurrence
+    of a hot n-gram to one partition uncombined. The fraction is
     integer-exact (e4 fixed point). Docs under 8 tokens have no
     8-grams and are excluded (documented contract, mirrored by the
     oracle's range)."""

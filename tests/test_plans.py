@@ -485,3 +485,13 @@ def test_new_sampling_and_gapfill_plans_are_single_keyed_shuffles(spark):
 
     assert explain.count_exchanges(Q["q154_stratified_sample"](spark, SF)) == 1
     assert explain.count_exchanges(Q["q155_gap_fill_interpolate"](spark, SF)) <= 2
+
+
+def test_q182_three_exchange_budget(spark):
+    """q182 dup-ngram scoring holds its documented 3-exchange floor:
+    (ngram, doc_id) aggregate (map-side combine on hot n-grams), ngram
+    window for the cross-doc count, doc_id final aggregate — a lost
+    combine or an accidental join-back would add a fourth."""
+    df = QUERIES["q182_dup_ngram_fraction"](spark, SF)
+    n = explain.count_exchanges(df)
+    assert n <= 3, f"q182: {n} exchanges > budget 3"

@@ -395,3 +395,53 @@ def test_bpe_pair_counts(spark):
         for r in T.bpe_pair_counts(docs).collect()
     }
     assert got == {("a", "b"): 3, ("b", "c"): 1}
+
+
+def test_bpe_empty_word_guard(spark):
+    """Empty / whitespace-only documents must contribute NO symbol rows:
+    split('') yields [''] and Spark's sequence(1, 0) is DESCENDING
+    [1, 0], so without the length guard a zero-length word emits two
+    phantom ''-symbols — while a SQL oracle's range(1, 1) is empty.
+    Cross-checked against DuckDB on the same corpus (the q180/q181/
+    q184/q186 latent divergence)."""
+    import duckdb
+
+    from spark_lakehouse_medallion_pipeline_spark.operators import text as T
+
+    rows = [(1, ""), (2, "   "), (3, None), (4, "ab a")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["word"], r["freq"], r["pos"], r["sym"])
+        for r in T.bpe_word_symbols(docs).collect()
+    )
+    assert got == [("a", 1, 1, "a"), ("ab", 1, 1, "a"), ("ab", 1, 2, "b")]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracle = sorted(
+        tuple(r)
+        for r in con.execute(
+            r"""
+        WITH words AS (
+          SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM (SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS w
+                FROM documents) t
+          WHERE len(w) >= 1
+          GROUP BY w
+        )
+        SELECT word, freq, CAST(i AS BIGINT) AS pos,
+               substr(word, CAST(i AS INT), 1) AS sym
+        FROM words, LATERAL UNNEST(range(1, len(word)+1)) AS u(i)
+        """
+        ).fetchall()
+    )
+    assert oracle == got
+
+    # bpe_train end-to-end still converges on the same corpus.
+    merges, segmented = T.bpe_train(docs, n_merges=1)
+    assert merges == [(1, "a", "b", 1)]
+    assert {r["word"]: r["segmentation"] for r in segmented.collect()} == {
+        "ab": "ab",
+        "a": "a",
+    }
