@@ -116,6 +116,8 @@ HEADLINE = [
     "q188_label_propagation",
     "q189_rrf_fusion",
     "q190_trimmed_mean",
+    "q191_kmeans_spend_segments",
+    "q192_bfs_supplier_hops",
     "medallion_gold_kpis",
 ]
 

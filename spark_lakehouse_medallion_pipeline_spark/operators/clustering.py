@@ -46,6 +46,12 @@ def kmeans_int_2d(
     int64 — |x| < ~3e9 keeps the square under 2^63 (the
     stratified-sample overflow lesson; dollars not cents for money).
     """
+    if k <= 0:
+        # A non-positive k on a non-empty dataset is a caller bug, not a
+        # degenerate input — fail loudly instead of returning all-null
+        # assignments (the null early-return below is reserved for a
+        # genuinely empty points table).
+        raise ValueError(f"k must be positive, got {k}")
     pts = points.select(
         F.col(id_col).alias("id"),
         F.col(x_col).cast("long").alias("x"),

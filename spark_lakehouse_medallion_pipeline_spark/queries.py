@@ -8057,6 +8057,146 @@ def q190_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q191_kmeans_spend_segments",
+    """
+    WITH pts AS (
+      SELECT o_custkey AS id,
+             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) // 100
+                  AS BIGINT) AS x,
+             CAST(COUNT(*) * 1000000 AS BIGINT) AS y
+      FROM orders GROUP BY o_custkey
+    ), c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid,
+             x AS cx, y AS cy
+      FROM (SELECT id, x, y FROM pts ORDER BY id LIMIT 4) s
+    ), a1 AS (
+      SELECT id, x, y, cid FROM (
+        SELECT p.id, p.x, p.y, c.cid,
+               row_number() OVER (PARTITION BY p.id
+                 ORDER BY (p.x-c.cx)*(p.x-c.cx)+(p.y-c.cy)*(p.y-c.cy),
+                          c.cid) AS rn
+        FROM pts p CROSS JOIN c0 c) z WHERE rn = 1
+    ), u1 AS (
+      SELECT cid, CAST(SUM(x) // COUNT(*) AS BIGINT) AS cx,
+             CAST(SUM(y) // COUNT(*) AS BIGINT) AS cy
+      FROM a1 GROUP BY cid
+    ), c1 AS (
+      SELECT c0.cid, COALESCE(u1.cx, c0.cx) AS cx, COALESCE(u1.cy, c0.cy) AS cy
+      FROM c0 LEFT JOIN u1 ON u1.cid = c0.cid
+    ), a2 AS (
+      SELECT id, x, y, cid FROM (
+        SELECT p.id, p.x, p.y, c.cid,
+               row_number() OVER (PARTITION BY p.id
+                 ORDER BY (p.x-c.cx)*(p.x-c.cx)+(p.y-c.cy)*(p.y-c.cy),
+                          c.cid) AS rn
+        FROM pts p CROSS JOIN c1 c) z WHERE rn = 1
+    ), u2 AS (
+      SELECT cid, CAST(SUM(x) // COUNT(*) AS BIGINT) AS cx,
+             CAST(SUM(y) // COUNT(*) AS BIGINT) AS cy
+      FROM a2 GROUP BY cid
+    ), c2 AS (
+      SELECT c1.cid, COALESCE(u2.cx, c1.cx) AS cx, COALESCE(u2.cy, c1.cy) AS cy
+      FROM c1 LEFT JOIN u2 ON u2.cid = c1.cid
+    ), af AS (
+      SELECT id, cid FROM (
+        SELECT p.id, c.cid,
+               row_number() OVER (PARTITION BY p.id
+                 ORDER BY (p.x-c.cx)*(p.x-c.cx)+(p.y-c.cy)*(p.y-c.cy),
+                          c.cid) AS rn
+        FROM pts p CROSS JOIN c2 c) z WHERE rn = 1
+    )
+    SELECT af.id, af.cid, c2.cx, c2.cy FROM af JOIN c2 ON c2.cid = af.cid
+    """,
+)
+def q191_kmeans_spend_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segmentation by k-means (k=4, 2 Lloyd rounds) over the
+    per-customer spend profile — x = lifetime spend in exact integer
+    dollars, y = order count scaled to comparable magnitude — the
+    mixture-balancing / embedding-bucketing assignment step a
+    training-data pipeline runs. Exact integer arithmetic (floor-divide
+    means, integer squared distances, smallest-id seeds, smallest-cid
+    tie-break) makes the fixed iteration count BIT-IDENTICAL across
+    engines, so the classic iterative-ML loop value-oracles as unrolled
+    CTEs (the q188 LPA discipline). Scale shape: the k centroids are a
+    bounded driver-side model inlined as literals, so ASSIGNMENT IS
+    SHUFFLE-FREE (an argmin fold inside codegen); per round the only
+    shuffle is one map-side-combined k-row aggregate — never a join or
+    window over the point set (operators.clustering.kmeans_int_2d).
+    Dollars not cents for x so squared distances stay far inside int64
+    at any SF (the stratified-sample overflow lesson)."""
+    from spark_lakehouse_medallion_pipeline_spark.operators import clustering
+
+    pts = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("id"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) div 100"
+                " AS BIGINT)"
+            ).alias("x"),
+            (F.count(F.lit(1)) * F.lit(1000000)).cast("long").alias("y"),
+        )
+    )
+    return clustering.kmeans_int_2d(pts, k=4, rounds=2)
+
+
+@_q(
+    "q192_bfs_supplier_hops",
+    """
+    WITH os AS (
+      SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+      FROM lineitem WHERE l_suppkey % 4 = 0
+    ), e AS (
+      SELECT DISTINCT x.s AS a, y.s AS b
+      FROM os x JOIN os y ON x.o = y.o AND x.s < y.s
+    ), adj AS (
+      SELECT a AS v, b AS n FROM e UNION ALL SELECT b AS v, a AS n FROM e
+    ), d0 AS (
+      SELECT s_suppkey AS v, CAST(0 AS BIGINT) AS d
+      FROM supplier WHERE s_suppkey % 40 = 0
+    ), d1 AS (
+      SELECT v, CAST(MIN(d) AS BIGINT) AS d FROM (
+        SELECT adj.v, d0.d + 1 AS d FROM adj JOIN d0 ON d0.v = adj.n
+        UNION ALL SELECT v, d FROM d0) z
+      GROUP BY v
+    ), d2 AS (
+      SELECT v, CAST(MIN(d) AS BIGINT) AS d FROM (
+        SELECT adj.v, d1.d + 1 AS d FROM adj JOIN d1 ON d1.v = adj.n
+        UNION ALL SELECT v, d FROM d1) z
+      GROUP BY v
+    ), d3 AS (
+      SELECT v, CAST(MIN(d) AS BIGINT) AS d FROM (
+        SELECT adj.v, d2.d + 1 AS d FROM adj JOIN d2 ON d2.v = adj.n
+        UNION ALL SELECT v, d FROM d2) z
+      GROUP BY v
+    )
+    SELECT v AS vertex, d AS dist FROM d3
+    """,
+)
+def q192_bfs_supplier_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance over the co-supply graph (3
+    rounds): every supplier with suppkey % 40 == 0 is a distance-0
+    source; each round relaxes one hop (d' = min(d, 1 + min neighbor
+    d)). Completes the graph family (PageRank q126, components q67,
+    triangles q161, LPA q188) with the Pregel-style reachability
+    primitive. Pure integer min-plus relaxation at a fixed round count
+    is deterministic, so the result value-oracles as unrolled CTEs.
+    Scale shape per round: one adjacency-vs-frontier join (frontier is
+    the small side early — AQE broadcasts it), one map-side-combined
+    min per vertex, localCheckpoint to keep iterative lineage flat
+    (operators.graph.bfs_hops; edge build shared with q161/q167/q188
+    via _cosupply_edges). Unreached vertices are absent by contract."""
+    from spark_lakehouse_medallion_pipeline_spark.operators import graph
+
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 40 == 0)
+        .select(F.col("s_suppkey").alias("vertex"))
+    )
+    return graph.bfs_hops(_cosupply_edges(spark, sf_dir), seeds, rounds=3)
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------

@@ -495,3 +495,15 @@ def test_q182_three_exchange_budget(spark):
     df = QUERIES["q182_dup_ngram_fraction"](spark, SF)
     n = explain.count_exchanges(df)
     assert n <= 3, f"q182: {n} exchanges > budget 3"
+
+
+def test_kmeans_assignment_shuffle_free(spark):
+    """q191's final plan: centroid assignment is literal-inlined codegen
+    and the (id) point build is the ONLY exchange; the k-row centroid
+    join must stay broadcast (a sort-merge join here would mean the
+    bounded driver-side model leaked into a distributed join)."""
+    df = QUERIES["q191_kmeans_spend_segments"](spark, SF)
+    assert explain.count_exchanges(df) <= 1
+    plan = explain.formatted(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

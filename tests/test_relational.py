@@ -309,3 +309,32 @@ def test_label_propagation_two_cliques_bridge(spark):
         for r in label_propagation(edges, rounds=3).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 3, 11: 3, 12: 3}
+
+
+def test_bfs_hops_hand_traced(spark):
+    """Path 1-2-3-4 plus disjoint 5-6 plus seed 9 absent from the graph:
+    3 rounds from seeds {1, 9} reach the whole path (dist = hop count),
+    leave 5/6 ABSENT (the unreached-vertices contract), and keep the
+    off-graph seed at distance 0."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (9,)], "vertex long")
+    got = {r["vertex"]: r["dist"] for r in bfs_hops(edges, seeds, rounds=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 9: 0}
+
+
+def test_bfs_hops_min_over_multiple_sources(spark):
+    """Vertex reachable from two seeds keeps the SHORTER distance: on
+    1-2-3-4-5 with seeds {1, 5}, vertex 3 is 2 hops from either end and
+    2/4 are 1 hop from their nearer seed."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (5,)], "vertex long")
+    got = {r["vertex"]: r["dist"] for r in bfs_hops(edges, seeds, rounds=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}
