@@ -293,6 +293,7 @@ def cosine_near_dup_pairs(
     n_tables: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    floor6: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the dedup-family variant of
     X19): LSH-block the corpus, generate pairs only inside buckets, keep
@@ -304,6 +305,15 @@ def cosine_near_dup_pairs(
     Recall for a pair at angle theta is 1-(1-(1-theta/pi)^n_planes)^n_tables.
 
     Returns (id_a, id_b, cosine_sim), id_a < id_b, exact cosine.
+
+    ``floor6=True`` switches the similarity from round-HALF_UP to the
+    cross-engine-stable FLOOR(x*1e6 + 0.5)/1e6 idiom (Spark round() is
+    BigDecimal HALF_UP on the shortest decimal repr, other engines'
+    round() is C-style on the binary value — they can disagree on the
+    SAME double), which is what lets a SQL oracle reproduce the output
+    bit-exactly: the hyperplanes themselves are deterministic
+    blake2b-derived literals (_hyperplane_comps), so an oracle can
+    inline them and replay the bucketing.
     """
     sides = []
     for suffix in ("a", "b"):
@@ -334,14 +344,16 @@ def cosine_near_dup_pairs(
         )
         sides.append(sig)
     a, b = sides
+    raw = cosine(F.col("_vec_a"), F.col("_vec_b"))
+    sim = (
+        F.floor(raw * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        if floor6
+        else F.round(raw, 6)
+    )
     return (
         a.join(b, on=["_table", "_bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("_vec_a"), F.col("_vec_b")), 6).alias("cosine_sim"),
-        )
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
         .groupBy("id_a", "id_b")
         .agg(F.max("cosine_sim").alias("cosine_sim"))

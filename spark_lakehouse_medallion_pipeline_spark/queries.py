@@ -1299,15 +1299,62 @@ def q43_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q44_cosine_near_dup_lsh")  # RHP blocking is engine-side; recall in pytest
+def _rhp_bucket_sql(dim: int, n_planes: int, table: int) -> str:
+    """DuckDB expression replaying the engine's RHP bucket id for one
+    plane table: the hyperplanes are DETERMINISTIC blake2b-derived
+    floats (similarity._hyperplane_comps), so the oracle inlines them
+    as literal arrays — the same candidate-pinning move that
+    value-oracled q162/q183 (portable hashes instead of engine-side
+    randomness). Sign of <v, plane> is ulp-stable across engines for
+    real embeddings (|dot| ~ 1e-16 is measure-zero; the engine-side
+    gemm is float64 like list_inner_product)."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.similarity import (
+        _hyperplane_comps,
+    )
+
+    terms = []
+    for i in range(n_planes):
+        arr = "[" + ", ".join(repr(c) for c in _hyperplane_comps(dim, i, table)) + "]"
+        terms.append(
+            f"(CASE WHEN list_inner_product(e, {arr}) >= 0.0"
+            f" THEN {2 ** i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@_q(
+    "q44_cosine_near_dup_lsh",
+    f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), sig AS (
+      SELECT vec_id, e, 0 AS tbl, {_rhp_bucket_sql(64, 6, 0)} AS bucket FROM v
+      UNION ALL
+      SELECT vec_id, e, 1 AS tbl, {_rhp_bucket_sql(64, 6, 1)} AS bucket FROM v
+    ), pr AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {S_FLOOR("list_cosine_similarity(a.e, b.e)", 6)} AS cosine_sim
+      FROM sig a JOIN sig b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, MAX(cosine_sim) AS cosine_sim
+    FROM pr WHERE cosine_sim >= 0.3
+    GROUP BY id_a, id_b
+    """,
+)
 def q44_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup at scale: RHP-LSH buckets block the
     corpus (never a cross join), exact cosine inside buckets. Random
     corpus has no true dups, so the demo threshold is low; recall on
-    planted near-dups is asserted in tests/test_similarity.py."""
+    planted near-dups is asserted in tests/test_similarity.py.
+    Value-oracled since round 7: the hyperplanes are deterministic
+    literals the oracle replays (_rhp_bucket_sql) and the similarity
+    uses the cross-engine floor6 idiom instead of Spark HALF_UP
+    rounding (floor6=True), so bucketing AND scores hash-compare
+    exactly — the q189 cosine discipline applied to the LSH path."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_near_dup_pairs(
-        emb, dim=64, threshold=0.3, n_planes=6, n_tables=2
+        emb, dim=64, threshold=0.3, n_planes=6, n_tables=2, floor6=True
     )
 
 
@@ -8256,13 +8303,19 @@ def q192_bfs_supplier_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # affinity (q185 for q119), real-GIF LZW features (q177 for q157 —
 # multimodal keeps q176/q158), and largest-remainder apportionment
 # (q187 for q97 — EXISTS keeps q56).
+# Round 7: the round-5 marquee families that still had no driver row
+# after the empty round 6 (VERDICT r6 Next #1) displace six slots green
+# in multiple prior rounds: chunk dedup (q179 for q42), BPE train (q181
+# for q18), dup-ngram memorization (q182 for q108), BPE encode (q184
+# for q110), plus the two never-in-6-rounds entries: connected
+# components (q67 for q117) and SCD2 (q129 for q13).
 
 _DRIVER_SNAPSHOT_50 = [
     # reference surface: aggregates, scalars, datetime, medallion KPIs
     "q01_pricing_summary",
     "q19_daily_event_kpis",
     "q41_scalar_battery",
-    "q42_datetime_battery",
+    "q179_chunk_dedup_first",  # r7: chunk-level dedup never recorded (q42 datetime battery green r01-r06; D1-D10 stays value-oracled in the full gate)
     "q46_order_lifecycle",
     # joins
     "q161_triangle_count",  # r5: graph metrics never driver-recorded (q04 green r03+r04; joins keep q133/q48/q97)
@@ -8278,19 +8331,19 @@ _DRIVER_SNAPSHOT_50 = [
     # windows
     "q189_rrf_fusion",  # r5: hybrid-rank fusion never recorded (q11 green r01-r04; ranking windows are q189's own core)
     "q172_event_transitions",  # r5: Markov transitions never recorded (q12 green r01-r04; lag/lead family)
-    "q13_running_customer_spend",
+    "q129_scd2_history",  # r7: SCD2 never recorded in 6 rounds (q13 running spend green r01-r06; X10 frames keep q170)
     "q186_tokenizer_fertility",  # r5: fertility metric never recorded (q134 funnel green r03+r04)
     # sort/limit, set ops, sketches
-    "q108_monthly_order_spine",
+    "q182_dup_ngram_fraction",  # r7: dup-ngram memorization scoring never recorded (q108 spine green r04-r06)
     "q55_multiset_ops",
-    "q18_value_percentiles",
+    "q181_bpe_train_2merges",  # r7: BPE training never recorded (q18 green r01-r06; distinct family keeps q145)
     # time windows / sessionization
     "q20_hourly_tumbling",
     "q21_sessionization",
     # SQL surface: subqueries, lateral, UDTF, interactive SQL
     "q49_sql_surface",
     "q56_correlated_subqueries",
-    "q117_arrow_normalize",
+    "q67_dedup_clusters",  # r7: connected components never recorded in 6 rounds (q117 mapInArrow green r04-r06; UDF family keeps q65)
     "q65_udtf_tokenize",
     # semi-structured: JSON, arrays, maps/structs
     "q168_time_weighted_avg",  # r5: TWAP never recorded (q23 green r03+r04; semi-structured keeps q123/q110)
@@ -8300,7 +8353,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q28_exact_dedup_docs",
     "q137_bloom_prefilter_dedup",
     "q188_label_propagation",  # r5: deterministic LPA never recorded (q165 SimHash green r04; X18 keeps q28/q137/q162/q152)
-    "q110_variant_props",
+    "q184_bpe_encode_tokens",  # r7: BPE corpus encode never recorded (q110 VARIANT green r04-r06; semi-structured keeps q123)
     # similarity family
     "q36_knn_vec0",
     "q126_pagerank_nations",
