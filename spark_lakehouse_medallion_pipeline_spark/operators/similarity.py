@@ -191,9 +191,13 @@ def lsh_knn_join(
     q_id: str = "q_id",
     c_id: str = "vec_id",
     vec_col: str = "embedding",
+    floor6: bool = False,
 ) -> DataFrame:
     """ANN k-NN join: bucket both sides by RHP signature, hash-join on the
-    bucket, exact cosine + top-k inside buckets.
+    bucket, exact cosine + top-k inside buckets. ``floor6`` switches the
+    similarity to the cross-engine-stable FLOOR(x*1e6+0.5)/1e6 idiom so
+    a SQL oracle can replay scores bit-exactly (see
+    cosine_near_dup_pairs).
 
     Recall knobs (standard LSH design space):
       - ``n_tables`` independent plane families (OR-construction): a true
@@ -257,10 +261,14 @@ def lsh_knn_join(
         "_qvec",
         F.explode(F.array_distinct(F.array(*probe_structs))).alias("_b"),
     ).select(q_id, "_qvec", F.col("_b.table").alias("_table"), F.col("_b.sig").alias("_bucket"))
+    raw = cosine(F.col("_cvec"), F.col("_qvec"))
+    sim = (
+        F.floor(raw * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        if floor6
+        else F.round(raw, 6)
+    )
     scored = c_sig.join(q_probed, on=["_table", "_bucket"]).select(
-        F.col(q_id),
-        F.col(c_id),
-        F.round(cosine(F.col("_cvec"), F.col("_qvec")), 6).alias("cosine_sim"),
+        F.col(q_id), F.col(c_id), sim.alias("cosine_sim")
     )
     # A (query, corpus) pair can arrive via several probes — dedup before top-k.
     scored = scored.groupBy(q_id, c_id).agg(F.max("cosine_sim").alias("cosine_sim"))
@@ -413,23 +421,47 @@ def ivf_centroids(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    portable: bool = False,
 ) -> list[list[float]]:
     """Deterministic IVF 'training': pick n_centroids corpus vectors by
     lowest xxhash64(id) (a reproducible uniform sample — no iterative
     k-means, which buys little on normalized web-scale embeddings) and
     L2-normalize them driver-side. The collect is n_centroids rows — the
-    model, not the data."""
+    model, not the data.
+
+    ``portable=True`` makes the whole model SQL-replayable (the q162
+    portable-hash + q44 literal-planes discipline): the sample order is
+    the portable 60-bit md5 hash instead of Spark xxhash64, and the
+    normalized components are quantized to the e6 grid with the
+    cross-engine FLOOR idiom — math.sqrt and the sequential
+    sum-of-squares are IEEE-identical to SQL sqrt + list_reduce, and
+    the e6 floor absorbs any remaining ulp, so an oracle can rebuild
+    the exact centroid table from the data."""
+    if portable:
+        order = F.expr(
+            f"CAST(conv(substr(md5(CAST({id_col} AS STRING)), 2, 15), 16, 10)"
+            " AS BIGINT)"
+        )
+    else:
+        order = F.xxhash64(F.col(id_col).cast("string"))
     rows = (
         corpus.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+        .orderBy(order, F.col(id_col))
         .limit(n_centroids)
         .collect()
     )
+    import math
+
     cents = []
     for r in rows:
         v = [float(x) for x in r[1]]
-        norm = sum(x * x for x in v) ** 0.5 or 1.0
-        cents.append([x / norm for x in v])
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        if portable:
+            cents.append(
+                [math.floor(x / norm * 1e6 + 0.5) / 1e6 for x in v]
+            )
+        else:
+            cents.append([x / norm for x in v])
     return cents
 
 
@@ -457,9 +489,12 @@ def ivf_knn_join(
     q_id: str = "q_id",
     c_id: str = "vec_id",
     vec_col: str = "embedding",
+    portable: bool = False,
+    floor6: bool = False,
 ) -> DataFrame:
     """IVF (inverted-file) ANN k-NN join — the cell-probe alternative to
-    lsh_knn_join.
+    lsh_knn_join. ``portable``/``floor6`` make the index and the scores
+    SQL-replayable (see ivf_centroids / cosine_near_dup_pairs).
 
     Index: every corpus vector is assigned to its nearest centroid's cell
     (scan-local argmax over n_centroids dot products). Search: each query
@@ -470,7 +505,7 @@ def ivf_knn_join(
     """
     from pyspark.sql import Window
 
-    cents = ivf_centroids(corpus, n_centroids, c_id, vec_col)
+    cents = ivf_centroids(corpus, n_centroids, c_id, vec_col, portable=portable)
     c_cell = corpus.select(
         F.col(c_id),
         F.col(vec_col).alias("_cvec"),
@@ -485,10 +520,14 @@ def ivf_knn_join(
         F.col(vec_col).alias("_qvec"),
         F.explode(probed).alias("_probe"),
     ).select(q_id, "_qvec", F.col("_probe.cid").alias("_cell"))
+    raw = cosine(F.col("_cvec"), F.col("_qvec"))
+    sim = (
+        F.floor(raw * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        if floor6
+        else F.round(raw, 6)
+    )
     scored = c_cell.join(q_cell, on="_cell").select(
-        F.col(q_id),
-        F.col(c_id),
-        F.round(cosine(F.col("_cvec"), F.col("_qvec")), 6).alias("cosine_sim"),
+        F.col(q_id), F.col(c_id), sim.alias("cosine_sim")
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("cosine_sim"), F.col(c_id))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
@@ -582,6 +621,7 @@ def semantic_dedup(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    portable: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     embeddings, compare pairs only WITHIN a cluster, and drop every
@@ -597,7 +637,7 @@ def semantic_dedup(
 
     Returns surviving rows of ``corpus`` (all original columns).
     """
-    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col, portable=portable)
     assigned = corpus.withColumn(
         "_cell", F.array_max(_centroid_scores(vec_col, cents))["cid"]
     )

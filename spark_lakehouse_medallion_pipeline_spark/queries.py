@@ -1031,15 +1031,81 @@ def q36_knn_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("cosine_sim"), F.col("vec_id")).limit(10)
 
 
-@_q("q37_lsh_knn_join")  # RHP bucketing is engine-side; recall checked in pytest
+def _rhp_bucket_sql(dim: int, n_planes: int, table: int) -> str:
+    """DuckDB expression replaying the engine's RHP bucket id for one
+    plane table: the hyperplanes are DETERMINISTIC blake2b-derived
+    floats (similarity._hyperplane_comps), so the oracle inlines them
+    as literal arrays — the same candidate-pinning move that
+    value-oracled q162/q183 (portable hashes instead of engine-side
+    randomness). Sign of <v, plane> is ulp-stable across engines for
+    real embeddings (|dot| ~ 1e-16 is measure-zero; the engine-side
+    gemm is float64 like list_inner_product)."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.similarity import (
+        _hyperplane_comps,
+    )
+
+    terms = []
+    for i in range(n_planes):
+        arr = "[" + ", ".join(repr(c) for c in _hyperplane_comps(dim, i, table)) + "]"
+        terms.append(
+            f"(CASE WHEN list_inner_product(e, {arr}) >= 0.0"
+            f" THEN {2 ** i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _q37_oracle() -> str:
+    """q37's oracle, built at import: replay the 8-plane RHP bucketing
+    with the engine's deterministic blake2b hyperplanes inlined as
+    literals (the q44 move), including the Hamming-1 multi-probe on the
+    query side (own bucket UNION ALL the 8 single-bit flips — probe
+    buckets are pairwise distinct within a query, so no dedup needed
+    before the per-(q_id, vec_id) MAX that collapses multi-probe hits)."""
+    bucket = _rhp_bucket_sql(64, 8, 0)
+    flips = ", ".join(f"({2 ** i})" for i in range(8))
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), csig AS (
+      SELECT vec_id, e, {bucket} AS bucket FROM v
+    ), qsig AS (
+      SELECT vec_id AS q_id, e AS qe, bucket
+      FROM csig WHERE vec_id < 5
+    ), probes AS (
+      SELECT q_id, qe, bucket FROM qsig
+      UNION ALL
+      SELECT q_id, qe, xor(bucket, p) FROM qsig, (VALUES {flips}) t(p)
+    ), scored AS (
+      SELECT p.q_id, c.vec_id,
+             {S_FLOOR("list_cosine_similarity(c.e, p.qe)", 6)} AS cosine_sim
+      FROM csig c JOIN probes p ON c.bucket = p.bucket
+    ), dd AS (
+      SELECT q_id, vec_id, MAX(cosine_sim) AS cosine_sim
+      FROM scored GROUP BY q_id, vec_id
+    )
+    SELECT q_id, vec_id, cosine_sim FROM (
+      SELECT q_id, vec_id, cosine_sim,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine_sim DESC, vec_id) AS rn
+      FROM dd) z
+    WHERE rn <= 5
+    """
+
+
+@_q("q37_lsh_knn_join", _q37_oracle())
 def q37_lsh_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN k-NN join via random-hyperplane LSH (X19 scale path): bucket
-    join instead of cross join; recall vs brute force asserted in tests."""
+    join instead of cross join; recall vs brute force asserted in tests.
+    Value-oracled since round 7 (the q44 literal-planes move + floor6
+    similarity): bucketing, Hamming-1 multi-probe, and top-5 scores all
+    hash-compare against the SQL replay."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    return similarity.lsh_knn_join(queries, emb, dim=64, k=5, n_planes=8)
+    return similarity.lsh_knn_join(
+        queries, emb, dim=64, k=5, n_planes=8, floor6=True
+    )
 
 
 @_q(
@@ -1299,29 +1365,6 @@ def q43_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _rhp_bucket_sql(dim: int, n_planes: int, table: int) -> str:
-    """DuckDB expression replaying the engine's RHP bucket id for one
-    plane table: the hyperplanes are DETERMINISTIC blake2b-derived
-    floats (similarity._hyperplane_comps), so the oracle inlines them
-    as literal arrays — the same candidate-pinning move that
-    value-oracled q162/q183 (portable hashes instead of engine-side
-    randomness). Sign of <v, plane> is ulp-stable across engines for
-    real embeddings (|dot| ~ 1e-16 is measure-zero; the engine-side
-    gemm is float64 like list_inner_product)."""
-    from spark_lakehouse_medallion_pipeline_spark.operators.similarity import (
-        _hyperplane_comps,
-    )
-
-    terms = []
-    for i in range(n_planes):
-        arr = "[" + ", ".join(repr(c) for c in _hyperplane_comps(dim, i, table)) + "]"
-        terms.append(
-            f"(CASE WHEN list_inner_product(e, {arr}) >= 0.0"
-            f" THEN {2 ** i} ELSE 0 END)"
-        )
-    return " + ".join(terms)
-
-
 @_q(
     "q44_cosine_near_dup_lsh",
     f"""
@@ -1358,16 +1401,77 @@ def q44_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q45_ivf_knn")  # cell-probe ANN; recall checked in pytest
+def _ivf_oracle_cells(n_centroids: int) -> str:
+    """Shared oracle CTEs rebuilding the PORTABLE IVF model from data
+    (q45/q96): centroid sample ordered by the portable 60-bit md5 hash,
+    components e6-quantized exactly as ivf_centroids(portable=True)
+    computes them driver-side (math.sqrt == SQL sqrt, Python sequential
+    sum == list_reduce — IEEE-identical; the e6 FLOOR absorbs any
+    remaining ulp), then every vector assigned to its argmax-dot cell
+    with the engine's larger-cid tie-break (array_max over (score, cid)
+    structs)."""
+    return f"""
+    v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), sel AS (
+      SELECT vec_id, e,
+             row_number() OVER (
+               ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 2, 15))::BIGINT,
+                        vec_id) AS rk
+      FROM v
+    ), cents AS (
+      SELECT CAST(rk - 1 AS INT) AS cid,
+             list_transform(e, x -> FLOOR(x / sqrt(list_reduce(
+                 list_transform(e, y -> y*y), (a,b) -> a+b))
+                 * 1000000.0 + 0.5) / 1000000.0) AS c
+      FROM sel WHERE rk <= {n_centroids}
+    ), cscore AS (
+      SELECT v.vec_id, v.e, cents.cid,
+             list_inner_product(v.e, cents.c) AS score
+      FROM v CROSS JOIN cents
+    ), ranked AS (
+      SELECT vec_id, e, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, cid DESC) AS rn
+      FROM cscore
+    ), ccell AS (
+      SELECT vec_id, e, cid AS cell FROM ranked WHERE rn = 1
+    )"""
+
+
+@_q(
+    "q45_ivf_knn",
+    f"""
+    WITH {_ivf_oracle_cells(16)}, qprobe AS (
+      SELECT vec_id AS q_id, e AS qe, cid AS cell
+      FROM ranked WHERE vec_id < 5 AND rn <= 4
+    ), scored AS (
+      SELECT p.q_id, c.vec_id,
+             {S_FLOOR("list_cosine_similarity(c.e, p.qe)", 6)} AS cosine_sim
+      FROM ccell c JOIN qprobe p ON c.cell = p.cell
+    )
+    SELECT q_id, vec_id, cosine_sim FROM (
+      SELECT q_id, vec_id, cosine_sim,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine_sim DESC, vec_id) AS rn
+      FROM scored) z
+    WHERE rn <= 5
+    """,
+)
 def q45_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN k-NN join (X19 scale path #2): nearest-centroid cells,
-    n_probes cell probes per query, exact cosine inside probed cells."""
+    n_probes cell probes per query, exact cosine inside probed cells.
+    Value-oracled since round 7: portable centroid selection (md5
+    sample order) + e6-quantized centroid components let the oracle
+    rebuild the exact index from the data and replay cell assignment,
+    the 4-cell probe, and the floor6 top-5 (_ivf_oracle_cells)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
     return similarity.ivf_knn_join(
-        queries, emb, dim=64, k=5, n_centroids=16, n_probes=4
+        queries, emb, dim=64, k=5, n_centroids=16, n_probes=4,
+        portable=True, floor6=True,
     )
 
 
@@ -3457,15 +3561,39 @@ def q95_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.pack_sequences(_t(spark, sf_dir, "documents"), ctx_len=512)
 
 
-@_q("q96_semantic_dedup")  # xxhash64 centroid sampling is engine-side; rows-only + pytest
+@_q(
+    "q96_semantic_dedup",
+    f"""
+    WITH {_ivf_oracle_cells(8)}, n AS (
+      SELECT vec_id, cell,
+             list_transform(e, x -> x / sqrt(list_reduce(
+                 list_transform(e, y -> y*y), (a,b) -> a+b))) AS nv
+      FROM ccell
+    ), drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_inner_product(a.nv, b.nv) >= 0.98
+    )
+    SELECT v.vec_id FROM v
+    LEFT JOIN drops d ON d.vec_id = v.vec_id
+    WHERE d.vec_id IS NULL
+    """,
+)
 def q96_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (X19/X17 hybrid): cluster embeddings to IVF cells,
     drop within-cell near-identical vectors (keep lowest id). Pair
     generation never crosses cells — the paper's k-means-then-
-    intra-cluster design. Planted-duplicate recall in pytest."""
+    intra-cluster design. Planted-duplicate recall in pytest.
+    Value-oracled since round 7 via the portable IVF model
+    (_ivf_oracle_cells): the oracle rebuilds the cells and replays the
+    within-cell pair drop (per-row L2 normalization is the identical
+    sqrt + sequential-sum chain on both engines)."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup(
-        emb.select("vec_id", "embedding"), threshold=0.98, n_centroids=8
+        emb.select("vec_id", "embedding"),
+        threshold=0.98,
+        n_centroids=8,
+        portable=True,
     ).select("vec_id")
 
 
