@@ -305,3 +305,42 @@ def test_pca_project_reduces_and_centers(embeddings):
     np.testing.assert_allclose(
         P.var(axis=0), model["explained_var"][:3], rtol=1e-5, atol=1e-7
     )
+
+
+def test_portable_ivf_model_matches_default_semantics(spark, embeddings):
+    """The portable IVF mode (q45/q96's oracle-replayable index) must
+    keep the operator semantics: planted near-identical vector still
+    dropped by semantic_dedup, self-pairs still recovered by
+    ivf_knn_join, and the portable centroid components sit exactly on
+    the e6 grid (the property the SQL oracle rebuild relies on)."""
+    cents = similarity.ivf_centroids(embeddings, n_centroids=4, portable=True)
+    for c in cents:
+        for x in c:
+            assert abs(round(x * 1e6) - x * 1e6) < 1e-9, x
+
+    base = [float(x) for x in embeddings.filter(F.col("vec_id") == 7).head()["embedding"]]
+    tweaked = list(base)
+    tweaked[1] += 1e-4
+    planted = spark.createDataFrame(
+        [(200001, tweaked)], "vec_id bigint, embedding array<double>"
+    )
+    corpus = embeddings.select("vec_id", "embedding").union(planted)
+    kept = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup(
+            corpus, threshold=0.999, portable=True
+        ).collect()
+    }
+    assert 200001 not in kept and 7 in kept
+
+    qs = embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    got = {
+        (r["q_id"], r["vec_id"])
+        for r in similarity.ivf_knn_join(
+            qs, embeddings, dim=64, k=5, n_centroids=8, n_probes=4,
+            portable=True, floor6=True,
+        ).collect()
+    }
+    assert all((q, q) in got for q in range(10))
