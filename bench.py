@@ -118,6 +118,8 @@ HEADLINE = [
     "q190_trimmed_mean",
     "q191_kmeans_spend_segments",
     "q192_bfs_supplier_hops",
+    "q193_column_stats",
+    "q194_price_histogram",
     "medallion_gold_kpis",
 ]
 

@@ -8372,6 +8372,113 @@ def q192_bfs_supplier_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.bfs_hops(_cosupply_edges(spark, sf_dir), seeds, rounds=3)
 
 
+_STATS_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@_q(
+    "q193_column_stats",
+    f"""
+    WITH s AS (
+      {" UNION ALL ".join(
+          f"SELECT '{c}' AS col, {SC(c)} AS v FROM lineitem"
+          for c in _STATS_COLS
+      )}
+    )
+    SELECT col,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv,
+           MIN(v) AS min_c, MAX(v) AS max_c,
+           quantile_cont(v, 0.25) AS p25_c,
+           quantile_cont(v, 0.50) AS p50_c,
+           quantile_cont(v, 0.75) AS p75_c
+    FROM s GROUP BY col
+    """,
+)
+def q193_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-TABLE-style column statistics for lineitem's numeric
+    columns in one scan: row/null counts, EXACT NDV, min/max, and exact
+    interpolated quartiles — the stats a CBO (or a data-quality
+    contract like q127) feeds on. All arithmetic is exact cents;
+    quarter-fraction interpolation on integers is binary-exact on both
+    engines (the q18 discipline). Plan: the 4 columns stack into
+    (col, value) structs under ONE explode so the table is scanned
+    once; the single shuffle is keyed by column name. Exact NDV +
+    exact percentiles are the oracle-verifiable form; at 100 TB the
+    production variant swaps in approx_count_distinct +
+    percentile_approx for a one-pass map-combined aggregate (q30/q18
+    show both primitives) — same plan shape, sketch accumulators."""
+    li = _t(spark, sf_dir, "lineitem")
+    stacked = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"), cents(F.col(c)).alias("v")
+                    )
+                    for c in _STATS_COLS
+                ]
+            )
+        ).alias("s")
+    ).select("s.col", "s.v")
+    return stacked.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nulls"),
+        F.countDistinct("v").alias("ndv"),
+        F.min("v").alias("min_c"),
+        F.max("v").alias("max_c"),
+        F.expr("percentile(v, 0.25)").alias("p25_c"),
+        F.expr("percentile(v, 0.50)").alias("p50_c"),
+        F.expr("percentile(v, 0.75)").alias("p75_c"),
+    )
+
+
+@_q(
+    "q194_price_histogram",
+    f"""
+    WITH v AS (
+      SELECT {SC("l_extendedprice")} AS v FROM lineitem
+    ), b AS (
+      SELECT CAST(MIN(v) AS BIGINT) AS lo, CAST(MAX(v) AS BIGINT) AS hi FROM v
+    )
+    SELECT CAST(LEAST(9, (v - lo) * 10 // (hi - lo + 1)) AS INT) AS bucket,
+           CAST(lo + LEAST(9, (v - lo) * 10 // (hi - lo + 1)) * ((hi - lo + 1) // 10)
+                AS BIGINT) AS approx_lo_c,
+           COUNT(*) AS n_rows
+    FROM v, b
+    GROUP BY 1, 2
+    """,
+)
+def q194_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-bucket equi-width histogram of l_extendedprice — the other
+    half of ANALYZE statistics (q193 covers the scalar stats): bucket
+    boundaries derived from the data's own min/max, assignment by pure
+    integer floor-division so both engines bucket identically (a float
+    width would ulp-drift rows at bucket edges). Plan: a 1-row (min,
+    max) aggregate broadcast back over the scan (the q187 broadcast-
+    totals shape), then one map-side-combined groupBy over at most 10
+    keys — two passes over the column, no sort, no window; at 100 TB
+    the second pass is the same scan the CBO stats job already makes."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.select(cents(F.col("l_extendedprice")).alias("v"))
+    b = v.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    bucket = F.expr("LEAST(9, (v - lo) * 10 div (hi - lo + 1))").cast("int")
+    return (
+        v.crossJoin(F.broadcast(b))
+        .select(
+            bucket.alias("bucket"),
+            F.expr(
+                "CAST(lo + LEAST(9, (v - lo) * 10 div (hi - lo + 1))"
+                " * ((hi - lo + 1) div 10) AS BIGINT)"
+            ).alias("approx_lo_c"),
+        )
+        .groupBy("bucket", "approx_lo_c")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
