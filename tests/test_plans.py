@@ -507,3 +507,16 @@ def test_kmeans_assignment_shuffle_free(spark):
     plan = explain.formatted(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_analyze_stats_exchange_budgets(spark):
+    """q193 (column stats) holds 2 exchanges (partial/final of the
+    expand-distinct aggregate over the single-explode stack); q194
+    (histogram) holds 2 (1-row min/max aggregate + the 10-key groupBy)
+    with the bounds join staying broadcast."""
+    for name in ("q193_column_stats", "q194_price_histogram"):
+        df = QUERIES[name](spark, SF)
+        n = explain.count_exchanges(df)
+        assert n <= 2, f"{name}: {n} exchanges > budget 2"
+    plan = explain.formatted(QUERIES["q194_price_histogram"](spark, SF))
+    assert "SortMergeJoin" not in plan
