@@ -262,11 +262,7 @@ def lsh_knn_join(
         F.explode(F.array_distinct(F.array(*probe_structs))).alias("_b"),
     ).select(q_id, "_qvec", F.col("_b.table").alias("_table"), F.col("_b.sig").alias("_bucket"))
     raw = cosine(F.col("_cvec"), F.col("_qvec"))
-    sim = (
-        F.floor(raw * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
-        if floor6
-        else F.round(raw, 6)
-    )
+    sim = _floor_round6(raw) if floor6 else F.round(raw, 6)
     scored = c_sig.join(q_probed, on=["_table", "_bucket"]).select(
         F.col(q_id), F.col(c_id), sim.alias("cosine_sim")
     )
@@ -353,11 +349,7 @@ def cosine_near_dup_pairs(
         sides.append(sig)
     a, b = sides
     raw = cosine(F.col("_vec_a"), F.col("_vec_b"))
-    sim = (
-        F.floor(raw * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
-        if floor6
-        else F.round(raw, 6)
-    )
+    sim = _floor_round6(raw) if floor6 else F.round(raw, 6)
     return (
         a.join(b, on=["_table", "_bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -521,11 +513,7 @@ def ivf_knn_join(
         F.explode(probed).alias("_probe"),
     ).select(q_id, "_qvec", F.col("_probe.cid").alias("_cell"))
     raw = cosine(F.col("_cvec"), F.col("_qvec"))
-    sim = (
-        F.floor(raw * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
-        if floor6
-        else F.round(raw, 6)
-    )
+    sim = _floor_round6(raw) if floor6 else F.round(raw, 6)
     scored = c_cell.join(q_cell, on="_cell").select(
         F.col(q_id), F.col(c_id), sim.alias("cosine_sim")
     )
