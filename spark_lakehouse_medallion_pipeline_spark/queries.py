@@ -8544,6 +8544,11 @@ def q194_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # for q18), dup-ngram memorization (q182 for q108), BPE encode (q184
 # for q110), plus the two never-in-6-rounds entries: connected
 # components (q67 for q117) and SCD2 (q129 for q13).
+# Late round 7: the three brand-new families take slots whose families
+# keep other reps, so they earn driver rows in their birth round
+# instead of being next round's never-recorded flag: k-means (q191 for
+# q20), BFS (q192 for q161), ANALYZE column stats (q193 for q130 —
+# q194's histogram is the same family, represented by q193).
 
 _DRIVER_SNAPSHOT_50 = [
     # reference surface: aggregates, scalars, datetime, medallion KPIs
@@ -8553,7 +8558,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q179_chunk_dedup_first",  # r7: chunk-level dedup never recorded (q42 datetime battery green r01-r06; D1-D10 stays value-oracled in the full gate)
     "q46_order_lifecycle",
     # joins
-    "q161_triangle_count",  # r5: graph metrics never driver-recorded (q04 green r03+r04; joins keep q133/q48/q97)
+    "q192_bfs_supplier_hops",  # r7 late: multi-source BFS, new reachability class (q161 triangles green r05+r06; graph keeps q188/q67/q126)
     "q158_wav_audio_features",  # r5: audio codec never recorded (q06 green r03+r04)
     "q133_salted_join",
     "q145_bitmap_distinct",
@@ -8573,7 +8578,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q55_multiset_ops",
     "q181_bpe_train_2merges",  # r7: BPE training never recorded (q18 green r01-r06; distinct family keeps q145)
     # time windows / sessionization
-    "q20_hourly_tumbling",
+    "q191_kmeans_spend_segments",  # r7 late: integer-exact Lloyd k-means, brand-new ML family (q20 tumbling green r01-r06; X14 keeps q168/q21)
     "q21_sessionization",
     # SQL surface: subqueries, lateral, UDTF, interactive SQL
     "q49_sql_surface",
@@ -8608,7 +8613,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q124_python_datasource",
     "q127_data_quality",
     "q128_cdc_apply",
-    "q130_point_in_time",
+    "q193_column_stats",  # r7 late: ANALYZE-style stats, new family (q130 PIT green r03-r06; temporal keeps q129 SCD2 + q128 CDC)
 ]
 
 
