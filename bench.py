@@ -507,13 +507,14 @@ def main() -> None:
         errors["corpus_e2e_100k"] = str(exc).split("\n")[0][:200]
         print(f"# corpus_e2e_100k: FAILED ({errors['corpus_e2e_100k']})", file=sys.stderr)
 
-    # BPE scale-linearity spot check (VERDICT r6 Next #7): time the BPE
-    # family at sf0.01 (10x fewer docs than the sf0.1 headline corpus)
-    # and record t(sf)/t(sf0.01). The claim under test: everything after
-    # the first groupBy is VOCABULARY-sized, so a 10x corpus should cost
-    # well under 10x — the ratio substantiates the 100 TB story where
-    # the word-dict collapse is the whole scale move. min-of-2 on the
-    # small side vs min of the two recorded headline passes.
+    # Scale-linearity spot checks (VERDICT r6 Next #7): time selected
+    # families at sf0.01 (10x less data than the sf0.1 headline corpus)
+    # and record t(sf)/t(sf0.01). The claim under test for the BPE
+    # family: everything after the first groupBy is VOCABULARY-sized,
+    # so a 10x corpus should cost well under 10x — the ratio
+    # substantiates the 100 TB story where the word-dict collapse is
+    # the whole scale move. min-of-2 on the small side vs min of the
+    # two recorded headline passes.
     small_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
     if os.path.isdir(small_dir) and os.path.realpath(small_dir) != os.path.realpath(
         sf_dir
@@ -522,6 +523,10 @@ def main() -> None:
             "q181_bpe_train_2merges",
             "q184_bpe_encode_tokens",
             "q186_tokenizer_fertility",
+            # round-7 families: k-means is k-row-aggregate bound, column
+            # stats is one stacked scan — both should grow well under 10x
+            "q191_kmeans_spend_segments",
+            "q193_column_stats",
         ):
             if name not in qs:
                 continue
