@@ -8640,6 +8640,11 @@ def _reorder_for_driver_snapshot() -> None:
     head = set(_DRIVER_SNAPSHOT_50)
     missing = head - set(QUERIES)
     assert not missing, f"snapshot names not registered: {missing}"
+    # Every driver-recorded slot must be VALUE-oracled: rotating a
+    # rows-only query into the head would silently downgrade that slot
+    # from hash-compared to count-only on the scoreboard.
+    unoracled = head - set(ORACLE)
+    assert not unoracled, f"snapshot slots without oracle SQL: {unoracled}"
     tail = [n for n in QUERIES if n not in head]
     for mapping in (QUERIES, ORACLE):
         prev = dict(mapping)
