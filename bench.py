@@ -120,6 +120,7 @@ HEADLINE = [
     "q192_bfs_supplier_hops",
     "q193_column_stats",
     "q194_price_histogram",
+    "q195_weighted_sample",
     "medallion_gold_kpis",
 ]
 

@@ -8372,6 +8372,60 @@ def q192_bfs_supplier_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.bfs_hops(_cosupply_edges(spark, sf_dir), seeds, rounds=3)
 
 
+@_q(
+    "q195_weighted_sample",
+    """
+    WITH k AS (
+      SELECT source, doc_id, n_chars,
+             ln((('0x' || substr(md5(doc_id::VARCHAR), 2, 15))::BIGINT + 1)
+                / 1152921504606846976.0) / n_chars AS skey
+      FROM documents WHERE n_chars >= 1
+    )
+    SELECT source, doc_id, n_chars, rk FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY skey DESC, doc_id) AS rk
+      FROM k) z
+    WHERE rk <= 5
+    """,
+)
+def q195_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ITEM weighted sampling without replacement (Efraimidis-
+    Spirakis A-Res): 5 documents per source with inclusion probability
+    proportional to n_chars — the quality/length-weighted sampler an
+    LLM mixture uses when weights vary per document (q154/q76 cover
+    per-STRATUM rates; this is the per-item primitive). Rank key is
+    ln(u)/w with u a portable-md5 uniform in (0, 1] — deterministic, no
+    RNG, and both engines compute the identical formula (ln may differ
+    in the last ulp; adjacent keys of random 60-bit hashes are ~1e-3
+    apart, so a rank flip is measure-zero — the q45 argmax risk class).
+    Zero-weight docs are excluded by contract (ln(u)/0 is undefined).
+    Plan: one scan, one per-source window — the distributed one-pass
+    weighted reservoir; at 100 TB the window is per-source and the
+    sample size is a constant, so TakeOrderedAndProject-style partial
+    top-k applies within every partition."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 1)
+    u = (
+        F.expr(
+            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 2, 15), 16, 10)"
+            " AS BIGINT)"
+        )
+        + F.lit(1)
+    ) / F.lit(float(2**60))
+    k = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (F.log(u) / F.col("n_chars")).alias("skey"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("skey"), F.asc("doc_id"))
+    return (
+        k.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "doc_id", "n_chars", "rk")
+    )
+
+
 _STATS_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 

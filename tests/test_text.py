@@ -445,3 +445,35 @@ def test_bpe_empty_word_guard(spark):
         "ab": "ab",
         "a": "a",
     }
+
+
+def test_weighted_sample_ares_properties(spark, sf_dir):
+    """q195 A-Res weighted sampling: deterministic across runs, exactly
+    5 per source, zero-weight docs excluded, and a document whose
+    weight dwarfs the corpus is (near-)surely included — the
+    inclusion-probability property that separates per-item A-Res from
+    per-stratum rate sampling."""
+    from spark_lakehouse_medallion_pipeline_spark.queries import QUERIES
+
+    q = QUERIES["q195_weighted_sample"]
+    a = sorted((r["source"], r["doc_id"]) for r in q(spark, sf_dir).collect())
+    b = sorted((r["source"], r["doc_id"]) for r in q(spark, sf_dir).collect())
+    assert a == b and len(a) > 0
+    from collections import Counter
+
+    per_source = Counter(s for s, _ in a)
+    assert all(n == 5 for n in per_source.values())
+
+    # Heavy-weight inclusion: ln(u)/w -> 0- as w -> inf, beating any
+    # finite-weight competitor's key with overwhelming probability.
+    rows = [(i, "s0", 1 if i else 10**9) for i in range(20)] + [(99, "s0", 0)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    docs.createOrReplaceTempView("_ares_docs")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        got = {r["doc_id"] for r in q(spark, tmp).collect()}
+    assert 0 in got  # the 10^9-weight doc
+    assert 99 not in got  # zero-weight excluded by contract
+    assert len(got) == 5
