@@ -8603,6 +8603,8 @@ def q194_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # instead of being next round's never-recorded flag: k-means (q191 for
 # q20), BFS (q192 for q161), ANALYZE column stats (q193 for q130 —
 # q194's histogram is the same family, represented by q193).
+# Also late round 7: per-item weighted sampling (q195 for q164 —
+# anonymization's q164 is green r04-r06 and text keeps 4 reps).
 
 _DRIVER_SNAPSHOT_50 = [
     # reference surface: aggregates, scalars, datetime, medallion KPIs
@@ -8654,7 +8656,7 @@ _DRIVER_SNAPSHOT_50 = [
     # text analysis family
     "q163_pmi_collocations",  # r5: collocation mining never recorded (q29 green r03+r04; text keeps q119/q95)
     "q152_fuzzy_name_pairs_d2",
-    "q164_pseudonymize_ids",  # r4: anonymization rep (q136 recorded green r03)
+    "q195_weighted_sample",  # r7 late: per-item A-Res weighted sampler, new family (q164 pseudonymize green r04-r06; text keeps q163/q152/q95/q185)
     "q183_ann_recall_eval",  # r5: recall-vs-brute eval never recorded (q153 green r04; q183 embeds the same exact_rerank)
     "q95_sequence_packing",
     "q185_domain_affinity",  # r5: domain scoring never recorded (q119 classifier green r03+r04)
