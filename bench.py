@@ -221,7 +221,7 @@ def main() -> None:
     section_stats = {}
 
     def timed_e2e(
-        label: str, reps: int = 2, stat: str = "min", warmup: int = 0, **kwargs
+        label: str, reps: int = 2, warmup: int = 0, **kwargs
     ) -> None:
         samples = []
         for rep in range(-warmup, reps):
@@ -251,11 +251,7 @@ def main() -> None:
                 return
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
-        if stat == "median":
-            # lower-middle median (same rationale as the payload section)
-            timings[label] = sorted(samples)[(len(samples) - 1) // 2]
-        else:
-            timings[label] = min(samples)
+        timings[label] = min(samples)
         variance[f"{label}_runs_sec"] = samples
         print(f"# {label}: {timings[label]:.2f}s (runs {samples})", file=sys.stderr)
 
@@ -531,6 +527,13 @@ def main() -> None:
         ):
             if name not in qs:
                 continue
+            if name not in run1 and name not in run2:
+                print(
+                    f"# scale-linearity {name} skipped: no recorded headline"
+                    " timing (query failed both passes)",
+                    file=sys.stderr,
+                )
+                continue
             try:
                 small_samples = []
                 for _ in range(2):
@@ -538,7 +541,7 @@ def main() -> None:
                     qs[name](spark, small_dir).count()
                     small_samples.append(round(time.time() - t0, 3))
                 t_small = min(small_samples)
-                t_big = min(x for x in (run1.get(name), run2.get(name)) if x)
+                t_big = min(x for x in (run1.get(name), run2.get(name)) if x is not None)
                 variance[f"{name}_sf001_sec"] = t_small
                 variance[f"{name}_scale_ratio_10x_docs"] = round(
                     t_big / max(t_small, 1e-9), 2

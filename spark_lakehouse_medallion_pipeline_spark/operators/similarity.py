@@ -639,10 +639,17 @@ def semantic_dedup(
     )
     a = e.select(F.col("_id").alias("id_a"), F.col("_cell"), F.col("_v").alias("_va"))
     b = e.select(F.col("_id").alias("id_b"), F.col("_cell"), F.col("_v").alias("_vb"))
+    pair_dot = dot(F.col("_va"), F.col("_vb"))
+    if portable:
+        # e6-floor the pair dot before the threshold compare so a SQL
+        # oracle's summation-order ulps can't flip a drop decision at
+        # the boundary (the q37/q44/q45 absorber; raw-double compare
+        # was this family's only unabsorbed threshold).
+        pair_dot = _floor_round6(pair_dot)
     dropped = (
         a.join(b, on="_cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(dot(F.col("_va"), F.col("_vb")) >= threshold)
+        .filter(pair_dot >= threshold)
         .select(F.col("id_b").alias("_drop_id"))
         .distinct()
     )

@@ -666,10 +666,18 @@ def q18_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions interpolate exactly on integers, so Spark percentile()
     and DuckDB quantile_cont() agree bit-for-bit."""
     ev = _t(spark, sf_dir, "events").withColumn("value_c", cents(F.col("value")))
-    return ev.groupBy("event_type").agg(
-        (F.expr("percentile(value_c, 0.25)") / F.lit(100.0)).alias("p25"),
-        (F.expr("percentile(value_c, 0.50)") / F.lit(100.0)).alias("p50"),
-        (F.expr("percentile(value_c, 0.75)") / F.lit(100.0)).alias("p75"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            # single buffer for all three quartiles (see q193)
+            F.expr("percentile(value_c, array(0.25, 0.50, 0.75))").alias("_p")
+        )
+        .select(
+            "event_type",
+            (F.col("_p")[0] / F.lit(100.0)).alias("p25"),
+            (F.col("_p")[1] / F.lit(100.0)).alias("p50"),
+            (F.col("_p")[2] / F.lit(100.0)).alias("p75"),
+        )
     )
 
 
@@ -3572,7 +3580,8 @@ def q95_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), drops AS (
       SELECT DISTINCT b.vec_id
       FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
-      WHERE list_inner_product(a.nv, b.nv) >= 0.98
+      WHERE FLOOR(list_inner_product(a.nv, b.nv) * 1000000.0 + 0.5)
+              / 1000000.0 >= 0.98
     )
     SELECT v.vec_id FROM v
     LEFT JOIN drops d ON d.vec_id = v.vec_id
@@ -3587,7 +3596,9 @@ def q96_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Value-oracled since round 7 via the portable IVF model
     (_ivf_oracle_cells): the oracle rebuilds the cells and replays the
     within-cell pair drop (per-row L2 normalization is the identical
-    sqrt + sequential-sum chain on both engines)."""
+    sqrt + sequential-sum chain on both engines; the pair dot is
+    e6-floored before the threshold compare so summation-order ulps
+    can't flip a drop at the boundary)."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup(
         emb.select("vec_id", "embedding"),
@@ -8475,17 +8486,32 @@ def q193_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s")
     ).select("s.col", "s.v")
-    return stacked.groupBy("col").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_nulls"),
-        F.countDistinct("v").alias("ndv"),
-        F.min("v").alias("min_c"),
-        F.max("v").alias("max_c"),
-        F.expr("percentile(v, 0.25)").alias("p25_c"),
-        F.expr("percentile(v, 0.50)").alias("p50_c"),
-        F.expr("percentile(v, 0.75)").alias("p75_c"),
+    return (
+        stacked.groupBy("col")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_nulls"),
+            F.countDistinct("v").alias("ndv"),
+            F.min("v").alias("min_c"),
+            F.max("v").alias("max_c"),
+            # one percentile buffer for all three quartiles — three
+            # scalar percentile() aggs would each hold and sort their
+            # own copy of every group's value list
+            F.expr("percentile(v, array(0.25, 0.50, 0.75))").alias("_p"),
+        )
+        .select(
+            "col",
+            "n_rows",
+            "n_nulls",
+            "ndv",
+            "min_c",
+            "max_c",
+            F.col("_p")[0].alias("p25_c"),
+            F.col("_p")[1].alias("p50_c"),
+            F.col("_p")[2].alias("p75_c"),
+        )
     )
 
 

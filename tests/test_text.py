@@ -468,7 +468,6 @@ def test_weighted_sample_ares_properties(spark, sf_dir):
     # finite-weight competitor's key with overwhelming probability.
     rows = [(i, "s0", 1 if i else 10**9) for i in range(20)] + [(99, "s0", 0)]
     docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
-    docs.createOrReplaceTempView("_ares_docs")
     import tempfile
 
     with tempfile.TemporaryDirectory() as tmp:
