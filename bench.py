@@ -121,6 +121,7 @@ HEADLINE = [
     "q193_column_stats",
     "q194_price_histogram",
     "q195_weighted_sample",
+    "q196_rank_distributions",
     "medallion_gold_kpis",
 ]
 

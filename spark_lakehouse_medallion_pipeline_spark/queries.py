@@ -8437,6 +8437,43 @@ def q195_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q196_rank_distributions",
+    f"""
+    SELECT c_nationkey, c_custkey,
+           {SC("c_acctbal")} AS bal_c,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY {SC("c_acctbal")} DESC, c_custkey)
+    """,
+)
+def q196_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTION window functions (completing X8's ranking
+    family beyond row_number/rank/dense_rank): per-nation customer
+    balance quartiles (ntile), percent_rank, and cume_dist. All three
+    are exact integer-ratio functions — percent_rank = (rank-1)/(n-1),
+    cume_dist = peers_through/n, ntile the ANSI front-loaded split —
+    so with a UNIQUE ordering (cents balance desc, custkey) both
+    engines produce bit-identical doubles from identical integer
+    divisions. One partitioned window = one shuffle; per-nation
+    partitions are customer-count bounded."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc(cents(F.col("c_acctbal"))), F.asc("c_custkey")
+    )
+    return cust.select(
+        "c_nationkey",
+        "c_custkey",
+        cents(F.col("c_acctbal")).alias("bal_c"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
 _STATS_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 
