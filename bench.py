@@ -122,6 +122,7 @@ HEADLINE = [
     "q194_price_histogram",
     "q195_weighted_sample",
     "q196_rank_distributions",
+    "q197_bitwise_flag_rollup",
     "medallion_gold_kpis",
 ]
 

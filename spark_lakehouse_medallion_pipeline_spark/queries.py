@@ -8474,6 +8474,54 @@ def q196_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q197_bitwise_flag_rollup",
+    f"""
+    WITH f AS (
+      SELECT l_linestatus,
+             CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                + CASE WHEN {SC("l_discount")} > 5 THEN 2 ELSE 0 END
+                + CASE WHEN {SC("l_tax")} > 4 THEN 4 ELSE 0 END
+                + CASE WHEN l_quantity >= 25 THEN 8 ELSE 0 END
+                AS BIGINT) AS flags
+      FROM lineitem
+    )
+    SELECT l_linestatus,
+           CAST(bit_and(flags) AS BIGINT) AS all_set,
+           CAST(bit_or(flags) AS BIGINT) AS any_set,
+           CAST(bit_xor(flags) AS BIGINT) AS parity,
+           COUNT(*) AS n_lines
+    FROM f GROUP BY l_linestatus
+    """,
+)
+def q197_bitwise_flag_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate rollup (bit_and / bit_or / bit_xor) over a
+    per-row flag mask — the permission-mask / feature-flag pattern,
+    complementing q145's positional bitmaps: all_set tells which flags
+    hold on EVERY line of the group, any_set which hold on at least
+    one, parity the xor fold. Bitwise folds are commutative and
+    associative, so the aggregation is order-independent — bit-exact
+    across engines and partitionings by construction, and fully
+    map-side combinable (one scan, one tiny shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    flags = (
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        + F.when(cents(F.col("l_discount")) > 5, 2).otherwise(0)
+        + F.when(cents(F.col("l_tax")) > 4, 4).otherwise(0)
+        + F.when(F.col("l_quantity") >= 25, 8).otherwise(0)
+    ).cast("bigint")
+    return (
+        li.select("l_linestatus", flags.alias("flags"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.expr("bit_and(flags)").alias("all_set"),
+            F.expr("bit_or(flags)").alias("any_set"),
+            F.expr("bit_xor(flags)").alias("parity"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 _STATS_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 
