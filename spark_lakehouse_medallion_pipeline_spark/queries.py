@@ -8716,6 +8716,16 @@ def q194_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q194's histogram is the same family, represented by q193).
 # Also late round 7: per-item weighted sampling (q195 for q164 —
 # anonymization's q164 is green r04-r06 and text keeps 4 reps).
+# Round 8 (VERDICT r7 Next #1): the last five first-class families
+# without any driver row rotate in — q194 histogram, q196 distribution
+# windows, q197 bitwise aggregates (all born after the r7 rotation),
+# plus q125 cogroup-as-of and q135 retention cohorts (the only two
+# API-surface families never recorded in 7 rounds). Displacements are
+# the verdict's own candidates, each green >=3 rounds with family
+# cover: q21 (X15 keeps q168 + streaming pytest), q55 (set-ops stays
+# value-oracled in the full gate), q49 (SQL surface keeps q56), q28
+# (dedup keeps q137/q162/q152/q179), q95 (text keeps q163/q152/q185/
+# q186).
 
 _DRIVER_SNAPSHOT_50 = [
     # reference surface: aggregates, scalars, datetime, medallion KPIs
@@ -8742,13 +8752,13 @@ _DRIVER_SNAPSHOT_50 = [
     "q186_tokenizer_fertility",  # r5: fertility metric never recorded (q134 funnel green r03+r04)
     # sort/limit, set ops, sketches
     "q182_dup_ngram_fraction",  # r7: dup-ngram memorization scoring never recorded (q108 spine green r04-r06)
-    "q55_multiset_ops",
+    "q196_rank_distributions",  # r8: ntile/percent_rank/cume_dist never recorded (q55 multiset green r01-r07; set ops stay value-oracled in the full gate)
     "q181_bpe_train_2merges",  # r7: BPE training never recorded (q18 green r01-r06; distinct family keeps q145)
     # time windows / sessionization
     "q191_kmeans_spend_segments",  # r7 late: integer-exact Lloyd k-means, brand-new ML family (q20 tumbling green r01-r06; X14 keeps q168/q21)
-    "q21_sessionization",
+    "q125_cogroup_asof",  # r8: applyInPandas cogroup never recorded in 7 rounds (q21 sessionization green r01-r07; X15 keeps q168 + streaming pytest)
     # SQL surface: subqueries, lateral, UDTF, interactive SQL
-    "q49_sql_surface",
+    "q197_bitwise_flag_rollup",  # r8: bit_and/or/xor aggregates never recorded (q49 SQL surface green r01-r07; S11 keeps q56)
     "q56_correlated_subqueries",
     "q67_dedup_clusters",  # r7: connected components never recorded in 6 rounds (q117 mapInArrow green r04-r06; UDF family keeps q65)
     "q65_udtf_tokenize",
@@ -8757,7 +8767,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q162_minhash_portable",  # r4: value-oracled LSH displaces 4th semi-structured rep
     "q123_xml_battery",
     # dedup family
-    "q28_exact_dedup_docs",
+    "q194_price_histogram",  # r8: equi-width histogram never recorded (q28 exact dedup green r01-r07; X17 keeps q137/q162/q152/q179)
     "q137_bloom_prefilter_dedup",
     "q188_label_propagation",  # r5: deterministic LPA never recorded (q165 SimHash green r04; X18 keeps q28/q137/q162/q152)
     "q184_bpe_encode_tokens",  # r7: BPE corpus encode never recorded (q110 VARIANT green r04-r06; semi-structured keeps q123)
@@ -8769,7 +8779,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q152_fuzzy_name_pairs_d2",
     "q195_weighted_sample",  # r7 late: per-item A-Res weighted sampler, new family (q164 pseudonymize green r04-r06; text keeps q163/q152/q95/q185)
     "q183_ann_recall_eval",  # r5: recall-vs-brute eval never recorded (q153 green r04; q183 embeds the same exact_rerank)
-    "q95_sequence_packing",
+    "q135_retention_cohorts",  # r8: cohort matrices never recorded in 7 rounds (q95 packing green r04-r07; text keeps q163/q152/q185/q186)
     "q185_domain_affinity",  # r5: domain scoring never recorded (q119 classifier green r03+r04)
     # multimodal, pandas-UDF, layout, TPC-H decorrelated shapes
     "q177_gif_image_features",  # r5: real-GIF LZW codec never recorded (q157 BMP green r04; multimodal keeps q176/q158)
