@@ -2,8 +2,12 @@
 
 Runs the headline queries from __spark_entry__.queries() at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and prints JSON:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Two stdout lines, same schema: the full verbose record first (also
+written to BENCH_FULL_LATEST.json), then a <2000-char compact line
+(bare-q-number keys, 2-decimal times) sized to survive the driver's
+tail-capture window whole. Per-query figure = min of 2 timed passes.
 
 Each query is timed as plan-build + full execution; we materialize with
 a cheap count-style action (df.foreach is overkill; collect on small
@@ -184,17 +188,26 @@ def main() -> None:
                 print(f"# [{run_label}] {name}: FAILED ({errors[name]})", file=sys.stderr)
         return pass_timings
 
-    # N=2 timed passes so run-to-run variance is recorded in the output
-    # (previously a manual README claim): per-query timing reported is
-    # run 1 (comparable with earlier rounds); the variance field carries
-    # both pass totals and the spread.
+    # N=2 timed passes so run-to-run variance is recorded in the output.
+    # Per-query PRIMARY figure is the MIN of the two passes (VERDICT r7
+    # Next #2): despite the warm-up loop above, run1 of the 95-entry
+    # headline was 17.2% slower than run2 in round 7 (first-pass JIT /
+    # code-cache churn across that many distinct plans under gVisor), so
+    # reporting run1 made round-over-round per-query comparison noisy.
+    # min-of-2 is stable to ~1% and both raw pass totals stay in the
+    # variance field for transparency.
     run1 = timed_pass("run1")
     run2 = timed_pass("run2")
-    timings: dict[str, float] = dict(run1)
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        vals = [v for v in (run1.get(name), run2.get(name)) if v is not None]
+        if vals:
+            timings[name] = min(vals)
     t1, t2 = sum(run1.values()), sum(run2.values())
     variance = {
         "headline_total_run1_sec": round(t1, 3),
         "headline_total_run2_sec": round(t2, 3),
+        "headline_total_min_sec": round(sum(timings.values()), 3),
         "spread_pct": round(abs(t1 - t2) / max(min(t1, t2), 1e-9) * 100, 1),
     }
 
@@ -363,11 +376,12 @@ def main() -> None:
         errors["dedup_lsh_100k"] = str(exc).split("\n")[0][:200]
         print(f"# dedup_lsh_100k: FAILED ({errors['dedup_lsh_100k']})", file=sys.stderr)
 
-    # Scale-linearity point: the same LSH pipeline at 1M docs (one timed
-    # run — the 100k entry above carries the variance signal). Expected
-    # ~4x wall for 10x docs as fixed overhead amortizes; the pair count
-    # stays the exact planted 10% (100k pairs) — recall at scale, not
-    # just throughput.
+    # Scale-linearity point: the same LSH pipeline at 1M docs, min-of-2
+    # (a single sample recorded a 34 s transient against a steady ~18 s
+    # in round-7/8 testing — the same first-pass contamination every
+    # other section guards against). Expected ~4-6x wall for 10x docs as
+    # fixed overhead amortizes; the pair count stays the exact planted
+    # 10% (100k pairs) — recall at scale, not just throughput.
     try:
         docs1m = (
             spark.range(1_000_000)
@@ -380,14 +394,28 @@ def main() -> None:
                 ).alias("text"),
             )
         )
-        t0 = time.time()
-        n_pairs_1m = minhash_lsh_candidates(
-            docs1m, num_hashes=64, bands=16, shingle_k=3
-        ).count()
-        timings["dedup_lsh_1m"] = round(time.time() - t0, 3)
+        samples_1m = []
+        n_pairs_1m = -1
+        for _ in range(2):
+            t0 = time.time()
+            n_pairs_1m = minhash_lsh_candidates(
+                docs1m, num_hashes=64, bands=16, shingle_k=3
+            ).count()
+            samples_1m.append(round(time.time() - t0, 3))
+        timings["dedup_lsh_1m"] = min(samples_1m)
+        variance["dedup_lsh_1m_runs_sec"] = samples_1m
+        # Scale ratio for the dedup family (VERDICT r7 Next #7): LSH cost
+        # is n*bands-linear (signature + banding shuffle) plus a fixed
+        # per-job constant, so 10x docs should land well under 10x wall —
+        # r7 raw numbers gave 5.1x (3.6 -> 18.1 s).
+        if timings.get("dedup_lsh_100k"):
+            variance["dedup_lsh_scale_ratio_10x_data"] = round(
+                timings["dedup_lsh_1m"] / timings["dedup_lsh_100k"], 2
+            )
         print(
             f"# dedup_lsh_1m: {timings['dedup_lsh_1m']:.2f}s "
-            f"({n_pairs_1m} candidate pairs)",
+            f"({n_pairs_1m} candidate pairs, "
+            f"{variance.get('dedup_lsh_scale_ratio_10x_data', 'n/a')}x for 10x docs)",
             file=sys.stderr,
         )
     except Exception as exc:
@@ -545,14 +573,17 @@ def main() -> None:
                 t_small = min(small_samples)
                 t_big = min(x for x in (run1.get(name), run2.get(name)) if x is not None)
                 variance[f"{name}_sf001_sec"] = t_small
-                variance[f"{name}_scale_ratio_10x_docs"] = round(
+                # "_10x_data", not "_10x_docs": q191/q193 scale with TPC-H
+                # orders/lineitem rows, not document count (ADVICE r7) —
+                # the neutral suffix covers both input families.
+                variance[f"{name}_scale_ratio_10x_data"] = round(
                     t_big / max(t_small, 1e-9), 2
                 )
                 print(
                     f"# scale-linearity {name}: sf0.01 {t_small:.2f}s -> "
                     f"{t_big:.2f}s at sf{sf} "
-                    f"(ratio {variance[f'{name}_scale_ratio_10x_docs']}x "
-                    f"for 10x docs)",
+                    f"(ratio {variance[f'{name}_scale_ratio_10x_data']}x "
+                    f"for 10x data)",
                     file=sys.stderr,
                 )
             except Exception as exc:
@@ -570,7 +601,70 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+
+    # The driver's capture keeps only the LAST ~2000 characters of stdout
+    # and parses the final line as JSON (BENCH_r07.json: the single
+    # ~3.5 KB line was cut mid-queries-dict and parse failed — VERDICT r7
+    # Next #3). Three-layer fix:
+    #   1. the FULL verbose JSON is written to BENCH_FULL_LATEST.json
+    #      next to this script (committed with the round, so every
+    #      per-query time survives for round-over-round comparison);
+    #   2. the full JSON is still printed first (contract/logs);
+    #   3. the FINAL stdout line is a compact (<2000-char) JSON that fits
+    #      the capture window whole: q-entries keyed by bare q-number
+    #      ("q01" = q01_pricing_summary — names in the full file),
+    #      non-q entries keep full names, values at 2 decimals, variance
+    #      reduced to totals + spread + scale ratios.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LATEST.json"
+    )
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"# could not write {full_path}: {exc}", file=sys.stderr)
     print(json.dumps(out))
+
+    import re
+
+    compact_queries = {
+        (re.match(r"q\d+", k).group(0) if k.startswith("q") else k): round(v, 2)
+        for k, v in timings.items()
+    }
+    compact_variance: dict[str, float] = {
+        "run1": variance["headline_total_run1_sec"],
+        "run2": variance["headline_total_run2_sec"],
+        "min_total": variance["headline_total_min_sec"],
+        "spread_pct": variance["spread_pct"],
+    }
+    for k, v in variance.items():
+        if k.endswith("_scale_ratio_10x_data"):
+            base = k[: -len("_scale_ratio_10x_data")]
+            m = re.match(r"q\d+", base)
+            compact_variance[f"{m.group(0) if m else base}_10x"] = v
+    compact = {
+        "metric": "headline_query_wall_clock_total",
+        "value": total,
+        "unit": "sec",
+        "queries": compact_queries,
+        "sf": sf,
+        "bronze_write_mb_s": bronze_mb_s,
+        "variance": compact_variance,
+        "note": "per-query min-of-2; qNN keys = full names in BENCH_FULL_LATEST.json",
+    }
+    if errors:
+        compact["errors"] = {k: v[:60] for k, v in errors.items()}
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        # Degrade gracefully rather than overflow the capture window:
+        # drop the per-family ratios first, then truncate error text.
+        compact["variance"] = {
+            k: compact_variance[k]
+            for k in ("run1", "run2", "min_total", "spread_pct")
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -1,6 +1,7 @@
 """Distributed clustering in exact integer arithmetic.
 
-Same discipline as operators.graph: floor-divide means and integer
+Same discipline as operators.graph: truncating integer-divide means
+(trunc-toward-zero, matching Spark ``div`` / DuckDB ``//``) and integer
 squared distances make a fixed iteration count BIT-IDENTICAL across
 engines, so the classic iterative-ML loop (Lloyd k-means) can be
 value-oracled as unrolled SQL CTEs instead of settling for a rows-only
@@ -28,7 +29,11 @@ def kmeans_int_2d(
     Seeds are the ``k`` rows with the smallest ids (deterministic, no
     RNG). Each round: (1) assign every point to the centroid minimizing
     integer squared distance, ties to the smallest centroid id; (2)
-    recompute each centroid as the floor-divide mean of its members
+    recompute each centroid as the truncating integer-divide mean of its
+    members — Spark ``div`` and DuckDB ``//`` both truncate TOWARD ZERO,
+    which differs from floor when a coordinate sum is negative (allowed
+    by the contract below); oracles for negative-feature data must be
+    written against trunc, not floor
     (empty clusters keep their previous centroid). Returns the final
     assignment (id, cid, cx, cy).
 

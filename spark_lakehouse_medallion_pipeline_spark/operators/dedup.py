@@ -880,6 +880,7 @@ def contrastive_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     neg_per_pos: int = 1,
+    portable: bool = False,
 ) -> DataFrame:
     """Mine (anchor, other, label) training pairs for embedding /
     reranker models: positives are LSH near-dup candidates (label 1),
@@ -902,8 +903,24 @@ def contrastive_pairs(
     should check the returned label counts.
 
     Returns (id_a, id_b, label) with id_a < id_b.
+
+    ``portable=True`` swaps every hash in the construction — the LSH
+    positives (via ``minhash_lsh_candidates_portable``), the pairing
+    buckets/ranks, and the top-up selection order — from xxhash64 to
+    the 60-bit md5 family, and adds (id_a, id_b) tie-breakers to the
+    selection sort, so the ENTIRE mined set (including how each of the
+    up-to-3 top-up passes fills its deficit) is reproducible
+    digit-for-digit in any engine with md5: the iterative top-up loop
+    value-oracles as unrolled SQL CTEs (q149). Same plan shapes; md5
+    costs ~2x xxhash64 per call, which the fast path (default) avoids.
     """
-    pos = minhash_lsh_candidates(docs, id_col, text_col, num_hashes, bands, shingle_k)
+    pos = (
+        minhash_lsh_candidates_portable(
+            docs, id_col, text_col, num_hashes, bands, shingle_k
+        )
+        if portable
+        else minhash_lsh_candidates(docs, id_col, text_col, num_hashes, bands, shingle_k)
+    )
     # Materialize both reused inputs once: pos_pairs feeds the count,
     # every per-seed anti-join, and the final union; ids feeds one
     # pairing pass per seed. Without truncation each re-read re-runs the
@@ -923,10 +940,30 @@ def contrastive_pairs(
     n_ids = ids.count()
     n_buckets = max(1, min(64, n_ids // 16))
     target = n_pos * neg_per_pos
+    if portable:
+        # Total selection order (hash, id_a, id_b): the tie-breakers cost
+        # nothing (hash collisions are ~2^-60) but make the selected SET
+        # provably identical across engines, which the oracle needs.
+        sel_order = [
+            _pmd5(
+                F.concat(
+                    F.col("id_a").cast("string"),
+                    F.lit(":"),
+                    F.col("id_b").cast("string"),
+                ),
+                9,
+            ),
+            F.col("id_a"),
+            F.col("id_b"),
+        ]
+    else:
+        sel_order = [
+            F.xxhash64(F.col("id_a").cast("string"), F.col("id_b").cast("string"))
+        ]
     neg = (
-        _hash_paired(ids, seed=1, n_buckets=n_buckets)
+        _hash_paired(ids, seed=1, n_buckets=n_buckets, portable=portable)
         .join(pos_pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
-        .orderBy(F.xxhash64(F.col("id_a").cast("string"), F.col("id_b").cast("string")))
+        .orderBy(*sel_order)
         .limit(target)
         .localCheckpoint(eager=True)  # counted + anti-joined per top-up seed
     )
@@ -935,38 +972,51 @@ def contrastive_pairs(
         if deficit <= 0:
             break
         topup = (
-            _hash_paired(ids, seed=seed, n_buckets=n_buckets)
+            _hash_paired(ids, seed=seed, n_buckets=n_buckets, portable=portable)
             .join(pos_pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
             .join(neg, ["id_a", "id_b"], "left_anti")
-            .orderBy(
-                F.xxhash64(F.col("id_a").cast("string"), F.col("id_b").cast("string"))
-            )
+            .orderBy(*sel_order)
             .limit(deficit)
         )
         neg = neg.unionAll(topup).localCheckpoint(eager=True)
     return pos_pairs.unionAll(neg.select("id_a", "id_b", F.lit(0).alias("label")))
 
 
-def _hash_paired(ids: DataFrame, seed: int, n_buckets: int = 64) -> DataFrame:
+def _pmd5(col, seed: int):
+    """Portable 60-bit hash: low 60 bits of md5(col || '#seed') read as
+    hex — ``('0x' || substr(md5(x || '#s'), 2, 15))::BIGINT`` in DuckDB,
+    digit-for-digit (the q162 family, with a '#' separator so id-hash
+    inputs can never collide with shingle-hash inputs)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(col, F.lit(f"#{seed}"))), 2, 15), 16, 10
+    ).cast("bigint")
+
+
+def _hash_paired(
+    ids: DataFrame, seed: int, n_buckets: int = 64, portable: bool = False
+) -> DataFrame:
     """Deterministic pseudo-random disjoint pairing of ``ids['_id']``:
     hash into buckets, rank by a seeded hash inside each bucket, pair
     rank 2k-1 with rank 2k. No global sort, no cross join; different
-    seeds yield (near-)independent pairings for top-up passes."""
+    seeds yield (near-)independent pairings for top-up passes.
+    ``portable=True`` uses the md5 hash family (engine-reproducible)
+    instead of xxhash64."""
     from pyspark.sql import Window
 
     # Seed participates in the BUCKET hash too — with only the ordering
     # seeded, a 2-id bucket would re-produce the identical pair on every
     # seed and the top-up pass could never find fresh candidates.
+    if portable:
+        bkt_hash = _pmd5(F.col("_id").cast("string"), seed * 1000)
+        rank_hash = _pmd5(F.col("_id").cast("string"), seed)
+    else:
+        bkt_hash = F.xxhash64(F.col("_id").cast("string"), F.lit(seed * 1000))
+        rank_hash = F.xxhash64(F.col("_id").cast("string"), F.lit(seed))
     bucketed = ids.select(
         "_id",
-        F.pmod(
-            F.xxhash64(F.col("_id").cast("string"), F.lit(seed * 1000)),
-            F.lit(n_buckets),
-        ).alias("_bkt"),
+        F.pmod(bkt_hash, F.lit(n_buckets)).alias("_bkt"),
     )
-    w = Window.partitionBy("_bkt").orderBy(
-        F.xxhash64(F.col("_id").cast("string"), F.lit(seed)), F.col("_id")
-    )
+    w = Window.partitionBy("_bkt").orderBy(rank_hash, F.col("_id"))
     ranked = bucketed.withColumn("_rn", F.row_number().over(w))
     left = ranked.filter(F.col("_rn") % 2 == 1).select(
         "_bkt", ((F.col("_rn") + 1) / 2).cast("long").alias("_pair"), F.col("_id").alias("_l")

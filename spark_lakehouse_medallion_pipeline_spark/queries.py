@@ -5992,21 +5992,173 @@ def q148_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_q("q149_contrastive_pairs")  # LSH banding not SQL-expressible; pytest-backed
+def _cp_h(expr: str, seed: int) -> str:
+    """DuckDB side of dedup._pmd5: low 60 bits of md5(expr || '#seed')."""
+    return f"('0x' || substr(md5({expr} || '#{seed}'), 2, 15))::BIGINT"
+
+
+def _cp_pairing_ctes(seed: int) -> str:
+    """One deterministic disjoint-pairing pass (dedup._hash_paired,
+    portable mode): bucket by seeded md5, rank by a second seeded md5
+    inside the bucket, pair rank 2k-1 with rank 2k."""
+    return f"""
+    rk{seed} AS (
+      SELECT _id, bkt, row_number() OVER (PARTITION BY bkt ORDER BY rh, _id) AS rn
+      FROM (SELECT _id, {_cp_h('_idv', seed * 1000)} % nb.nb AS bkt,
+                   {_cp_h('_idv', seed)} AS rh
+            FROM ids CROSS JOIN nb)
+    ),
+    pr{seed} AS (
+      SELECT LEAST(l._id, r._id) AS id_a, GREATEST(l._id, r._id) AS id_b
+      FROM rk{seed} l JOIN rk{seed} r
+        ON l.bkt = r.bkt AND l.rn % 2 = 1 AND r.rn = l.rn + 1
+    )"""
+
+
+_CP_SELHASH = _cp_h("CAST(id_a AS VARCHAR) || ':' || CAST(id_b AS VARCHAR)", 9)
+
+_CONTRASTIVE_PORTABLE_SQL = (
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS l FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, array_to_string(l[i:i+1], ' ') AS s
+      FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i
+            FROM toks WHERE len(l) >= 2)
+    ),
+    h AS (
+      SELECT doc_id, seed,
+             MIN(('0x' || substr(md5(s || ':' || (seed // 2)),
+                                 CASE WHEN seed % 2 = 0 THEN 2 ELSE 18 END,
+                                 15))::BIGINT) AS m
+      FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    b AS (
+      SELECT doc_id, seed // 4 AS band,
+             string_agg(m, ',' ORDER BY seed) AS bkey
+      FROM h GROUP BY doc_id, seed // 4
+    ),
+    pos AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM b x JOIN b y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+    ),
+    npos AS (SELECT COUNT(*) AS n FROM pos),
+    ids AS (
+      SELECT DISTINCT doc_id AS _id, CAST(doc_id AS VARCHAR) AS _idv
+      FROM documents
+    ),
+    nb AS (
+      SELECT LEAST(64, GREATEST(1, COUNT(*) // 16)) AS nb FROM ids
+    ),"""
+    + ",".join(_cp_pairing_ctes(s) for s in (1, 2, 3, 4))
+    + f"""
+    ,
+    n1 AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               row_number() OVER (ORDER BY {_CP_SELHASH}, id_a, id_b) AS srn
+        FROM pr1 pr
+        WHERE NOT EXISTS (SELECT 1 FROM pos
+                          WHERE pos.id_a = pr.id_a AND pos.id_b = pr.id_b)
+      ) CROSS JOIN npos WHERE srn <= npos.n
+    ),
+    n2 AS (
+      SELECT * FROM n1 UNION ALL
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               row_number() OVER (ORDER BY {_CP_SELHASH}, id_a, id_b) AS srn
+        FROM pr2 pr
+        WHERE NOT EXISTS (SELECT 1 FROM pos
+                          WHERE pos.id_a = pr.id_a AND pos.id_b = pr.id_b)
+          AND NOT EXISTS (SELECT 1 FROM n1
+                          WHERE n1.id_a = pr.id_a AND n1.id_b = pr.id_b)
+      ) CROSS JOIN npos
+      WHERE srn <= npos.n - (SELECT COUNT(*) FROM n1)
+    ),
+    n3 AS (
+      SELECT * FROM n2 UNION ALL
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               row_number() OVER (ORDER BY {_CP_SELHASH}, id_a, id_b) AS srn
+        FROM pr3 pr
+        WHERE NOT EXISTS (SELECT 1 FROM pos
+                          WHERE pos.id_a = pr.id_a AND pos.id_b = pr.id_b)
+          AND NOT EXISTS (SELECT 1 FROM n2
+                          WHERE n2.id_a = pr.id_a AND n2.id_b = pr.id_b)
+      ) CROSS JOIN npos
+      WHERE srn <= npos.n - (SELECT COUNT(*) FROM n2)
+    ),
+    n4 AS (
+      SELECT * FROM n3 UNION ALL
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               row_number() OVER (ORDER BY {_CP_SELHASH}, id_a, id_b) AS srn
+        FROM pr4 pr
+        WHERE NOT EXISTS (SELECT 1 FROM pos
+                          WHERE pos.id_a = pr.id_a AND pos.id_b = pr.id_b)
+          AND NOT EXISTS (SELECT 1 FROM n3
+                          WHERE n3.id_a = pr.id_a AND n3.id_b = pr.id_b)
+      ) CROSS JOIN npos
+      WHERE srn <= npos.n - (SELECT COUNT(*) FROM n3)
+    ),
+    allp AS (
+      SELECT id_a, id_b, 1 AS label FROM pos
+      UNION ALL
+      SELECT id_a, id_b, 0 AS label FROM n4
+    ),
+    tk AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(lower(text), '\\s+')) AS t
+      FROM documents
+    ),
+    sc AS (
+      SELECT label,
+             1000000 * len(list_intersect(ta.t, tb.t))
+               // (len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t))) AS j6
+      FROM allp
+      JOIN tk ta ON ta.doc_id = allp.id_a
+      JOIN tk tb ON tb.doc_id = allp.id_b
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(j6) // COUNT(*) AS BIGINT) AS mean_jaccard_e6
+    FROM sc GROUP BY label
+    """
+)
+
+
+@_q("q149_contrastive_pairs", _CONTRASTIVE_PORTABLE_SQL)
 def q149_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive training-pair mining (dedup.contrastive_pairs):
     LSH near-dup candidates as positives, hash-bucket-paired non-
     colliding docs as negatives, 1:1. Output audits the mined set:
     per-label pair counts and mean token-set jaccard (positives must
-    separate from negatives — also pinned in pytest). Rows-only: the
-    banding construction isn't one SQL statement; determinism and
-    label separation are pytest-verified."""
+    separate from negatives — also pinned in pytest).
+
+    Value-oracled since round 8 (was rows-only for 7 rounds): the query
+    runs ``portable=True`` — md5 hashes everywhere (LSH positives =
+    the q162 family; pairing buckets/ranks and top-up selection order =
+    seeded 60-bit md5 with (id_a, id_b) tie-breaks) — and the oracle
+    UNROLLS THE ITERATIVE TOP-UP LOOP as CTEs (the q188/q191/q192
+    fixed-iteration discipline): pairing passes pr1..pr4, each top-up
+    ranked by the selection hash and capped at the running deficit
+    (n_k-1 full => cap <= 0 => CTE contributes nothing, exactly like
+    the engine's early break). Audit metrics are exact integers: per
+    pair j6 = 1e6*|inter| // |union|, per label mean = SUM(j6) //
+    COUNT — truncating integer divides both engines share (trunc ==
+    floor here, all non-negative). The xxhash64 fast path stays the
+    production default (2x cheaper hashing) with determinism + label
+    separation pytest-pinned."""
     from spark_lakehouse_medallion_pipeline_spark.operators.dedup import (
         contrastive_pairs,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = contrastive_pairs(docs, shingle_k=2)
+    pairs = contrastive_pairs(
+        docs, num_hashes=16, bands=4, shingle_k=2, portable=True
+    )
     toks = docs.select(
         F.col("doc_id"),
         F.array_distinct(F.split(F.lower(F.col("text")), r"\s+")).alias("_t"),
@@ -6016,17 +6168,17 @@ def q149_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(toks.select(F.col("doc_id").alias("id_b"), F.col("_t").alias("_tb")), "id_b")
         .select(
             "label",
-            (
-                F.size(F.array_intersect("_ta", "_tb")).cast("double")
-                / F.size(F.array_union("_ta", "_tb"))
-            ).alias("_j"),
+            F.expr(
+                "1000000L * size(array_intersect(_ta, _tb)) div "
+                "(size(_ta) + size(_tb) - size(array_intersect(_ta, _tb)))"
+            ).alias("_j6"),
         )
     )
     return (
         scored.groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.floor(F.avg("_j") * 1e6 + F.lit(0.5)).cast("long").alias("mean_jaccard_e6"),
+            F.expr("CAST(sum(_j6) div count(1) AS BIGINT)").alias("mean_jaccard_e6"),
         )
         .orderBy("label")
     )
@@ -8211,7 +8363,8 @@ def q190_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     q173's MAD gate and a plain mean): rank within group by (cents,
     orderkey), drop the bottom and top floor(n/10) ranks, integer-mean
     the rest. All integer arithmetic — the rank cutoffs and the final
-    floor-divide mean cannot straddle an engine rounding boundary. One
+    truncating integer-divide mean (trunc == floor here: cents are
+    non-negative) cannot straddle an engine rounding boundary. One
     shuffle serves rank + count (the q154 window discipline)."""
     orders = _t(spark, sf_dir, "orders")
     c = orders.select(
@@ -8300,8 +8453,10 @@ def q191_kmeans_spend_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-customer spend profile — x = lifetime spend in exact integer
     dollars, y = order count scaled to comparable magnitude — the
     mixture-balancing / embedding-bucketing assignment step a
-    training-data pipeline runs. Exact integer arithmetic (floor-divide
-    means, integer squared distances, smallest-id seeds, smallest-cid
+    training-data pipeline runs. Exact integer arithmetic (truncating
+    integer-divide means — Spark ``div``/DuckDB ``//`` trunc toward
+    zero, which differs from floor for negative coordinate sums — plus
+    integer squared distances, smallest-id seeds, smallest-cid
     tie-break) makes the fixed iteration count BIT-IDENTICAL across
     engines, so the classic iterative-ML loop value-oracles as unrolled
     CTEs (the q188 LPA discipline). Scale shape: the k centroids are a
@@ -8553,7 +8708,10 @@ def q193_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarter-fraction interpolation on integers is binary-exact on both
     engines (the q18 discipline). Plan: the 4 columns stack into
     (col, value) structs under ONE explode so the table is scanned
-    once; the single shuffle is keyed by column name. Exact NDV +
+    once; the aggregate is keyed by column name, and the exact
+    COUNT(DISTINCT v) expands it into a two-exchange plan (partial +
+    final of the expand-distinct rewrite — the budget
+    test_analyze_stats_exchange_budgets pins). Exact NDV +
     exact percentiles are the oracle-verifiable form; at 100 TB the
     production variant swaps in approx_count_distinct +
     percentile_approx for a one-pass map-combined aggregate (q30/q18
@@ -8621,7 +8779,14 @@ def q194_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     half of ANALYZE statistics (q193 covers the scalar stats): bucket
     boundaries derived from the data's own min/max, assignment by pure
     integer floor-division so both engines bucket identically (a float
-    width would ulp-drift rows at bucket edges). Plan: a 1-row (min,
+    width would ulp-drift rows at bucket edges). Contract: assumes a
+    value RANGE of at least 10 ((hi - lo + 1) >= 10, trivially true for
+    prices in cents) — on a narrower range the integer bucket width
+    (hi-lo+1) div 10 is 0, so approx_lo_c collapses to lo for every
+    bucket while bucket ids still spread 0..9; engine and oracle agree
+    in that regime but the label column carries no information, so
+    callers with near-constant columns should pre-check ndv via q193.
+    Plan: a 1-row (min,
     max) aggregate broadcast back over the scan (the q187 broadcast-
     totals shape), then one map-side-combined groupBy over at most 10
     keys — two passes over the column, no sort, no window; at 100 TB

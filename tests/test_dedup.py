@@ -439,6 +439,29 @@ def test_contrastive_pairs_topup_restores_balance(spark):
     assert len(neg_set) == n_neg  # top-up never duplicates a pairing
 
 
+def test_contrastive_pairs_portable_topup_balance(spark):
+    """portable=True (the q149 value-oracle path) must keep the top-up
+    contract with the md5 hash family: exact neg_per_pos balance,
+    disjoint label sets, determinism across runs. Docs 1/2 are exact
+    duplicates so LSH positivity is certain (every band key equal),
+    independent of which hash family is in play."""
+    near = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")]
+    fillers = [(i, f"w{i}a w{i}b w{i}c w{i}d") for i in range(10, 30)]
+    df = spark.createDataFrame(near + fillers, "doc_id long, text string")
+    mine = lambda: dedup.contrastive_pairs(  # noqa: E731
+        df, num_hashes=16, bands=4, shingle_k=2, neg_per_pos=3, portable=True
+    ).collect()
+    pairs = mine()
+    pos_set = {(r["id_a"], r["id_b"]) for r in pairs if r["label"] == 1}
+    neg_set = {(r["id_a"], r["id_b"]) for r in pairs if r["label"] == 0}
+    assert pos_set == {(1, 2)}
+    assert len(neg_set) == 3 and not pos_set & neg_set
+    assert sum(1 for r in pairs if r["label"] == 0) == 3  # no dup rows
+    assert {(r["id_a"], r["id_b"], r["label"]) for r in mine()} == {
+        (r["id_a"], r["id_b"], r["label"]) for r in pairs
+    }
+
+
 def test_jaccard_prefix_join_exact_vs_naive(spark):
     """Prefix filtering must find EXACTLY the naive quadratic answer —
     recall is provable, so any miss is a bug, not a tuning issue."""
