@@ -127,6 +127,8 @@ HEADLINE = [
     "q195_weighted_sample",
     "q196_rank_distributions",
     "q197_bitwise_flag_rollup",
+    "q198_pca_power_customers",
+    "q199_column_stats_sketch",
     "medallion_gold_kpis",
 ]
 

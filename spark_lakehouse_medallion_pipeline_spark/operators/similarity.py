@@ -1180,3 +1180,88 @@ def pca_project(
     proj.__annotations__ = {"v": pd.Series, "return": pd.Series}
     proj_udf = pandas_udf(proj, "array<double>")
     return df.select(F.col(id_col), proj_udf(F.col(vec_col)).alias(out_col))
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Integer divide truncating TOWARD ZERO — the shared semantics of
+    Spark ``div`` and DuckDB ``//`` (Python ``//`` floors, which differs
+    on negatives, so it cannot be used directly)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def power_iteration_top1_int(
+    feats: DataFrame,
+    id_col: str,
+    feature_cols: list[str],
+    rounds: int = 3,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Dominant principal direction of an INTEGER feature matrix by
+    max-norm power iteration on the centered Gram — every step exact
+    integer arithmetic, so a fixed ``rounds`` count is BIT-IDENTICAL
+    across engines and the classic eigen-iteration value-oracles as
+    unrolled SQL CTEs (the q188/q191/q192 discipline applied to PCA;
+    LAPACK ``eigh`` in ``pca_fit`` can never be oracled — see q156).
+
+    Fit: ONE map-side-combined aggregate computes n, the column sums
+    S_j, and the raw second moments G_jk (d(d+1)/2 sums — the model,
+    never the data); the centered Gram n*G - S S^T is assembled
+    DRIVER-SIDE in arbitrary-precision Python ints (it can exceed
+    int64; the distributed sums G_jk themselves must fit, which is the
+    caller's scaling contract — pre-scale features like q191 does with
+    dollars-not-cents). Each iteration is a d x d mat-vec on the
+    driver (d^2 multiplies on a bounded model), normalized by
+    v_j <- trunc(w_j * quant / max|w|) — max-norm, not L2, so the
+    normalizer needs no sqrt and stays in integers. Sign is fixed so
+    the largest-|v_j| coordinate (smallest j on ties) is positive.
+
+    Project: the final direction v is inlined as d literals and folded
+    per row — SHUFFLE-FREE whole-stage codegen, the q191 assignment
+    shape. Returns (id_col, pc1_score) with pc1_score = sum_j x_j*v_j
+    exactly (UNcentered projection: differs from the centered one by a
+    constant shift, which rank/threshold consumers never see; keeping
+    it uncentered keeps the per-row arithmetic in int64).
+
+    Convergence caveat: rate is (lambda2/lambda1)^rounds — meaningful
+    on anisotropic features (pytest pins cos > 0.999 vs numpy eigh on
+    a planted dominant direction); on near-isotropic data (the
+    synthetic embeddings corpus: lambda2/lambda1 ~ 0.99) the result is
+    a deterministic Krylov direction, not a converged PC1.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1 (got {rounds})")
+    d = len(feature_cols)
+    if d < 1:
+        raise ValueError("need at least one feature column")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    aggs += [F.sum(c).alias(f"_s{j}") for j, c in enumerate(feature_cols)]
+    aggs += [
+        F.sum(F.col(feature_cols[j]) * F.col(feature_cols[k])).alias(f"_g{j}_{k}")
+        for j in range(d)
+        for k in range(j, d)
+    ]
+    row = feats.agg(*aggs).collect()[0]
+    n = row["_n"]
+    if n == 0:
+        raise ValueError("power_iteration_top1_int: empty input")
+    S = [int(row[f"_s{j}"]) for j in range(d)]
+    G = [[0] * d for _ in range(d)]
+    for j in range(d):
+        for k in range(j, d):
+            G[j][k] = G[k][j] = int(row[f"_g{j}_{k}"])
+    n = int(n)
+    Gc = [[n * G[j][k] - S[j] * S[k] for k in range(d)] for j in range(d)]
+    v = [quant] * d
+    for _ in range(rounds):
+        w = [sum(Gc[j][k] * v[k] for k in range(d)) for j in range(d)]
+        m = max(abs(x) for x in w) or 1
+        v = [_trunc_div(x * quant, m) for x in w]
+    jmax = min(range(d), key=lambda j: (-abs(v[j]), j))
+    if v[jmax] < 0:
+        v = [-x for x in v]
+    score = sum(
+        (F.col(c).cast("long") * F.lit(v[j]) for j, c in enumerate(feature_cols)),
+        start=F.lit(0).cast("long"),
+    )
+    return feats.select(F.col(id_col), score.cast("long").alias("pc1_score"))

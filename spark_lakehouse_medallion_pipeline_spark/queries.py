@@ -6451,8 +6451,15 @@ def q156_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     position-wise reduction (d + d^2 groups, the model not the data),
     driver-side d x d eigh — then an Arrow-gemm projection of every
     vector to 8 components (operators.similarity.pca_fit/pca_project).
-    Rows-only: eigenvectors are not SQL-expressible; variance capture
-    and agreement with numpy's full PCA are pinned in
+    Rows-only, and structurally so: LAPACK eigh's pivoting/rotation
+    order is not reproducible in SQL, and the integer-power-iteration
+    escape hatch that value-oracled the other iterative ops (q188/
+    q191/q192, and PCA itself as q198) cannot converge on THIS corpus
+    — the synthetic embeddings are near-isotropic (lambda2/lambda1 ~
+    0.99 measured at sf0.01/0.1), so separating 8 components needs the
+    full eigh. q198 runs the oracled power-iteration form on an
+    anisotropic feature matrix instead; here, variance capture and
+    agreement with numpy's full PCA are pinned in
     tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     model = similarity.pca_fit(emb, k=8)
@@ -8677,7 +8684,150 @@ def q197_bitwise_flag_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pow_round_ctes(r: int) -> str:
+    """One max-norm power-iteration round as oracle CTEs: mat-vec on the
+    centered Gram, max-|w| normalizer (sqrt-free), truncating divide."""
+    return f"""
+    w{r} AS (SELECT gc.j, SUM(gc.g * v{r - 1}.v) AS w
+             FROM gc JOIN v{r - 1} ON v{r - 1}.j = gc.k GROUP BY gc.j),
+    m{r} AS (SELECT GREATEST(MAX(ABS(w)), 1) AS m FROM w{r}),
+    v{r} AS (SELECT j, (w * 1000000) // m AS v FROM w{r} CROSS JOIN m{r})"""
+
+
+_PCA_POWER_SQL = (
+    f"""
+    WITH f AS (
+      SELECT o_custkey AS custkey,
+             CAST(SUM({SC("o_totalprice")}) // 100 AS BIGINT) AS x1,
+             CAST(COUNT(*) * 1000 AS BIGINT) AS x2,
+             CAST(MAX({SC("o_totalprice")}) // 100 AS BIGINT) AS x3,
+             CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                           THEN 1000 ELSE 0 END) AS BIGINT) AS x4
+      FROM orders GROUP BY o_custkey
+    ),
+    q AS (
+      SELECT custkey, j,
+             CAST(CASE j WHEN 1 THEN x1 WHEN 2 THEN x2
+                         WHEN 3 THEN x3 ELSE x4 END AS HUGEINT) AS e
+      FROM f CROSS JOIN (SELECT unnest(range(1, 5)) AS j)
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM f),
+    s AS (SELECT j, SUM(e) AS s FROM q GROUP BY j),
+    g AS (SELECT a.j AS j, b.j AS k, SUM(a.e * b.e) AS g
+          FROM q a JOIN q b USING (custkey) GROUP BY a.j, b.j),
+    gc AS (SELECT g.j, g.k, nn.n * g.g - sa.s * sb.s AS g
+           FROM g CROSS JOIN nn
+           JOIN s sa ON sa.j = g.j JOIN s sb ON sb.j = g.k),
+    v0 AS (SELECT unnest(range(1, 5)) AS j, CAST(1000000 AS HUGEINT) AS v),"""
+    + ",".join(_pow_round_ctes(r) for r in (1, 2, 3))
+    + """
+    ,
+    sgn AS (SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS s
+            FROM v3 ORDER BY ABS(v) DESC, j ASC LIMIT 1),
+    vf AS (SELECT j, v * sgn.s AS v FROM v3 CROSS JOIN sgn)
+    SELECT q.custkey, CAST(SUM(q.e * vf.v) AS BIGINT) AS pc1_score
+    FROM q JOIN vf ON vf.j = q.j GROUP BY q.custkey
+    """
+)
+
+
+@_q("q198_pca_power_customers", _PCA_POWER_SQL)
+def q198_pca_power_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-principal-direction score per customer — PCA's power
+    iteration made VALUE-ORACLE-ABLE (VERDICT r7 Next #4): 3 max-norm
+    rounds on the centered Gram of a 4-feature customer matrix
+    (lifetime spend $, order count, largest order $, urgent-order
+    count — the latter three scaled x1000 so no feature is pure noise
+    at int resolution), all in exact integer arithmetic
+    (similarity.power_iteration_top1_int). The oracle unrolls the
+    iteration: n*G - S*S^T centered-Gram CTE, three mat-vec +
+    max-|w| + truncating-divide rounds, largest-|coordinate| sign fix,
+    then the uncentered integer projection — bit-identical because
+    every step is integer (+,*,trunc-div,max,abs), sqrt-free by using
+    the max norm instead of L2. Unlike the embeddings corpus
+    (lambda2/lambda1 ~ 0.99, where no power method separates PC1 —
+    see q156), this feature matrix is strongly anisotropic (spend
+    variance dominates), so 3 rounds converge; cos > 0.999 vs numpy
+    eigh is pytest-pinned on planted data. Scale shape: fit is ONE
+    map-combined 15-sum aggregate (d(d+1)/2 + d + 1 — the model,
+    never the data) + a driver-side d x d iteration; projection is
+    shuffle-free literal-fold codegen (the q191 assignment shape)."""
+    from spark_lakehouse_medallion_pipeline_spark.operators import similarity
+
+    orders = _t(spark, sf_dir, "orders")
+    feats = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.expr(f"CAST(sum({SC('o_totalprice')}) div 100 AS BIGINT)").alias("x1"),
+        (F.count(F.lit(1)) * 1000).alias("x2"),
+        F.expr(f"CAST(max({SC('o_totalprice')}) div 100 AS BIGINT)").alias("x3"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1000).otherwise(0)
+        ).alias("x4"),
+    )
+    return similarity.power_iteration_top1_int(
+        feats, "custkey", ["x1", "x2", "x3", "x4"], rounds=3
+    )
+
+
 _STATS_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@_q("q199_column_stats_sketch")  # HLL/KLL sketches differ per engine; rows-only + pytest rel-error pin vs q193
+def q199_column_stats_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of q193's ANALYZE stats — the sketch-based
+    twin the q193 docstring promises (VERDICT r7 Next #5): same
+    one-explode (col, value) stack and single groupBy, but NDV via
+    approx_count_distinct (HyperLogLog++, default 5% rsd) and quartiles
+    via percentile_approx (KLL-style quantile sketch, accuracy 10000)
+    instead of the exact NDV expand and full-value percentile buffer.
+    Every accumulator is now a CONSTANT-SIZE sketch, so memory per
+    group is O(sketch) rather than O(group) — this is the variant you
+    run on a 100 TB column, and unlike q193 it needs only ONE exchange
+    (no COUNT(DISTINCT) expand rewrite). Rows-only by necessity:
+    Spark's HLL++/quantile-sketch internals differ from DuckDB's
+    (approx_count_distinct/approx_quantile), so cross-engine hashes
+    can never match — accuracy is pinned instead in pytest
+    (test_sketch_stats_rel_error_vs_exact: NDV within 5% and
+    quartiles within 1% of q193's exact answers, the q30 discipline).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    stacked = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"), cents(F.col(c)).alias("v")
+                    )
+                    for c in _STATS_COLS
+                ]
+            )
+        ).alias("s")
+    ).select("s.col", "s.v")
+    return (
+        stacked.groupBy("col")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_nulls"),
+            F.approx_count_distinct("v").alias("ndv_approx"),
+            F.min("v").alias("min_c"),
+            F.max("v").alias("max_c"),
+            F.percentile_approx(
+                "v", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)
+            ).alias("_p"),
+        )
+        .select(
+            "col",
+            "n_rows",
+            "n_nulls",
+            "ndv_approx",
+            "min_c",
+            "max_c",
+            F.col("_p")[0].alias("p25_c"),
+            F.col("_p")[1].alias("p50_c"),
+            F.col("_p")[2].alias("p75_c"),
+        )
+    )
 
 
 @_q(
@@ -8712,10 +8862,11 @@ def q193_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT(DISTINCT v) expands it into a two-exchange plan (partial +
     final of the expand-distinct rewrite — the budget
     test_analyze_stats_exchange_budgets pins). Exact NDV +
-    exact percentiles are the oracle-verifiable form; at 100 TB the
-    production variant swaps in approx_count_distinct +
-    percentile_approx for a one-pass map-combined aggregate (q30/q18
-    show both primitives) — same plan shape, sketch accumulators."""
+    exact percentiles are the oracle-verifiable form; the production
+    100 TB variant with sketch accumulators (approx_count_distinct +
+    percentile_approx, ONE exchange) is REGISTERED as q199 — rel-error
+    vs this exact form pinned in test_sketch_stats_rel_error_vs_exact.
+    """
     li = _t(spark, sf_dir, "lineitem")
     stacked = li.select(
         F.explode(
@@ -8891,6 +9042,11 @@ def q194_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # value-oracled in the full gate), q49 (SQL surface keeps q56), q28
 # (dedup keeps q137/q162/q152/q179), q95 (text keeps q163/q152/q185/
 # q186).
+# Late round 8: the two families value-oracled THIS round take
+# birth-round rows — q149 contrastive top-up loop (for q137, green
+# r04-r07; dedup keeps q162/q152/q179) and q198 integer
+# power-iteration PCA (for q126 PageRank, green r01-r07; graph keeps
+# q192/q67/q188).
 
 _DRIVER_SNAPSHOT_50 = [
     # reference surface: aggregates, scalars, datetime, medallion KPIs
@@ -8932,13 +9088,13 @@ _DRIVER_SNAPSHOT_50 = [
     "q162_minhash_portable",  # r4: value-oracled LSH displaces 4th semi-structured rep
     "q123_xml_battery",
     # dedup family
-    "q194_price_histogram",  # r8: equi-width histogram never recorded (q28 exact dedup green r01-r07; X17 keeps q137/q162/q152/q179)
-    "q137_bloom_prefilter_dedup",
+    "q194_price_histogram",  # r8: equi-width histogram never recorded (q28 exact dedup green r01-r07; X17 keeps q162/q152/q179)
+    "q149_contrastive_pairs",  # r8: newly value-oracled top-up loop, birth-round row (q137 bloom-semi green r04-r07; dedup keeps q162/q152/q179)
     "q188_label_propagation",  # r5: deterministic LPA never recorded (q165 SimHash green r04; X18 keeps q28/q137/q162/q152)
     "q184_bpe_encode_tokens",  # r7: BPE corpus encode never recorded (q110 VARIANT green r04-r06; semi-structured keeps q123)
     # similarity family
     "q36_knn_vec0",
-    "q126_pagerank_nations",
+    "q198_pca_power_customers",  # r8: integer power-iteration PCA, birth-round row (q126 PageRank green r01-r07; graph keeps q192/q67/q188)
     # text analysis family
     "q163_pmi_collocations",  # r5: collocation mining never recorded (q29 green r03+r04; text keeps q119/q95)
     "q152_fuzzy_name_pairs_d2",

@@ -520,3 +520,13 @@ def test_analyze_stats_exchange_budgets(spark):
         assert n <= 2, f"{name}: {n} exchanges > budget 2"
     plan = explain.formatted(QUERIES["q194_price_histogram"](spark, SF))
     assert "SortMergeJoin" not in plan
+
+
+def test_sketch_stats_one_exchange(spark):
+    """q199 (sketch-based ANALYZE twin) must beat q193's budget: with
+    approx_count_distinct there is no expand-distinct rewrite, so the
+    whole stats pass is ONE map-side-combined exchange — the property
+    that makes it the 100 TB form."""
+    df = QUERIES["q199_column_stats_sketch"](spark, SF)
+    n = explain.count_exchanges(df)
+    assert n <= 1, f"q199: {n} exchanges > budget 1"

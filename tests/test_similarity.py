@@ -344,3 +344,74 @@ def test_portable_ivf_model_matches_default_semantics(spark, embeddings):
         ).collect()
     }
     assert all((q, q) in got for q in range(10))
+
+
+# ---------------------------------------------------------------------------
+# Integer power-iteration PCA (q198)
+# ---------------------------------------------------------------------------
+
+
+def test_power_iteration_converges_on_anisotropic_data(spark):
+    """On a planted dominant direction the 3-round integer power
+    iteration must agree with numpy's exact eigh: cosine of the
+    recovered direction > 0.999, and the per-row scores must rank
+    identically to the true centered PC1 projection."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    n = 400
+    t = rng.normal(0.0, 1000.0, n)  # dominant axis, var ~1e6
+    rows = [
+        (
+            int(i),
+            int(round(3 * t[i] + rng.normal(0, 5))),
+            int(round(-2 * t[i] + rng.normal(0, 5))),
+            int(round(1 * t[i] + rng.normal(0, 5))),
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id long, x1 long, x2 long, x3 long")
+    out = similarity.power_iteration_top1_int(
+        df, "id", ["x1", "x2", "x3"], rounds=3
+    )
+    scores = {r["id"]: r["pc1_score"] for r in out.collect()}
+
+    X = np.array([r[1:] for r in rows], dtype=np.float64)
+    C = np.cov(X.T, bias=True)
+    _, evecs = np.linalg.eigh(C)
+    pc1 = evecs[:, -1]
+    true_proj = (X - X.mean(0)) @ pc1
+    ours = np.array([scores[i] for i in range(n)], dtype=np.float64)
+    corr = np.corrcoef(ours, true_proj)[0, 1]
+    assert abs(corr) > 0.999, f"|corr|={abs(corr)}"
+
+
+def test_power_iteration_edge_cases(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 5, 7)], "id long, x1 long, x2 long")
+    # single row: centered Gram is all zero -> v collapses to 0 -> score 0
+    out = similarity.power_iteration_top1_int(df, "id", ["x1", "x2"]).collect()
+    assert out[0]["pc1_score"] == 0
+    empty = df.filter("id < 0")
+    with _pytest.raises(ValueError, match="empty"):
+        similarity.power_iteration_top1_int(empty, "id", ["x1", "x2"])
+    with _pytest.raises(ValueError, match="rounds"):
+        similarity.power_iteration_top1_int(df, "id", ["x1"], rounds=0)
+    with _pytest.raises(ValueError, match="feature column"):
+        similarity.power_iteration_top1_int(df, "id", [])
+
+
+def test_power_iteration_projection_shuffle_budget(spark):
+    """The returned plan must be the q191 shape: the per-id projection
+    adds NO exchange beyond the feature aggregate itself (direction is
+    a driver-side model inlined as literals)."""
+    df = spark.createDataFrame(
+        [(i, i * 10, i % 7) for i in range(50)], "id long, x1 long, x2 long"
+    )
+    feats = df.groupBy("id").agg(
+        F.sum("x1").alias("f1"), F.sum("x2").alias("f2")
+    )
+    out = similarity.power_iteration_top1_int(feats, "id", ["f1", "f2"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1, plan

@@ -227,3 +227,27 @@ def test_readme_counts_match_code():
     assert f"{len(bench.HEADLINE)} headline entries = len(bench.HEADLINE)" in readme
     assert f"({len(bench.HEADLINE) - 1} queries + medallion_gold_kpis" in readme
     assert f"make {len(ORACLE)}/{n_q} battery entries" in readme
+
+
+def test_sketch_stats_rel_error_vs_exact(spark):
+    """q199's sketches must track q193's exact answers (the q30
+    discipline): NDV within 5% (HLL++ default rsd), quartiles within
+    1% (percentile_approx accuracy 10000), and the exact columns
+    (counts/min/max) must be identical."""
+    from spark_lakehouse_medallion_pipeline_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r["col"]: r for r in QUERIES["q193_column_stats"](spark, sf).collect()}
+    approx = {
+        r["col"]: r for r in QUERIES["q199_column_stats_sketch"](spark, sf).collect()
+    }
+    assert set(exact) == set(approx) and len(exact) == 4
+    for c in exact:
+        e, a = exact[c], approx[c]
+        assert (e["n_rows"], e["n_nulls"], e["min_c"], e["max_c"]) == (
+            a["n_rows"], a["n_nulls"], a["min_c"], a["max_c"]
+        )
+        assert abs(a["ndv_approx"] - e["ndv"]) <= 0.05 * e["ndv"], c
+        for p in ("p25_c", "p50_c", "p75_c"):
+            tol = max(0.01 * abs(e[p]), 1.0)
+            assert abs(a[p] - e[p]) <= tol, (c, p, e[p], a[p])
