@@ -129,6 +129,7 @@ HEADLINE = [
     "q197_bitwise_flag_rollup",
     "q198_pca_power_customers",
     "q199_column_stats_sketch",
+    "q200_jpeg_image_features",
     "medallion_gold_kpis",
 ]
 

@@ -175,10 +175,11 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFr
 # all five per-row unfilters, functions at the end of this module) need
 # no external libraries, so for these three formats the whole pipeline —
 # synthesize, decode, feature-extract, box-resize — is REAL end to end.
-# JPEG/MP3/H.264 remain the documented environment stubs above (their
-# codecs aren't installable in this container, and a from-scratch
-# DCT+Huffman decoder is out of honest scope); swapping them in changes
-# only the per-row codec call, none of the Spark plumbing.
+# Baseline JPEG joined them in round 8 (DCT+Huffman from the T.81 spec,
+# further down this module). MP3/H.264 remain the documented
+# environment stubs above (no stdlib path to those codecs); swapping
+# them in changes only the per-row codec call, none of the Spark
+# plumbing.
 
 
 def bmp_encode(arr) -> bytes:
@@ -453,7 +454,7 @@ def png_decode_rgb8(blob: bytes):
     per-pixel loop (bounded by row width — the Arrow batching above
     keeps the per-row python cost off the critical path). Palette,
     alpha, 16-bit, and interlaced profiles raise ValueError (documented
-    scope; JPEG remains an env stub)."""
+    scope)."""
     import struct
     import zlib
 
@@ -735,6 +736,406 @@ def gif_decode_rgb8(blob: bytes):
     if len(out) != iw * ih:
         raise ValueError(f"LZW produced {len(out)} pixels, expected {iw * ih}")
     return pal[np.array(out, dtype=np.int32)].reshape(ih, iw, 3).copy()
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (JFIF) — stdlib+numpy, from the T.81 spec
+# ---------------------------------------------------------------------------
+# Scope (documented): baseline sequential DCT (SOF0), 8-bit, 4:4:4 (no
+# chroma subsampling), no restart markers, no progressive/arithmetic
+# coding. The DECODER is general within that scope — it parses DQT/DHT/
+# SOF0/SOS from the stream (self-describing Huffman tables), decodes
+# DC-diff + AC run-length entropy data with byte unstuffing, dequantizes,
+# dezigzags, and runs a float orthonormal IDCT. The ENCODER emits the
+# matching stream with single-length canonical Huffman tables (12 DC
+# symbols at 4 bits, 162 AC symbols at 8 bits — valid per T.81, the
+# all-ones code unused) and a flat all-8 quantization table, so
+# block-constant inputs round-trip EXACTLY (only the DC coefficient is
+# nonzero: F00 = 8*(v-128) quantizes losslessly by 8 and the IDCT of a
+# DC-only block is constant to ~1e-13, far inside integer rounding).
+# That exactness is what lets q200 value-oracle a lossy codec. MP3 and
+# H.264 remain the documented environment stubs above.
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Canonical single-length tables: DC = categories 0..11 at 4 bits each;
+# AC = EOB, all (run, size 1..10), ZRL at 8 bits each (162 symbols).
+_JPEG_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0] * 7 + [162] + [0] * 8
+_JPEG_AC_VALS = [0x00] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+] + [0xF0]
+_JPEG_QSTEP = 8  # flat table: every coefficient quantized by 8
+
+
+def _jpeg_canonical_codes(bits, vals):
+    """JPEG Annex C canonical code assignment: vals in table order get
+    increasing codes, code length stepping per the bits[] histogram."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_dct_matrix():
+    import math
+
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = 1.0 / math.sqrt(2.0) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return m
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((code >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.buf.append(self._acc)
+                if self._acc == 0xFF:  # byte stuffing
+                    self.buf.append(0x00)
+                self._acc = 0
+                self._n = 0
+
+    def flush(self) -> None:
+        while self._n:
+            self.write(1, 1)  # pad with 1-bits per spec
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            b = self.d[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.d[self.pos] != 0x00:
+                    raise ValueError("unexpected marker inside entropy data")
+                self.pos += 1  # skip stuffed zero
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    """T.81 EXTEND: map `size` raw amplitude bits to a signed value."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def jpeg_encode_rgb8(arr) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as baseline JFIF (SOF0,
+    4:4:4, flat quant table of 8, single-length canonical Huffman
+    tables). A real encoder — level shift, per-block FDCT, zigzag,
+    DC-diff + AC run-length entropy coding with byte stuffing — not a
+    pattern-specific shortcut; any RGB input yields a spec-valid
+    stream (lossy for non-block-constant content, like any JPEG)."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    assert c == 3, "jpeg_encode_rgb8 expects (h, w, 3) RGB"
+    r = a[:, :, 0].astype(np.float64)
+    g = a[:, :, 1].astype(np.float64)
+    b = a[:, :, 2].astype(np.float64)
+    planes = [
+        np.round(0.299 * r + 0.587 * g + 0.114 * b),
+        np.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b),
+        np.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b),
+    ]
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    m = _jpeg_dct_matrix()
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(
+        [1, 1, 0, 0, 1, 0, 1, 0, 0]
+    )
+    # DQT: two flat tables (Tq=0 luma, Tq=1 chroma), zigzag order
+    qt = bytes([_JPEG_QSTEP] * 64)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65 * 2)
+    out += bytes([0x00]) + qt + bytes([0x01]) + qt
+    # SOF0: 3 components, 1x1 sampling each (4:4:4)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    out += bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    # DHT: DC0, AC0, DC1, AC1 (chroma shares the same table contents)
+    dht = bytearray()
+    for tc_th, bits, vals in (
+        (0x00, _JPEG_DC_BITS, _JPEG_DC_VALS),
+        (0x10, _JPEG_AC_BITS, _JPEG_AC_VALS),
+        (0x01, _JPEG_DC_BITS, _JPEG_DC_VALS),
+        (0x11, _JPEG_AC_BITS, _JPEG_AC_VALS),
+    ):
+        dht += bytes([tc_th]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    # SOS
+    out += b"\xff\xda" + struct.pack(">H", 6 + 2 * 3) + bytes(
+        [3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]
+    )
+
+    bw_ = _JpegBitWriter()
+
+    def _emit(val: int, codes, run: int = -1) -> None:
+        size = abs(val).bit_length()
+        sym = size if run < 0 else ((run << 4) | size)
+        code, length = codes[sym]
+        bw_.write(code, length)
+        if size:
+            amp = val if val >= 0 else val + (1 << size) - 1
+            bw_.write(amp, size)
+
+    prev_dc = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, plane in enumerate(planes):
+                block = np.full((8, 8), 0.0)
+                ys, xs = by * 8, bx * 8
+                tile = plane[ys : min(ys + 8, h), xs : min(xs + 8, w)]
+                # edge replication padding
+                th, tw = tile.shape
+                block[:th, :tw] = tile
+                if th < 8:
+                    block[th:, :tw] = tile[th - 1 : th, :]
+                if tw < 8:
+                    block[:, tw:] = block[:, tw - 1 : tw]
+                f = m @ (block - 128.0) @ m.T
+                q = np.round(f / _JPEG_QSTEP).astype(np.int64)
+                zz = [int(q.flat[i]) for i in _JPEG_ZIGZAG]
+                _emit(zz[0] - prev_dc[ci], dc_codes)
+                prev_dc[ci] = zz[0]
+                run = 0
+                last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+                for i in range(1, last_nz + 1):
+                    if zz[i] == 0:
+                        run += 1
+                        if run == 16:
+                            code, length = ac_codes[0xF0]  # ZRL
+                            bw_.write(code, length)
+                            run = 0
+                        continue
+                    _emit(zz[i], ac_codes, run)
+                    run = 0
+                if last_nz < 63:
+                    code, length = ac_codes[0x00]  # EOB
+                    bw_.write(code, length)
+    bw_.flush()
+    out += bw_.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def jpeg_decode_rgb8(blob: bytes):
+    """Decode a baseline JFIF stream into an (h, w, 3) uint8 RGB array
+    — REAL: marker walk, stream-defined DQT/DHT (canonical Huffman
+    reconstruction per Annex C), SOF0 geometry, interleaved 4:4:4 MCU
+    entropy decode (DC prediction + AC run-length, byte unstuffing),
+    dequantize, dezigzag, float orthonormal IDCT, YCbCr->RGB. Raises
+    ValueError outside the documented baseline scope (progressive,
+    subsampled, restart-interval, 16-bit-quant streams)."""
+    import struct
+
+    import numpy as np
+
+    d = bytes(blob)
+    if d[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG blob")
+    qtables: dict[int, list[int]] = {}
+    htables: dict[int, dict] = {}
+    comps: list[tuple[int, int, int]] = []  # (id, quant_tq, 0)
+    h = w = 0
+    pos = 2
+    while True:
+        if d[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = d[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            raise ValueError("EOI before SOS")
+        seglen = struct.unpack_from(">H", d, pos)[0]
+        body = d[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables out of scope")
+                qtables[tq] = list(body[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc_th = body[i]
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                htables[tc_th] = {
+                    (length, code): sym
+                    for sym, (code, length) in _jpeg_canonical_codes(
+                        bits, vals
+                    ).items()
+                }
+                i += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            _p, h, w, nf = struct.unpack_from(">BHHB", body, 0)
+            if _p != 8:
+                raise ValueError("only 8-bit precision supported")
+            for ci in range(nf):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if hv != 0x11:
+                    raise ValueError("chroma subsampling out of scope (4:4:4 only)")
+                comps.append((cid, tq, 0))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(f"non-baseline SOF 0x{marker:02x} out of scope")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals out of scope")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = []  # (comp_index, dc_table, ac_table)
+            for si in range(ns):
+                cs, tda = body[1 + 2 * si], body[2 + 2 * si]
+                idx = next(i for i, c in enumerate(comps) if c[0] == cs)
+                scan.append((idx, tda >> 4, tda & 0x0F))
+            pos += seglen
+            break
+        pos += seglen
+
+    if not comps or not h or not w:
+        raise ValueError("missing SOF0 before SOS")
+    m = _jpeg_dct_matrix()
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    planes = [np.zeros((bh * 8, bw * 8)) for _ in comps]
+    rd = _JpegBitReader(d, pos)
+
+    def _decode_huff(table) -> int:
+        code, length = 0, 0
+        while True:
+            code = (code << 1) | rd.bit()
+            length += 1
+            if (length, code) in table:
+                return table[(length, code)]
+            if length > 16:
+                raise ValueError("invalid Huffman code in entropy data")
+
+    prev_dc = [0] * len(comps)
+    for by in range(bh):
+        for bx in range(bw):
+            for idx, td, ta in scan:
+                dc_tab = htables[0x00 | td]
+                ac_tab = htables[0x10 | ta]
+                qt = qtables[comps[idx][1]]
+                zz = [0] * 64
+                size = _decode_huff(dc_tab)
+                diff = _jpeg_extend(rd.bits(size), size) if size else 0
+                prev_dc[idx] += diff
+                zz[0] = prev_dc[idx]
+                k = 1
+                while k < 64:
+                    sym = _decode_huff(ac_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0x0F
+                    if size == 0:
+                        if run != 15:
+                            raise ValueError("bad AC symbol")
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC index overrun")
+                    zz[k] = _jpeg_extend(rd.bits(size), size)
+                    k += 1
+                block = np.zeros(64)
+                for zi, bi in enumerate(_JPEG_ZIGZAG):
+                    block[bi] = zz[zi] * qt[zi]
+                f = m.T @ block.reshape(8, 8) @ m
+                planes[idx][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = f + 128.0
+
+    y = planes[0][:h, :w]
+    cb = planes[1][:h, :w] - 128.0
+    cr = planes[2][:h, :w] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _jpeg_block_pattern(mid: int, size: int = 16):
+    """q200's closed-form JPEG test pattern: four 8x8 block-constant
+    GRAYSCALE quadrants (R=G=B=v_b, so Y=v_b and Cb=Cr=128 exactly),
+    v_b = (id*K_b + C_b) % 256 for (K, C) in [(1,0),(3,7),(5,11),
+    (7,13)] in raster block order. Block-constant grayscale is the
+    regime where baseline JPEG with a flat quant table of 8 is
+    LOSSLESS (DC-only, quantizes exactly), so the decoded mean luma is
+    closed-form: 250 * (v0+v1+v2+v3)."""
+    import numpy as np
+
+    img = np.zeros((size, size, 3), dtype=np.uint8)
+    kc = [(1, 0), (3, 7), (5, 11), (7, 13)]
+    nb = size // 8
+    for by in range(nb):
+        for bx in range(nb):
+            k, c = kc[(by * nb + bx) % len(kc)]
+            v = (int(mid) * k + c) % 256
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, :] = v
+    return img
+
+
+def synthesize_jpeg_blobs(df: DataFrame, id_col: str, size: int = 16) -> DataFrame:
+    """Per-id block-constant grayscale patterns through the REAL
+    baseline JPEG encoder (q200's input stage)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                ids.append(int(mid))
+                blobs.append(jpeg_encode_rgb8(_jpeg_block_pattern(int(mid), size)))
+            yield pd.DataFrame({"media_id": ids, "blob": blobs})
+
+    return df.select(id_col).mapInPandas(fn, schema="media_id long, blob binary")
 
 
 def _test_pattern(mid: int, size: int):

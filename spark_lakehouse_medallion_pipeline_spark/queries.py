@@ -6484,8 +6484,9 @@ def q157_bmp_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     to integer Rec.601 milli-luma — all inside Arrow mapInPandas stages.
     The pattern's luma is closed-form in the id, so DuckDB reproduces
     the decoded values exactly: the codec path itself is hash-checked,
-    not just its row count. PNG is also real (q176); JPEG stays the one
-    documented env stub (operators/multimodal.py)."""
+    not just its row count. PNG (q176), GIF (q177), and since round 8
+    baseline JPEG (q200) are real too; MP3 stays the documented env
+    stub (operators/multimodal.py)."""
     from spark_lakehouse_medallion_pipeline_spark.operators import multimodal
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
@@ -7508,8 +7509,8 @@ def q176_png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded back and reduced to the same integer Rec.601 milli-luma.
     Pixel content matches q157, so the closed-form oracle carries over —
     what the hash check exercises here is the deflate+unfilter codec
-    path itself. JPEG remains the one documented env stub (DCT+Huffman
-    is out of honest-stdlib scope)."""
+    path itself. Baseline JPEG got the same treatment in round 8
+    (q200, hand-rolled DCT+Huffman)."""
     from spark_lakehouse_medallion_pipeline_spark.operators import multimodal
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
@@ -8831,6 +8832,43 @@ def q199_column_stats_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q200_jpeg_image_features",
+    """
+    SELECT doc_id AS media_id,
+           16 AS width, 16 AS height, 3 AS n_channels,
+           CAST(250 * ((doc_id % 256) + ((doc_id * 3 + 7) % 256)
+                     + ((doc_id * 5 + 11) % 256) + ((doc_id * 7 + 13) % 256))
+                AS VARCHAR) AS mean_luma
+    FROM documents
+    """,
+)
+def q200_jpeg_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode, value-oracled (VERDICT r7 Next #6 —
+    the last feasible codec stub converted): per doc_id a block-
+    constant grayscale 16x16 pattern is entropy-encoded as an actual
+    baseline JFIF (SOF0, 4:4:4, flat quant 8, canonical Huffman —
+    operators/multimodal.py jpeg_encode_rgb8), decoded back by the
+    from-scratch T.81 decoder (marker walk, stream-defined DQT/DHT,
+    DC-diff + AC run-length entropy decode with byte unstuffing,
+    dequant, dezigzag, float IDCT, YCbCr->RGB), and reduced to integer
+    Rec.601 milli-luma in Arrow mapInPandas stages. A LOSSY codec
+    value-oracles because the pattern sits in JPEG's lossless regime:
+    block-constant grayscale has only DC energy, F00 = 8*(v-128)
+    quantizes exactly by 8, and a DC-only IDCT is constant to ~1e-13 —
+    so decoded luma is closed-form: 250 * sum of the four quadrant
+    values (id*k + c) % 256. Round-trip exactness, general-content
+    lossiness, and scope errors pinned in test_multimodal. Shuffle-free
+    scan work like q157/q176/q177; MP3 remains the one env stub."""
+    from spark_lakehouse_medallion_pipeline_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    blobs = multimodal.synthesize_jpeg_blobs(docs, "doc_id", size=16)
+    return multimodal.extract_image_features_codec(
+        blobs, multimodal.jpeg_decode_rgb8
+    )
+
+
+@_q(
     "q193_column_stats",
     f"""
     WITH s AS (
@@ -9044,9 +9082,12 @@ def q194_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q186).
 # Late round 8: the two families value-oracled THIS round take
 # birth-round rows — q149 contrastive top-up loop (for q137, green
-# r04-r07; dedup keeps q162/q152/q179) and q198 integer
+# r04-r07; dedup keeps q152/q179) and q198 integer
 # power-iteration PCA (for q126 PageRank, green r01-r07; graph keeps
-# q192/q67/q188).
+# q192/q67/q188); and the round's third new value-oracled family,
+# the q200 baseline-JPEG codec, takes q162's slot (green r04-r07;
+# q149's oracle embeds the same portable-LSH candidate pipeline, so
+# the technique keeps driver coverage).
 
 _DRIVER_SNAPSHOT_50 = [
     # reference surface: aggregates, scalars, datetime, medallion KPIs
@@ -9085,11 +9126,11 @@ _DRIVER_SNAPSHOT_50 = [
     "q65_udtf_tokenize",
     # semi-structured: JSON, arrays, maps/structs
     "q168_time_weighted_avg",  # r5: TWAP never recorded (q23 green r03+r04; semi-structured keeps q123/q110)
-    "q162_minhash_portable",  # r4: value-oracled LSH displaces 4th semi-structured rep
+    "q200_jpeg_image_features",  # r8: real baseline-JPEG codec, birth-round row (q162 portable LSH green r04-r07; its candidates CTE lives on inside q149's oracle, and dedup keeps q149/q152/q179)
     "q123_xml_battery",
     # dedup family
     "q194_price_histogram",  # r8: equi-width histogram never recorded (q28 exact dedup green r01-r07; X17 keeps q162/q152/q179)
-    "q149_contrastive_pairs",  # r8: newly value-oracled top-up loop, birth-round row (q137 bloom-semi green r04-r07; dedup keeps q162/q152/q179)
+    "q149_contrastive_pairs",  # r8: newly value-oracled top-up loop, birth-round row (q137 bloom-semi green r04-r07; dedup keeps q152/q179 + the LSH pipeline inside this oracle)
     "q188_label_propagation",  # r5: deterministic LPA never recorded (q165 SimHash green r04; X18 keeps q28/q137/q162/q152)
     "q184_bpe_encode_tokens",  # r7: BPE corpus encode never recorded (q110 VARIANT green r04-r06; semi-structured keeps q123)
     # similarity family

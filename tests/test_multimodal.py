@@ -362,3 +362,104 @@ def test_gif_corrupt_first_code_raises_valueerror():
     )
     with pytest.raises(ValueError, match="corrupt LZW"):
         gif_decode_rgb8(blob)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (q200)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_block_constant_roundtrip_exact():
+    """The q200 contract: block-constant grayscale patterns survive the
+    LOSSY codec exactly (DC-only, flat quant 8 divides F00 = 8*(v-128)
+    losslessly), and the decoded mean luma is the closed-form
+    250 * sum(quadrant values)."""
+    import numpy as np
+
+    from spark_lakehouse_medallion_pipeline_spark.operators.multimodal import (
+        _jpeg_block_pattern,
+        jpeg_decode_rgb8,
+        jpeg_encode_rgb8,
+    )
+
+    for mid in (0, 1, 42, 129, 255, 12345):
+        img = _jpeg_block_pattern(mid, 16)
+        dec = jpeg_decode_rgb8(jpeg_encode_rgb8(img))
+        assert np.array_equal(dec, img), mid
+        vs = [(mid * k + c) % 256 for k, c in [(1, 0), (3, 7), (5, 11), (7, 13)]]
+        s = dec.astype(np.int64)
+        luma = int(
+            299 * s[:, :, 0].sum() + 587 * s[:, :, 1].sum() + 114 * s[:, :, 2].sum()
+        ) // 256
+        assert luma == 250 * sum(vs), mid
+
+
+def test_jpeg_general_content_is_lossy_but_close():
+    """On arbitrary content (including non-multiple-of-8 dims via edge
+    padding) the codec must behave like a real JPEG: not exact, but
+    close — a decoder bug shows up as gross error, an accidental
+    passthrough as exactness."""
+    import numpy as np
+
+    from spark_lakehouse_medallion_pipeline_spark.operators.multimodal import (
+        jpeg_decode_rgb8,
+        jpeg_encode_rgb8,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    dec = jpeg_decode_rgb8(jpeg_encode_rgb8(img))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int)).mean()
+    assert 0.05 < err < 30, err
+    # the stream must be a spec-shaped JFIF, not a private container
+    blob = jpeg_encode_rgb8(img)
+    assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+    assert b"JFIF\x00" in blob[:30]
+
+
+def test_jpeg_scope_errors():
+    import pytest
+
+    from spark_lakehouse_medallion_pipeline_spark.operators.multimodal import (
+        _jpeg_block_pattern,
+        jpeg_decode_rgb8,
+        jpeg_encode_rgb8,
+    )
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        jpeg_decode_rgb8(b"\x89PNG\r\n")
+    blob = bytearray(jpeg_encode_rgb8(_jpeg_block_pattern(3, 16)))
+    # rewrite SOF0 -> SOF2 (progressive): decoder must refuse, not
+    # misdecode
+    i = blob.find(b"\xff\xc0")
+    blob[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        jpeg_decode_rgb8(bytes(blob))
+    # 4:2:0 subsampling declared: out of scope
+    blob = bytearray(jpeg_encode_rgb8(_jpeg_block_pattern(3, 16)))
+    i = blob.find(b"\xff\xc0")
+    blob[i + 11] = 0x22  # luma sampling 2x2
+    with pytest.raises(ValueError, match="subsampling"):
+        jpeg_decode_rgb8(bytes(blob))
+
+
+def test_jpeg_features_query_agrees_with_bmp_pattern(spark):
+    """q200's Spark path end-to-end at a tiny scale: synthesize -> real
+    decode -> features, mean luma closed-form per media_id."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.multimodal import (
+        extract_image_features_codec,
+        jpeg_decode_rgb8,
+        synthesize_jpeg_blobs,
+    )
+
+    df = spark.range(8).withColumnRenamed("id", "doc_id")
+    out = extract_image_features_codec(
+        synthesize_jpeg_blobs(df, "doc_id", size=16), jpeg_decode_rgb8
+    ).collect()
+    assert len(out) == 8
+    for r in out:
+        mid = r["media_id"]
+        vs = [(mid * k + c) % 256 for k, c in [(1, 0), (3, 7), (5, 11), (7, 13)]]
+        assert (r["width"], r["height"], r["n_channels"]) == (16, 16, 3)
+        assert int(r["mean_luma"]) == 250 * sum(vs)
