@@ -79,6 +79,7 @@ HEADLINE = [
     "q117_arrow_normalize",
     "q133_salted_join",
     "q146_bitmap_rollup_merge",
+    "q149_contrastive_pairs",
     "q150_asof_tolerance",
     "q152_fuzzy_name_pairs_d2",
     "q153_ann_rerank",
@@ -130,6 +131,7 @@ HEADLINE = [
     "q198_pca_power_customers",
     "q199_column_stats_sketch",
     "q200_jpeg_image_features",
+    "q201_pq_codes_int",
     "medallion_gold_kpis",
 ]
 

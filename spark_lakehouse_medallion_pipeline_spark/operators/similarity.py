@@ -766,7 +766,9 @@ def pq_codebooks(
     differ in the last ulp across partitionings/cluster layouts; at
     1e-9 the embedding-scale values are stable across plans (an exact
     guarantee would need scaled-integer sums, overkill for a codebook
-    whose assignments tolerate far larger perturbations)."""
+    whose assignments tolerate far larger perturbations — but see
+    ``pq_codes_int`` below, which pays exactly that cost to make the
+    train+encode pipeline value-oracle-able)."""
     rows = (
         corpus.select(F.col(id_col), F.col(vec_col))
         .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
@@ -1265,3 +1267,118 @@ def power_iteration_top1_int(
         start=F.lit(0).cast("long"),
     )
     return feats.select(F.col(id_col), score.cast("long").alias("pc1_score"))
+
+
+def pq_codes_int(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 4,
+    sub_dim: int = 16,
+    n_codes: int = 4,
+    rounds: int = 2,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Product-Quantization codes with an INTEGER-EXACT codebook — the
+    value-oracle-able twin of ``pq_codebooks`` (whose float F.avg
+    refinement is partial-aggregation-order dependent and therefore
+    forever rows-only, as its docstring documents). Same discipline
+    that cracked k-means/BFS/LPA/PCA (q191/q192/q188/q198): e6-quantize
+    the vectors, seed each subspace's ``n_codes`` codes from the
+    ``n_codes`` SMALLEST ids (no RNG), then run ``rounds`` Lloyd
+    assignment passes with ``rounds - 1`` interleaved updates —
+    integer squared distances, ties to the smallest code id,
+    truncating integer-divide means, empty cells keep their previous
+    code — so the whole train+encode pipeline is BIT-IDENTICAL across
+    engines and unrolls into oracle SQL (q201).
+
+    Scale shape: the codebook is a bounded driver-side model
+    (n_subspaces * n_codes * sub_dim ints). Per update round the ONLY
+    shuffle is one map-side-combined aggregate grouped by the full
+    code TUPLE (<= n_codes^n_subspaces bounded groups, collected and
+    marginalized per subspace driver-side — one job per round, not one
+    per subspace). Assignment and final encoding are literal-inlined
+    argmin folds inside whole-stage codegen: shuffle-free, the q191
+    assignment shape. Returns (id_col, code_s0..code_s{n-1}) ints.
+
+    Caller contract: quantized components must keep
+    sub_dim * (2*quant*max|x|)^2 inside int64 (true for unit-scale
+    embeddings at e6), and ids must be globally unique."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1 (got {rounds})")
+    dim = n_subspaces * sub_dim
+    first = corpus.select(vec_col).first()
+    if first is None:
+        raise ValueError("pq_codes_int: empty corpus")
+    if len(first[0]) != dim:
+        raise ValueError(
+            f"pq_codes_int: dim {len(first[0])} != n_subspaces*sub_dim {dim}"
+        )
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(quant)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    pts = corpus.select(F.col(id_col).alias("_id"), qv.alias("_q")).localCheckpoint(
+        eager=True
+    )
+    seed_rows = pts.orderBy("_id").limit(n_codes).collect()
+    if len(seed_rows) < n_codes:
+        raise ValueError(
+            f"pq_codes_int: need >= {n_codes} vectors, got {len(seed_rows)}"
+        )
+    # books[s][cid][d]: seed cid = rank of vec_id among the n_codes smallest
+    books = [
+        [
+            [int(seed_rows[cid]["_q"][s * sub_dim + d]) for d in range(sub_dim)]
+            for cid in range(n_codes)
+        ]
+        for s in range(n_subspaces)
+    ]
+
+    def _code_col(s: int) -> Column:
+        structs = []
+        for cid in range(n_codes):
+            dist = None
+            for d in range(sub_dim):
+                t = F.element_at("_q", s * sub_dim + d + 1) - F.lit(
+                    books[s][cid][d]
+                )
+                sq = t * t
+                dist = sq if dist is None else dist + sq
+            structs.append(
+                F.struct(dist.alias("dist"), F.lit(cid).alias("cid"))
+            )
+        # array_min on (dist, cid) structs: smallest distance, ties to the
+        # smallest code id — lexicographic struct ordering does both
+        return F.array_min(F.array(*structs))["cid"]
+
+    for _ in range(rounds - 1):
+        assigned = pts.select(
+            "_q", *[_code_col(s).alias(f"_c{s}") for s in range(n_subspaces)]
+        )
+        aggs = [F.count(F.lit(1)).alias("_n")] + [
+            F.sum(F.element_at("_q", i + 1)).alias(f"_s{i}") for i in range(dim)
+        ]
+        tuples = assigned.groupBy(
+            *[f"_c{s}" for s in range(n_subspaces)]
+        ).agg(*aggs).collect()
+        for s in range(n_subspaces):
+            sums = [[0] * sub_dim for _ in range(n_codes)]
+            cnts = [0] * n_codes
+            for row in tuples:
+                cid = row[f"_c{s}"]
+                cnts[cid] += int(row["_n"])
+                for d in range(sub_dim):
+                    sums[cid][d] += int(row[f"_s{s * sub_dim + d}"])
+            for cid in range(n_codes):
+                if cnts[cid]:  # empty cells keep their previous code
+                    books[s][cid] = [
+                        _trunc_div(sums[cid][d], cnts[cid])
+                        for d in range(sub_dim)
+                    ]
+    return pts.select(
+        F.col("_id").alias(id_col),
+        *[_code_col(s).cast("int").alias(f"code_s{s}") for s in range(n_subspaces)],
+    )

@@ -5726,9 +5726,11 @@ def q140_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN k-NN join (X19 scale path #4, Jegou et al. TPAMI 2011):
     Lloyd-refined per-subspace codebooks, asymmetric-distance scan over
     4-byte codes, exact cosine re-rank of refine*k candidates joined
-    back by id. Rows-only (the deterministic Lloyd means are not
-    SQL-expressible in one statement); recall vs brute force pinned in
-    tests/test_similarity.py."""
+    back by id. Rows-only (float F.avg codebook refinement is
+    partial-aggregation-order dependent); the TRAINING+ENCODE half of
+    the pipeline is value-oracled since round 8 via the integer-exact
+    twin q201 (similarity.pq_codes_int); recall vs brute force pinned
+    in tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), "embedding"
@@ -5740,8 +5742,10 @@ def q140_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q143_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composite ANN (X19 scale path #5): IVF cells prune which
     rows are scored, PQ codes shrink what each scored row reads, exact
-    re-rank by id join-back — the billion-scale index layout. Rows-only;
-    recall vs brute force pinned in tests/test_similarity.py."""
+    re-rank by id join-back — the billion-scale index layout. Rows-only
+    (float codebooks, see q140 — the PQ train+encode math itself is
+    value-oracled as q201); recall vs brute force pinned in
+    tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), "embedding"
@@ -8868,6 +8872,90 @@ def q200_jpeg_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_assign_cte(r: int) -> str:
+    """One PQ-Lloyd assignment pass against codebook c{r-1}: per
+    (vector, subspace), rank codes by integer squared distance with
+    ties to the smallest code id (DuckDB evaluates the row_number
+    window AFTER the per-(point,code) distance aggregate)."""
+    return f"""
+    a{r} AS (
+      SELECT vec_id, s, cid FROM (
+        SELECT sub.vec_id, sub.s, c.cid,
+               row_number() OVER (
+                 PARTITION BY sub.vec_id, sub.s
+                 ORDER BY SUM((sub.v - c.c) * (sub.v - c.c)) ASC, c.cid ASC
+               ) AS rn
+        FROM sub JOIN c{r - 1} c ON c.s = sub.s AND c.d = sub.d
+        GROUP BY sub.vec_id, sub.s, c.cid
+      ) WHERE rn = 1
+    )"""
+
+
+_PQ_INT_SQL = (
+    """
+    WITH qv AS (
+      SELECT vec_id, j,
+             CAST(FLOOR(CAST(embedding[j] AS DOUBLE) * 1000000.0 + 0.5)
+                  AS BIGINT) AS v
+      FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS j)
+    ),
+    sub AS (SELECT vec_id, (j - 1) // 16 AS s, (j - 1) % 16 AS d, v FROM qv),
+    seeds AS (
+      SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+      FROM (SELECT DISTINCT vec_id FROM sub ORDER BY vec_id LIMIT 4)
+    ),
+    c0 AS (SELECT sub.s, seeds.cid, sub.d, sub.v AS c
+           FROM sub JOIN seeds USING (vec_id)),"""
+    + _pq_assign_cte(1)
+    + """,
+    u1 AS (
+      SELECT a.s, a.cid, sub.d, SUM(sub.v) // COUNT(*) AS m
+      FROM a1 a JOIN sub ON sub.vec_id = a.vec_id AND sub.s = a.s
+      GROUP BY a.s, a.cid, sub.d
+    ),
+    c1 AS (SELECT c0.s, c0.cid, c0.d, COALESCE(u1.m, c0.c) AS c
+           FROM c0 LEFT JOIN u1
+             ON u1.s = c0.s AND u1.cid = c0.cid AND u1.d = c0.d),"""
+    + _pq_assign_cte(2)
+    + """
+    SELECT vec_id,
+           CAST(MAX(CASE WHEN s = 0 THEN cid END) AS INT) AS code_s0,
+           CAST(MAX(CASE WHEN s = 1 THEN cid END) AS INT) AS code_s1,
+           CAST(MAX(CASE WHEN s = 2 THEN cid END) AS INT) AS code_s2,
+           CAST(MAX(CASE WHEN s = 3 THEN cid END) AS INT) AS code_s3
+    FROM a2 GROUP BY vec_id
+    """
+)
+
+
+@_q("q201_pq_codes_int", _PQ_INT_SQL)
+def q201_pq_codes_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-Quantization encoding with an INTEGER-EXACT trained
+    codebook — the value-oracled twin of the PQ family (q140/q143 use
+    similarity.pq_codebooks, whose float F.avg refinement is partial-
+    aggregation-order dependent and documented rows-only forever; this
+    entry closes that gap the way q198 closed PCA's). 4 subspaces x
+    16 dims x 4 codes over the e6-quantized embeddings: seeds are the
+    4 smallest vec_ids' subvectors, then assign -> truncating-integer
+    mean update -> assign (rounds=2), ties to the smallest code id,
+    empty cells keep their previous code. The oracle derives the SAME
+    codebook RELATIONALLY (no literal inlining needed): seed CTE from
+    ORDER BY vec_id LIMIT 4, one distance-rank assignment CTE and one
+    grouped trunc-div mean CTE per round — every step integer, so
+    train + encode hash-match across engines. Scale shape
+    (similarity.pq_codes_int): codebook is a bounded driver model;
+    per round ONE map-combined aggregate grouped by the code tuple
+    (<= 4^4 groups, marginalized per subspace driver-side);
+    assignment/encode are literal-inlined argmin folds in codegen —
+    shuffle-free, the q191 shape."""
+    from spark_lakehouse_medallion_pipeline_spark.operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_codes_int(
+        emb, n_subspaces=4, sub_dim=16, n_codes=4, rounds=2
+    )
+
+
 @_q(
     "q193_column_stats",
     f"""
@@ -9087,7 +9175,10 @@ def q194_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q192/q67/q188); and the round's third new value-oracled family,
 # the q200 baseline-JPEG codec, takes q162's slot (green r04-r07;
 # q149's oracle embeds the same portable-LSH candidate pipeline, so
-# the technique keeps driver coverage).
+# the technique keeps driver coverage). Fourth: q201 integer-exact PQ
+# takes q36's slot (brute kNN green all 7 rounds; q183 recomputes the
+# same brute kNN as its recall baseline) — 10 rotated slots this
+# round, the r7 precedent.
 
 _DRIVER_SNAPSHOT_50 = [
     # reference surface: aggregates, scalars, datetime, medallion KPIs
@@ -9134,7 +9225,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q188_label_propagation",  # r5: deterministic LPA never recorded (q165 SimHash green r04; X18 keeps q28/q137/q162/q152)
     "q184_bpe_encode_tokens",  # r7: BPE corpus encode never recorded (q110 VARIANT green r04-r06; semi-structured keeps q123)
     # similarity family
-    "q36_knn_vec0",
+    "q201_pq_codes_int",  # r8: integer-exact PQ train+encode, first-ever driver row for the PQ family (q36 brute kNN green r01-r07; q183's recall eval computes the same brute kNN internally)
     "q198_pca_power_customers",  # r8: integer power-iteration PCA, birth-round row (q126 PageRank green r01-r07; graph keeps q192/q67/q188)
     # text analysis family
     "q163_pmi_collocations",  # r5: collocation mining never recorded (q29 green r03+r04; text keeps q119/q95)

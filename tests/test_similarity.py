@@ -415,3 +415,74 @@ def test_power_iteration_projection_shuffle_budget(spark):
     out = similarity.power_iteration_top1_int(feats, "id", ["f1", "f2"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1, plan
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact PQ codes (q201)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_codes_int_separates_planted_clusters(spark):
+    """Vectors planted in 4 well-separated groups (the same offset
+    pattern in every subspace) must encode to 4 distinct code tuples,
+    with identical vectors always sharing a tuple, and the whole
+    train+encode must be deterministic across runs."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(80):
+        g = i % 4
+        base = np.full(64, g * 0.2 - 0.3)
+        rows.append((i, (base + rng.normal(0, 0.005, 64)).astype(float).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.pq_codes_int(
+        df, n_subspaces=4, sub_dim=16, n_codes=4, rounds=2
+    )
+    codes = {r["vec_id"]: (r["code_s0"], r["code_s1"], r["code_s2"], r["code_s3"])
+             for r in out.collect()}
+    by_group = {}
+    for i, c in codes.items():
+        by_group.setdefault(i % 4, set()).add(c)
+    # every planted group collapses to ONE code tuple, all distinct
+    assert all(len(s) == 1 for s in by_group.values()), by_group
+    tuples = {next(iter(s)) for s in by_group.values()}
+    assert len(tuples) == 4, tuples
+    again = {r["vec_id"]: (r["code_s0"], r["code_s1"], r["code_s2"], r["code_s3"])
+             for r in similarity.pq_codes_int(
+                 df, n_subspaces=4, sub_dim=16, n_codes=4, rounds=2
+             ).collect()}
+    assert again == codes
+
+
+def test_pq_codes_int_edge_cases(spark):
+    import pytest as _pytest
+
+    small = spark.createDataFrame(
+        [(i, [float(i)] * 64) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="need >= 4"):
+        similarity.pq_codes_int(small, n_codes=4, rounds=2)
+    bad_dim = spark.createDataFrame(
+        [(1, [0.1] * 32)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="dim"):
+        similarity.pq_codes_int(bad_dim, n_subspaces=4, sub_dim=16)
+    with _pytest.raises(ValueError, match="rounds"):
+        similarity.pq_codes_int(small, rounds=0)
+    with _pytest.raises(ValueError, match="empty"):
+        similarity.pq_codes_int(small.filter("vec_id < 0"))
+
+
+def test_pq_codes_int_encode_shuffle_free(spark):
+    """The returned encode plan is the q191 assignment shape: argmin
+    folds over literal codebooks on the checkpointed points — no
+    exchange at all."""
+    df = spark.createDataFrame(
+        [(i, [float(i % 5)] * 64) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.pq_codes_int(df, n_subspaces=4, sub_dim=16, n_codes=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0, plan
