@@ -132,6 +132,7 @@ HEADLINE = [
     "q199_column_stats_sketch",
     "q200_jpeg_image_features",
     "q201_pq_codes_int",
+    "q202_bm25_ranking",
     "medallion_gold_kpis",
 ]
 

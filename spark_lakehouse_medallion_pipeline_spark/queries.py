@@ -8956,6 +8956,135 @@ def q201_pq_codes_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_contrib_sql(r: int) -> str:
+    """One term's BM25 contribution (k1=1.2, b=0.75), parenthesized
+    exactly like the engine's Column chain: e9-quantized idf * ((tf *
+    (k1+1)) / (tf + k1*(1 - b + b*dl*N/SUMDL)))."""
+    return (
+        f"(FLOOR(LN(((nn.n - t3.df{r}) + 0.5) / (t3.df{r} + 0.5) + 1.0) * 1000000000.0"
+        f" + 0.5) / 1000000000.0)"
+        f" * ((CAST(tf{r} AS DOUBLE) * 2.2)"
+        f" / (CAST(tf{r} AS DOUBLE)"
+        f" + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) * nn.n / nn.sumdl))))"
+    )
+
+
+_BM25_SQL = (
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+      FROM documents
+    ),
+    st AS (SELECT t, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS df
+           FROM tok GROUP BY t),
+    top3 AS (
+      SELECT t, df, r FROM (
+        SELECT t, df, row_number() OVER (ORDER BY cnt DESC, t ASC) AS r
+        FROM st
+      ) WHERE r <= 3
+    ),
+    t3 AS (
+      SELECT MAX(CASE WHEN r = 1 THEN t END) AS t1,
+             CAST(MAX(CASE WHEN r = 1 THEN df END) AS DOUBLE) AS df1,
+             MAX(CASE WHEN r = 2 THEN t END) AS t2,
+             CAST(MAX(CASE WHEN r = 2 THEN df END) AS DOUBLE) AS df2,
+             MAX(CASE WHEN r = 3 THEN t END) AS t3,
+             CAST(MAX(CASE WHEN r = 3 THEN df END) AS DOUBLE) AS df3
+      FROM top3
+    ),
+    dld AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS l,
+             len(string_split_regex(lower(text), '\s+')) AS dl
+      FROM documents
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(SUM(dl) AS DOUBLE) AS sumdl FROM dld),
+    tf AS (
+      SELECT doc_id, dl,
+             len(list_filter(l, x -> x = t3.t1)) AS tf1,
+             len(list_filter(l, x -> x = t3.t2)) AS tf2,
+             len(list_filter(l, x -> x = t3.t3)) AS tf3
+      FROM dld CROSS JOIN t3
+    )
+    SELECT doc_id,
+           CAST(tf1 AS BIGINT) AS tf1, CAST(tf2 AS BIGINT) AS tf2,
+           CAST(tf3 AS BIGINT) AS tf3,
+           CAST(FLOOR(("""
+    + " + ".join(_bm25_contrib_sql(r) for r in (1, 2, 3))
+    + """
+           ) * 1000000.0 + 0.5) AS BIGINT) AS score_e6
+    FROM tf CROSS JOIN t3 CROSS JOIN nn
+    """
+)
+
+
+@_q("q202_bm25_ranking", _BM25_SQL)
+def q202_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring (Robertson/Sparck Jones; the Lucene
+    idf variant ln((N-df+0.5)/(df+0.5)+1), k1=1.2, b=0.75) of every
+    document against the corpus's own top-3 tokens (by count DESC,
+    token ASC — a deterministic, data-derived 'query') — the lexical
+    retrieval primitive that complements dense kNN (q36/q183) and RRF
+    fusion (q189). Cross-engine exactness discipline: term stats and
+    idf are a bounded driver-side model (3 terms); idf is e9-QUANTIZED
+    on both sides to absorb any libm ln ulp, the per-term contribution
+    chain is parenthesized IDENTICALLY in Column and SQL form, the
+    3 contributions add in FIXED order (no aggregation
+    order-dependence), and the final score is floor6-quantized — the
+    q37/q44 absorber pattern. Scale shape: one explode+groupBy for
+    term stats (vocabulary-sized output), a 1-row (N, sum dl)
+    aggregate, then scoring is a SHUFFLE-FREE scan with literal-folded
+    tf counts (size(filter(...)) inside codegen) — at 100 TB the only
+    distributed cost is the vocabulary groupBy any TF-IDF/BM25 index
+    build already pays (q75's shape)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("_t")
+    )
+    stats = (
+        docs.select("doc_id", F.explode("_t").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("cnt").desc(), F.col("t").asc())
+        .limit(3)
+        .collect()
+    )
+    tot = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size("_t")).alias("sumdl")
+    ).collect()[0]
+    n, sumdl = float(tot["n"]), float(tot["sumdl"])
+    import math as _math
+
+    out_cols = [F.col("doc_id")]
+    contribs = []
+    dl = F.size("_t").cast("double")
+    for r, row in enumerate(stats, start=1):
+        term, df = row["t"], float(row["df"])
+        idf = _math.floor(_math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1e9 + 0.5) / 1e9
+        tf = F.size(F.filter("_t", lambda x: x == F.lit(term)))
+        out_cols.append(tf.cast("bigint").alias(f"tf{r}"))
+        tfd = tf.cast("double")
+        contribs.append(
+            F.lit(idf)
+            * (
+                (tfd * F.lit(2.2))
+                / (
+                    tfd
+                    + F.lit(1.2)
+                    * (
+                        F.lit(1.0)
+                        - F.lit(0.75)
+                        + F.lit(0.75) * (dl * F.lit(n) / F.lit(sumdl))
+                    )
+                )
+            )
+        )
+    score = contribs[0] + contribs[1] + contribs[2]
+    out_cols.append(
+        F.floor(score * F.lit(1e6) + F.lit(0.5)).cast("bigint").alias("score_e6")
+    )
+    return docs.select(*out_cols)
+
+
 @_q(
     "q193_column_stats",
     f"""

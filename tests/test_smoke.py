@@ -251,3 +251,35 @@ def test_sketch_stats_rel_error_vs_exact(spark):
         for p in ("p25_c", "p50_c", "p75_c"):
             tol = max(0.01 * abs(e[p]), 1.0)
             assert abs(a[p] - e[p]) <= tol, (c, p, e[p], a[p])
+
+
+def test_bm25_ranking_semantics(spark):
+    """q202 on a hand-built corpus: docs rich in the top query terms
+    must outrank docs without them, absent-term docs score exactly 0,
+    and the BM25 length normalization must rank a short match above a
+    long one at equal tf."""
+    import __spark_entry__ as entry
+
+    # top-3 query terms by (count DESC, token ASC): alpha(5), beta(3),
+    # gamma(2) — the fillers in doc 2 are count-1 so they can never
+    # enter the query
+    rows = [
+        (1, "alpha alpha alpha beta"),
+        (2, "alpha beta f1 f2 f3 f4 f5 f6"),
+        (3, "iota kappa"),
+        (4, "alpha beta"),
+        (5, "gamma gamma"),
+    ]
+    import tempfile, os
+    from spark_lakehouse_medallion_pipeline_spark.queries import QUERIES
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        out = {r["doc_id"]: r for r in QUERIES["q202_bm25_ranking"](spark, tmp).collect()}
+    assert out[3]["score_e6"] == 0  # none of the top-3 terms
+    assert out[1]["score_e6"] > out[4]["score_e6"] > 0  # tf dominance
+    # doc 4 (len 2) vs doc 2 (len 8): same tf=1 for alpha+beta, shorter
+    # doc scores higher under b=0.75 length normalization
+    assert out[4]["score_e6"] > out[2]["score_e6"]
