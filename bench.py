@@ -133,6 +133,8 @@ HEADLINE = [
     "q200_jpeg_image_features",
     "q201_pq_codes_int",
     "q202_bm25_ranking",
+    "q203_equidepth_histogram",
+    "q204_containment_scan",
     "medallion_gold_kpis",
 ]
 

@@ -9085,6 +9085,204 @@ def q202_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(*out_cols)
 
 
+_EIGHTHS = (0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875)
+
+_EQUIDEPTH_SQL = (
+    f"""
+    WITH v AS (SELECT {SC("l_extendedprice")} AS v FROM lineitem),
+    b AS (SELECT """
+    + ", ".join(
+        f"quantile_cont(v, {p}) AS b{i}" for i, p in enumerate(_EIGHTHS, start=1)
+    )
+    + """ FROM v)
+    SELECT bucket, COUNT(*) AS n_rows, MIN(v) AS min_c, MAX(v) AS max_c
+    FROM (
+      SELECT v, CAST("""
+    + " + ".join(
+        f"(CASE WHEN CAST(v AS DOUBLE) > b{i} THEN 1 ELSE 0 END)"
+        for i in range(1, 8)
+    )
+    + """ AS INT) AS bucket
+      FROM v CROSS JOIN b
+    ) GROUP BY bucket
+    """
+)
+
+
+@_q("q203_equidepth_histogram", _EQUIDEPTH_SQL)
+def q203_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bucket EQUI-DEPTH histogram of l_extendedprice — the CBO's
+    selectivity structure that q194's equi-width form can't provide on
+    skewed data (equal-count buckets adapt their widths to density).
+    Boundaries are the exact interpolated EIGHTH percentiles: like
+    q18/q193's quarters, eighths are dyadic (k/8 is binary-exact), so
+    Spark percentile() and DuckDB quantile_cont() interpolate on
+    integer cents bit-for-bit; bucket assignment is then a fixed chain
+    of v > b_i comparisons (integers vs the shared doubles). NOT the
+    naive global-ntile plan — that is a single-partition sort; here
+    the boundaries are a 1-row broadcast model (the q194 min/max
+    shape) and counting is one map-combined 8-key aggregate: two
+    scans, no sort, no window, at any scale. The percentile buffer
+    carries q193's documented caveat with the same production swap
+    (percentile_approx boundaries, q199's discipline)."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.select(cents(F.col("l_extendedprice")).alias("v"))
+    b = v.agg(
+        F.expr(
+            f"percentile(v, array({', '.join(str(p) for p in _EIGHTHS)}))"
+        ).alias("bs")
+    )
+    bucket = sum(
+        (
+            F.when(F.col("v").cast("double") > F.col("bs")[i], 1).otherwise(0)
+            for i in range(7)
+        ),
+        start=F.lit(0),
+    ).cast("int")
+    return (
+        v.crossJoin(F.broadcast(b))
+        .select("v", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("v").alias("min_c"),
+            F.max("v").alias("max_c"),
+        )
+    )
+
+
+_CONTAINMENT_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS l FROM documents
+    ),
+    tk AS (
+      SELECT DISTINCT doc_id, array_to_string(l[i:i+1], ' ') AS t
+      FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i
+            FROM toks WHERE len(l) >= 2)
+    ),
+    nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tk),
+    df AS (SELECT t, COUNT(*) AS df FROM tk GROUP BY t),
+    dk AS (  -- distinctive tokens only: df <= N/2 (stop-token cap)
+      SELECT tk.doc_id, tk.t FROM tk JOIN df USING (t) CROSS JOIN nn
+      WHERE df.df * 2 <= nn.n
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS sa FROM dk GROUP BY doc_id),
+    probes AS (SELECT doc_id AS probe_id, sa FROM sz WHERE doc_id % 20 = 0 AND sa >= 1),
+    pairs AS (
+      SELECT pr.probe_id, d.doc_id, COUNT(*) AS shared
+      FROM probes pr
+      JOIN dk p ON p.doc_id = pr.probe_id
+      JOIN dk d ON d.t = p.t AND d.doc_id <> pr.probe_id
+      GROUP BY pr.probe_id, d.doc_id
+    ),
+    scored AS (
+      SELECT pa.probe_id, pa.doc_id, pa.shared,
+             CAST(pa.shared * 1000000 // pr.sa AS BIGINT) AS cont_e6,
+             CASE WHEN pa.shared * 5 >= pr.sa * 4 THEN 1 ELSE 0 END AS hit
+      FROM pairs pa JOIN probes pr USING (probe_id)
+    ),
+    top1 AS (
+      SELECT probe_id, doc_id AS top_doc, cont_e6 AS top_cont_e6 FROM (
+        SELECT probe_id, doc_id, cont_e6,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY cont_e6 DESC, doc_id DESC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT pr.probe_id, pr.sa AS n_probe_tokens,
+           COALESCE(agg.n_containers, 0) AS n_containers,
+           top1.top_doc, top1.top_cont_e6
+    FROM probes pr
+    LEFT JOIN (SELECT probe_id, CAST(SUM(hit) AS BIGINT) AS n_containers
+               FROM scored GROUP BY probe_id) agg USING (probe_id)
+    LEFT JOIN top1 USING (probe_id)
+    """
+
+
+@_q("q204_containment_scan", _CONTAINMENT_SQL)
+def q204_containment_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided token-CONTAINMENT audit — the quote/subset-duplication
+    detector jaccard misses (a short doc fully quoted inside a long one
+    has low jaccard but containment ~1): for a deterministic 5% probe
+    set (doc_id % 20 = 0), count corpus docs containing >= 80% of the
+    probe's distinctive 2-gram shingles and surface the best-covering
+    doc. SHINGLES, not unigrams: this corpus has a 31-token universal
+    vocabulary (every unigram hits the stop cap), while its ~900
+    bigrams have healthy document frequencies — the same reason q162's
+    LSH shingles. Containment is computed over DISTINCTIVE shingles
+    only (document frequency <= N/2) — the stop-token cap that keeps
+    the inverted-index join from degenerating on corpus-universal
+    terms, mirrored exactly in the oracle (integer df*2 <= n compare;
+    the cap is a no-op on THIS corpus but is the 100 TB contract).
+    Docs under 2 tokens drop out (no bigrams). All arithmetic
+    integer (shared*1e6 div |A|; threshold as shared*5 >= 4*|A|);
+    argmax doc via max-struct with (containment, doc_id) ordering =
+    oracle's row_number DESC/DESC. Scale shape: explode -> df filter
+    (vocabulary-sized broadcast side) -> token-equality join whose
+    fan-out is bounded by the df cap -> pair aggregate -> per-probe
+    rollup; probes per partition scale with the probe fraction, and
+    the output is PROBE-sized, never pair-sized."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("_l")
+    ).filter(F.size("_l") >= 2)
+    tk = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_l") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("_l", i), F.element_at("_l", i + 1)
+                    ),
+                )
+            )
+        ).alias("t"),
+    )
+    n = tk.select("doc_id").distinct().count()
+    dfreq = tk.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    dk = tk.join(
+        F.broadcast(dfreq.filter(F.col("df") * 2 <= F.lit(n)).select("t")), "t"
+    )
+    sz = dk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sa"))
+    probes = (
+        sz.filter((F.col("doc_id") % 20 == 0) & (F.col("sa") >= 1))
+        .select(F.col("doc_id").alias("probe_id"), "sa")
+        .localCheckpoint(eager=True)
+    )
+    p_t = dk.join(
+        probes.select(F.col("probe_id").alias("doc_id")), "doc_id"
+    ).select(F.col("doc_id").alias("probe_id"), "t")
+    pairs = (
+        p_t.join(dk.withColumnRenamed("doc_id", "doc_id_b"), "t")
+        .filter(F.col("doc_id_b") != F.col("probe_id"))
+        .groupBy("probe_id", F.col("doc_id_b").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    scored = pairs.join(probes, "probe_id").select(
+        "probe_id",
+        "doc_id",
+        F.expr("CAST(shared * 1000000L div sa AS BIGINT)").alias("cont_e6"),
+        F.when(F.col("shared") * 5 >= F.col("sa") * 4, 1).otherwise(0).alias("hit"),
+    )
+    per_probe = scored.groupBy("probe_id").agg(
+        F.sum("hit").cast("bigint").alias("n_containers"),
+        F.max(F.struct(F.col("cont_e6").alias("c"), F.col("doc_id").alias("d"))).alias(
+            "_top"
+        ),
+    )
+    return (
+        probes.join(per_probe, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.col("sa").alias("n_probe_tokens"),
+            F.coalesce("n_containers", F.lit(0).cast("bigint")).alias("n_containers"),
+            F.col("_top.d").alias("top_doc"),
+            F.col("_top.c").alias("top_cont_e6"),
+        )
+    )
+
+
 @_q(
     "q193_column_stats",
     f"""

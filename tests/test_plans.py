@@ -530,3 +530,18 @@ def test_sketch_stats_one_exchange(spark):
     df = QUERIES["q199_column_stats_sketch"](spark, SF)
     n = explain.count_exchanges(df)
     assert n <= 1, f"q199: {n} exchanges > budget 1"
+
+
+def test_equidepth_histogram_plan(spark):
+    """q203 must be the broadcast-boundaries shape, NOT a global ntile:
+    one percentile aggregate + one 8-key groupBy (<= 2 exchanges), the
+    bounds join broadcast, and no Sort anywhere in the plan."""
+    df = QUERIES["q203_equidepth_histogram"](spark, SF)
+    n = explain.count_exchanges(df)
+    assert n <= 2, f"q203: {n} exchanges > budget 2"
+    plan = explain.formatted(df)
+    assert "SortMergeJoin" not in plan
+    # no Window operator: a global-ntile implementation would show one
+    # (note "percentile" the aggregate contains the substring "ntile",
+    # so match the operator, not the function name)
+    assert "Window" not in plan
