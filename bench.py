@@ -135,6 +135,8 @@ HEADLINE = [
     "q202_bm25_ranking",
     "q203_equidepth_histogram",
     "q204_containment_scan",
+    "q205_join_skew_profile",
+    "q206_functional_dependency_audit",
     "medallion_gold_kpis",
 ]
 

@@ -9284,6 +9284,126 @@ def q204_containment_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q205_join_skew_profile",
+    """
+    WITH c AS (SELECT o_custkey AS k, COUNT(*) AS cnt FROM orders GROUP BY o_custkey),
+    g AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS d,
+                 MAX(cnt) AS maxcnt FROM c),
+    top5 AS (
+      SELECT k, cnt, r FROM (
+        SELECT k, cnt, row_number() OVER (ORDER BY cnt DESC, k ASC) AS r FROM c
+      ) WHERE r <= 5
+    )
+    SELECT CAST(r AS INT) AS rank, k AS key, CAST(cnt AS BIGINT) AS cnt,
+           CAST(cnt * 1000000 // g.n AS BIGINT) AS share_e6,
+           CAST(g.maxcnt * g.d * 1000000 // g.n AS BIGINT) AS skew_ratio_e6,
+           CAST(g.d AS BIGINT) AS n_distinct_keys
+    FROM top5 CROSS JOIN g
+    """,
+)
+def q205_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key SKEW profile of orders.o_custkey — the pre-join
+    diagnosis that decides whether q133's salting (or AQE's skew-join
+    split) is needed before a big shuffle: the 5 heaviest keys with
+    their exact row share, plus max-over-average key cardinality
+    (skew_ratio_e6 = maxcnt * D * 1e6 div N, the exact integer form of
+    maxcnt/avg) and distinct-key count. Completes the ANALYZE kit
+    (q193 column stats, q194/q203 histograms, q199 sketches) with the
+    distribution-shape statistic CBOs and shuffle planners consume.
+    All integer arithmetic; top-5 by (cnt DESC, key ASC) is a total
+    order. Scale shape: ONE map-combined groupBy on the key (the same
+    aggregate any pre-join count would run), a 1-row global aggregate
+    broadcast back, and a 5-row TakeOrderedAndProject — no sort of the
+    full key table, no second scan of the fact table."""
+    orders = _t(spark, sf_dir, "orders")
+    c = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    g = c.agg(
+        F.sum("cnt").alias("n"),
+        F.count(F.lit(1)).alias("d"),
+        F.max("cnt").alias("maxcnt"),
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("k").asc())
+    top5 = (
+        c.orderBy(F.col("cnt").desc(), F.col("k").asc())
+        .limit(5)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
+    return top5.crossJoin(F.broadcast(g)).select(
+        "rank",
+        F.col("k").alias("key"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.expr("CAST(cnt * 1000000L div n AS BIGINT)").alias("share_e6"),
+        F.expr("CAST(maxcnt * d * 1000000L div n AS BIGINT)").alias("skew_ratio_e6"),
+        F.col("d").cast("bigint").alias("n_distinct_keys"),
+    )
+
+
+_FD_PAIRS = (
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_custkey", "o_orderpriority"),
+)
+
+_FD_SQL = (
+    "WITH "
+    + ", ".join(
+        f"""p{i} AS (
+      SELECT '{lhs} -> {rhs}' AS fd,
+             CAST(COUNT(*) AS BIGINT) AS n_lhs_keys,
+             CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_keys,
+             CAST(MAX(nd) AS BIGINT) AS max_rhs_per_key
+      FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS nd FROM {tbl} GROUP BY {lhs})
+    )"""
+        for i, (tbl, lhs, rhs) in enumerate(_FD_PAIRS)
+    )
+    + " "
+    + " UNION ALL ".join(f"SELECT * FROM p{i}" for i in range(len(_FD_PAIRS)))
+)
+
+
+@_q("q206_functional_dependency_audit", _FD_SQL)
+def q206_functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit — the data-profiling primitive
+    behind schema inference and normalization checks: for each
+    candidate LHS -> RHS pair, the number of LHS keys, how many of
+    them map to MORE than one RHS value (violations), and the worst
+    fan-out. The three probes are chosen to span the outcome space:
+    nation->region HOLDS by construction (TPC-H), customer
+    nationkey->mktsegment violates heavily (independent attributes),
+    orders custkey->orderpriority violates for every multi-order
+    customer. Exact integer counts only. Scale shape: per pair one
+    (LHS, distinct-RHS) aggregate then a key-count rollup — the
+    COUNT(DISTINCT) expand is per-LHS-group (bounded fan-in), the
+    same two-exchange shape as q193's NDV, and pairs union
+    independently (Catalyst runs them as separate subtrees)."""
+    parts = []
+    for tbl, lhs, rhs in _FD_PAIRS:
+        t = _t(spark, sf_dir, tbl)
+        per_key = t.groupBy(lhs).agg(F.countDistinct(rhs).alias("nd"))
+        parts.append(
+            per_key.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_lhs_keys"),
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_violating_keys"),
+                F.max("nd").cast("bigint").alias("max_rhs_per_key"),
+            ).select(
+                F.lit(f"{lhs} -> {rhs}").alias("fd"),
+                "n_lhs_keys",
+                "n_violating_keys",
+                "max_rhs_per_key",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@_q(
     "q193_column_stats",
     f"""
     WITH s AS (
