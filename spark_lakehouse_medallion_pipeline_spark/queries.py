@@ -9624,8 +9624,12 @@ def q194_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q149's oracle embeds the same portable-LSH candidate pipeline, so
 # the technique keeps driver coverage). Fourth: q201 integer-exact PQ
 # takes q36's slot (brute kNN green all 7 rounds; q183 recomputes the
-# same brute kNN as its recall baseline) — 10 rotated slots this
-# round, the r7 precedent.
+# same brute kNN as its recall baseline). Finally the five late-round
+# families (q202 BM25, q203 equi-depth, q204 containment, q205 skew
+# profile, q206 FD audit) take the slots of q163/q145/q152/q133/q127
+# (each green 3-5 rounds with family or pytest cover, annotated
+# inline) — 14 rotated slots this round, every family born in round 8
+# earning its driver row in round 8.
 
 _DRIVER_SNAPSHOT_50 = [
     # reference surface: aggregates, scalars, datetime, medallion KPIs
@@ -9637,8 +9641,8 @@ _DRIVER_SNAPSHOT_50 = [
     # joins
     "q192_bfs_supplier_hops",  # r7 late: multi-source BFS, new reachability class (q161 triangles green r05+r06; graph keeps q188/q67/q126)
     "q158_wav_audio_features",  # r5: audio codec never recorded (q06 green r03+r04)
-    "q133_salted_join",
-    "q145_bitmap_distinct",
+    "q205_join_skew_profile",  # r8 late: skew diagnosis, birth-round row (q133 salted join green r04-r07; the salting operator keeps pytest cover in test_salted_join_matches_plain and q205 is its diagnosis half)
+    "q203_equidepth_histogram",  # r8 late: equi-depth boundaries, birth-round row (q145 exact bitmaps green r04-r07; X13 keeps q193/q194/q190/q170)
     "q170_rolling_median",  # r5: exact robust stats never recorded (q25 green r03+r04; X6 keeps q48)
     "q150_asof_tolerance",
     "q48_interval_join",
@@ -9675,8 +9679,8 @@ _DRIVER_SNAPSHOT_50 = [
     "q201_pq_codes_int",  # r8: integer-exact PQ train+encode, first-ever driver row for the PQ family (q36 brute kNN green r01-r07; q183's recall eval computes the same brute kNN internally)
     "q198_pca_power_customers",  # r8: integer power-iteration PCA, birth-round row (q126 PageRank green r01-r07; graph keeps q192/q67/q188)
     # text analysis family
-    "q163_pmi_collocations",  # r5: collocation mining never recorded (q29 green r03+r04; text keeps q119/q95)
-    "q152_fuzzy_name_pairs_d2",
+    "q202_bm25_ranking",  # r8 late: BM25 lexical retrieval, birth-round row (q163 PMI green r05-r07; text keeps q185/q186/q135/q182 + BPE reps)
+    "q204_containment_scan",  # r8 late: one-sided containment audit, birth-round row (q152 fuzzy-ER d<=2 green r04-r07; dedup keeps q149/q179)
     "q195_weighted_sample",  # r7 late: per-item A-Res weighted sampler, new family (q164 pseudonymize green r04-r06; text keeps q163/q152/q95/q185)
     "q183_ann_recall_eval",  # r5: recall-vs-brute eval never recorded (q153 green r04; q183 embeds the same exact_rerank)
     "q135_retention_cohorts",  # r8: cohort matrices never recorded in 7 rounds (q95 packing green r04-r07; text keeps q163/q152/q185/q186)
@@ -9688,7 +9692,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q187_mixture_apportionment",  # r5: largest-remainder quotas never recorded (q97 green r01-r04; EXISTS family keeps q56)
     # round-3 families: connectors, warehouse maintenance, quality contracts
     "q124_python_datasource",
-    "q127_data_quality",
+    "q206_functional_dependency_audit",  # r8 late: FD profiling, birth-round row (q127 quality contracts green r03-r07; quality family keeps q128 CDC + the ANALYZE kit q193/q194)
     "q128_cdc_apply",
     "q193_column_stats",  # r7 late: ANALYZE-style stats, new family (q130 PIT green r03-r06; temporal keeps q129 SCD2 + q128 CDC)
 ]
