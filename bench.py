@@ -137,6 +137,8 @@ HEADLINE = [
     "q204_containment_scan",
     "q205_join_skew_profile",
     "q206_functional_dependency_audit",
+    "q207_rolling_distinct_users",
+    "q208_mixture_temperature",
     "medallion_gold_kpis",
 ]
 

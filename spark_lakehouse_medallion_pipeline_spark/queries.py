@@ -9404,6 +9404,149 @@ def q206_functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @_q(
+    "q207_rolling_distinct_users",
+    """
+    WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+    SELECT d.day AS window_end,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS users_7d,
+           COUNT(*) AS n_events_7d
+    FROM d JOIN events e
+      ON CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+)
+def q207_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING 7-day exact distinct users per day — the retention/DAU
+    dashboard metric where naive COUNT(DISTINCT) re-shuffles the raw
+    event stream once per window. The scale shape is q145's bitmap
+    pattern COMPOSED over time: events collapse ONCE into per-(day,
+    bucket) bitmaps (exact, mergeable, bounded state), each day's
+    bitmap then fans out to the <= 7 windows it serves (a fan-out of
+    BITMAPS, day-count-sized, not events), bitmap_or_agg re-merges per
+    (window, bucket), and per-bucket cardinalities sum — raw events
+    are touched exactly once regardless of window length. Windows are
+    anchored on days that HAVE events (leading partial windows
+    included, the dashboard convention). The oracle pins the whole
+    pipeline against a plain range-join COUNT(DISTINCT). Events must
+    come through sources.io.read_events (TIMESTAMP_NANOS rebuild);
+    date extraction is UTC to_date both sides."""
+    from spark_lakehouse_medallion_pipeline_spark.sources.io import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    per_day = ev.groupBy(
+        "day", F.expr("bitmap_bucket_number(user_id)").alias("_bucket")
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("_bm"),
+        F.count(F.lit(1)).alias("_n_events"),
+    )
+    offsets = spark.range(7).select(F.col("id").cast("int").alias("_k"))
+    fanned = per_day.crossJoin(F.broadcast(offsets)).select(
+        F.date_add("day", F.col("_k")).alias("window_end"),
+        "_bucket",
+        "_bm",
+        "_n_events",
+    )
+    anchors = per_day.select("day").distinct()
+    merged = (
+        fanned.join(anchors.withColumnRenamed("day", "window_end"), "window_end")
+        .groupBy("window_end", "_bucket")
+        .agg(
+            F.expr("bitmap_count(bitmap_or_agg(_bm))").alias("_n"),
+            F.sum("_n_events").alias("_ne"),
+        )
+    )
+    return merged.groupBy("window_end").agg(
+        F.sum("_n").cast("bigint").alias("users_7d"),
+        F.sum("_ne").alias("n_events_7d"),
+    )
+
+
+@_q(
+    "q208_mixture_temperature",
+    r"""
+    WITH w0 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                FROM documents GROUP BY source),
+    w AS (SELECT source, n,
+                 CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+                      AS BIGINT) AS weight
+          FROM w0),
+    tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS tw FROM w),
+    base AS (
+      SELECT source, n, weight,
+             CAST(1000000 * weight // tw AS BIGINT) AS floor_quota,
+             CAST(1000000 * weight % tw AS BIGINT) AS remainder
+      FROM w, tot
+    ),
+    leftover AS (SELECT CAST(1000000 - SUM(floor_quota) AS BIGINT) AS k FROM base),
+    ranked AS (
+      SELECT source, n, weight, floor_quota,
+             row_number() OVER (ORDER BY remainder DESC, source) AS rk
+      FROM base
+    )
+    SELECT source, n AS n_docs, weight AS w_sqrt_e6,
+           CAST(floor_quota + CASE WHEN rk <= (SELECT k FROM leftover)
+                                   THEN 1 ELSE 0 END AS BIGINT) AS sample_quota
+    FROM ranked
+    """,
+)
+def q208_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-scaled mixture resampling quotas (alpha = 0.5) — the
+    data-mixing step that UPSAMPLES rare domains before training (the
+    published practice behind multi-source corpus weighting: raw
+    proportional sampling drowns small high-quality sources, so
+    weights are flattened as n^alpha before apportionment). Per
+    source: weight = sqrt(doc count), e6-QUANTIZED so everything
+    downstream is q187's EXACT integer largest-remainder machinery
+    (sqrt is IEEE-correctly-rounded — bit-identical in every engine,
+    unlike ln — and FLOOR(x*1e6+0.5) pins the one inexact value; from
+    there floor-quota + remainder ranks are pure integer arithmetic
+    and the 1M-sample budget sums exactly). Scale shape: one
+    source-count aggregate (domain-sized), a 1-row total broadcast,
+    and a domain-sized window — the plan is model-sized after the
+    first groupBy regardless of corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    w = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "source",
+            "n",
+            F.floor(F.sqrt(F.col("n").cast("double")) * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .alias("weight"),
+        )
+    )
+    tot = w.agg(F.sum("weight").alias("tw"))
+    base = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        "weight",
+        F.expr("CAST(1000000L * weight div tw AS BIGINT)").alias("floor_quota"),
+        F.expr("CAST(1000000L * weight % tw AS BIGINT)").alias("remainder"),
+    )
+    k = base.agg((F.lit(1000000) - F.sum("floor_quota")).alias("k"))
+    ranked = base.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("remainder").desc(), F.col("source"))
+        ),
+    )
+    return ranked.crossJoin(F.broadcast(k)).select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("weight").alias("w_sqrt_e6"),
+        (
+            F.col("floor_quota")
+            + F.when(F.col("rk") <= F.col("k"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("sample_quota"),
+    )
+
+
+@_q(
     "q193_column_stats",
     f"""
     WITH s AS (
