@@ -9771,8 +9771,11 @@ def q194_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # families (q202 BM25, q203 equi-depth, q204 containment, q205 skew
 # profile, q206 FD audit) take the slots of q163/q145/q152/q133/q127
 # (each green 3-5 rounds with family or pytest cover, annotated
-# inline) — 14 rotated slots this round, every family born in round 8
-# earning its driver row in round 8.
+# inline), and q207 rolling-bitmap-distinct / q208 temperature quotas
+# take q168 / q187 (green r05-r07; q207 is the time-window family's
+# fresh rep, q208 embeds q187's exact machinery) — 16 rotated slots
+# this round, every family born in round 8 earning its driver row in
+# round 8.
 
 _DRIVER_SNAPSHOT_50 = [
     # reference surface: aggregates, scalars, datetime, medallion KPIs
@@ -9810,7 +9813,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q67_dedup_clusters",  # r7: connected components never recorded in 6 rounds (q117 mapInArrow green r04-r06; UDF family keeps q65)
     "q65_udtf_tokenize",
     # semi-structured: JSON, arrays, maps/structs
-    "q168_time_weighted_avg",  # r5: TWAP never recorded (q23 green r03+r04; semi-structured keeps q123/q110)
+    "q207_rolling_distinct_users",  # r8 late: rolling bitmap distinct, birth-round row (q168 TWAP green r05-r07; the time-window family keeps q150/q170/q172/q178 + this entry)
     "q200_jpeg_image_features",  # r8: real baseline-JPEG codec, birth-round row (q162 portable LSH green r04-r07; its candidates CTE lives on inside q149's oracle, and dedup keeps q149/q152/q179)
     "q123_xml_battery",
     # dedup family
@@ -9832,7 +9835,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q177_gif_image_features",  # r5: real-GIF LZW codec never recorded (q157 BMP green r04; multimodal keeps q176/q158)
     "q174_pareto_abc",  # r5: revenue-concentration never recorded (q40 green r03+r04; UDF keeps q117/q65)
     "q166_hilbert_layout",  # r5: same layout family, never-recorded variant (q92 green r04)
-    "q187_mixture_apportionment",  # r5: largest-remainder quotas never recorded (q97 green r01-r04; EXISTS family keeps q56)
+    "q208_mixture_temperature",  # r8 late: temperature mixture quotas, birth-round row (q187 green r05-r07; q208 embeds the identical largest-remainder machinery plus the sqrt temperature)
     # round-3 families: connectors, warehouse maintenance, quality contracts
     "q124_python_datasource",
     "q206_functional_dependency_audit",  # r8 late: FD profiling, birth-round row (q127 quality contracts green r03-r07; quality family keeps q128 CDC + the ANALYZE kit q193/q194)
