@@ -139,6 +139,7 @@ HEADLINE = [
     "q206_functional_dependency_audit",
     "q207_rolling_distinct_users",
     "q208_mixture_temperature",
+    "q209_incremental_near_dup_portable",
     "medallion_gold_kpis",
 ]
 

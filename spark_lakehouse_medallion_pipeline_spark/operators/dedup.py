@@ -1176,6 +1176,28 @@ def minhash_lsh_candidates_portable(
     the survey mandates; md5 portability is what lets the driver value-
     hash it against DuckDB rather than trusting recall tests alone.
     """
+    banded = minhash_banded_portable(
+        docs, id_col, text_col, num_hashes, bands, shingle_k,
+        broadcast_distinct_shingles,
+    )
+    return _pairs_from_banded(banded, ["band", "bkey"], max_bucket)
+
+
+def minhash_banded_portable(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    broadcast_distinct_shingles: bool = False,
+) -> DataFrame:
+    """The (_id, band, bkey) banded-signature table of the portable md5
+    MinHash family — the shared intermediate behind
+    ``minhash_lsh_candidates_portable`` (in-corpus pair generation) and
+    the portable incremental ingest probe (q209: new-shard bands
+    left-anti existing bands). Same stage-by-stage construction as the
+    docstring above; extracted so both consumers band identically."""
     if bands <= 0 or num_hashes % bands != 0:
         raise ValueError(
             f"bands ({bands}) must evenly divide num_hashes ({num_hashes})"
@@ -1245,10 +1267,9 @@ def minhash_lsh_candidates_portable(
             for b in range(bands)
         ]
     )
-    banded = mins.select("_id", F.explode(band_structs).alias("bb")).select(
+    return mins.select("_id", F.explode(band_structs).alias("bb")).select(
         "_id", "bb.band", "bb.bkey"
     )
-    return _pairs_from_banded(banded, ["band", "bkey"], max_bucket)
 
 
 def simhash_portable(

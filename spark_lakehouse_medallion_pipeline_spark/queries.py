@@ -3530,7 +3530,9 @@ def q94_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard-ingest dedup (X18 incremental form): treat doc_id % 10 == 0
     as the incoming shard and the rest as the already-ingested corpus
     (signatures persisted); keep shard docs with no LSH band collision
-    against the corpus. Left-anti bucket join — no pair generation."""
+    against the corpus. Left-anti bucket join — no pair generation.
+    Rows-only (xxhash64 banding, like q33/q34); the portable-md5 twin
+    q209 value-oracles the identical incremental plan since round 8."""
     docs = _t(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 10 == 0)
     existing = docs.filter(F.col("doc_id") % 10 != 0)
@@ -9543,6 +9545,73 @@ def q208_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("sample_quota"),
+    )
+
+
+@_q(
+    "q209_incremental_near_dup_portable",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS l FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, array_to_string(l[i:i+2], ' ') AS s
+      FROM (SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS i
+            FROM toks WHERE len(l) >= 3)
+    ),
+    h AS (
+      SELECT doc_id, seed,
+             MIN(('0x' || substr(md5(s || ':' || (seed // 2)),
+                                 CASE WHEN seed % 2 = 0 THEN 2 ELSE 18 END,
+                                 15))::BIGINT) AS m
+      FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    b AS (
+      SELECT doc_id, seed // 4 AS band,
+             string_agg(m, ',' ORDER BY seed) AS bkey
+      FROM h GROUP BY doc_id, seed // 4
+    ),
+    dup AS (
+      SELECT DISTINCT nb.doc_id
+      FROM b nb JOIN b ob
+        ON ob.band = nb.band AND ob.bkey = nb.bkey AND ob.doc_id % 10 <> 0
+      WHERE nb.doc_id % 10 = 0
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id % 10 = 0
+      AND NOT EXISTS (SELECT 1 FROM dup WHERE dup.doc_id = d.doc_id)
+    """,
+)
+def q209_incremental_near_dup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-ingest near-dup filter, VALUE-ORACLED — the portable twin
+    of q94 (whose xxhash64 banding is engine-side forever, like
+    q33/q34): the incoming shard (doc_id % 10 = 0) keeps only docs
+    with NO portable-md5 LSH band collision against the already-
+    ingested corpus's persisted banded signatures. With this entry
+    every rows-only battery member has either a value-oracled twin
+    (q33->q162, q34->q165, q94->here, q140/q143->q201, q156->q198) or
+    a documented impossibility (native HLL/KLL sketches, generator
+    profiles). Same plan as q94: sign the small shard, ONE left-semi
+    band-bucket hash join for dup ids, left-anti back — no pair
+    generation, probe cost scales with the shard, not the corpus
+    (dedup.minhash_banded_portable, the shared intermediate behind
+    q162/q149's oracles). Docs under shingle_k tokens have no bands
+    and trivially survive — mirrored by the oracle's NOT EXISTS."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    existing = docs.filter(F.col("doc_id") % 10 != 0)
+    nb = dedup.minhash_banded_portable(new, num_hashes=16, bands=4, shingle_k=3)
+    ob = dedup.minhash_banded_portable(
+        existing, num_hashes=16, bands=4, shingle_k=3
+    ).select("band", "bkey")
+    dup_ids = (
+        nb.join(ob, ["band", "bkey"], "left_semi")
+        .select(F.col("_id").alias("_dup_id"))
+        .distinct()
+    )
+    return new.select("doc_id").join(
+        dup_ids, F.col("doc_id") == F.col("_dup_id"), "left_anti"
     )
 
 
