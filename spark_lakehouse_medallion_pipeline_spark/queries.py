@@ -9842,9 +9842,10 @@ def q194_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (each green 3-5 rounds with family or pytest cover, annotated
 # inline), and q207 rolling-bitmap-distinct / q208 temperature quotas
 # take q168 / q187 (green r05-r07; q207 is the time-window family's
-# fresh rep, q208 embeds q187's exact machinery) — 16 rotated slots
-# this round, every family born in round 8 earning its driver row in
-# round 8.
+# fresh rep, q208 embeds q187's exact machinery), and q209 portable
+# incremental ingest takes q48 (interval join green r04-r07; X6 keeps
+# q150) — 17 rotated slots this round, every family born in round 8
+# earning its driver row in round 8.
 
 _DRIVER_SNAPSHOT_50 = [
     # reference surface: aggregates, scalars, datetime, medallion KPIs
@@ -9858,9 +9859,9 @@ _DRIVER_SNAPSHOT_50 = [
     "q158_wav_audio_features",  # r5: audio codec never recorded (q06 green r03+r04)
     "q205_join_skew_profile",  # r8 late: skew diagnosis, birth-round row (q133 salted join green r04-r07; the salting operator keeps pytest cover in test_salted_join_matches_plain and q205 is its diagnosis half)
     "q203_equidepth_histogram",  # r8 late: equi-depth boundaries, birth-round row (q145 exact bitmaps green r04-r07; X13 keeps q193/q194/q190/q170)
-    "q170_rolling_median",  # r5: exact robust stats never recorded (q25 green r03+r04; X6 keeps q48)
+    "q170_rolling_median",  # r5: exact robust stats never recorded (q25 green r03+r04; X6 keeps q150)
     "q150_asof_tolerance",
-    "q48_interval_join",
+    "q209_incremental_near_dup_portable",  # r8 late: incremental-ingest family's first possible driver row (q48 interval join green r04-r07; X6 theta/range keeps q150 as-of tolerance)
     # grouping extensions
     "q176_png_image_features",  # r5: real-PNG codec never recorded (q09 green r03+r04; rollup keeps q146)
     "q190_trimmed_mean",  # r5: robust-location estimate never recorded (q146 green r04; bitmap family keeps q145)
