@@ -567,6 +567,13 @@ def main() -> None:
             # stats is one stacked scan — both should grow well under 10x
             "q191_kmeans_spend_segments",
             "q193_column_stats",
+            # round-8 families: PQ's codebook is tuple-aggregate bound,
+            # the rolling-distinct merge is day-bitmap bound, and the
+            # containment probe is df-cap bounded — all model-sized
+            # after their first aggregate
+            "q201_pq_codes_int",
+            "q207_rolling_distinct_users",
+            "q204_containment_scan",
         ):
             if name not in qs:
                 continue
