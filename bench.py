@@ -658,11 +658,17 @@ def main() -> None:
         "min_total": variance["headline_total_min_sec"],
         "spread_pct": variance["spread_pct"],
     }
+    # 10x scale ratios as a nested dict with bare-number / short keys —
+    # flat "<name>_10x" keys pushed the line past the degrade threshold
+    # once the list grew to 9 families
+    ratios = {}
     for k, v in variance.items():
         if k.endswith("_scale_ratio_10x_data"):
             base = k[: -len("_scale_ratio_10x_data")]
-            m = re.match(r"q\d+", base)
-            compact_variance[f"{m.group(0) if m else base}_10x"] = v
+            m = re.match(r"q(\d+)", base)
+            ratios[m.group(1) if m else base.split("_")[0]] = v
+    if ratios:
+        compact_variance["10x"] = ratios
     compact = {
         "metric": "headline_query_wall_clock_total",
         "value": total,
@@ -671,7 +677,7 @@ def main() -> None:
         "sf": sf,
         "bronze_write_mb_s": bronze_mb_s,
         "variance": compact_variance,
-        "note": "per-query min-of-2; qNN keys = full names in BENCH_FULL_LATEST.json",
+        "note": "min-of-2; full names in BENCH_FULL_LATEST.json",
     }
     if errors:
         compact["errors"] = {k: v[:60] for k, v in errors.items()}
