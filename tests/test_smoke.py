@@ -283,3 +283,54 @@ def test_bm25_ranking_semantics(spark):
     # doc 4 (len 2) vs doc 2 (len 8): same tf=1 for alpha+beta, shorter
     # doc scores higher under b=0.75 length normalization
     assert out[4]["score_e6"] > out[2]["score_e6"]
+
+
+def test_bench_compact_line_fits_capture_window():
+    """The driver records only the LAST 2000 chars of bench stdout and
+    parses the final line (round 7 lost the per-query map to this).
+    Rebuild the compact line exactly as bench.py does, from the
+    committed full record, and pin it under the degrade threshold so
+    HEADLINE growth can't silently push the ratios out again."""
+    import json
+    import re
+    from pathlib import Path
+
+    full_path = Path(__file__).resolve().parent.parent / "BENCH_FULL_LATEST.json"
+    full = json.loads(full_path.read_text())
+    timings, variance = full["queries"], full["variance"]
+    compact_queries = {
+        (re.match(r"q\d+", k).group(0) if k.startswith("q") else k): round(v, 2)
+        for k, v in timings.items()
+    }
+    cv = {
+        "run1": variance["headline_total_run1_sec"],
+        "run2": variance["headline_total_run2_sec"],
+        "min_total": variance["headline_total_min_sec"],
+        "spread_pct": variance["spread_pct"],
+    }
+    ratios = {}
+    for k, v in variance.items():
+        if k.endswith("_scale_ratio_10x_data"):
+            base = k[: -len("_scale_ratio_10x_data")]
+            m = re.match(r"q(\d+)", base)
+            ratios[m.group(1) if m else base.split("_")[0]] = v
+    if ratios:
+        cv["10x"] = ratios
+    compact = {
+        "metric": "headline_query_wall_clock_total",
+        "value": full["value"],
+        "unit": "sec",
+        "queries": compact_queries,
+        "sf": full["sf"],
+        "bronze_write_mb_s": full["bronze_write_mb_s"],
+        "variance": cv,
+        "note": "min-of-2; full names in BENCH_FULL_LATEST.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1900, (
+        f"compact bench line is {len(line)} chars — it will degrade (drop "
+        "ratios) or overflow the driver's 2000-char capture; shorten keys "
+        "or trim HEADLINE additions"
+    )
+    # and it must round-trip as JSON (the driver parses it)
+    assert json.loads(line)["queries"]
