@@ -140,6 +140,7 @@ HEADLINE = [
     "q207_rolling_distinct_users",
     "q208_mixture_temperature",
     "q209_incremental_near_dup_portable",
+    "q210_label_centroid_similarity",
     "medallion_gold_kpis",
 ]
 

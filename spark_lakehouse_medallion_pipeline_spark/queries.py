@@ -9616,6 +9616,98 @@ def q209_incremental_near_dup_portable(spark: SparkSession, sf_dir: str) -> Data
 
 
 @_q(
+    "q210_label_centroid_similarity",
+    """
+    WITH q AS (
+      SELECT label, j,
+             CAST(FLOOR(CAST(embedding[j] AS DOUBLE) * 1000000.0 + 0.5)
+                  AS BIGINT) AS e
+      FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS j)
+    ),
+    c AS (SELECT label, j, SUM(e) // COUNT(*) AS c FROM q GROUP BY label, j),
+    nrm AS (SELECT label, CAST(SUM(c * c) AS BIGINT) AS nrm FROM c GROUP BY label),
+    d AS (
+      SELECT a.label AS la, b.label AS lb, CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+      FROM c a JOIN c b ON a.j = b.j AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT la AS label_a, lb AS label_b, dot,
+           CAST(FLOOR(CAST(dot AS DOUBLE)
+                      / (SQRT(CAST(GREATEST(x.nrm, 1) AS DOUBLE))
+                         * SQRT(CAST(GREATEST(y.nrm, 1) AS DOUBLE)))
+                      * 1000000.0 + 0.5) AS BIGINT) AS cos_e6
+    FROM d JOIN nrm x ON x.label = d.la JOIN nrm y ON y.label = d.lb
+    """,
+)
+def q210_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-LABEL embedding centroids
+    — the domain-affinity matrix a mixture designer reads before
+    merging or re-weighting sources (which clusters are near-duplicates
+    of each other, which are genuinely distinct; complements q208's
+    quotas and q185's doc-level affinity). Centroids are EXACT integer
+    vectors (e6-quantized components, truncating-divide mean — the
+    q198/q201 discipline), so the pairwise dot products are exact
+    BIGINTs; only the final normalization touches floats (IEEE sqrt +
+    one division chain, GREATEST(nrm,1) guarding degenerate all-zero
+    centroids identically on both engines) and is floor6-quantized.
+    Scale shape: the corpus collapses to label x dim integer sums in
+    ONE map-combined aggregate (the model, never the data); the
+    centroid self-join is label-count-sized (45 pairs here) — at
+    100 TB this is a scan plus arithmetic on a few-KB model."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(
+                    x.cast("double") * F.lit(1000000.0) + F.lit(0.5)
+                ).cast("long"),
+            )
+        ).alias("j0", "e"),
+    ).select("label", (F.col("j0") + 1).alias("j"), "e")
+    c = q.groupBy("label", "j").agg(
+        F.expr("CAST(sum(e) div count(1) AS BIGINT)").alias("c")
+    )
+    nrm = c.groupBy("label").agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("nrm")
+    )
+    a = c.select(
+        F.col("label").alias("la"), "j", F.col("c").alias("ca")
+    )
+    b = c.select(
+        F.col("label").alias("lb"), "j", F.col("c").alias("cb")
+    )
+    d = (
+        a.join(b, "j")
+        .filter(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("dot"))
+    )
+    x = nrm.select(F.col("label").alias("la"), F.col("nrm").alias("_na"))
+    y = nrm.select(F.col("label").alias("lb"), F.col("nrm").alias("_nb"))
+    cos = (
+        F.col("dot").cast("double")
+        / (
+            F.sqrt(F.greatest(F.col("_na"), F.lit(1)).cast("double"))
+            * F.sqrt(F.greatest(F.col("_nb"), F.lit(1)).cast("double"))
+        )
+    )
+    return (
+        d.join(F.broadcast(x), "la")
+        .join(F.broadcast(y), "lb")
+        .select(
+            F.col("la").alias("label_a"),
+            F.col("lb").alias("label_b"),
+            "dot",
+            F.floor(cos * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("cos_e6"),
+        )
+    )
+
+
+@_q(
     "q193_column_stats",
     f"""
     WITH s AS (
