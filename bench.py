@@ -646,14 +646,26 @@ def main() -> None:
     except OSError as exc:
         print(f"# could not write {full_path}: {exc}", file=sys.stderr)
     print(json.dumps(out))
+    print(build_compact_line(out))
 
+
+def build_compact_line(out: dict) -> str:
+    """The final stdout line: a <2000-char JSON the driver's tail
+    capture keeps whole (it records only the LAST ~2000 chars and
+    parses the last line). Shared with the pytest length guard
+    (test_bench_compact_line_fits_capture_window) so test and output
+    can never drift apart. Degrade order if over budget: drop the
+    scale ratios, then collapse per-error text to a count — a run with
+    failures must still fit, since those are exactly the runs where
+    the surviving signal matters most."""
     import re
 
+    timings, variance = out["queries"], out["variance"]
     compact_queries = {
         (re.match(r"q\d+", k).group(0) if k.startswith("q") else k): round(v, 2)
         for k, v in timings.items()
     }
-    compact_variance: dict[str, float] = {
+    compact_variance: dict[str, object] = {
         "run1": variance["headline_total_run1_sec"],
         "run2": variance["headline_total_run2_sec"],
         "min_total": variance["headline_total_min_sec"],
@@ -671,27 +683,33 @@ def main() -> None:
     if ratios:
         compact_variance["10x"] = ratios
     compact = {
-        "metric": "headline_query_wall_clock_total",
-        "value": total,
-        "unit": "sec",
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
         "queries": compact_queries,
-        "sf": sf,
-        "bronze_write_mb_s": bronze_mb_s,
+        "sf": out["sf"],
+        "bronze_write_mb_s": out.get("bronze_write_mb_s"),
         "variance": compact_variance,
         "note": "min-of-2; full names in BENCH_FULL_LATEST.json",
     }
+    errors = out.get("errors") or {}
     if errors:
         compact["errors"] = {k: v[:60] for k, v in errors.items()}
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:
-        # Degrade gracefully rather than overflow the capture window:
-        # drop the per-family ratios first, then truncate error text.
         compact["variance"] = {
             k: compact_variance[k]
             for k in ("run1", "run2", "min_total", "spread_pct")
         }
         line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    if len(line) > 1900 and errors:
+        # failed names still listed, messages in BENCH_FULL_LATEST.json
+        compact["errors"] = sorted(errors)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900 and errors:
+        compact["errors"] = {"n_errors": len(errors)}
+        line = json.dumps(compact, separators=(",", ":"))
+    return line
 
 
 if __name__ == "__main__":

@@ -969,7 +969,19 @@ def jpeg_decode_rgb8(blob: bytes):
     entropy decode (DC prediction + AC run-length, byte unstuffing),
     dequantize, dezigzag, float orthonormal IDCT, YCbCr->RGB. Raises
     ValueError outside the documented baseline scope (progressive,
-    subsampled, restart-interval, 16-bit-quant streams)."""
+    subsampled, restart-interval, 16-bit-quant, non-3-component
+    streams) AND on truncated/corrupt input — the same contract the
+    PNG/GIF decoders pin in test_multimodal, kept by translating the
+    low-level IndexError/struct.error a short read produces."""
+    import struct
+
+    try:
+        return _jpeg_decode_impl(blob)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"truncated or corrupt JPEG stream: {exc}") from exc
+
+
+def _jpeg_decode_impl(blob: bytes):
     import struct
 
     import numpy as np
@@ -1017,6 +1029,10 @@ def jpeg_decode_rgb8(blob: bytes):
             _p, h, w, nf = struct.unpack_from(">BHHB", body, 0)
             if _p != 8:
                 raise ValueError("only 8-bit precision supported")
+            if nf != 3:
+                raise ValueError(
+                    f"only 3-component (YCbCr) streams supported (got {nf})"
+                )
             for ci in range(nf):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 if hv != 0x11:

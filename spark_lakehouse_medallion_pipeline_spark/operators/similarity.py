@@ -1323,6 +1323,18 @@ def pq_codes_int(
     pts = corpus.select(F.col(id_col).alias("_id"), qv.alias("_q")).localCheckpoint(
         eager=True
     )
+    # Fail fast on NULL / wrong-length vectors anywhere in the corpus —
+    # a NULL among the seeds would TypeError obscurely, and a NULL
+    # elsewhere would let the null-first struct ordering silently
+    # assign code 0 (and diverge from the oracle). One cheap count
+    # over the already-checkpointed points.
+    n_bad = pts.filter(
+        F.col("_q").isNull() | (F.size("_q") != dim)
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"pq_codes_int: {n_bad} rows have NULL or non-{dim}-dim vectors"
+        )
     seed_rows = pts.orderBy("_id").limit(n_codes).collect()
     if len(seed_rows) < n_codes:
         raise ValueError(

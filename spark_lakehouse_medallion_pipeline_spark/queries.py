@@ -9050,6 +9050,12 @@ def q202_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(3)
         .collect()
     )
+    if len(stats) < 3:
+        # The oracle's schema is a fixed 3-term query; scoring with
+        # fewer would both IndexError below and shape-mismatch it.
+        raise ValueError(
+            f"q202 needs a corpus with >= 3 distinct tokens (got {len(stats)})"
+        )
     tot = docs.agg(
         F.count(F.lit(1)).alias("n"), F.sum(F.size("_t")).alias("sumdl")
     ).collect()[0]

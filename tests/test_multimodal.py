@@ -463,3 +463,27 @@ def test_jpeg_features_query_agrees_with_bmp_pattern(spark):
         vs = [(mid * k + c) % 256 for k, c in [(1, 0), (3, 7), (5, 11), (7, 13)]]
         assert (r["width"], r["height"], r["n_channels"]) == (16, 16, 3)
         assert int(r["mean_luma"]) == 250 * sum(vs)
+
+
+def test_jpeg_truncated_and_nonycbcr_raise_valueerror():
+    """The decoder's error contract covers corrupt input too: a
+    truncated-but-SOI-valid stream and a non-3-component SOF0 must
+    raise ValueError (like PNG/GIF), never a raw IndexError."""
+    import pytest
+
+    from spark_lakehouse_medallion_pipeline_spark.operators.multimodal import (
+        _jpeg_block_pattern,
+        jpeg_decode_rgb8,
+        jpeg_encode_rgb8,
+    )
+
+    blob = jpeg_encode_rgb8(_jpeg_block_pattern(5, 16))
+    with pytest.raises(ValueError, match="truncated or corrupt"):
+        jpeg_decode_rgb8(blob[:50])
+    with pytest.raises(ValueError, match="truncated or corrupt"):
+        jpeg_decode_rgb8(blob[:-20])  # chopped entropy data / EOI
+    mutated = bytearray(blob)
+    i = mutated.find(b"\xff\xc0")
+    mutated[i + 9] = 1  # Nf = 1 component (grayscale-declared)
+    with pytest.raises(ValueError, match="3-component"):
+        jpeg_decode_rgb8(bytes(mutated))

@@ -486,3 +486,21 @@ def test_pq_codes_int_encode_shuffle_free(spark):
     out = similarity.pq_codes_int(df, n_subspaces=4, sub_dim=16, n_codes=4)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 0, plan
+
+
+def test_pq_codes_int_rejects_null_and_wrong_dim(spark):
+    import pytest as _pytest
+
+    rows = [(i, [0.1] * 64) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    nulled = df.selectExpr(
+        "vec_id", "CASE WHEN vec_id = 7 THEN NULL ELSE embedding END AS embedding"
+    )
+    with _pytest.raises(ValueError, match="NULL or non-64-dim"):
+        similarity.pq_codes_int(nulled, n_subspaces=4, sub_dim=16)
+    short = df.selectExpr(
+        "vec_id",
+        "CASE WHEN vec_id = 3 THEN slice(embedding, 1, 10) ELSE embedding END AS embedding",
+    )
+    with _pytest.raises(ValueError, match="NULL or non-64-dim"):
+        similarity.pq_codes_int(short, n_subspaces=4, sub_dim=16)

@@ -288,49 +288,33 @@ def test_bm25_ranking_semantics(spark):
 def test_bench_compact_line_fits_capture_window():
     """The driver records only the LAST 2000 chars of bench stdout and
     parses the final line (round 7 lost the per-query map to this).
-    Rebuild the compact line exactly as bench.py does, from the
-    committed full record, and pin it under the degrade threshold so
-    HEADLINE growth can't silently push the ratios out again."""
+    Build the compact line with bench.py's OWN helper from the
+    committed full record — shared code, so the guard can never drift
+    from the real output — and pin it under the degrade threshold;
+    then verify the degrade ladder keeps even a heavily-failing run
+    inside the window."""
     import json
-    import re
     from pathlib import Path
+
+    import bench
 
     full_path = Path(__file__).resolve().parent.parent / "BENCH_FULL_LATEST.json"
     full = json.loads(full_path.read_text())
-    timings, variance = full["queries"], full["variance"]
-    compact_queries = {
-        (re.match(r"q\d+", k).group(0) if k.startswith("q") else k): round(v, 2)
-        for k, v in timings.items()
-    }
-    cv = {
-        "run1": variance["headline_total_run1_sec"],
-        "run2": variance["headline_total_run2_sec"],
-        "min_total": variance["headline_total_min_sec"],
-        "spread_pct": variance["spread_pct"],
-    }
-    ratios = {}
-    for k, v in variance.items():
-        if k.endswith("_scale_ratio_10x_data"):
-            base = k[: -len("_scale_ratio_10x_data")]
-            m = re.match(r"q(\d+)", base)
-            ratios[m.group(1) if m else base.split("_")[0]] = v
-    if ratios:
-        cv["10x"] = ratios
-    compact = {
-        "metric": "headline_query_wall_clock_total",
-        "value": full["value"],
-        "unit": "sec",
-        "queries": compact_queries,
-        "sf": full["sf"],
-        "bronze_write_mb_s": full["bronze_write_mb_s"],
-        "variance": cv,
-        "note": "min-of-2; full names in BENCH_FULL_LATEST.json",
-    }
-    line = json.dumps(compact, separators=(",", ":"))
+    line = bench.build_compact_line(full)
     assert len(line) < 1900, (
         f"compact bench line is {len(line)} chars — it will degrade (drop "
         "ratios) or overflow the driver's 2000-char capture; shorten keys "
         "or trim HEADLINE additions"
     )
-    # and it must round-trip as JSON (the driver parses it)
-    assert json.loads(line)["queries"]
+    parsed = json.loads(line)
+    assert parsed["queries"] and "10x" in parsed["variance"]
+
+    # degrade ladder: inject 8 failed queries with max-length messages —
+    # the line must still parse and fit (this is the r7 failure mode)
+    wrecked = dict(full)
+    wrecked["errors"] = {
+        f"q{900 + i}_totally_broken_query_name": "x" * 200 for i in range(8)
+    }
+    line2 = bench.build_compact_line(wrecked)
+    assert len(line2) <= 2000, len(line2)
+    assert json.loads(line2)["queries"]
