@@ -9940,10 +9940,11 @@ def q194_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (each green 3-5 rounds with family or pytest cover, annotated
 # inline), and q207 rolling-bitmap-distinct / q208 temperature quotas
 # take q168 / q187 (green r05-r07; q207 is the time-window family's
-# fresh rep, q208 embeds q187's exact machinery), and q209 portable
+# fresh rep, q208 embeds q187's exact machinery), q209 portable
 # incremental ingest takes q48 (interval join green r04-r07; X6 keeps
-# q150) — 17 rotated slots this round, every family born in round 8
-# earning its driver row in round 8.
+# q150), and q210 centroid affinity takes q174 (Pareto ABC green
+# r05-r07; top-k stays via q205 + q03) — 18 rotated slots this round,
+# every family born in round 8 earning its driver row in round 8.
 
 _DRIVER_SNAPSHOT_50 = [
     # reference surface: aggregates, scalars, datetime, medallion KPIs
@@ -10001,7 +10002,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q185_domain_affinity",  # r5: domain scoring never recorded (q119 classifier green r03+r04)
     # multimodal, pandas-UDF, layout, TPC-H decorrelated shapes
     "q177_gif_image_features",  # r5: real-GIF LZW codec never recorded (q157 BMP green r04; multimodal keeps q176/q158)
-    "q174_pareto_abc",  # r5: revenue-concentration never recorded (q40 green r03+r04; UDF keeps q117/q65)
+    "q210_label_centroid_similarity",  # r8 late: domain-affinity matrix, birth-round row (q174 Pareto ABC green r05-r07; X11 top-k stays exercised by q205's TakeOrderedAndProject + q03 in the full gate)
     "q166_hilbert_layout",  # r5: same layout family, never-recorded variant (q92 green r04)
     "q208_mixture_temperature",  # r8 late: temperature mixture quotas, birth-round row (q187 green r05-r07; q208 embeds the identical largest-remainder machinery plus the sqrt temperature)
     # round-3 families: connectors, warehouse maintenance, quality contracts
