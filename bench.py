@@ -141,6 +141,7 @@ HEADLINE = [
     "q208_mixture_temperature",
     "q209_incremental_near_dup_portable",
     "q210_label_centroid_similarity",
+    "q211_weighted_median",
     "medallion_gold_kpis",
 ]
 

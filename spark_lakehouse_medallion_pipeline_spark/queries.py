@@ -9714,6 +9714,76 @@ def q210_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @_q(
+    "q211_weighted_median",
+    f"""
+    WITH c AS (
+      SELECT l_returnflag AS g, {SC("l_extendedprice")} AS v,
+             {SC("l_quantity")} AS w, l_orderkey AS ok, l_linenumber AS ln
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT g, v,
+             SUM(w) OVER (PARTITION BY g ORDER BY v, ok, ln
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumw,
+             SUM(w) OVER (PARTITION BY g) AS tw
+      FROM c
+    ),
+    q AS (SELECT g, v, cumw, tw FROM cum WHERE 2 * cumw >= tw),
+    r AS (SELECT g, v, tw,
+                 row_number() OVER (PARTITION BY g ORDER BY cumw ASC) AS rn
+          FROM q)
+    SELECT g AS returnflag, CAST(tw AS BIGINT) AS total_weight,
+           v AS wmedian_c
+    FROM r WHERE rn = 1
+    """,
+)
+def q211_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quantity-weighted median price per return flag — the
+    robust-stats family's weighted member (q170 rolling median and
+    q190 trimmed mean are unweighted): the lower weighted median,
+    i.e. the first value in (price, orderkey, linenumber) order whose
+    cumulative weight reaches half the group total. All integer
+    arithmetic (cents values, cents weights, 2*cumw >= W threshold),
+    and the cumulative weight is STRICTLY increasing (weights > 0) so
+    the min-struct pick is unique — deterministic on both engines.
+    One shuffle: a single window partition serves the running weight,
+    the group total, and the qualifier pick. The within-group sort is
+    the price of exactness; the 100 TB approx swap is a weighted
+    percentile sketch (same output contract, q199's discipline)."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.col("l_returnflag").alias("g"),
+        cents(F.col("l_extendedprice")).alias("v"),
+        cents(F.col("l_quantity")).alias("w"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("v", "ok", "ln")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = c.select(
+        "g",
+        "v",
+        F.sum("w").over(wcum).alias("cumw"),
+        F.sum("w").over(Window.partitionBy("g")).alias("tw"),
+    )
+    qual = cum.filter(2 * F.col("cumw") >= F.col("tw"))
+    return (
+        qual.groupBy("g")
+        .agg(
+            F.max("tw").cast("bigint").alias("total_weight"),
+            F.min(F.struct("cumw", "v"))["v"].alias("wmedian_c"),
+        )
+        .select(
+            F.col("g").alias("returnflag"), "total_weight", "wmedian_c"
+        )
+    )
+
+
+@_q(
     "q193_column_stats",
     f"""
     WITH s AS (
