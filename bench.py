@@ -142,6 +142,8 @@ HEADLINE = [
     "q209_incremental_near_dup_portable",
     "q210_label_centroid_similarity",
     "q211_weighted_median",
+    "q212_ir_eval_metrics",
+    "q213_categorical_profile",
     "medallion_gold_kpis",
 ]
 

@@ -9783,6 +9783,245 @@ def q211_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NDCG@10 log2 discounts, e9-quantized: D[r-1] = FLOOR(1e9*ln(2)/ln(r+1)+0.5)
+# and prefix sums (ideal DCG for h hits). Data-INDEPENDENT constants, so they
+# are inlined as identical integer literals on BOTH engines — no libm in the
+# plan at all (stronger than q202's quantize-both-sides, which had to trust
+# ln on data-dependent df).
+_NDCG_DISC = (
+    1000000000, 630929754, 500000000, 430676558, 386852807,
+    356207187, 333333333, 315464877, 301029996, 289064826,
+)
+_NDCG_IDEAL = (
+    1000000000, 1630929754, 2130929754, 2561606312, 2948459119,
+    3304666306, 3637999639, 3953464516, 4254494512, 4543559338,
+)
+
+_IR_EVAL_SQL = (
+    f"""
+    WITH bm AS ({_BM25_SQL}),
+    tr AS (SELECT doc_id, tr FROM (
+             SELECT doc_id,
+                    row_number() OVER (ORDER BY score_e6 DESC, doc_id ASC)
+                      AS tr
+             FROM bm) WHERE tr <= 10),
+    rn AS (SELECT doc_id, rr FROM (
+             SELECT doc_id,
+                    row_number() OVER (ORDER BY tf1 DESC, doc_id ASC) AS rr
+             FROM bm) WHERE rr <= 10),
+    j AS (SELECT rn.rr,
+                 CASE WHEN tr.doc_id IS NULL THEN 0 ELSE 1 END AS rel,
+                 CASE rn.rr """
+    + " ".join(f"WHEN {r} THEN {d}" for r, d in enumerate(_NDCG_DISC, start=1))
+    + """ END AS disc
+          FROM rn LEFT JOIN tr ON tr.doc_id = rn.doc_id),
+    m AS (SELECT CAST(SUM(rel) AS BIGINT) AS hits,
+                 CAST(COALESCE(MIN(CASE WHEN rel = 1 THEN rr END), 0)
+                      AS BIGINT) AS first_rel,
+                 CAST(SUM(rel * disc) AS BIGINT) AS dcg_e9
+          FROM j)
+    SELECT CAST(10 AS BIGINT) AS k,
+           hits AS n_hits,
+           CAST(hits * 100000 AS BIGINT) AS p_at_10_e6,
+           CAST(CASE WHEN first_rel = 0 THEN 0
+                     ELSE 1000000 // first_rel END AS BIGINT) AS mrr_e6,
+           dcg_e9,
+           CAST(CASE WHEN hits = 0 THEN 0
+                ELSE FLOOR(CAST(dcg_e9 AS DOUBLE)
+                           / CAST(CASE hits """
+    + " ".join(f"WHEN {h} THEN {p}" for h, p in enumerate(_NDCG_IDEAL, start=1))
+    + """ END AS DOUBLE)
+                           * 1000000.0 + 0.5)
+                END AS BIGINT) AS ndcg_e6
+    FROM m
+    """
+)
+
+
+@_q("q212_ir_eval_metrics", _IR_EVAL_SQL)
+def q212_ir_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline retrieval-eval metrics — Precision@10, MRR, DCG@10 and
+    NDCG@10 — scoring a CHEAP ranker (raw tf of the corpus's top token,
+    doc_id ASC ties) against the full BM25 ranking's top-10 (q202) as
+    graded-binary ground truth. This is the eval half every retrieval
+    stack needs next to its index builds (q75 TF-IDF, q202 BM25) and
+    recall evals (q183): "how much ranking quality does the cheap
+    first-stage ranker give up?". Exactness: the log2 rank discounts
+    are data-INDEPENDENT, so they are inlined as the same e9 integer
+    literals on both engines (no libm anywhere); P@10 and MRR are
+    exact rationals (hits*1e5, 1000000 div first_rel); NDCG's one
+    double division gets the floor6 absorber. Both row_number windows
+    are corpus-global (500-5k docs); the 100 TB path swaps them for
+    TakeOrderedAndProject top-k + broadcast, identical contract."""
+    bm = QUERIES["q202_bm25_ranking"](spark, sf_dir)
+    w_truth = Window.orderBy(F.col("score_e6").desc(), F.col("doc_id").asc())
+    w_run = Window.orderBy(F.col("tf1").desc(), F.col("doc_id").asc())
+    truth = (
+        bm.select("doc_id", F.row_number().over(w_truth).alias("tr"))
+        .filter(F.col("tr") <= 10)
+    )
+    run = (
+        bm.select("doc_id", "tf1", F.row_number().over(w_run).alias("rr"))
+        .filter(F.col("rr") <= 10)
+    )
+    disc = F.lit(None)
+    for r, d in enumerate(_NDCG_DISC, start=1):
+        disc = F.when(F.col("rr") == r, F.lit(d)) if r == 1 else disc.when(
+            F.col("rr") == r, F.lit(d)
+        )
+    j = run.join(truth, "doc_id", "left").select(
+        "rr",
+        F.when(F.col("tr").isNotNull(), 1).otherwise(0).alias("rel"),
+        disc.alias("disc"),
+    )
+    m = j.agg(
+        F.sum("rel").cast("bigint").alias("hits"),
+        F.coalesce(
+            F.min(F.when(F.col("rel") == 1, F.col("rr"))), F.lit(0)
+        ).cast("bigint").alias("first_rel"),
+        F.sum(F.col("rel") * F.col("disc")).cast("bigint").alias("dcg_e9"),
+    )
+    idcg = F.when(F.col("hits") == 1, F.lit(_NDCG_IDEAL[0]))
+    for h in range(2, 11):
+        idcg = idcg.when(F.col("hits") == h, F.lit(_NDCG_IDEAL[h - 1]))
+    return m.select(
+        F.lit(10).cast("bigint").alias("k"),
+        F.col("hits").alias("n_hits"),
+        (F.col("hits") * 100000).cast("bigint").alias("p_at_10_e6"),
+        F.when(F.col("first_rel") == 0, F.lit(0))
+        .otherwise(F.expr("1000000 div first_rel"))
+        .cast("bigint")
+        .alias("mrr_e6"),
+        "dcg_e9",
+        F.when(F.col("hits") == 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                F.col("dcg_e9").cast("double")
+                / idcg.cast("double")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+        )
+        .cast("bigint")
+        .alias("ndcg_e6"),
+    )
+
+
+# (table, column) pairs profiled by q213 — the engine and the oracle
+# enumerate the SAME list so the stacked scans line up.
+_CAT_COLS = (
+    ("orders", "o_orderstatus"),
+    ("orders", "o_orderpriority"),
+    ("customer", "c_mktsegment"),
+    ("events", "event_type"),
+    ("documents", "lang"),
+    ("documents", "source"),
+    ("lineitem", "l_returnflag"),
+    ("lineitem", "l_linestatus"),
+)
+
+_CAT_PROFILE_SQL = (
+    """
+    WITH s AS (
+      """
+    + " UNION ALL ".join(
+        f"SELECT '{c}' AS col, {c} AS v FROM {t}" for t, c in _CAT_COLS
+    )
+    + """
+    ),
+    base AS (SELECT col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                    CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_nulls,
+                    CAST(SUM(CASE WHEN v IS NULL THEN 0
+                             ELSE length(v) END) AS BIGINT) AS sum_len,
+                    CAST(MAX(length(v)) AS BIGINT) AS max_len
+             FROM s GROUP BY col),
+    vc AS (SELECT col, v, COUNT(*) AS cnt FROM s
+           WHERE v IS NOT NULL GROUP BY col, v),
+    nd AS (SELECT col, CAST(COUNT(*) AS BIGINT) AS ndv FROM vc GROUP BY col),
+    md AS (SELECT col, v AS mode_value, CAST(cnt AS BIGINT) AS mode_n FROM (
+             SELECT col, v, cnt,
+                    row_number() OVER (PARTITION BY col
+                                       ORDER BY cnt DESC, v ASC) AS rn
+             FROM vc) WHERE rn = 1)
+    SELECT base.col, n_rows, n_nulls, ndv, mode_value, mode_n,
+           CAST((1000000 * mode_n) // (n_rows - n_nulls) AS BIGINT)
+             AS mode_share_e6,
+           CAST((100 * sum_len) // (n_rows - n_nulls) AS BIGINT)
+             AS avg_len_e2,
+           max_len
+    FROM base
+    JOIN nd ON nd.col = base.col
+    JOIN md ON md.col = base.col
+    """
+)
+
+
+@_q("q213_categorical_profile", _CAT_PROFILE_SQL)
+def q213_categorical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style profile of the warehouse's CATEGORICAL columns —
+    the string-typed twin of q193's numeric stats: row/null counts,
+    exact NDV, the mode (most frequent value, ties broken value ASC
+    via an identically-spelled row_number on both engines — DuckDB's
+    mode() and Spark's mode() both leave ties unspecified, so neither
+    is used), the mode's share, and length stats. Eight columns across
+    five tables stack into one (col, value) relation. All integer
+    arithmetic: share and avg length are e6/e2 truncating divides.
+    Plan: each scan is single-column (pruned to the profiled column);
+    the only data-sized shuffle is the (col, value) groupBy, which
+    map-side combines to vocabulary size, after which the ndv rollup,
+    the per-col mode window, and the 3-way join all run on dozens of
+    rows. Assumes each profiled column has >=1 non-null value."""
+    parts = []
+    for t, c in _CAT_COLS:
+        parts.append(
+            _t(spark, sf_dir, t).select(
+                F.lit(c).alias("col"), F.col(c).alias("v")
+            )
+        )
+    s = parts[0]
+    for p in parts[1:]:
+        s = s.unionAll(p)
+    base = s.groupBy("col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("v")).cast("bigint").alias("n_nulls"),
+        F.sum(
+            F.when(F.col("v").isNull(), 0).otherwise(F.length("v"))
+        ).cast("bigint").alias("sum_len"),
+        F.max(F.length("v")).cast("bigint").alias("max_len"),
+    )
+    vc = (
+        s.filter(F.col("v").isNotNull())
+        .groupBy("col", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    nd = vc.groupBy("col").agg(F.count(F.lit(1)).cast("bigint").alias("ndv"))
+    w_mode = Window.partitionBy("col").orderBy(
+        F.col("cnt").desc(), F.col("v").asc()
+    )
+    md = (
+        vc.select(
+            "col",
+            F.col("v").alias("mode_value"),
+            F.col("cnt").cast("bigint").alias("mode_n"),
+            F.row_number().over(w_mode).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        base.join(nd, "col")
+        .join(md, "col")
+        .select(
+            "col", "n_rows", "n_nulls", "ndv", "mode_value", "mode_n",
+            F.expr("CAST((1000000 * mode_n) div (n_rows - n_nulls) AS BIGINT)")
+            .alias("mode_share_e6"),
+            F.expr("CAST((100 * sum_len) div (n_rows - n_nulls) AS BIGINT)")
+            .alias("avg_len_e2"),
+            "max_len",
+        )
+    )
+
+
 @_q(
     "q193_column_stats",
     f"""
