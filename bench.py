@@ -144,6 +144,10 @@ HEADLINE = [
     "q211_weighted_median",
     "q212_ir_eval_metrics",
     "q213_categorical_profile",
+    "q214_correlation_matrix",
+    "q215_gini_spend",
+    "q216_encoding_advisor",
+    "q217_benford_audit",
     "medallion_gold_kpis",
 ]
 

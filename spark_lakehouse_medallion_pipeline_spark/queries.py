@@ -10022,6 +10022,314 @@ def q213_categorical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q214: lineitem's numeric columns and the 6 unordered pairs profiled.
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_CORR_KEYS = ("a", "b", "c", "d")
+_CORR_PAIRS = tuple(
+    (i, j) for i in range(4) for j in range(4) if i < j
+)
+
+
+def _corr_pair_sql(i: int, j: int) -> str:
+    x, y = _CORR_KEYS[i], _CORR_KEYS[j]
+    num = f"CAST(n*s{x}{y} - s{x}*s{y} AS DOUBLE)"
+    va = f"CAST(n*s{x}{x} - s{x}*s{x} AS DOUBLE)"
+    vb = f"CAST(n*s{y}{y} - s{y}*s{y} AS DOUBLE)"
+    return f"""
+      SELECT '{_CORR_COLS[i]}' AS col_x, '{_CORR_COLS[j]}' AS col_y,
+             CAST(n AS BIGINT) AS n,
+             CAST(FLOOR({num} / (sqrt({va}) * sqrt({vb}))
+                        * 1000000.0 + 0.5) AS BIGINT) AS corr_e6
+      FROM m"""
+
+
+_CORR_SQL = (
+    f"""
+    WITH s AS (SELECT {SC("l_quantity")} AS a, {SC("l_extendedprice")} AS b,
+                      {SC("l_discount")} AS c, {SC("l_tax")} AS d
+               FROM lineitem),
+    m AS (SELECT COUNT(*) AS n,
+    """
+    + ", ".join(f"SUM({k}) AS s{k}" for k in _CORR_KEYS)
+    + ", "
+    + ", ".join(
+        f"SUM({_CORR_KEYS[i]}*{_CORR_KEYS[j]}) AS s{_CORR_KEYS[i]}{_CORR_KEYS[j]}"
+        for i in range(4)
+        for j in range(4)
+        if i <= j
+    )
+    + " FROM s) "
+    + " UNION ALL ".join(_corr_pair_sql(i, j) for i, j in _CORR_PAIRS)
+)
+
+
+@_q("q214_correlation_matrix", _CORR_SQL)
+def q214_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix of lineitem's four numeric columns —
+    the multivariate profiling step (feature redundancy, CBO join
+    estimates) next to q193's univariate stats. Exactness: a SINGLE
+    15-sum aggregate collects n, the four cents sums, and the ten
+    cross/square product sums as EXACT integers (per-row products fit
+    int64; the sums go through decimal(38,0) on Spark and HUGEINT on
+    DuckDB — the one place int64 overflows, price^2 * 6e5 rows ~ 6e19);
+    corr = (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2))
+    is then assembled from those exact integers with ONE
+    correctly-rounded double cast per factor (both engines round
+    exact-int -> nearest-double identically, sqrt is IEEE
+    correctly-rounded), floor6-quantized. Engine assembles the 6-row
+    matrix DRIVER-SIDE in Python bigints (the q198 Gram precedent) —
+    the only distributed work is the one map-combinable aggregate, the
+    right shape at 100 TB. Assumes non-constant columns (sd > 0)."""
+    import math as _math
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = [cents(F.col(c)).alias(k) for c, k in zip(_CORR_COLS, _CORR_KEYS)]
+    s = li.select(*cols)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for k in _CORR_KEYS:
+        aggs.append(F.sum(F.col(k).cast("decimal(38,0)")).alias(f"s{k}"))
+    for i in range(4):
+        for j in range(4):
+            if i <= j:
+                x, y = _CORR_KEYS[i], _CORR_KEYS[j]
+                aggs.append(
+                    F.sum(
+                        (F.col(x) * F.col(y)).cast("decimal(38,0)")
+                    ).alias(f"s{x}{y}")
+                )
+    row = s.agg(*aggs).collect()[0]
+    n = int(row["n"])
+    sums = {f: int(row[f]) for f in row.asDict() if f != "n"}
+    out = []
+    for i, j in _CORR_PAIRS:
+        x, y = _CORR_KEYS[i], _CORR_KEYS[j]
+        num = n * sums[f"s{x}{y}"] - sums[f"s{x}"] * sums[f"s{y}"]
+        va = n * sums[f"s{x}{x}"] - sums[f"s{x}"] * sums[f"s{x}"]
+        vb = n * sums[f"s{y}{y}"] - sums[f"s{y}"] * sums[f"s{y}"]
+        corr_e6 = _math.floor(
+            float(num)
+            / (_math.sqrt(float(va)) * _math.sqrt(float(vb)))
+            * 1000000.0
+            + 0.5
+        )
+        out.append((_CORR_COLS[i], _CORR_COLS[j], n, corr_e6))
+    return spark.createDataFrame(
+        out, "col_x string, col_y string, n bigint, corr_e6 bigint"
+    )
+
+
+@_q(
+    "q215_gini_spend",
+    f"""
+    WITH s AS (SELECT o_custkey,
+                      CAST(SUM({SC("o_totalprice")}) AS BIGINT) AS x
+               FROM orders GROUP BY o_custkey),
+    r AS (SELECT x, row_number() OVER (ORDER BY x ASC, o_custkey ASC) AS i
+          FROM s),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS tot,
+                 CAST(SUM(i * x) AS BIGINT) AS six
+          FROM r)
+    SELECT n AS n_customers, tot AS total_spend_c,
+           CAST(FLOOR(CAST(2*six - (n+1)*tot AS DOUBLE)
+                      / CAST(n*tot AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) AS gini_e6
+    FROM m
+    """,
+)
+def q215_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the inequality audit that
+    quantifies what q205's skew profile and q174's Pareto ABC
+    eyeball: how concentrated revenue is across customers (0 = equal,
+    ->1 = one whale). Exact sorted-rank formula
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) on cents with
+    row_number ranks (ties by custkey) — every term an exact int64
+    (sum(i*x) <= n^2 * max_spend ~ 2e16 at sf0.1), one double
+    division under floor6. The rank window is global (customer-sized,
+    ~15k rows at sf0.1, AFTER the per-customer aggregate has already
+    shrunk the data); the 100 TB path is the classic two-pass
+    distributed rank (per-partition sort + offset prefix), same
+    contract."""
+    o = _t(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(
+        sum_cents(F.col("o_totalprice")).cast("bigint").alias("x")
+    )
+    w = Window.orderBy(F.col("x").asc(), F.col("o_custkey").asc())
+    r = s.select("x", F.row_number().over(w).alias("i"))
+    m = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("tot"),
+        F.sum(F.col("i") * F.col("x")).cast("bigint").alias("six"),
+    )
+    return m.select(
+        F.col("n").alias("n_customers"),
+        F.col("tot").alias("total_spend_c"),
+        F.floor(
+            (2 * F.col("six") - (F.col("n") + 1) * F.col("tot")).cast("double")
+            / (F.col("n") * F.col("tot")).cast("double")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("gini_e6"),
+    )
+
+
+# q216: columns profiled for encoding choice. Strings and int keys only —
+# a double/timestamp cast to string renders differently across engines.
+_ENC_COLS = ("l_returnflag", "l_linestatus", "l_partkey", "l_suppkey")
+
+_ENC_ADVISOR_SQL = (
+    """
+    WITH s AS (
+      """
+    + " UNION ALL ".join(
+        f"SELECT l_orderkey AS ok, l_linenumber AS ln, '{c}' AS col, "
+        f"CAST({c} AS VARCHAR) AS v FROM lineitem"
+        for c in _ENC_COLS
+    )
+    + """
+    ),
+    lg AS (SELECT col, v,
+                  lag(v) OVER (PARTITION BY col ORDER BY ok, ln, v) AS pv
+           FROM s),
+    g AS (SELECT col, CAST(COUNT(*) AS BIGINT) AS n_values,
+                 CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv,
+                 CAST(SUM(CASE WHEN pv IS NULL OR pv <> v
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+          FROM lg GROUP BY col)
+    SELECT col, n_values, ndv, n_runs,
+           CAST((1000000 * n_runs) // n_values AS BIGINT) AS run_ratio_e6,
+           CASE WHEN (1000000 * n_runs) // n_values <= 200000 THEN 'RLE'
+                WHEN ndv * 20 <= n_values THEN 'DICT'
+                ELSE 'PLAIN' END AS advice
+    FROM g
+    """
+)
+
+
+@_q("q216_encoding_advisor", _ENC_ADVISOR_SQL)
+def q216_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-encoding advisor — the write-path twin of the ANALYZE
+    kit (q193/q213): for each candidate column, the run count over the
+    table's canonical sort key (l_orderkey, l_linenumber, value —
+    (ok, ln) repeats in the corpus, and the value tiebreak makes runs
+    deterministic because tied rows with equal values cannot change a
+    run boundary), exact NDV,
+    and a deterministic RLE / DICT / PLAIN recommendation (RLE if runs
+    cover <=20% of rows, DICT if the dictionary is >=20x smaller than
+    the data) — what a lakehouse OPTIMIZE/ZORDER planner (q92/q166's
+    family) consults before rewriting files. Runs are defined over an
+    explicit total order, not file order, which no two engines (or two
+    scans) agree on. All integer arithmetic; values go through
+    CAST(x AS VARCHAR) only for int/string columns (double/timestamp
+    renderings differ across engines — excluded by contract). Plan:
+    one stacked scan, a 4-partition window (one per column) for the
+    lag, one map-combinable aggregate; at 100 TB the window becomes
+    per-file run stats merged with boundary fix-ups, same contract."""
+    li = _t(spark, sf_dir, "lineitem")
+    stacked = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in _ENC_COLS
+                ]
+            )
+        ).alias("e"),
+    ).select("ok", "ln", F.col("e.col").alias("col"), F.col("e.v").alias("v"))
+    w = Window.partitionBy("col").orderBy("ok", "ln", "v")
+    lg = stacked.select("col", "v", F.lag("v").over(w).alias("pv"))
+    g = lg.groupBy("col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        F.countDistinct("v").cast("bigint").alias("ndv"),
+        F.sum(
+            F.when(F.col("pv").isNull() | (F.col("pv") != F.col("v")), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("n_runs"),
+    )
+    return g.select(
+        "col",
+        "n_values",
+        "ndv",
+        "n_runs",
+        F.expr("CAST((1000000 * n_runs) div n_values AS BIGINT)").alias(
+            "run_ratio_e6"
+        ),
+        F.expr(
+            "CASE WHEN (1000000 * n_runs) div n_values <= 200000 THEN 'RLE' "
+            "WHEN ndv * 20 <= n_values THEN 'DICT' ELSE 'PLAIN' END"
+        ).alias("advice"),
+    )
+
+
+# Benford expected leading-digit shares, e9-quantized:
+# B[d-1] = FLOOR(1e9*ln(1+1/d)/ln(10)+0.5). Data-independent -> identical
+# integer literals on both engines (the q212 discipline).
+_BENFORD_E9 = (
+    301029996, 176091259, 124938737, 96910013, 79181246,
+    66946790, 57991947, 51152522, 45757491,
+)
+
+_BENFORD_SQL = (
+    f"""
+    WITH d AS (SELECT CAST(substr(CAST({SC("o_totalprice")} AS VARCHAR), 1, 1)
+                           AS INT) AS digit
+               FROM orders),
+    g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    m AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
+    SELECT digit, n AS n_orders,
+           CAST((1000000000 * n) // total AS BIGINT) AS obs_share_e9,
+           CAST(CASE digit """
+    + " ".join(f"WHEN {d} THEN {b}" for d, b in enumerate(_BENFORD_E9, start=1))
+    + """ END AS BIGINT) AS benford_e9,
+           CAST(ABS((1000000000 * n) // total - CASE digit """
+    + " ".join(f"WHEN {d} THEN {b}" for d, b in enumerate(_BENFORD_E9, start=1))
+    + """ END) AS BIGINT) AS abs_dev_e9
+    FROM g CROSS JOIN m
+    """
+)
+
+
+@_q("q217_benford_audit", _BENFORD_SQL)
+def q217_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals — the fraud/synthetic-data
+    screen in the quality-contract family (q127): observed leading-
+    digit distribution of o_totalprice vs the Benford expectation
+    log10(1+1/d), reported as e9 integer shares with the absolute
+    deviation per digit. The expected shares are data-INDEPENDENT, so
+    both engines carry the same e9 literals (no libm anywhere, the
+    q212 discipline); observed shares are truncating integer divides.
+    Leading digit comes from the cents integer rendered as a string —
+    bigint-to-string is identical across engines (doubles are not).
+    Plan: one scan, a 9-group aggregate, a 1-row broadcast total —
+    scan-bound at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(
+        F.substring(cents(F.col("o_totalprice")).cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    g = d.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    m = g.agg(F.sum("n").cast("bigint").alias("total"))
+    bexp = F.when(F.col("digit") == 1, F.lit(_BENFORD_E9[0]))
+    for dg in range(2, 10):
+        bexp = bexp.when(F.col("digit") == dg, F.lit(_BENFORD_E9[dg - 1]))
+    obs = F.expr("(1000000000 * n) div total")
+    return g.crossJoin(F.broadcast(m)).select(
+        "digit",
+        F.col("n").alias("n_orders"),
+        obs.cast("bigint").alias("obs_share_e9"),
+        bexp.cast("bigint").alias("benford_e9"),
+        F.abs(obs - bexp).cast("bigint").alias("abs_dev_e9"),
+    )
+
+
 @_q(
     "q193_column_stats",
     f"""
