@@ -10569,7 +10569,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q19_daily_event_kpis",
     "q41_scalar_battery",
     "q179_chunk_dedup_first",  # r7: chunk-level dedup never recorded (q42 datetime battery green r01-r06; D1-D10 stays value-oracled in the full gate)
-    "q46_order_lifecycle",
+    "q212_ir_eval_metrics",  # r8 late: retrieval-eval metrics (P@10/MRR/NDCG), birth-round row (q46 A8 declared-intent aggregates green r04-r07; the aggregate surface keeps q01/q19 and q46 stays value-oracled in the full gate)
     # joins
     "q192_bfs_supplier_hops",  # r7 late: multi-source BFS, new reachability class (q161 triangles green r05+r06; graph keeps q188/q67/q126)
     "q158_wav_audio_features",  # r5: audio codec never recorded (q06 green r03+r04)
@@ -10597,7 +10597,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q197_bitwise_flag_rollup",  # r8: bit_and/or/xor aggregates never recorded (q49 SQL surface green r01-r07; S11 keeps q56)
     "q56_correlated_subqueries",
     "q67_dedup_clusters",  # r7: connected components never recorded in 6 rounds (q117 mapInArrow green r04-r06; UDF family keeps q65)
-    "q65_udtf_tokenize",
+    "q214_correlation_matrix",  # r8 late: multivariate ANALYZE (exact-int Pearson matrix), birth-round row (q65 UDTF green r01-r07; X16 keeps q125 cogroup in the head and q65/q117 stay value-oracled in the full gate)
     # semi-structured: JSON, arrays, maps/structs
     "q207_rolling_distinct_users",  # r8 late: rolling bitmap distinct, birth-round row (q168 TWAP green r05-r07; the time-window family keeps q150/q170/q172/q178 + this entry)
     "q200_jpeg_image_features",  # r8: real baseline-JPEG codec, birth-round row (q162 portable LSH green r04-r07; its candidates CTE lives on inside q149's oracle, and dedup keeps q149/q152/q179)
@@ -10625,7 +10625,7 @@ _DRIVER_SNAPSHOT_50 = [
     # round-3 families: connectors, warehouse maintenance, quality contracts
     "q124_python_datasource",
     "q206_functional_dependency_audit",  # r8 late: FD profiling, birth-round row (q127 quality contracts green r03-r07; quality family keeps q128 CDC + the ANALYZE kit q193/q194)
-    "q128_cdc_apply",
+    "q216_encoding_advisor",  # r8 late: write-path encoding advisor, birth-round row (q128 CDC green r03-r07; the temporal family keeps q129 SCD2 in the head and q128 stays value-oracled in the full gate)
     "q193_column_stats",  # r7 late: ANALYZE-style stats, new family (q130 PIT green r03-r06; temporal keeps q129 SCD2 + q128 CDC)
 ]
 
