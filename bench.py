@@ -148,6 +148,9 @@ HEADLINE = [
     "q215_gini_spend",
     "q216_encoding_advisor",
     "q217_benford_audit",
+    "q218_touch_attribution",
+    "q219_basket_lift",
+    "q220_demand_variability",
     "medallion_gold_kpis",
 ]
 

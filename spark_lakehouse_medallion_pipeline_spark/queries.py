@@ -10330,6 +10330,281 @@ def q217_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ATTRIB_7D_US = 7 * 24 * 3600 * 1_000_000  # lookback window in microseconds
+
+
+@_q(
+    "q218_touch_attribution",
+    f"""
+    WITH e AS (SELECT user_id, event_type, value, epoch_us(ts) AS us,
+                      event_id
+               FROM events),
+    lt AS (SELECT user_id, event_type, value, us,
+                  last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+                    OVER w AS touch_type,
+                  last_value(CASE WHEN event_type <> 'purchase'
+                             THEN us END IGNORE NULLS)
+                    OVER w AS touch_us
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    p AS (SELECT CASE WHEN touch_us IS NULL
+                        OR us - touch_us > {_ATTRIB_7D_US} THEN 'direct'
+                      ELSE touch_type END AS channel,
+                 {SC("value")} AS v
+          FROM lt WHERE event_type = 'purchase'),
+    g AS (SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+                 CAST(SUM(v) AS BIGINT) AS revenue_c
+          FROM p GROUP BY channel),
+    m AS (SELECT CAST(SUM(revenue_c) AS BIGINT) AS tot FROM g)
+    SELECT channel, n_purchases, revenue_c,
+           CAST((1000000 * revenue_c) // tot AS BIGINT) AS revenue_share_e6
+    FROM g CROSS JOIN m
+    """,
+)
+def q218_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution — revenue per acquisition
+    channel: each purchase's value is credited to the user's most
+    recent PRIOR non-purchase event within a 7-day lookback ('direct'
+    if none), the analytic behind q134's funnel and q15/q16's
+    clicker cohorts. Deterministic prior pick: the frame is ordered
+    (ts, event_id) so microsecond ties can't flip the last_value;
+    channel and its timestamp come from the SAME row because both
+    IGNORE-NULLS last_value calls share one CASE condition. Exact
+    arithmetic end-to-end: epoch microseconds for the lookback, cents
+    for revenue, truncating e6 divide for the share. Plan: ONE
+    per-user window (users are well-spread keys), a channel-sized
+    groupBy, a 1-row broadcast total — no self-join, no as-of; at
+    100 TB this is the standard sessionization shuffle shape (q21)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lt = ev.select(
+        "event_type",
+        "value",
+        "us",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w).alias("touch_type"),
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("us")),
+            ignorenulls=True,
+        ).over(w).alias("touch_us"),
+    )
+    p = lt.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("touch_us").isNull()
+            | ((F.col("us") - F.col("touch_us")) > _ATTRIB_7D_US),
+            F.lit("direct"),
+        )
+        .otherwise(F.col("touch_type"))
+        .alias("channel"),
+        cents(F.col("value")).alias("v"),
+    )
+    g = p.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum("v").cast("bigint").alias("revenue_c"),
+    )
+    m = g.agg(F.sum("revenue_c").cast("bigint").alias("tot"))
+    return g.crossJoin(F.broadcast(m)).select(
+        "channel",
+        "n_purchases",
+        "revenue_c",
+        F.expr("CAST((1000000 * revenue_c) div tot AS BIGINT)").alias(
+            "revenue_share_e6"
+        ),
+    )
+
+
+@_q(
+    "q219_basket_lift",
+    """
+    WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
+    nx AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM u GROUP BY event_type),
+    nn AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM u),
+    pairs AS (SELECT a.event_type AS t1, b.event_type AS t2,
+                     CAST(COUNT(*) AS BIGINT) AS n_both
+              FROM u a JOIN u b
+                ON a.user_id = b.user_id AND a.event_type < b.event_type
+              GROUP BY a.event_type, b.event_type)
+    SELECT t1, t2, n_both,
+           CAST((1000000 * n_both) // n_users AS BIGINT) AS support_e6,
+           CAST((1000000 * n_both) // x.n AS BIGINT) AS conf_t1_t2_e6,
+           CAST((1000000 * n_both) // y.n AS BIGINT) AS conf_t2_t1_e6,
+           CAST((1000000 * n_users * n_both) // (x.n * y.n) AS BIGINT)
+             AS lift_e6
+    FROM pairs
+    JOIN nx x ON x.event_type = t1
+    JOIN nx y ON y.event_type = t2
+    CROSS JOIN nn
+    """,
+)
+def q219_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over user behavior — support,
+    both-direction confidence, and lift for every unordered pair of
+    event types co-occurring in a user's history (the A-priori L2 pass;
+    q163's PMI is the same statistic in log space over text, this is
+    the exact-rational retail form). All integer: support/confidence
+    are truncating e6 divides, lift = (1e6 * N * n_xy) div (n_x * n_y)
+    stays under int64 (1e6 * 6e5^2 ~ 4e17 at sf0.1). Plan: one
+    distinct (user, type) shuffle feeds everything; the pair self-join
+    is user-keyed (co-partitioned with itself, no extra exchange) and
+    explodes each user's <=5 types into <=10 pairs; the per-type and
+    pair counts map-side combine to vocabulary size; the final joins
+    are broadcast. At 100 TB the distinct is the only data-sized
+    stage — exactly FPGrowth's first scan."""
+    u = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    nx = u.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    nn = u.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+    a = u.select("user_id", F.col("event_type").alias("t1"))
+    b = u.select("user_id", F.col("event_type").alias("t2"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(nx.withColumnRenamed("event_type", "t1")
+                        .withColumnRenamed("n", "nx_n")),
+            "t1",
+        )
+        .join(
+            F.broadcast(nx.withColumnRenamed("event_type", "t2")
+                        .withColumnRenamed("n", "ny_n")),
+            "t2",
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "t1",
+            "t2",
+            "n_both",
+            F.expr("CAST((1000000 * n_both) div n_users AS BIGINT)").alias(
+                "support_e6"
+            ),
+            F.expr("CAST((1000000 * n_both) div nx_n AS BIGINT)").alias(
+                "conf_t1_t2_e6"
+            ),
+            F.expr("CAST((1000000 * n_both) div ny_n AS BIGINT)").alias(
+                "conf_t2_t1_e6"
+            ),
+            F.expr(
+                "CAST((1000000 * n_users * n_both) div (nx_n * ny_n) AS BIGINT)"
+            ).alias("lift_e6"),
+        )
+    )
+
+
+_WEEK_US = 7 * 24 * 3600 * 1_000_000  # epoch-aligned 7-day bucket
+
+
+@_q(
+    "q220_demand_variability",
+    f"""
+    WITH w AS (SELECT l_partkey AS p,
+                      epoch_us(l_shipdate) // {_WEEK_US} AS wk,
+                      CAST(SUM({SC("l_quantity")}) AS BIGINT) AS x
+               FROM lineitem GROUP BY 1, 2),
+    g AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_weeks,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(x*x) AS BIGINT) AS sxx
+          FROM w GROUP BY p)
+    SELECT partkey, n_weeks, total_qty_c, cv_e6,
+           CASE WHEN cv_e6 <= 500000 THEN 'X'
+                WHEN cv_e6 <= 1000000 THEN 'Y'
+                ELSE 'Z' END AS xyz_class
+    FROM (
+      SELECT p AS partkey, n_weeks, sx AS total_qty_c,
+             CAST(FLOOR(sqrt(CAST(n_weeks*sxx - sx*sx AS DOUBLE))
+                        / CAST(sx AS DOUBLE) * 1000000.0 + 0.5)
+                  AS BIGINT) AS cv_e6
+      FROM g WHERE n_weeks >= 4
+    )
+    """,
+)
+def q220_demand_variability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification — the forecastability
+    audit that pairs with q174's Pareto ABC: per part, the coefficient
+    of variation of weekly shipped quantity over the part's ACTIVE
+    weeks (epoch-aligned 7-day buckets of l_shipdate; parts with <4
+    active weeks are excluded as unclassifiable), bucketed X (steady,
+    CV<=0.5) / Y (variable, <=1.0) / Z (erratic). Exactness: weekly
+    demand is exact cents; CV = sqrt(n*Sxx - Sx^2)/Sx needs ONE double
+    cast per exact-int factor and IEEE sqrt, floor6-quantized — the
+    q214 discipline, but computed DISTRIBUTED per part (group-wise
+    variance from map-combinable integer sums), not driver-side.
+    Plan: two stacked aggregates on the same part-keyed shuffle
+    lineage (AQE coalesces), output part-sized; scan-bound at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = (
+        li.select(
+            F.col("l_partkey").alias("p"),
+            # l_shipdate is TIMESTAMP_NTZ; the session tz is UTC, so the
+            # cast reads the wall time as UTC == DuckDB's naive epoch_us.
+            F.expr(
+                f"unix_micros(cast(l_shipdate as timestamp)) div {_WEEK_US}"
+            ).alias("wk"),
+            cents(F.col("l_quantity")).alias("q"),
+        )
+        .groupBy("p", "wk")
+        .agg(F.sum("q").cast("bigint").alias("x"))
+    )
+    g = (
+        w.groupBy("p")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_weeks"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        )
+        .filter(F.col("n_weeks") >= 4)
+    )
+    scored = g.select(
+        F.col("p").alias("partkey"),
+        "n_weeks",
+        F.col("sx").alias("total_qty_c"),
+        F.floor(
+            F.sqrt((F.col("n_weeks") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                   .cast("double"))
+            / F.col("sx").cast("double")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("cv_e6"),
+    )
+    return scored.select(
+        "partkey",
+        "n_weeks",
+        "total_qty_c",
+        "cv_e6",
+        F.when(F.col("cv_e6") <= 500000, "X")
+        .when(F.col("cv_e6") <= 1000000, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+
+
 @_q(
     "q193_column_stats",
     f"""
