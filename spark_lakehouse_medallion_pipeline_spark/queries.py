@@ -10855,10 +10855,10 @@ _DRIVER_SNAPSHOT_50 = [
     "q209_incremental_near_dup_portable",  # r8 late: incremental-ingest family's first possible driver row (q48 interval join green r04-r07; X6 theta/range keeps q150 as-of tolerance)
     # grouping extensions
     "q176_png_image_features",  # r5: real-PNG codec never recorded (q09 green r03+r04; rollup keeps q146)
-    "q190_trimmed_mean",  # r5: robust-location estimate never recorded (q146 green r04; bitmap family keeps q145)
+    "q220_demand_variability",  # r8 late: XYZ forecastability classes (distributed exact-int CV), birth-round row (q190 trimmed mean green r05-r07; robust stats keeps q170 in the head and q190/q211 stay value-oracled in the full gate)
     # windows
     "q189_rrf_fusion",  # r5: hybrid-rank fusion never recorded (q11 green r01-r04; ranking windows are q189's own core)
-    "q172_event_transitions",  # r5: Markov transitions never recorded (q12 green r01-r04; lag/lead family)
+    "q218_touch_attribution",  # r8 late: last-touch attribution, birth-round row (q172 Markov transitions green r05-r07; the window-analytic family keeps q129/q196 in the head and q218's IGNORE-NULLS last_value frame is its own new surface)
     "q129_scd2_history",  # r7: SCD2 never recorded in 6 rounds (q13 running spend green r01-r06; X10 frames keep q170)
     "q186_tokenizer_fertility",  # r5: fertility metric never recorded (q134 funnel green r03+r04)
     # sort/limit, set ops, sketches
@@ -10891,7 +10891,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q195_weighted_sample",  # r7 late: per-item A-Res weighted sampler, new family (q164 pseudonymize green r04-r06; text keeps q163/q152/q95/q185)
     "q183_ann_recall_eval",  # r5: recall-vs-brute eval never recorded (q153 green r04; q183 embeds the same exact_rerank)
     "q135_retention_cohorts",  # r8: cohort matrices never recorded in 7 rounds (q95 packing green r04-r07; text keeps q163/q152/q185/q186)
-    "q185_domain_affinity",  # r5: domain scoring never recorded (q119 classifier green r03+r04)
+    "q219_basket_lift",  # r8 late: association rules (support/confidence/lift), birth-round row (q185 domain affinity green r05-r07; text scoring keeps q202/q186/q163 and q185 stays value-oracled in the full gate)
     # multimodal, pandas-UDF, layout, TPC-H decorrelated shapes
     "q177_gif_image_features",  # r5: real-GIF LZW codec never recorded (q157 BMP green r04; multimodal keeps q176/q158)
     "q210_label_centroid_similarity",  # r8 late: domain-affinity matrix, birth-round row (q174 Pareto ABC green r05-r07; X11 top-k stays exercised by q205's TakeOrderedAndProject + q03 in the full gate)
