@@ -671,14 +671,18 @@ def build_compact_line(out: dict) -> str:
     import re
 
     timings, variance = out["queries"], out["variance"]
-    compact_queries = {
-        (re.match(r"q\d+", k).group(0) if k.startswith("q") else k): round(v, 2)
-        for k, v in timings.items()
-    }
+
+    def short_key(k: str) -> str:
+        if k.startswith("q"):
+            return re.match(r"q\d+", k).group(0)
+        return "medallion" if k == "medallion_gold_kpis" else k
+
+    def queries_map(dp: int) -> dict:
+        return {short_key(k): round(v, dp) for k, v in timings.items()}
+
     compact_variance: dict[str, object] = {
         "run1": variance["headline_total_run1_sec"],
         "run2": variance["headline_total_run2_sec"],
-        "min_total": variance["headline_total_min_sec"],
         "spread_pct": variance["spread_pct"],
     }
     # 10x scale ratios as a nested dict with bare-number / short keys —
@@ -696,20 +700,26 @@ def build_compact_line(out: dict) -> str:
         "metric": out["metric"],
         "value": out["value"],
         "unit": out["unit"],
-        "queries": compact_queries,
+        "queries": queries_map(2),
         "sf": out["sf"],
-        "bronze_write_mb_s": out.get("bronze_write_mb_s"),
+        "bronze_mb_s": out.get("bronze_write_mb_s"),
         "variance": compact_variance,
-        "note": "min-of-2; full names in BENCH_FULL_LATEST.json",
+        "note": "min2;full=BENCH_FULL_LATEST.json",
     }
     errors = out.get("errors") or {}
     if errors:
         compact["errors"] = {k: v[:60] for k, v in errors.items()}
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:
+        # first degrade: per-query timings at 1 decimal (2-decimal values
+        # live in the committed BENCH_FULL_LATEST.json) — this keeps the
+        # scale ratios, which are per-round evidence, in the artifact
+        compact["queries"] = queries_map(1)
+        compact["note"] = "min2(1dp);full=BENCH_FULL_LATEST.json"
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
         compact["variance"] = {
-            k: compact_variance[k]
-            for k in ("run1", "run2", "min_total", "spread_pct")
+            k: compact_variance[k] for k in ("run1", "run2", "spread_pct")
         }
         line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900 and errors:
