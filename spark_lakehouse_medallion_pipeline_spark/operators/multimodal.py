@@ -14,6 +14,7 @@ shuffle (pipeline stays embarrassingly parallel until an aggregate).
 
 from __future__ import annotations
 
+import functools as _functools
 from collections.abc import Iterator
 
 import pandas as pd
@@ -780,7 +781,15 @@ _JPEG_QSTEP = 8  # flat table: every coefficient quantized by 8
 
 def _jpeg_canonical_codes(bits, vals):
     """JPEG Annex C canonical code assignment: vals in table order get
-    increasing codes, code length stepping per the bits[] histogram."""
+    increasing codes, code length stepping per the bits[] histogram.
+    Memoized on the (bits, vals) content — the encoder asks for the
+    same two fixed tables per image and the decoder for whatever the
+    stream declares, which for a homogeneous corpus is also one set."""
+    return _jpeg_canonical_codes_cached(tuple(bits), tuple(vals))
+
+
+@_functools.lru_cache(maxsize=64)
+def _jpeg_canonical_codes_cached(bits: tuple, vals: tuple) -> dict:
     codes, code, k = {}, 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
@@ -791,6 +800,19 @@ def _jpeg_canonical_codes(bits, vals):
     return codes
 
 
+@_functools.lru_cache(maxsize=64)
+def _jpeg_decode_table(bits: tuple, vals: tuple) -> dict:
+    """(length, code) -> symbol inversion of the canonical table,
+    memoized for the decoder's per-stream DHT walk."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _jpeg_canonical_codes_cached(
+            bits, vals
+        ).items()
+    }
+
+
+@_functools.lru_cache(maxsize=1)
 def _jpeg_dct_matrix():
     import math
 
@@ -936,9 +958,18 @@ def jpeg_encode_rgb8(arr) -> bytes:
                     block[th:, :tw] = tile[th - 1 : th, :]
                 if tw < 8:
                     block[:, tw:] = block[:, tw - 1 : tw]
-                f = m @ (block - 128.0) @ m.T
-                q = np.round(f / _JPEG_QSTEP).astype(np.int64)
-                zz = [int(q.flat[i]) for i in _JPEG_ZIGZAG]
+                v0 = block.flat[0]
+                if (block == v0).all():
+                    # constant-block FDCT shortcut (bitstream-identical:
+                    # exact F00 = 8*(v-128), exact-zero ACs — the float
+                    # matmul's ~1e-13 AC residue quantizes to the same 0
+                    # and its F00 rounds to the same integer)
+                    zz = [0] * 64
+                    zz[0] = round(8.0 * (v0 - 128.0) / _JPEG_QSTEP)
+                else:
+                    f = m @ (block - 128.0) @ m.T
+                    q = np.round(f / _JPEG_QSTEP).astype(np.int64)
+                    zz = [int(q.flat[i]) for i in _JPEG_ZIGZAG]
                 _emit(zz[0] - prev_dc[ci], dc_codes)
                 prev_dc[ci] = zz[0]
                 run = 0
@@ -1015,15 +1046,10 @@ def _jpeg_decode_impl(blob: bytes):
             i = 0
             while i < len(body):
                 tc_th = body[i]
-                bits = list(body[i + 1 : i + 17])
+                bits = tuple(body[i + 1 : i + 17])
                 nv = sum(bits)
-                vals = list(body[i + 17 : i + 17 + nv])
-                htables[tc_th] = {
-                    (length, code): sym
-                    for sym, (code, length) in _jpeg_canonical_codes(
-                        bits, vals
-                    ).items()
-                }
+                vals = tuple(body[i + 17 : i + 17 + nv])
+                htables[tc_th] = _jpeg_decode_table(bits, vals)
                 i += 17 + nv
         elif marker == 0xC0:  # SOF0 baseline
             _p, h, w, nf = struct.unpack_from(">BHHB", body, 0)
@@ -1083,6 +1109,7 @@ def _jpeg_decode_impl(blob: bytes):
                 prev_dc[idx] += diff
                 zz[0] = prev_dc[idx]
                 k = 1
+                any_ac = False
                 while k < 64:
                     sym = _decode_huff(ac_tab)
                     if sym == 0x00:  # EOB
@@ -1097,7 +1124,17 @@ def _jpeg_decode_impl(blob: bytes):
                     if k > 63:
                         raise ValueError("AC index overrun")
                     zz[k] = _jpeg_extend(rd.bits(size), size)
+                    any_ac = True
                     k += 1
+                if not any_ac:
+                    # DC-only fast path (the libjpeg idct shortcut): the
+                    # orthonormal IDCT of a lone F00 is the constant
+                    # F00/8 — exact in float (divide by a power of two),
+                    # no 8x8 matmul or block alloc needed.
+                    planes[idx][
+                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                    ] = (zz[0] * qt[0]) / 8.0 + 128.0
+                    continue
                 block = np.zeros(64)
                 for zi, bi in enumerate(_JPEG_ZIGZAG):
                     block[bi] = zz[zi] * qt[zi]
