@@ -151,6 +151,9 @@ HEADLINE = [
     "q218_touch_attribution",
     "q219_basket_lift",
     "q220_demand_variability",
+    "q221_funnel_latency",
+    "q222_dup_cluster_profile",
+    "q223_brand_discount_response",
     "medallion_gold_kpis",
 ]
 
@@ -585,6 +588,14 @@ def main() -> None:
             "q201_pq_codes_int",
             "q207_rolling_distinct_users",
             "q204_containment_scan",
+            # round-8-late families: the categorical profile collapses
+            # to vocabulary size after one stacked scan, basket lift to
+            # (user, type) distinct pairs, demand variability to
+            # part-week then part aggregates — all model-sized after
+            # their first shuffle
+            "q213_categorical_profile",
+            "q219_basket_lift",
+            "q220_demand_variability",
         ):
             if name not in qs:
                 continue

@@ -10606,6 +10606,197 @@ def q220_demand_variability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q221_funnel_latency",
+    """
+    WITH c AS (SELECT user_id, MIN(epoch_us(ts)) AS c_us
+               FROM events WHERE event_type = 'click' GROUP BY user_id),
+    p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.c_us
+          GROUP BY e.user_id),
+    d AS (SELECT p.user_id, p.p_us - c.c_us AS delta_us
+          FROM p JOIN c ON c.user_id = p.user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(MIN(delta_us) AS BIGINT) AS min_us,
+           quantile_cont(delta_us, 0.25) AS p25_us,
+           quantile_cont(delta_us, 0.50) AS p50_us,
+           quantile_cont(delta_us, 0.75) AS p75_us,
+           CAST(MAX(delta_us) AS BIGINT) AS max_us
+    FROM d
+    """,
+)
+def q221_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel time-to-convert distribution — the latency half of
+    q134's conversion-rate funnel: per user, the gap from FIRST click
+    to the first subsequent purchase, summarized as exact interpolated
+    quartiles. Quarter fractions on integer microseconds interpolate
+    bit-identically across engines (the q18/q193 dyadic discipline);
+    everything upstream is MIN aggregates and one integer subtraction.
+    Plan: two user-keyed aggregates on the same shuffle lineage plus a
+    user-keyed join — AQE coalesces; the quartile buffer holds one
+    delta per CONVERTED user, the post-funnel survivor set, not the
+    event stream (and the 100 TB swap is percentile_approx, q199's
+    discipline)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") > F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    d = p.join(c, "user_id").select(
+        (F.col("p_us") - F.col("c_us")).alias("delta_us")
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.min("delta_us").cast("bigint").alias("min_us"),
+        F.expr("percentile(delta_us, 0.25)").alias("p25_us"),
+        F.expr("percentile(delta_us, 0.50)").alias("p50_us"),
+        F.expr("percentile(delta_us, 0.75)").alias("p75_us"),
+        F.max("delta_us").cast("bigint").alias("max_us"),
+    )
+
+
+@_q(
+    "q222_dup_cluster_profile",
+    f"""
+    WITH g AS (SELECT {_NORM_SQL} AS content_key, COUNT(*) AS sz
+               FROM documents GROUP BY {_NORM_SQL}),
+    h AS (SELECT CAST(sz AS BIGINT) AS cluster_size,
+                 CAST(COUNT(*) AS BIGINT) AS n_clusters
+          FROM g GROUP BY sz),
+    m AS (SELECT CAST(SUM(cluster_size * n_clusters) AS BIGINT) AS n_docs
+          FROM h)
+    SELECT cluster_size, n_clusters,
+           CAST(cluster_size * n_clusters AS BIGINT) AS docs_in_size,
+           CAST((1000000 * cluster_size * n_clusters) // n_docs AS BIGINT)
+             AS corpus_share_e6
+    FROM h CROSS JOIN m
+    """,
+)
+def q222_dup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the AUDIT report on top of
+    exact dedup (q28): how many content clusters exist at each copy
+    count and what share of the corpus each size class holds (the
+    histogram a curation run reads to decide whether dedup is worth a
+    full LSH pass, and the exact twin of the planted-dup canary the
+    LSH bench enforces). Same normalization as q28 so the two agree
+    row-for-row. All integer; share is a truncating e6 divide. Plan:
+    the content-key groupBy is the only data-sized shuffle (identical
+    to q28's); the size histogram and the 1-row total are
+    cluster-count-sized."""
+    g = dedup.exact_dedup_groups(_t(spark, sf_dir, "documents")).select(
+        F.col("n_copies").alias("sz")
+    )
+    h = g.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    ).select(F.col("sz").cast("bigint").alias("cluster_size"), "n_clusters")
+    m = h.agg(
+        F.sum(F.col("cluster_size") * F.col("n_clusters"))
+        .cast("bigint")
+        .alias("n_docs")
+    )
+    return h.crossJoin(F.broadcast(m)).select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters"))
+        .cast("bigint")
+        .alias("docs_in_size"),
+        F.expr(
+            "CAST((1000000 * cluster_size * n_clusters) div n_docs AS BIGINT)"
+        ).alias("corpus_share_e6"),
+    )
+
+
+@_q(
+    "q223_brand_discount_response",
+    f"""
+    WITH s AS (SELECT p.p_brand AS brand,
+                      {SC("l.l_discount")} AS x, {SC("l.l_quantity")} AS y
+               FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    m AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x*x) AS BIGINT) AS sxx,
+                 CAST(SUM(y*y) AS BIGINT) AS syy,
+                 CAST(SUM(x*y) AS BIGINT) AS sxy
+          FROM s GROUP BY brand)
+    SELECT brand, n,
+           CAST(FLOOR(CAST(n*sxy - sx*sy AS DOUBLE)
+                      / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                         * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+                      * 1000000.0 + 0.5) AS BIGINT) AS corr_e6
+    FROM m
+    WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+    """,
+)
+def q223_brand_discount_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand discount-vs-quantity Pearson correlation — does
+    discounting move volume, brand by brand? The GROUP-WISE form of
+    q214's exact-integer correlation, computed fully DISTRIBUTED (one
+    brand-keyed aggregate of seven integer sums; q214's driver-side
+    assembly is only for the no-grouping case where the output is a
+    single matrix). Per-row products fit int64 easily here (discount
+    cents <= 10, quantity cents <= 5e3) so no decimal widening is
+    needed; the corr finish is one double cast per exact factor + IEEE
+    sqrt under floor6 (q214/q220 discipline). Degenerate brands (zero
+    variance on either side) are excluded by an exact integer
+    predicate. Plan: broadcast part join onto lineitem, ONE
+    map-combinable aggregate, brand-sized output — scan-bound at
+    100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    s = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        cents(F.col("l_discount")).alias("x"),
+        cents(F.col("l_quantity")).alias("y"),
+    )
+    m = s.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    return (
+        m.filter(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+            & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+        )
+        .select(
+            "brand",
+            "n",
+            F.floor(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                .cast("double")
+                / (
+                    F.sqrt(
+                        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                        .cast("double")
+                    )
+                    * F.sqrt(
+                        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                        .cast("double")
+                    )
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("corr_e6"),
+        )
+    )
+
+
+@_q(
     "q193_column_stats",
     f"""
     WITH s AS (
