@@ -11051,7 +11051,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q189_rrf_fusion",  # r5: hybrid-rank fusion never recorded (q11 green r01-r04; ranking windows are q189's own core)
     "q218_touch_attribution",  # r8 late: last-touch attribution, birth-round row (q172 Markov transitions green r05-r07; the window-analytic family keeps q129/q196 in the head and q218's IGNORE-NULLS last_value frame is its own new surface)
     "q129_scd2_history",  # r7: SCD2 never recorded in 6 rounds (q13 running spend green r01-r06; X10 frames keep q170)
-    "q186_tokenizer_fertility",  # r5: fertility metric never recorded (q134 funnel green r03+r04)
+    "q222_dup_cluster_profile",  # r8 late: dedup-audit histogram, birth-round row (q186 tokenizer fertility green r05-r07; text/BPE keeps q181/q184/q202 in the head and q186 stays value-oracled in the full gate)
     # sort/limit, set ops, sketches
     "q182_dup_ngram_fraction",  # r7: dup-ngram memorization scoring never recorded (q108 spine green r04-r06)
     "q196_rank_distributions",  # r8: ntile/percent_rank/cume_dist never recorded (q55 multiset green r01-r07; set ops stay value-oracled in the full gate)
