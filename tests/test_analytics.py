@@ -1,0 +1,205 @@
+"""Independent cross-checks for the round-8-late analytics families
+(q212-q223): conservation laws, numpy recomputation, and metric
+invariants — evidence that does NOT route through the DuckDB oracle,
+so an oracle-and-engine-share-a-bug failure mode is covered too."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from spark_lakehouse_medallion_pipeline_spark.queries import (
+    _NDCG_DISC,
+    _NDCG_IDEAL,
+    QUERIES,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ndcg_constants_match_their_formula():
+    """The e9 log2-discount literals inlined into BOTH engines must be
+    exactly FLOOR(1e9*ln2/ln(r+1)+0.5) and their prefix sums."""
+    for r, d in enumerate(_NDCG_DISC, start=1):
+        assert d == math.floor(1e9 * math.log(2) / math.log(r + 1) + 0.5)
+    acc = 0
+    for h, p in enumerate(_NDCG_IDEAL, start=1):
+        acc += _NDCG_DISC[h - 1]
+        assert p == acc
+
+
+def test_q212_metric_invariants(spark):
+    row = QUERIES["q212_ir_eval_metrics"](spark, SF).collect()[0]
+    assert row["k"] == 10
+    assert 0 <= row["n_hits"] <= 10
+    assert row["p_at_10_e6"] == row["n_hits"] * 100000
+    assert 0 <= row["mrr_e6"] <= 1000000
+    # DCG cannot exceed the ideal DCG for the same hit count
+    if row["n_hits"]:
+        assert row["dcg_e9"] <= _NDCG_IDEAL[row["n_hits"] - 1]
+        assert 0 < row["ndcg_e6"] <= 1000000
+    else:
+        assert row["dcg_e9"] == 0 and row["ndcg_e6"] == 0
+
+
+def test_q214_matches_numpy_corrcoef(spark):
+    """The exact-integer Pearson assembly must agree with numpy's
+    float corrcoef to ~1e-9 (far tighter than the e6 quantum)."""
+    import numpy as np
+
+    out = {
+        (r["col_x"], r["col_y"]): r["corr_e6"]
+        for r in QUERIES["q214_correlation_matrix"](spark, SF).collect()
+    }
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    cents = {c: np.round(li[c].to_numpy() * 100).astype(np.int64) for c in cols}
+    for (cx, cy), got in out.items():
+        ref = np.corrcoef(cents[cx], cents[cy])[0, 1]
+        assert abs(got - math.floor(ref * 1e6 + 0.5)) <= 1, (cx, cy, got, ref)
+
+
+def test_q215_gini_matches_numpy(spark):
+    import numpy as np
+
+    row = QUERIES["q215_gini_spend"](spark, SF).collect()[0]
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    spend = (
+        (np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64))
+        .astype(object)
+    )
+    import pandas as pd
+
+    x = pd.Series(spend).groupby(o["o_custkey"].to_numpy()).sum().sort_values(
+        kind="mergesort"
+    )
+    xs = x.to_numpy()
+    n = len(xs)
+    i = np.arange(1, n + 1, dtype=object)
+    num = 2 * int((i * xs).sum()) - (n + 1) * int(xs.sum())
+    den = n * int(xs.sum())
+    assert row["n_customers"] == n
+    assert row["gini_e6"] == math.floor(num / den * 1e6 + 0.5)
+    assert 0 <= row["gini_e6"] <= 1000000
+
+
+def test_q216_run_bounds(spark):
+    """Run count is sandwiched: ndv <= n_runs <= n_values, and the
+    advice string follows the documented integer rule."""
+    for r in QUERIES["q216_encoding_advisor"](spark, SF).collect():
+        assert r["ndv"] <= r["n_runs"] <= r["n_values"]
+        ratio = (1000000 * r["n_runs"]) // r["n_values"]
+        assert r["run_ratio_e6"] == ratio
+        if ratio <= 200000:
+            assert r["advice"] == "RLE"
+        elif r["ndv"] * 20 <= r["n_values"]:
+            assert r["advice"] == "DICT"
+        else:
+            assert r["advice"] == "PLAIN"
+
+
+def test_q217_benford_shares_telescope(spark):
+    """Truncated observed shares must sum to within 9 units of 1e9,
+    and the digit counts to the full order count."""
+    rows = QUERIES["q217_benford_audit"](spark, SF).collect()
+    n = spark.read.parquet(f"{SF}/orders.parquet").count()
+    assert sum(r["n_orders"] for r in rows) == n
+    s = sum(r["obs_share_e9"] for r in rows)
+    assert 1000000000 - 9 <= s <= 1000000000
+    for r in rows:
+        assert r["abs_dev_e9"] == abs(r["obs_share_e9"] - r["benford_e9"])
+
+
+def test_q218_attribution_conserves_revenue(spark):
+    """Every purchase is attributed to exactly one channel: channel
+    revenue must telescope to total purchase revenue, counts to the
+    purchase count."""
+    from pyspark.sql import functions as F
+
+    from spark_lakehouse_medallion_pipeline_spark.sources.io import read_events
+
+    rows = QUERIES["q218_touch_attribution"](spark, SF).collect()
+    ev = read_events(spark, SF).filter(F.col("event_type") == "purchase")
+    tot = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"),
+    ).collect()[0]
+    assert sum(r["n_purchases"] for r in rows) == tot["n"]
+    assert sum(r["revenue_c"] for r in rows) == tot["c"]
+    share = sum(r["revenue_share_e6"] for r in rows)
+    assert 1000000 - len(rows) < share <= 1000000
+
+
+def test_q219_basket_lift_against_pandas(spark):
+    """Recompute one pair's stats directly in pandas."""
+    from spark_lakehouse_medallion_pipeline_spark.sources.io import read_events
+
+    rows = {
+        (r["t1"], r["t2"]): r
+        for r in QUERIES["q219_basket_lift"](spark, SF).collect()
+    }
+    pdf = read_events(spark, SF).select("user_id", "event_type").toPandas()
+    u = pdf.drop_duplicates()
+    n_users = u["user_id"].nunique()
+    by_type = u.groupby("event_type")["user_id"].apply(set)
+    for (t1, t2), r in rows.items():
+        both = len(by_type[t1] & by_type[t2])
+        assert r["n_both"] == both
+        assert r["support_e6"] == (1000000 * both) // n_users
+        assert r["conf_t1_t2_e6"] == (1000000 * both) // len(by_type[t1])
+        assert r["lift_e6"] == (1000000 * n_users * both) // (
+            len(by_type[t1]) * len(by_type[t2])
+        )
+
+
+def test_q220_cv_invariants(spark):
+    for r in QUERIES["q220_demand_variability"](spark, SF).collect():
+        assert r["n_weeks"] >= 4
+        assert r["cv_e6"] >= 0
+        expect = (
+            "X" if r["cv_e6"] <= 500000
+            else ("Y" if r["cv_e6"] <= 1000000 else "Z")
+        )
+        assert r["xyz_class"] == expect
+
+
+def test_q221_quartiles_ordered(spark):
+    row = QUERIES["q221_funnel_latency"](spark, SF).collect()[0]
+    if row["n_converted"] == 0:
+        pytest.skip("no conversions at this SF")
+    assert (
+        row["min_us"]
+        <= row["p25_us"]
+        <= row["p50_us"]
+        <= row["p75_us"]
+        <= row["max_us"]
+    )
+    assert row["min_us"] > 0  # purchase strictly after the click
+
+
+def test_q222_histogram_telescopes_to_corpus(spark):
+    rows = QUERIES["q222_dup_cluster_profile"](spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r["docs_in_size"] for r in rows) == n_docs
+    for r in rows:
+        assert r["docs_in_size"] == r["cluster_size"] * r["n_clusters"]
+
+
+def test_q223_groupwise_corr_matches_numpy(spark):
+    import numpy as np
+
+    out = {
+        r["brand"]: r["corr_e6"]
+        for r in QUERIES["q223_brand_discount_response"](spark, SF).collect()
+    }
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    pt = spark.read.parquet(f"{SF}/part.parquet").toPandas()
+    j = li.merge(pt[["p_partkey", "p_brand"]], left_on="l_partkey",
+                 right_on="p_partkey")
+    for brand, got in out.items():
+        g = j[j["p_brand"] == brand]
+        x = np.round(g["l_discount"].to_numpy() * 100).astype(np.int64)
+        y = np.round(g["l_quantity"].to_numpy() * 100).astype(np.int64)
+        ref = np.corrcoef(x, y)[0, 1]
+        assert abs(got - math.floor(ref * 1e6 + 0.5)) <= 1, (brand, got, ref)
