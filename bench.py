@@ -154,6 +154,8 @@ HEADLINE = [
     "q221_funnel_latency",
     "q222_dup_cluster_profile",
     "q223_brand_discount_response",
+    "q224_revenue_anomaly_zscore",
+    "q225_late_rate_wilson",
     "medallion_gold_kpis",
 ]
 

@@ -10797,6 +10797,164 @@ def q223_brand_discount_response(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q224_revenue_anomaly_zscore",
+    f"""
+    WITH daily AS (
+      SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+             CAST(SUM({SC("o_totalprice")}) // 100 AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    w AS (SELECT day, x,
+                 CAST(COUNT(*) OVER f AS BIGINT) AS n,
+                 CAST(SUM(x) OVER f AS BIGINT) AS s,
+                 CAST(SUM(x*x) OVER f AS BIGINT) AS q
+          FROM daily
+          WINDOW f AS (ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT day, x AS revenue_d,
+           CAST(FLOOR(CAST(n*x - s AS DOUBLE)
+                      / sqrt(CAST(n*q - s*s AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) AS z_e6
+    FROM w
+    WHERE n = 7 AND n*q - s*s > 0
+    """,
+)
+def q224_revenue_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on daily revenue — the
+    monitoring primitive behind every KPI alert: each day scored
+    against its own trailing 7-day window (inclusive; partial leading
+    windows and zero-variance windows excluded by exact integer
+    predicates). Derivation keeps everything integer until one IEEE
+    finish: with population std over the window,
+    z = (x - S/n) / (sqrt(nQ - S^2)/n) = (n*x - S) / sqrt(nQ - S^2) —
+    both factors exact int64, one double cast each, one IEEE sqrt and
+    division, floor6 (the q220/q223 discipline); daily revenue is
+    truncated to whole DOLLARS so the 7-day sum of squares stays under
+    int64 at any realistic scale.
+    Plan: one day-keyed aggregate, one ordered window over the
+    day-sized series (global but tiny — days, not rows), scan-bound."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.expr(
+                "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+            ).alias("day"),
+            cents(F.col("o_totalprice")).alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.expr("CAST(SUM(c) div 100 AS BIGINT)").alias("x"))
+    )
+    f = Window.orderBy("day").rowsBetween(-6, 0)
+    w = daily.select(
+        "day",
+        "x",
+        F.count(F.lit(1)).over(f).cast("bigint").alias("n"),
+        F.sum("x").over(f).cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(f).cast("bigint").alias("q"),
+    )
+    return (
+        w.filter(
+            (F.col("n") == 7)
+            & (F.col("n") * F.col("q") - F.col("s") * F.col("s") > 0)
+        )
+        .select(
+            "day",
+            F.col("x").alias("revenue_d"),
+            F.floor(
+                (F.col("n") * F.col("x") - F.col("s")).cast("double")
+                / F.sqrt(
+                    (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+                    .cast("double")
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("z_e6"),
+        )
+    )
+
+
+@_q(
+    "q225_late_rate_wilson",
+    f"""
+    WITH j AS (
+      SELECT o.o_orderpriority AS priority,
+             CASE WHEN epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)
+                       > 90 * 86400000000 THEN 1 ELSE 0 END AS late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    g AS (SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(late) AS BIGINT) AS k
+          FROM j GROUP BY priority)
+    SELECT priority, n, k,
+           CAST((1000000 * k) // n AS BIGINT) AS rate_e6,
+           CAST(FLOOR((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                       + 1.9208 / CAST(n AS DOUBLE)
+                       - 1.96 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                                     * (1.0 - CAST(k AS DOUBLE)
+                                              / CAST(n AS DOUBLE))
+                                     / CAST(n AS DOUBLE)
+                                     + 0.9604 / (CAST(n AS DOUBLE)
+                                                 * CAST(n AS DOUBLE))))
+                      / (1.0 + 3.8416 / CAST(n AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) AS wilson_lo_e6
+    FROM g
+    """,
+)
+def q225_late_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-shipment rate per order priority with the Wilson-score
+    LOWER confidence bound (z=1.96) — the A/B-test-grade rate estimate
+    that doesn't collapse at small n the way the naive rate +- normal
+    interval does; the statistical finish q88's priority split lacks.
+    Exactness: n and k are exact integers; the Wilson formula is then
+    ONE double chain spelled token-for-token identically in both
+    dialects (every literal — 1.96, 1.9208 = z^2/2, 0.9604 = z^2/4,
+    3.8416 = z^2 — is the same decimal literal, hence the same double;
+    IEEE ops on identical inputs are identical), floor6-quantized.
+    Plan: an orderkey equi-join (both sides pre-shuffled on the same
+    key) into one priority-keyed map-combinable aggregate — 5-row
+    output, scan-bound at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr(
+            "CASE WHEN unix_micros(cast(l_shipdate as timestamp))"
+            " - unix_micros(cast(o_orderdate as timestamp))"
+            f" > {90 * 86400000000} THEN 1 ELSE 0 END"
+        ).alias("late"),
+    )
+    g = j.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("late").cast("bigint").alias("k"),
+    )
+    kd = F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    p = kd / nd
+    wilson = (
+        (
+            p
+            + F.lit(1.9208) / nd
+            - F.lit(1.96)
+            * F.sqrt(p * (F.lit(1.0) - p) / nd + F.lit(0.9604) / (nd * nd))
+        )
+        / (F.lit(1.0) + F.lit(3.8416) / nd)
+    )
+    return g.select(
+        "priority",
+        "n",
+        "k",
+        F.expr("CAST((1000000 * k) div n AS BIGINT)").alias("rate_e6"),
+        F.floor(wilson * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("wilson_lo_e6"),
+    )
+
+
+@_q(
     "q193_column_stats",
     f"""
     WITH s AS (
