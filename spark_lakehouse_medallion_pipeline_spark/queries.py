@@ -11196,7 +11196,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q212_ir_eval_metrics",  # r8 late: retrieval-eval metrics (P@10/MRR/NDCG), birth-round row (q46 A8 declared-intent aggregates green r04-r07; the aggregate surface keeps q01/q19 and q46 stays value-oracled in the full gate)
     # joins
     "q192_bfs_supplier_hops",  # r7 late: multi-source BFS, new reachability class (q161 triangles green r05+r06; graph keeps q188/q67/q126)
-    "q158_wav_audio_features",  # r5: audio codec never recorded (q06 green r03+r04)
+    "q224_revenue_anomaly_zscore",  # r8 late: rolling z-score monitoring, birth-round row (q158 WAV codec green r05-r07; multimodal keeps q176/q177/q200 in the head and q158 stays value-oracled in the full gate)
     "q205_join_skew_profile",  # r8 late: skew diagnosis, birth-round row (q133 salted join green r04-r07; the salting operator keeps pytest cover in test_salted_join_matches_plain and q205 is its diagnosis half)
     "q203_equidepth_histogram",  # r8 late: equi-depth boundaries, birth-round row (q145 exact bitmaps green r04-r07; X13 keeps q193/q194/q190/q170)
     "q170_rolling_median",  # r5: exact robust stats never recorded (q25 green r03+r04; X6 keeps q150)
