@@ -156,6 +156,8 @@ HEADLINE = [
     "q223_brand_discount_response",
     "q224_revenue_anomaly_zscore",
     "q225_late_rate_wilson",
+    "q226_mom_revenue_growth",
+    "q227_referential_integrity_audit",
     "medallion_gold_kpis",
 ]
 

@@ -10955,6 +10955,135 @@ def q225_late_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q226_mom_revenue_growth",
+    f"""
+    WITH m AS (
+      SELECT (EXTRACT(year FROM o_orderdate) * 12
+              + EXTRACT(month FROM o_orderdate) - 1) AS month_idx,
+             CAST(SUM({SC("o_totalprice")}) AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS tot FROM m),
+    w AS (SELECT month_idx, rev_c,
+                 lag(rev_c) OVER (ORDER BY month_idx) AS prev_c
+          FROM m)
+    SELECT CAST(month_idx AS BIGINT) AS month_idx, rev_c,
+           CAST((1000000 * rev_c) // tot AS BIGINT) AS share_e6,
+           CAST(CASE WHEN prev_c IS NULL THEN NULL
+                ELSE (1000000 * (rev_c - prev_c)) // prev_c
+                END AS BIGINT) AS mom_growth_e6
+    FROM w CROSS JOIN t
+    """,
+)
+def q226_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth and share-of-total — the
+    period-comparison BI surface (the dashboard twin of q108's spine
+    and q82's forecast): calendar months as a single integer index
+    (year*12 + month-1, no date rendering to disagree on), exact cents
+    revenue, lag() for the prior period, truncating e6 divides for
+    growth and share (DuckDB's // and Spark's div both truncate toward
+    zero, so NEGATIVE growth months agree too — this is the one
+    integer-div pairing that is safe on signed numerators; Python's
+    floor-// is not). First month has NULL growth by contract. Plan: one month-keyed aggregate, a
+    month-sized window and a 1-row broadcast total — scan-bound."""
+    o = _t(spark, sf_dir, "orders")
+    m = (
+        o.select(
+            F.expr(
+                "year(o_orderdate) * 12 + month(o_orderdate) - 1"
+            ).alias("month_idx"),
+            cents(F.col("o_totalprice")).alias("c"),
+        )
+        .groupBy("month_idx")
+        .agg(F.sum("c").cast("bigint").alias("rev_c"))
+    )
+    t = m.agg(F.sum("rev_c").cast("bigint").alias("tot"))
+    w = m.select(
+        "month_idx",
+        "rev_c",
+        F.lag("rev_c").over(Window.orderBy("month_idx")).alias("prev_c"),
+    )
+    return w.crossJoin(F.broadcast(t)).select(
+        F.col("month_idx").cast("bigint").alias("month_idx"),
+        "rev_c",
+        F.expr("CAST((1000000 * rev_c) div tot AS BIGINT)").alias("share_e6"),
+        F.expr(
+            "CAST(CASE WHEN prev_c IS NULL THEN NULL"
+            " ELSE (1000000 * (rev_c - prev_c)) div prev_c END AS BIGINT)"
+        ).alias("mom_growth_e6"),
+    )
+
+
+# (fact, fk, dim, pk) edges audited by q227 — engine and oracle share it.
+_RI_EDGES = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+_RI_AUDIT_SQL = (
+    """
+    """
+    + " UNION ALL ".join(
+        f"""
+    SELECT '{fact}.{fk} -> {dim}.{pk}' AS edge,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({fk}) AS BIGINT) AS n_null_fk,
+           CAST(SUM(CASE WHEN {fk} IS NOT NULL AND d.{pk} IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+    FROM {fact} f LEFT JOIN {dim} d ON d.{pk} = f.{fk}"""
+        for fact, fk, dim, pk in _RI_EDGES
+    )
+)
+
+
+@_q("q227_referential_integrity_audit", _RI_AUDIT_SQL)
+def q227_referential_integrity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Referential-integrity audit of the warehouse's six FK edges —
+    the conformance check that completes the quality kit (q127 rule
+    contracts, q206 FD audit, q213/q193 profiles): per edge, the fact
+    row count, NULL foreign keys, and ORPHANS (non-null FKs with no
+    dimension match, counted via left join + null probe so one pass
+    yields all three numbers). All exact integers. Plan: each edge is
+    a broadcast left join (dimensions are the small side by
+    construction) feeding a 1-row aggregate; the six edges union into
+    a 6-row report — at 100 TB this is six scan-bound passes, or one
+    multi-join pass if the scheduler fuses them."""
+    parts = []
+    for fact, fk, dim, pk in _RI_EDGES:
+        f = _t(spark, sf_dir, fact).select(F.col(fk).alias("_fk"))
+        d = _t(spark, sf_dir, dim).select(F.col(pk).alias("_pk"))
+        j = f.join(F.broadcast(d), f._fk == d._pk, "left")
+        parts.append(
+            j.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                (F.count(F.lit(1)) - F.count("_fk"))
+                .cast("bigint")
+                .alias("n_null_fk"),
+                F.sum(
+                    F.when(
+                        F.col("_fk").isNotNull() & F.col("_pk").isNull(), 1
+                    ).otherwise(0)
+                ).cast("bigint").alias("n_orphans"),
+            ).select(
+                F.lit(f"{fact}.{fk} -> {dim}.{pk}").alias("edge"),
+                "n_rows",
+                "n_null_fk",
+                "n_orphans",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@_q(
     "q193_column_stats",
     f"""
     WITH s AS (

@@ -186,6 +186,80 @@ def test_q222_histogram_telescopes_to_corpus(spark):
         assert r["docs_in_size"] == r["cluster_size"] * r["n_clusters"]
 
 
+def test_q224_zscore_matches_numpy(spark):
+    """Recompute every window's z in numpy from the same daily dollars."""
+    import numpy as np
+
+    rows = {
+        r["day"]: r
+        for r in QUERIES["q224_revenue_anomaly_zscore"](spark, SF).collect()
+    }
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    day = (
+        o["o_orderdate"].astype("int64") // (86400 * 10**9)
+    )  # ns epoch -> days
+    cents = (o["o_totalprice"] * 100).round().astype("int64")
+    daily = (cents.groupby(day).sum() // 100).sort_index()
+    xs, days = daily.to_numpy(), daily.index.to_numpy()
+    for i in range(6, len(xs)):
+        w = xs[i - 6 : i + 1].astype(object)
+        n, s, q = 7, int(w.sum()), int((w * w).sum())
+        if n * q - s * s <= 0:
+            assert days[i] not in rows
+            continue
+        z = (n * int(xs[i]) - s) / math.sqrt(n * q - s * s)
+        assert rows[days[i]]["z_e6"] == math.floor(z * 1e6 + 0.5), days[i]
+    assert len(rows) <= max(len(xs) - 6, 0)
+
+
+def test_q225_wilson_bound_properties(spark):
+    """The Wilson lower bound must sit at or below the point rate and
+    rise toward it as n grows (verified against scipy-free math)."""
+    for r in QUERIES["q225_late_rate_wilson"](spark, SF).collect():
+        n, k = r["n"], r["k"]
+        assert 0 <= k <= n
+        p = k / n
+        lo = (
+            p + 1.9208 / n - 1.96 * math.sqrt(p * (1 - p) / n + 0.9604 / n**2)
+        ) / (1 + 3.8416 / n)
+        assert r["wilson_lo_e6"] == math.floor(lo * 1e6 + 0.5)
+        assert r["wilson_lo_e6"] <= r["rate_e6"]
+        assert r["wilson_lo_e6"] >= 0 or k == 0
+
+
+def test_q226_growth_telescopes(spark):
+    """Shares sum to ~1e6 and each growth value recomputes from the
+    neighboring months' exact revenues."""
+    rows = sorted(
+        QUERIES["q226_mom_revenue_growth"](spark, SF).collect(),
+        key=lambda r: r["month_idx"],
+    )
+    share = sum(r["share_e6"] for r in rows)
+    assert 1000000 - len(rows) < share <= 1000000
+    assert rows[0]["mom_growth_e6"] is None
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["month_idx"] > prev["month_idx"]
+        if cur["month_idx"] == prev["month_idx"] + 1:
+            d = 1000000 * (cur["rev_c"] - prev["rev_c"])
+            # trunc-toward-zero like Spark div / DuckDB //
+            expect = abs(d) // prev["rev_c"] * (1 if d >= 0 else -1)
+            assert cur["mom_growth_e6"] == expect
+
+
+def test_q227_integrity_edges_clean_corpus(spark):
+    """The generated corpus is referentially clean: zero orphans and
+    zero NULL FKs on every edge, with fact counts matching the tables."""
+    rows = {r["edge"]: r for r in
+            QUERIES["q227_referential_integrity_audit"](spark, SF).collect()}
+    assert len(rows) == 6
+    li_n = spark.read.parquet(f"{SF}/lineitem.parquet").count()
+    for edge, r in rows.items():
+        assert r["n_orphans"] == 0, edge
+        assert r["n_null_fk"] == 0, edge
+        if edge.startswith("lineitem."):
+            assert r["n_rows"] == li_n
+
+
 def test_q223_groupwise_corr_matches_numpy(spark):
     import numpy as np
 
