@@ -11367,7 +11367,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q202_bm25_ranking",  # r8 late: BM25 lexical retrieval, birth-round row (q163 PMI green r05-r07; text keeps q185/q186/q135/q182 + BPE reps)
     "q204_containment_scan",  # r8 late: one-sided containment audit, birth-round row (q152 fuzzy-ER d<=2 green r04-r07; dedup keeps q149/q179)
     "q195_weighted_sample",  # r7 late: per-item A-Res weighted sampler, new family (q164 pseudonymize green r04-r06; text keeps q163/q152/q95/q185)
-    "q183_ann_recall_eval",  # r5: recall-vs-brute eval never recorded (q153 green r04; q183 embeds the same exact_rerank)
+    "q227_referential_integrity_audit",  # r8 late: FK conformance audit, birth-round row (q183 ANN recall eval green r05-r07; the eval family keeps q212 in the head and q183 stays value-oracled in the full gate)
     "q135_retention_cohorts",  # r8: cohort matrices never recorded in 7 rounds (q95 packing green r04-r07; text keeps q163/q152/q185/q186)
     "q219_basket_lift",  # r8 late: association rules (support/confidence/lift), birth-round row (q185 domain affinity green r05-r07; text scoring keeps q202/q186/q163 and q185 stays value-oracled in the full gate)
     # multimodal, pandas-UDF, layout, TPC-H decorrelated shapes

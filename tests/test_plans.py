@@ -545,3 +545,35 @@ def test_equidepth_histogram_plan(spark):
     # (note "percentile" the aggregate contains the substring "ntile",
     # so match the operator, not the function name)
     assert "Window" not in plan
+
+
+def test_round8_late_families_plan_shapes(spark):
+    """Plan-shape pins for the round-8-late analytics families — each
+    assertion is the property that keeps the query viable at 100 TB."""
+    # q219: the pair self-join is user-keyed on a distinct-shrunk
+    # relation — no SortMergeJoin of the raw stream, final stats joins
+    # broadcast
+    plan = plan_of(spark, "q219_basket_lift")
+    assert "BroadcastHashJoin" in plan
+    # q223: the part dimension must broadcast onto lineitem, and the
+    # whole query is one map-combinable aggregate after it
+    df = QUERIES["q223_brand_discount_response"](spark, SF)
+    plan = explain.formatted(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert explain.count_exchanges(df) <= 2
+    # q227: every FK edge is a broadcast LEFT join (dims are the small
+    # side) — a single SortMergeJoin here would shuffle the fact table
+    # six times
+    plan = plan_of(spark, "q227_referential_integrity_audit")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # q217/q194 shape: 1-row total broadcast back, no sort-merge
+    plan = plan_of(spark, "q217_benford_audit")
+    assert "SortMergeJoin" not in plan
+    # q213: two data-sized exchanges (the stacked base aggregate and
+    # the (col, value) counts); the ndv rollup, mode window, and join
+    # alignment exchanges all run on the vocabulary-sized remainder —
+    # 5 total, budget-pinned so a lost broadcast fails loudly
+    df = QUERIES["q213_categorical_profile"](spark, SF)
+    assert explain.count_exchanges(df) <= 5
