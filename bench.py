@@ -687,13 +687,14 @@ def build_compact_line(out: dict) -> str:
 
     timings, variance = out["queries"], out["variance"]
 
-    def short_key(k: str) -> str:
+    def short_key(k: str, bare: bool) -> str:
         if k.startswith("q"):
-            return re.match(r"q\d+", k).group(0)
+            n = re.match(r"q(\d+)", k)
+            return n.group(1) if bare else n.group(0)
         return "medallion" if k == "medallion_gold_kpis" else k
 
-    def queries_map(dp: int) -> dict:
-        return {short_key(k): round(v, dp) for k, v in timings.items()}
+    def queries_map(dp: int, bare: bool = False) -> dict:
+        return {short_key(k, bare): round(v, dp) for k, v in timings.items()}
 
     compact_variance: dict[str, object] = {
         "run1": variance["headline_total_run1_sec"],
@@ -731,6 +732,12 @@ def build_compact_line(out: dict) -> str:
         # scale ratios, which are per-round evidence, in the artifact
         compact["queries"] = queries_map(1)
         compact["note"] = "min2(1dp);full=BENCH_FULL_LATEST.json"
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        # second degrade: bare-number query keys ("181" = q181), one
+        # char saved per entry — still before sacrificing the ratios
+        compact["queries"] = queries_map(1, bare=True)
+        compact["note"] = "min2(1dp,qN keys);full=BENCH_FULL_LATEST.json"
         line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:
         compact["variance"] = {
