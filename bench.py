@@ -158,6 +158,7 @@ HEADLINE = [
     "q225_late_rate_wilson",
     "q226_mom_revenue_growth",
     "q227_referential_integrity_audit",
+    "q228_curation_verdict",
     "medallion_gold_kpis",
 ]
 

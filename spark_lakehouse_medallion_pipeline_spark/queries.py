@@ -3981,10 +3981,9 @@ def q104_heavy_red_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOP_SQL = "('the','a','of','and','to','in','is','it','for','on')"
 
-@_q(
-    "q105_gopher_quality",
-    f"""
-    WITH t AS (
+# Gopher metric CTEs + keep predicate, shared by q105 and q228's
+# composite verdict so the two oracles can never drift apart.
+_GOPHER_TM_CTE = f"""t AS (
       SELECT doc_id,
              regexp_split_to_array(trim(text), '\\s+') AS toks,
              length(regexp_replace(text, '\\s', '', 'g')) AS n_nospace
@@ -3999,7 +3998,19 @@ _STOP_SQL = "('the','a','of','and','to','in','is','it','for','on')"
              CAST(len(list_filter(list_transform(toks, x -> lower(x)),
                                   x -> x IN {_STOP_SQL})) AS BIGINT) AS stopword_hits
       FROM t
-    )
+    )"""
+
+_GOPHER_KEEP_SQL = (
+    "(n_words >= 5 AND n_words <= 100000 AND mean_word_len >= 3.0"
+    " AND mean_word_len <= 10.0 AND alpha_word_ratio >= 0.8"
+    " AND stopword_hits >= 2)"
+)
+
+
+@_q(
+    "q105_gopher_quality",
+    f"""
+    WITH {_GOPHER_TM_CTE}
     SELECT doc_id, n_words, mean_word_len, alpha_word_ratio, stopword_hits,
            CAST(n_words >= 5 AND n_words <= 100000 AS INT) AS words_ok,
            CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT) AS word_len_ok,
@@ -11081,6 +11092,86 @@ def q227_referential_integrity_audit(
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+@_q(
+    "q228_curation_verdict",
+    f"""
+    WITH {_GOPHER_TM_CTE},
+    gf AS (SELECT doc_id, CAST({_GOPHER_KEEP_SQL} AS INT) AS gopher_ok
+           FROM m),
+    kp AS (SELECT doc_id, lang, n_chars,
+                  CAST(doc_id = MIN(doc_id)
+                       OVER (PARTITION BY {_NORM_SQL}) AS INT) AS keeper_ok
+           FROM documents)
+    SELECT kp.doc_id, gopher_ok, keeper_ok,
+           CAST(lang IN ('en','fr','es','de') AS INT) AS lang_ok,
+           CAST(n_chars BETWEEN 100 AND 2000 AS INT) AS len_ok,
+           CAST(gopher_ok + 2*keeper_ok
+                + 4*CAST(lang IN ('en','fr','es','de') AS INT)
+                + 8*CAST(n_chars BETWEEN 100 AND 2000 AS INT)
+                AS BIGINT) AS pass_mask,
+           CAST(gopher_ok = 1 AND keeper_ok = 1
+                AND lang IN ('en','fr','es','de')
+                AND n_chars BETWEEN 100 AND 2000 AS INT) AS keep
+    FROM kp JOIN gf ON gf.doc_id = kp.doc_id
+    """,
+)
+def q228_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone curation decision: one auditable verdict per
+    document composing four families this engine already value-oracles
+    — Gopher quality rules (q105, via the SAME shared SQL CTE so the
+    two oracles cannot drift), exact-dedup keeper status (q28's
+    normalization; only a content cluster's smallest doc_id survives),
+    a target-language gate, and a length gate — packed into a
+    pass_mask bitmap (bit0 gopher, bit1 keeper, bit2 lang, bit3
+    length) plus the conjunctive keep flag, the reject-reason report a
+    production pipeline logs for every dropped document. All flags are
+    exact INTs. Plan: the gopher metrics are shuffle-free scan columns;
+    the only data-sized shuffle is the content-key window (same as
+    q28's groupBy); the flag join is doc-keyed. At 100 TB this is one
+    dedup-shaped shuffle plus scan work — the cheapest possible
+    full-corpus verdict pass."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.dedup import (
+        normalized_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    gf = text.gopher_quality_flags(docs).select(
+        "doc_id", F.col("gopher_keep").cast("int").alias("gopher_ok")
+    )
+    w = Window.partitionBy("ck")
+    kp = docs.select(
+        "doc_id", "lang", "n_chars", normalized_text(F.col("text")).alias("ck")
+    ).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.col("doc_id") == F.min("doc_id").over(w)).cast("int")
+        .alias("keeper_ok"),
+    )
+    lang_ok = F.col("lang").isin("en", "fr", "es", "de").cast("int")
+    len_ok = F.col("n_chars").between(100, 2000).cast("int")
+    j = kp.join(gf, "doc_id")
+    return j.select(
+        "doc_id",
+        "gopher_ok",
+        "keeper_ok",
+        lang_ok.alias("lang_ok"),
+        len_ok.alias("len_ok"),
+        (
+            F.col("gopher_ok")
+            + 2 * F.col("keeper_ok")
+            + 4 * lang_ok
+            + 8 * len_ok
+        ).cast("bigint").alias("pass_mask"),
+        (
+            (F.col("gopher_ok") == 1)
+            & (F.col("keeper_ok") == 1)
+            & F.col("lang").isin("en", "fr", "es", "de")
+            & F.col("n_chars").between(100, 2000)
+        ).cast("int").alias("keep"),
+    )
 
 
 @_q(

@@ -260,6 +260,25 @@ def test_q227_integrity_edges_clean_corpus(spark):
             assert r["n_rows"] == li_n
 
 
+def test_q228_verdict_mask_consistency(spark):
+    """pass_mask bits must recompose from the individual flags, keep
+    must equal mask==15, and the keeper bit must match q28's cluster
+    structure (exactly one keeper per content cluster)."""
+    rows = QUERIES["q228_curation_verdict"](spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        mask = (
+            r["gopher_ok"] + 2 * r["keeper_ok"] + 4 * r["lang_ok"]
+            + 8 * r["len_ok"]
+        )
+        assert r["pass_mask"] == mask
+        assert r["keep"] == int(mask == 15)
+    n_keepers = sum(r["keeper_ok"] for r in rows)
+    n_clusters = QUERIES["q28_exact_dedup_docs"](spark, SF).count()
+    assert n_keepers == n_clusters
+
+
 def test_q223_groupwise_corr_matches_numpy(spark):
     import numpy as np
 
