@@ -11419,7 +11419,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q224_revenue_anomaly_zscore",  # r8 late: rolling z-score monitoring, birth-round row (q158 WAV codec green r05-r07; multimodal keeps q176/q177/q200 in the head and q158 stays value-oracled in the full gate)
     "q205_join_skew_profile",  # r8 late: skew diagnosis, birth-round row (q133 salted join green r04-r07; the salting operator keeps pytest cover in test_salted_join_matches_plain and q205 is its diagnosis half)
     "q203_equidepth_histogram",  # r8 late: equi-depth boundaries, birth-round row (q145 exact bitmaps green r04-r07; X13 keeps q193/q194/q190/q170)
-    "q170_rolling_median",  # r5: exact robust stats never recorded (q25 green r03+r04; X6 keeps q150)
+    "q211_weighted_median",  # r8 late: weighted robust stats, birth-round row (q170 rolling median green r05-r07; X10 frames keep q129 in the head and q170/q190 stay value-oracled in the full gate)
     "q150_asof_tolerance",
     "q209_incremental_near_dup_portable",  # r8 late: incremental-ingest family's first possible driver row (q48 interval join green r04-r07; X6 theta/range keeps q150 as-of tolerance)
     # grouping extensions
@@ -11464,7 +11464,7 @@ _DRIVER_SNAPSHOT_50 = [
     # multimodal, pandas-UDF, layout, TPC-H decorrelated shapes
     "q177_gif_image_features",  # r5: real-GIF LZW codec never recorded (q157 BMP green r04; multimodal keeps q176/q158)
     "q210_label_centroid_similarity",  # r8 late: domain-affinity matrix, birth-round row (q174 Pareto ABC green r05-r07; X11 top-k stays exercised by q205's TakeOrderedAndProject + q03 in the full gate)
-    "q166_hilbert_layout",  # r5: same layout family, never-recorded variant (q92 green r04)
+    "q213_categorical_profile",  # r8 late: string-typed ANALYZE profile, birth-round row (q166 Hilbert layout green r05-r07; the layout family keeps test_layout pytest cover and q92/q166 stay value-oracled in the full gate)
     "q208_mixture_temperature",  # r8 late: temperature mixture quotas, birth-round row (q187 green r05-r07; q208 embeds the identical largest-remainder machinery plus the sqrt temperature)
     # round-3 families: connectors, warehouse maintenance, quality contracts
     "q124_python_datasource",
