@@ -159,6 +159,8 @@ HEADLINE = [
     "q226_mom_revenue_growth",
     "q227_referential_integrity_audit",
     "q228_curation_verdict",
+    "q229_ewma_revenue_trend",
+    "q230_chi2_independence",
     "medallion_gold_kpis",
 ]
 

@@ -11174,6 +11174,178 @@ def q228_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q229: 8-term EWMA weights, alpha=1/4, scaled by 4^8 to exact integers:
+# w_k = 3^k * 4^(7-k) for lag k (newest first), plus the 3^8 tail weight
+# folded into the oldest term so the weights sum to exactly 4^8.
+_EWMA_W = tuple(3**k * 4 ** (7 - k) for k in range(8))
+_EWMA_DEN = 4**8  # 65536; sum(_EWMA_W) + 3^8 == 4^8; tail folded into k=7
+
+
+@_q(
+    "q229_ewma_revenue_trend",
+    f"""
+    WITH daily AS (
+      SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+             CAST(SUM({SC("o_totalprice")}) // 100 AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT day, x, """
+    + ", ".join(
+        f"lag(x, {k}) OVER (ORDER BY day) AS x{k}" for k in range(1, 8)
+    )
+    + """,
+             row_number() OVER (ORDER BY day) AS rn
+      FROM daily
+    )
+    SELECT day, x AS revenue_d,
+           CAST((x * """
+    + str(_EWMA_W[0])
+    + " + "
+    + " + ".join(f"x{k} * {_EWMA_W[k]}" for k in range(1, 7))
+    + f" + x7 * {_EWMA_W[7] + 3**8}"
+    + f""") // {_EWMA_DEN} AS BIGINT) AS ewma_d
+    FROM lagged WHERE rn >= 8
+    """,
+)
+def q229_ewma_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue
+    (alpha=1/4) — the trend smoother next to q224's anomaly z-score.
+    An infinite-recurrence EWMA cannot value-oracle (every engine
+    accumulates float error differently), so this is the FINITE 8-term
+    form with the geometric tail folded into the oldest term: weights
+    3^k*4^(7-k) scaled by 4^8 are EXACT integers summing to exactly
+    4^8, so the whole smoother is one integer dot product and one
+    truncating divide — bit-identical by construction, and within
+    (3/4)^8 ~ 10% of the infinite EWMA's weight mass placement. Days
+    before a full window are excluded by row_number. Plan: one
+    day-keyed aggregate, one ordered window over the day-sized series
+    (7 lags share a single sort), scan-bound at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.expr(
+                "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+            ).alias("day"),
+            cents(F.col("o_totalprice")).alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.expr("CAST(SUM(c) div 100 AS BIGINT)").alias("x"))
+    )
+    w = Window.orderBy("day")
+    cols = [F.col("day"), F.col("x"), F.row_number().over(w).alias("rn")]
+    for k in range(1, 8):
+        cols.append(F.lag("x", k).over(w).alias(f"x{k}"))
+    lagged = daily.select(*cols)
+    dot = F.col("x") * F.lit(_EWMA_W[0])
+    for k in range(1, 7):
+        dot = dot + F.col(f"x{k}") * F.lit(_EWMA_W[k])
+    dot = dot + F.col("x7") * F.lit(_EWMA_W[7] + 3**8)
+    return (
+        lagged.filter(F.col("rn") >= 8)
+        .select(
+            "day",
+            F.col("x").alias("revenue_d"),
+            dot.alias("_num"),
+        )
+        .select(
+            "day",
+            "revenue_d",
+            F.expr(f"CAST(_num div {_EWMA_DEN} AS BIGINT)").alias("ewma_d"),
+        )
+    )
+
+
+@_q(
+    "q230_chi2_independence",
+    """
+    WITH o AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
+               FROM documents GROUP BY lang, source),
+    r AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS row_n FROM o GROUP BY lang),
+    c AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS col_n
+          FROM o GROUP BY source),
+    n AS (SELECT CAST(SUM(obs) AS BIGINT) AS tot FROM o),
+    grid AS (
+      SELECT r.lang, c.source, r.row_n, c.col_n,
+             CAST(COALESCE(o.obs, 0) AS BIGINT) AS obs
+      FROM r CROSS JOIN c
+      LEFT JOIN o ON o.lang = r.lang AND o.source = c.source
+    ),
+    cells AS (
+      SELECT CAST(FLOOR(CAST(obs * n.tot - row_n * col_n AS DOUBLE)
+                        * CAST(obs * n.tot - row_n * col_n AS DOUBLE)
+                        / CAST(n.tot * row_n * col_n AS DOUBLE)
+                        * 1000000.0 + 0.5) AS BIGINT) AS term_e6
+      FROM grid CROSS JOIN n
+    ),
+    dims AS (SELECT (SELECT COUNT(*) FROM r) AS n_rows,
+                    (SELECT COUNT(*) FROM c) AS n_cols)
+    SELECT CAST(SUM(term_e6) AS BIGINT) AS chi2_e6,
+           CAST((SELECT (n_rows - 1) * (n_cols - 1) FROM dims) AS BIGINT)
+             AS dof,
+           (SELECT tot FROM n) AS n_docs
+    FROM cells
+    """,
+)
+def q230_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence for lang x source — is the
+    language mixture uniform across crawl sources? The categorical
+    association test that completes the stats kit next to the Pearson
+    matrix (q214) and the FD audit (q206). Exactness: the classic
+    per-cell term (O-E)^2/E with E = row*col/N rewrites EXACTLY as
+    (O*N - row*col)^2 / (N*row*col); the difference is an exact int64,
+    squared in DOUBLE (exact while |diff| < 2^26.5 — comfortably true
+    at these corpus sizes, and identically-rounded on both engines
+    beyond), and each cell's term is floor6-QUANTIZED TO AN INTEGER
+    BEFORE the final sum, so the cross-cell summation is order-free
+    (a float sum would depend on summation order and break the hash).
+    ZERO cells are included: the contingency grid is the row-marginal
+    cross join, left-joined to the observed cells (a chi2 over
+    observed cells only would understate the statistic). Plan: one
+    (lang, source) aggregate; the marginals, grid, and terms all live
+    on the contingency table, not the raw scan — broadcast joins
+    throughout."""
+    d = _t(spark, sf_dir, "documents")
+    o = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs")
+    )
+    r = o.groupBy("lang").agg(F.sum("obs").cast("bigint").alias("row_n"))
+    c = o.groupBy("source").agg(F.sum("obs").cast("bigint").alias("col_n"))
+    n = o.agg(F.sum("obs").cast("bigint").alias("tot"))
+    grid = (
+        r.crossJoin(c)
+        .join(F.broadcast(o), ["lang", "source"], "left")
+        .select(
+            "row_n",
+            "col_n",
+            F.coalesce(F.col("obs"), F.lit(0)).cast("bigint").alias("obs"),
+        )
+    )
+    diff = (F.col("obs") * F.col("tot") - F.col("row_n") * F.col("col_n")).cast(
+        "double"
+    )
+    cells = grid.crossJoin(F.broadcast(n)).select(
+        F.floor(
+            diff
+            * diff
+            / (F.col("tot") * F.col("row_n") * F.col("col_n")).cast("double")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("bigint").alias("term_e6")
+    )
+    dof = (
+        r.agg(F.count(F.lit(1)).alias("nr"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("nc")))
+        .select(((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint")
+                .alias("dof"))
+    )
+    return (
+        cells.agg(F.sum("term_e6").cast("bigint").alias("chi2_e6"))
+        .crossJoin(F.broadcast(dof))
+        .crossJoin(F.broadcast(n.select(F.col("tot").alias("n_docs"))))
+    )
+
+
 @_q(
     "q193_column_stats",
     f"""

@@ -279,6 +279,64 @@ def test_q228_verdict_mask_consistency(spark):
     assert n_keepers == n_clusters
 
 
+def test_q229_ewma_weights_exact():
+    """The scaled 8-term EWMA weights must be the alpha=1/4 geometric
+    series with the tail folded into the oldest term, summing to
+    exactly 4^8 so the divide loses nothing systematic."""
+    from spark_lakehouse_medallion_pipeline_spark.queries import (
+        _EWMA_DEN,
+        _EWMA_W,
+    )
+
+    assert _EWMA_W == tuple(3**k * 4 ** (7 - k) for k in range(8))
+    assert sum(_EWMA_W) + 3**8 == _EWMA_DEN == 4**8
+
+
+def test_q229_ewma_recomputes(spark):
+    """Every output row's EWMA recomputes from the daily series."""
+    rows = {
+        r["day"]: r
+        for r in QUERIES["q229_ewma_revenue_trend"](spark, SF).collect()
+    }
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    day = o["o_orderdate"].astype("int64") // (86400 * 10**9)
+    cents = (o["o_totalprice"] * 100).round().astype("int64")
+    daily = (cents.groupby(day).sum() // 100).sort_index()
+    xs, days = daily.to_numpy(), daily.index.to_numpy()
+    from spark_lakehouse_medallion_pipeline_spark.queries import (
+        _EWMA_DEN,
+        _EWMA_W,
+    )
+
+    w = list(_EWMA_W)
+    w[7] += 3**8
+    for i in range(7, len(xs)):
+        num = sum(int(xs[i - k]) * w[k] for k in range(8))
+        assert rows[days[i]]["ewma_d"] == num // _EWMA_DEN, days[i]
+    assert len(rows) == max(len(xs) - 7, 0)
+
+
+def test_q230_chi2_matches_pandas(spark):
+    """Recompute chi2 from the raw crosstab (zero cells included)."""
+    row = QUERIES["q230_chi2_independence"](spark, SF).collect()[0]
+    d = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    ct = d.groupby(["lang", "source"]).size()
+    langs = sorted(d["lang"].unique())
+    srcs = sorted(d["source"].unique())
+    n = len(d)
+    total = 0
+    for lg in langs:
+        for s in srcs:
+            obs = int(ct.get((lg, s), 0))
+            rown = int((d["lang"] == lg).sum())
+            coln = int((d["source"] == s).sum())
+            diff = float(obs * n - rown * coln)
+            total += math.floor(diff * diff / (n * rown * coln) * 1e6 + 0.5)
+    assert row["chi2_e6"] == total
+    assert row["dof"] == (len(langs) - 1) * (len(srcs) - 1)
+    assert row["n_docs"] == n
+
+
 def test_q223_groupwise_corr_matches_numpy(spark):
     import numpy as np
 
