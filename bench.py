@@ -161,6 +161,8 @@ HEADLINE = [
     "q228_curation_verdict",
     "q229_ewma_revenue_trend",
     "q230_chi2_independence",
+    "q231_csv_roundtrip",
+    "q232_jsonl_roundtrip",
     "medallion_gold_kpis",
 ]
 

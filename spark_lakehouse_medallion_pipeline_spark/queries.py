@@ -11346,6 +11346,72 @@ def q230_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DOCS_ROUNDTRIP_SQL = (
+    "SELECT doc_id, text, lang, source, n_chars FROM documents"
+)
+
+_DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+@_q("q231_csv_roundtrip", _DOCS_ROUNDTRIP_SQL)
+def q231_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink round trip (S-family format coverage): write the
+    documents table as headered, quoted CSV, read it back through the
+    DataFrameReader with an EXPLICIT schema (inference is banned at
+    100 TB — it double-scans and types drift per shard), and return
+    the re-read rows. The oracle is the ORIGINAL parquet table, so the
+    value hash proves the CSV path is byte-lossless for every row —
+    quoting, escaping, header handling, and bigint round-tripping all
+    under test. Only exactly-representable column types cross the text
+    format (strings + int64; doubles would re-render). Plan: a scan, a
+    distributed write, a distributed read — partition counts preserved
+    by the writer, no shuffle anywhere."""
+    import os
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_q231_csv_{tag}")
+    (
+        docs.write.mode("overwrite")
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+    return (
+        spark.read.schema(_DOCS_SCHEMA)
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("multiLine", True)
+        .csv(path)
+    )
+
+
+@_q("q232_jsonl_roundtrip", _DOCS_ROUNDTRIP_SQL)
+def q232_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink round trip (S-family format coverage,
+    the crawl-dump interchange format every corpus pipeline ingests):
+    write documents as newline-delimited JSON, read back with an
+    explicit schema (same no-inference rule as q231), oracle = the
+    original parquet table — proving JSON string escaping and int64
+    fidelity end to end. Plan: scan, distributed write, distributed
+    read; schema-on-read keeps it one pass."""
+    import os
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_q232_jsonl_{tag}")
+    docs.write.mode("overwrite").json(path)
+    return spark.read.schema(_DOCS_SCHEMA).json(path)
+
+
 @_q(
     "q193_column_stats",
     f"""
