@@ -163,6 +163,7 @@ HEADLINE = [
     "q230_chi2_independence",
     "q231_csv_roundtrip",
     "q232_jsonl_roundtrip",
+    "q233_tukey_winsorize",
     "medallion_gold_kpis",
 ]
 

@@ -11413,6 +11413,84 @@ def q232_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q233_tukey_winsorize",
+    f"""
+    WITH v AS (SELECT {SC("o_totalprice")} AS v FROM orders),
+    q AS (SELECT quantile_cont(v, 0.25) AS p25,
+                 quantile_cont(v, 0.75) AS p75
+          FROM v),
+    f AS (SELECT CAST(FLOOR(p25 - 1.5 * (p75 - p25)) AS BIGINT) AS lo,
+                 CAST(FLOOR(p75 + 1.5 * (p75 - p25)) AS BIGINT) AS hi
+          FROM q)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           f.lo AS lo_fence_c, f.hi AS hi_fence_c,
+           CAST(SUM(CASE WHEN v < f.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below,
+           CAST(SUM(CASE WHEN v > f.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above,
+           CAST(SUM(CASE WHEN v < f.lo THEN f.lo
+                         WHEN v > f.hi THEN f.hi ELSE v END) // COUNT(*)
+                AS BIGINT) AS wmean_c
+    FROM v CROSS JOIN f
+    GROUP BY f.lo, f.hi
+    """,
+)
+def q233_tukey_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier report with winsorized mean — the CLIPPING
+    member of the robust-stats family (q173 MAD drops outliers, q190
+    trims ranks, this clamps values): fences at p25/p75 +- 1.5*IQR,
+    counts beyond each fence, and the mean of the clamped series.
+    Exactness: quartiles are dyadic-exact interpolated doubles on
+    cents (q18 discipline); 1.5*(p75-p25) is one identical float chain
+    both sides; the fences are FLOORED TO INTEGER CENTS before any
+    clamping, so the winsorized sum is a pure int64 sum (a double
+    fence inside the sum would make it order-dependent) and the mean a
+    truncating divide. Plan: one percentile aggregate (survivor-sized
+    buffer; percentile_approx is the 100 TB swap), a 1-row broadcast
+    of the fences, one map-combinable clamp aggregate."""
+    o = _t(spark, sf_dir, "orders").select(
+        cents(F.col("o_totalprice")).alias("v")
+    )
+    q = o.agg(F.expr("percentile(v, array(0.25, 0.75))").alias("p"))
+    f = q.select(
+        F.floor(
+            F.expr("p[0]") - F.lit(1.5) * (F.expr("p[1]") - F.expr("p[0]"))
+        ).cast("bigint").alias("lo"),
+        F.floor(
+            F.expr("p[1]") + F.lit(1.5) * (F.expr("p[1]") - F.expr("p[0]"))
+        ).cast("bigint").alias("hi"),
+    )
+    clamped = F.when(F.col("v") < F.col("lo"), F.col("lo")).when(
+        F.col("v") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("v"))
+    return (
+        o.crossJoin(F.broadcast(f))
+        .groupBy("lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("v") < F.col("lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_below"),
+            F.sum(F.when(F.col("v") > F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_above"),
+            F.expr(
+                "CAST(SUM(CASE WHEN v < lo THEN lo WHEN v > hi THEN hi"
+                " ELSE v END) div COUNT(*) AS BIGINT)"
+            ).alias("wmean_c"),
+        )
+        .select(
+            "n",
+            F.col("lo").alias("lo_fence_c"),
+            F.col("hi").alias("hi_fence_c"),
+            "n_below",
+            "n_above",
+            "wmean_c",
+        )
+    )
+
+
+@_q(
     "q193_column_stats",
     f"""
     WITH s AS (
