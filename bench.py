@@ -746,6 +746,16 @@ def build_compact_line(out: dict) -> str:
         compact["note"] = "min2(1dp,qN keys);full=BENCH_FULL_LATEST.json"
         line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:
+        # third degrade: 1-decimal ratios + terse note — the last stop
+        # before the ratios leave the artifact entirely
+        if "10x" in compact_variance:
+            compact_variance["10x"] = {
+                k: round(v, 1) for k, v in compact_variance["10x"].items()
+            }
+            compact["variance"] = compact_variance
+        compact["note"] = "min2 1dp;f=BENCH_FULL_LATEST.json"
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
         compact["variance"] = {
             k: compact_variance[k] for k in ("run1", "run2", "spread_pct")
         }

@@ -337,6 +337,25 @@ def test_q230_chi2_matches_pandas(spark):
     assert row["n_docs"] == n
 
 
+def test_q233_winsorize_recomputes(spark):
+    """Fences, beyond-fence counts, and the winsorized mean all
+    recompute from the raw cents in pandas."""
+    import numpy as np
+
+    row = QUERIES["q233_tukey_winsorize"](spark, SF).collect()[0]
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    v = np.sort((o["o_totalprice"] * 100).round().astype("int64").to_numpy())
+    p25, p75 = np.quantile(v, 0.25), np.quantile(v, 0.75)
+    lo = math.floor(p25 - 1.5 * (p75 - p25))
+    hi = math.floor(p75 + 1.5 * (p75 - p25))
+    assert (row["lo_fence_c"], row["hi_fence_c"]) == (lo, hi)
+    assert row["n_below"] == int((v < lo).sum())
+    assert row["n_above"] == int((v > hi).sum())
+    clamped = np.clip(v, lo, hi).astype(object)
+    assert row["wmean_c"] == int(clamped.sum()) // len(v)
+    assert row["n"] == len(v)
+
+
 def test_q223_groupwise_corr_matches_numpy(spark):
     import numpy as np
 
