@@ -164,6 +164,7 @@ HEADLINE = [
     "q231_csv_roundtrip",
     "q232_jsonl_roundtrip",
     "q233_tukey_winsorize",
+    "q234_abc_xyz_matrix",
     "medallion_gold_kpis",
 ]
 

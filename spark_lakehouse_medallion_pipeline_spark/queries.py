@@ -11491,6 +11491,147 @@ def q233_tukey_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q234_abc_xyz_matrix",
+    f"""
+    WITH rev AS (SELECT l_partkey AS p,
+                        CAST(SUM({SC("l_extendedprice")}) AS BIGINT) AS r
+                 FROM lineitem GROUP BY 1),
+    t AS (SELECT CAST(SUM(r) AS BIGINT) AS tot FROM rev),
+    abc AS (
+      SELECT p, r,
+             CASE WHEN cum * 100 <= 80 * tot THEN 'A'
+                  WHEN cum * 100 <= 95 * tot THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM (SELECT p, r,
+                   CAST(SUM(r) OVER (ORDER BY r DESC, p ASC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS cum
+            FROM rev) CROSS JOIN t
+    ),
+    wk AS (SELECT l_partkey AS p,
+                  epoch_us(l_shipdate) // {_WEEK_US} AS wkk,
+                  CAST(SUM({SC("l_quantity")}) AS BIGINT) AS x
+           FROM lineitem GROUP BY 1, 2),
+    g AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_weeks,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(x*x) AS BIGINT) AS sxx
+          FROM wk GROUP BY p),
+    xyz AS (
+      SELECT p, CASE WHEN cv_e6 <= 500000 THEN 'X'
+                     WHEN cv_e6 <= 1000000 THEN 'Y'
+                     ELSE 'Z' END AS xyz_class
+      FROM (SELECT p,
+                   CAST(FLOOR(sqrt(CAST(n_weeks*sxx - sx*sx AS DOUBLE))
+                              / CAST(sx AS DOUBLE) * 1000000.0 + 0.5)
+                        AS BIGINT) AS cv_e6
+            FROM g WHERE n_weeks >= 4)
+    )
+    SELECT abc.abc_class, COALESCE(xyz.xyz_class, 'U') AS xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(abc.r) AS BIGINT) AS revenue_c,
+           CAST((1000000 * SUM(abc.r)) // (SELECT tot FROM t) AS BIGINT)
+             AS revenue_share_e6
+    FROM abc LEFT JOIN xyz ON xyz.p = abc.p
+    GROUP BY abc.abc_class, COALESCE(xyz.xyz_class, 'U')
+    """,
+)
+def q234_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ABC-XYZ planning matrix — the classic inventory-strategy
+    crosstab composing two families this engine already records: ABC
+    revenue concentration (A = parts inside the top 80% of cumulative
+    revenue, B to 95%, C rest — q174's Pareto machinery applied to
+    parts, with integer cross-multiplied thresholds cum*100 <= 80*tot
+    so no share is ever a float) and q220's XYZ demand-variability
+    classes ('U' for parts with <4 active weeks, kept so the matrix
+    telescopes to every revenue-bearing part). Exactness: cents
+    revenue, exact cumulative window with (revenue DESC, partkey ASC)
+    ties, integer threshold compares, q220's floor6 CV. Plan: two
+    part-keyed aggregates on one scan lineage, a part-sized cumsum
+    window, a part-keyed join, a 12-cell rollup — everything after
+    the first groupBy is part-sized."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        sum_cents(F.col("l_extendedprice")).cast("bigint").alias("r")
+    )
+    t = rev.agg(F.sum("r").cast("bigint").alias("tot"))
+    w_cum = (
+        Window.orderBy(F.col("r").desc(), F.col("p").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    abc = (
+        rev.select("p", "r", F.sum("r").over(w_cum).cast("bigint").alias("cum"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "p",
+            "r",
+            F.when(F.col("cum") * 100 <= 80 * F.col("tot"), "A")
+            .when(F.col("cum") * 100 <= 95 * F.col("tot"), "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+    wk = (
+        li.select(
+            F.col("l_partkey").alias("p"),
+            F.expr(
+                f"unix_micros(cast(l_shipdate as timestamp)) div {_WEEK_US}"
+            ).alias("wkk"),
+            cents(F.col("l_quantity")).alias("q"),
+        )
+        .groupBy("p", "wkk")
+        .agg(F.sum("q").cast("bigint").alias("x"))
+    )
+    g = (
+        wk.groupBy("p")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_weeks"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        )
+        .filter(F.col("n_weeks") >= 4)
+    )
+    xyz = g.select(
+        "p",
+        F.floor(
+            F.sqrt((F.col("n_weeks") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                   .cast("double"))
+            / F.col("sx").cast("double")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("bigint").alias("cv_e6"),
+    ).select(
+        "p",
+        F.when(F.col("cv_e6") <= 500000, "X")
+        .when(F.col("cv_e6") <= 1000000, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    return (
+        abc.join(xyz, "p", "left")
+        .select(
+            "abc_class",
+            F.coalesce(F.col("xyz_class"), F.lit("U")).alias("xyz_class"),
+            "r",
+        )
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("r").cast("bigint").alias("revenue_c"),
+        )
+        .crossJoin(F.broadcast(t))
+        .select(
+            "abc_class",
+            "xyz_class",
+            "n_parts",
+            "revenue_c",
+            F.expr("CAST((1000000 * revenue_c) div tot AS BIGINT)").alias(
+                "revenue_share_e6"
+            ),
+        )
+    )
+
+
+@_q(
     "q193_column_stats",
     f"""
     WITH s AS (
