@@ -165,6 +165,7 @@ HEADLINE = [
     "q232_jsonl_roundtrip",
     "q233_tukey_winsorize",
     "q234_abc_xyz_matrix",
+    "q235_kanon_suppressed_report",
     "medallion_gold_kpis",
 ]
 

@@ -11632,6 +11632,54 @@ def q234_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q235_kanon_suppressed_report",
+    """
+    WITH g AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+               FROM documents GROUP BY lang, source)
+    SELECT lang, source,
+           CAST(CASE WHEN n >= 5 THEN n END AS BIGINT) AS n_disclosed,
+           CAST(CASE WHEN n >= 5 THEN (100 * sum_chars) // n END AS BIGINT)
+             AS avg_chars_e2,
+           CAST(n < 5 AS INT) AS suppressed
+    FROM g
+    """,
+)
+def q235_kanon_suppressed_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """k-anonymity small-cell suppression (k=5) for a published
+    aggregate report — the governance rule every data-release pipeline
+    applies before stats leave the boundary (the aggregate-side
+    complement of q90's redaction and q164's pseudonymization):
+    per (lang, source) cell the count and average length are DISCLOSED
+    only when the cell holds >= k individuals; smaller cells publish
+    NULL with an explicit suppressed flag (the row itself remains, so
+    consumers can tell 'suppressed' from 'absent' — dropping the row
+    would leak via its absence that 0 < n < k... which the flag states
+    anyway at cell granularity; the point is the VALUES don't leave).
+    All integer arithmetic; the average is a truncating e2 divide.
+    Plan: one map-combinable aggregate, cell-sized output — scan-bound
+    at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    g = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+    return g.select(
+        "lang",
+        "source",
+        F.when(F.col("n") >= 5, F.col("n")).cast("bigint")
+        .alias("n_disclosed"),
+        F.when(
+            F.col("n") >= 5,
+            F.expr("(100 * sum_chars) div n"),
+        ).cast("bigint").alias("avg_chars_e2"),
+        (F.col("n") < 5).cast("int").alias("suppressed"),
+    )
+
+
+@_q(
     "q193_column_stats",
     f"""
     WITH s AS (
