@@ -2,9 +2,13 @@
 
 Images / audio / video ride as opaque ``binary`` columns with a typed
 metadata struct. The Spark-side machinery — schema, partition sizing,
-Arrow-batched mapInPandas, output shapes — is real and tested; the actual
-codec calls are STUBBED (this container has no image/audio libraries) with
-a deterministic fake keyed on the blob bytes, clearly marked below.
+Arrow-batched mapInPandas, output shapes — is real and tested, and five
+codecs are REAL stdlib+numpy implementations in this file: BMP (``_bmp_*``),
+WAV (``_wav_*``), PNG (zlib inflate + all five filter types), GIF (LZW),
+and baseline JPEG (T.81 canonical Huffman + orthonormal DCT). Only the
+``_fake_decode_dims`` / ``resize_images`` demo path and the MP3 / H.264
+entries remain stubs (no stdlib codec exists for those formats), each
+clearly marked at its definition.
 
 Batch-shape note for 100 TB: blobs are large, so these operators must
 bound ``spark.sql.files.maxPartitionBytes`` / use maxRecordsPerBatch to
@@ -193,7 +197,8 @@ def bmp_encode(arr) -> bytes:
 
     a = np.asarray(arr, dtype=np.uint8)
     h, w, c = a.shape
-    assert c == 3, "bmp_encode expects (h, w, 3) RGB"
+    if c != 3:
+        raise ValueError("bmp_encode expects (h, w, 3) RGB")
     row_size = (w * 3 + 3) & ~3
     pix_bytes = row_size * h
     header = struct.pack("<2sIHHI", b"BM", 14 + 40 + pix_bytes, 0, 0, 14 + 40)
@@ -425,7 +430,8 @@ def png_encode_rgb8(arr) -> bytes:
 
     a = np.asarray(arr, dtype=np.uint8)
     h, w, c = a.shape
-    assert c == 3, "png_encode_rgb8 expects (h, w, 3) RGB"
+    if c != 3:
+        raise ValueError("png_encode_rgb8 expects (h, w, 3) RGB")
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (
@@ -585,7 +591,8 @@ def gif_encode_rgb8(arr) -> bytes:
 
     a = np.asarray(arr, dtype=np.uint8)
     h, w, c = a.shape
-    assert c == 3, "gif_encode_rgb8 expects (h, w, 3) RGB"
+    if c != 3:
+        raise ValueError("gif_encode_rgb8 expects (h, w, 3) RGB")
     flat = a.reshape(-1, 3)
     colors, idx = np.unique(flat, axis=0, return_inverse=True)
     if len(colors) > 256:
@@ -893,7 +900,8 @@ def jpeg_encode_rgb8(arr) -> bytes:
 
     a = np.asarray(arr, dtype=np.uint8)
     h, w, c = a.shape
-    assert c == 3, "jpeg_encode_rgb8 expects (h, w, 3) RGB"
+    if c != 3:
+        raise ValueError("jpeg_encode_rgb8 expects (h, w, 3) RGB")
     r = a[:, :, 0].astype(np.float64)
     g = a[:, :, 1].astype(np.float64)
     b = a[:, :, 2].astype(np.float64)

@@ -1310,6 +1310,11 @@ def pq_codes_int(
     first = corpus.select(vec_col).first()
     if first is None:
         raise ValueError("pq_codes_int: empty corpus")
+    if first[0] is None:
+        # The full NULL scan below covers the rest of the corpus; this
+        # guard keeps a NULL FIRST row on the documented ValueError
+        # contract instead of an obscure len(None) TypeError.
+        raise ValueError("pq_codes_int: 1+ rows have NULL vectors")
     if len(first[0]) != dim:
         raise ValueError(
             f"pq_codes_int: dim {len(first[0])} != n_subspaces*sub_dim {dim}"

@@ -11372,8 +11372,13 @@ def q231_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
+    # Suffix with the Spark applicationId: two concurrent sessions on the
+    # same SF (oracle gate + bench) must never share an overwrite sink.
     tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_q231_csv_{tag}")
+    app = spark.sparkContext.applicationId
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_q231_csv_{tag}_{app}"
+    )
     (
         docs.write.mode("overwrite")
         .option("header", True)
@@ -11406,8 +11411,12 @@ def q232_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
+    # Per-session sink path (applicationId) — same concurrency rule as q231.
     tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_q232_jsonl_{tag}")
+    app = spark.sparkContext.applicationId
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_q232_jsonl_{tag}_{app}"
+    )
     docs.write.mode("overwrite").json(path)
     return spark.read.schema(_DOCS_SCHEMA).json(path)
 
