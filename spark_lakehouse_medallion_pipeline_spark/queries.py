@@ -11921,39 +11921,50 @@ def q194_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r05-r07; top-k stays via q205 + q03) — 18 rotated slots this round,
 # every family born in round 8 earning its driver row in round 8.
 
+# Round 9 (VERDICT r8 Next #1): the fourteen round-8-born families that
+# landed after r8's last rotation window take their driver rows. The
+# displacement pool is the verdict's own four (q176/q177/q189/q188,
+# each green r05-r08 with multimodal/eval/graph cover) plus ten slots
+# green >=2 consecutive rounds whose families keep in-head reps, each
+# annotated at its replacement below: q150 (X6 as-of keeps q125
+# cogroup-as-of), q124 (X16 keeps q125), q56 (green r03-r08; the SQL
+# surface keeps the q197/q123 batteries and q56 stays value-oracled in
+# the full gate), q179/q184/q191/q193/q182/q129/q192 (dedup, BPE, ML,
+# ANALYZE, text, temporal, and graph each keep 2+ reps, see inline).
+
 _DRIVER_SNAPSHOT_50 = [
     # reference surface: aggregates, scalars, datetime, medallion KPIs
     "q01_pricing_summary",
     "q19_daily_event_kpis",
     "q41_scalar_battery",
-    "q179_chunk_dedup_first",  # r7: chunk-level dedup never recorded (q42 datetime battery green r01-r06; D1-D10 stays value-oracled in the full gate)
+    "q233_tukey_winsorize",  # r9: Tukey-fence outlier report + winsorized mean, birth-round row (q179 chunk dedup green r07+r08; dedup keeps q149/q204/q209/q222/q67 in the head and q179 stays value-oracled in the full gate)
     "q212_ir_eval_metrics",  # r8 late: retrieval-eval metrics (P@10/MRR/NDCG), birth-round row (q46 A8 declared-intent aggregates green r04-r07; the aggregate surface keeps q01/q19 and q46 stays value-oracled in the full gate)
     # joins
-    "q192_bfs_supplier_hops",  # r7 late: multi-source BFS, new reachability class (q161 triangles green r05+r06; graph keeps q188/q67/q126)
+    "q221_funnel_latency",  # r9: funnel-stage latency quartiles, birth-round row (q192 BFS green r07+r08; graph keeps q67 connected components in the head and q192/q188/q126 stay value-oracled in the full gate)
     "q224_revenue_anomaly_zscore",  # r8 late: rolling z-score monitoring, birth-round row (q158 WAV codec green r05-r07; multimodal keeps q176/q177/q200 in the head and q158 stays value-oracled in the full gate)
     "q205_join_skew_profile",  # r8 late: skew diagnosis, birth-round row (q133 salted join green r04-r07; the salting operator keeps pytest cover in test_salted_join_matches_plain and q205 is its diagnosis half)
     "q203_equidepth_histogram",  # r8 late: equi-depth boundaries, birth-round row (q145 exact bitmaps green r04-r07; X13 keeps q193/q194/q190/q170)
     "q211_weighted_median",  # r8 late: weighted robust stats, birth-round row (q170 rolling median green r05-r07; X10 frames keep q129 in the head and q170/q190 stay value-oracled in the full gate)
-    "q150_asof_tolerance",
+    "q226_mom_revenue_growth",  # r9: MoM growth with trunc-div-safe negative months, birth-round row (q129 SCD2 green r07+r08; the temporal family keeps q207/q224 window frames in the head and q129/q128/q130 stay value-oracled in the full gate)
     "q209_incremental_near_dup_portable",  # r8 late: incremental-ingest family's first possible driver row (q48 interval join green r04-r07; X6 theta/range keeps q150 as-of tolerance)
     # grouping extensions
-    "q176_png_image_features",  # r5: real-PNG codec never recorded (q09 green r03+r04; rollup keeps q146)
+    "q228_curation_verdict",  # r9: curation capstone with auditable pass mask, birth-round row (q176 real-PNG codec green r05-r08 = the verdict's own displacement pool; multimodal keeps q200 JPEG in the head and q176 stays value-oracled in the full gate)
     "q220_demand_variability",  # r8 late: XYZ forecastability classes (distributed exact-int CV), birth-round row (q190 trimmed mean green r05-r07; robust stats keeps q170 in the head and q190/q211 stay value-oracled in the full gate)
     # windows
-    "q189_rrf_fusion",  # r5: hybrid-rank fusion never recorded (q11 green r01-r04; ranking windows are q189's own core)
+    "q215_gini_spend",  # r9: Gini concentration index, birth-round row (q189 RRF fusion green r05-r08 = the verdict's own displacement pool; rank-eval keeps q212/q196 in the head and q189 stays value-oracled in the full gate)
     "q218_touch_attribution",  # r8 late: last-touch attribution, birth-round row (q172 Markov transitions green r05-r07; the window-analytic family keeps q129/q196 in the head and q218's IGNORE-NULLS last_value frame is its own new surface)
-    "q129_scd2_history",  # r7: SCD2 never recorded in 6 rounds (q13 running spend green r01-r06; X10 frames keep q170)
+    "q229_ewma_revenue_trend",  # r9: finite 8-term EWMA trend, birth-round row (q177 real-GIF codec green r05-r08 = the verdict's own displacement pool; multimodal keeps q200 JPEG in the head and q177 stays value-oracled in the full gate)
     "q222_dup_cluster_profile",  # r8 late: dedup-audit histogram, birth-round row (q186 tokenizer fertility green r05-r07; text/BPE keeps q181/q184/q202 in the head and q186 stays value-oracled in the full gate)
     # sort/limit, set ops, sketches
-    "q182_dup_ngram_fraction",  # r7: dup-ngram memorization scoring never recorded (q108 spine green r04-r06)
+    "q225_late_rate_wilson",  # r9: Wilson lower-bound ranking, birth-round row (q182 dup-ngram green r07+r08; text scoring keeps q202/q204/q213/q219 in the head and q182 stays value-oracled in the full gate)
     "q196_rank_distributions",  # r8: ntile/percent_rank/cume_dist never recorded (q55 multiset green r01-r07; set ops stay value-oracled in the full gate)
     "q181_bpe_train_2merges",  # r7: BPE training never recorded (q18 green r01-r06; distinct family keeps q145)
     # time windows / sessionization
-    "q191_kmeans_spend_segments",  # r7 late: integer-exact Lloyd k-means, brand-new ML family (q20 tumbling green r01-r06; X14 keeps q168/q21)
+    "q230_chi2_independence",  # r9: chi-square lang x source independence, birth-round row (q191 integer k-means green r07+r08; the ML family keeps q198/q201/q210 in the head and q191 stays value-oracled in the full gate)
     "q125_cogroup_asof",  # r8: applyInPandas cogroup never recorded in 7 rounds (q21 sessionization green r01-r07; X15 keeps q168 + streaming pytest)
     # SQL surface: subqueries, lateral, UDTF, interactive SQL
     "q197_bitwise_flag_rollup",  # r8: bit_and/or/xor aggregates never recorded (q49 SQL surface green r01-r07; S11 keeps q56)
-    "q56_correlated_subqueries",
+    "q235_kanon_suppressed_report",  # r9: k-anonymity small-cell suppression, birth-round row (q56 correlated subqueries green r03-r08, the longest-tenured rotatable slot; the SQL surface keeps the q197/q123 batteries in the head and q56 stays value-oracled in the full gate)
     "q67_dedup_clusters",  # r7: connected components never recorded in 6 rounds (q117 mapInArrow green r04-r06; UDF family keeps q65)
     "q214_correlation_matrix",  # r8 late: multivariate ANALYZE (exact-int Pearson matrix), birth-round row (q65 UDTF green r01-r07; X16 keeps q125 cogroup in the head and q65/q117 stay value-oracled in the full gate)
     # semi-structured: JSON, arrays, maps/structs
@@ -11963,8 +11974,8 @@ _DRIVER_SNAPSHOT_50 = [
     # dedup family
     "q194_price_histogram",  # r8: equi-width histogram never recorded (q28 exact dedup green r01-r07; X17 keeps q162/q152/q179)
     "q149_contrastive_pairs",  # r8: newly value-oracled top-up loop, birth-round row (q137 bloom-semi green r04-r07; dedup keeps q152/q179 + the LSH pipeline inside this oracle)
-    "q188_label_propagation",  # r5: deterministic LPA never recorded (q165 SimHash green r04; X18 keeps q28/q137/q162/q152)
-    "q184_bpe_encode_tokens",  # r7: BPE corpus encode never recorded (q110 VARIANT green r04-r06; semi-structured keeps q123)
+    "q217_benford_audit",  # r9: Benford first-digit audit, birth-round row (q188 LPA green r05-r08 = the verdict's own displacement pool; graph keeps q67 in the head and q188 stays value-oracled in the full gate)
+    "q234_abc_xyz_matrix",  # r9: ABC-XYZ planning matrix, birth-round row (q184 BPE encode green r07+r08; BPE keeps q181 train + q202 BM25 in the head, q220 shares the XYZ machinery, and q184 stays value-oracled in the full gate)
     # similarity family
     "q201_pq_codes_int",  # r8: integer-exact PQ train+encode, first-ever driver row for the PQ family (q36 brute kNN green r01-r07; q183's recall eval computes the same brute kNN internally)
     "q198_pca_power_customers",  # r8: integer power-iteration PCA, birth-round row (q126 PageRank green r01-r07; graph keeps q192/q67/q188)
@@ -11976,15 +11987,15 @@ _DRIVER_SNAPSHOT_50 = [
     "q135_retention_cohorts",  # r8: cohort matrices never recorded in 7 rounds (q95 packing green r04-r07; text keeps q163/q152/q185/q186)
     "q219_basket_lift",  # r8 late: association rules (support/confidence/lift), birth-round row (q185 domain affinity green r05-r07; text scoring keeps q202/q186/q163 and q185 stays value-oracled in the full gate)
     # multimodal, pandas-UDF, layout, TPC-H decorrelated shapes
-    "q177_gif_image_features",  # r5: real-GIF LZW codec never recorded (q157 BMP green r04; multimodal keeps q176/q158)
+    "q223_brand_discount_response",  # r9: per-brand discount-response correlation, birth-round row (q150 as-of tolerance green r04-r08; X6 theta/range keeps q125 cogroup-as-of in the head and q150/q48 stay value-oracled in the full gate)
     "q210_label_centroid_similarity",  # r8 late: domain-affinity matrix, birth-round row (q174 Pareto ABC green r05-r07; X11 top-k stays exercised by q205's TakeOrderedAndProject + q03 in the full gate)
     "q213_categorical_profile",  # r8 late: string-typed ANALYZE profile, birth-round row (q166 Hilbert layout green r05-r07; the layout family keeps test_layout pytest cover and q92/q166 stay value-oracled in the full gate)
     "q208_mixture_temperature",  # r8 late: temperature mixture quotas, birth-round row (q187 green r05-r07; q208 embeds the identical largest-remainder machinery plus the sqrt temperature)
     # round-3 families: connectors, warehouse maintenance, quality contracts
-    "q124_python_datasource",
-    "q206_functional_dependency_audit",  # r8 late: FD profiling, birth-round row (q127 quality contracts green r03-r07; quality family keeps q128 CDC + the ANALYZE kit q193/q194)
+    "q231_csv_roundtrip",  # r9: CSV source/sink byte-lossless round trip, the first I/O-format driver row (q124 python datasource green r03-r08; X16 keeps q125 cogroup in the head and q124 stays value-oracled in the full gate)
+    "q232_jsonl_roundtrip",  # r9: JSONL source/sink round trip, the crawl-dump interchange format (q193 ANALYZE column stats green r07+r08; the ANALYZE kit keeps q194/q203/q205/q206/q213/q216 in the head and q193 stays value-oracled in the full gate)
     "q216_encoding_advisor",  # r8 late: write-path encoding advisor, birth-round row (q128 CDC green r03-r07; the temporal family keeps q129 SCD2 in the head and q128 stays value-oracled in the full gate)
-    "q193_column_stats",  # r7 late: ANALYZE-style stats, new family (q130 PIT green r03-r06; temporal keeps q129 SCD2 + q128 CDC)
+    "q206_functional_dependency_audit",  # r8 late: FD profiling, birth-round row (q127 quality contracts green r03-r07; quality family keeps q128 CDC + the ANALYZE kit q193/q194)
 ]
 
 
