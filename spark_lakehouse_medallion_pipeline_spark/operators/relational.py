@@ -234,3 +234,151 @@ def stratified_exact_sample(
         .filter(F.col("_rn") * F.lit(frac_den) <= F.col("_n") * F.lit(frac_num))
         .drop("_rn", "_n")
     )
+
+
+def distributed_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    *,
+    rank_col: str = "rank",
+    value_col: str | None = None,
+    cumsum_col: str | None = None,
+    ntile_col: str | None = None,
+    n_tiles: int = 10,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global row_number (+ optional inclusive prefix sum and NTILE)
+    WITHOUT a single-partition window — the classic two-pass
+    range-partitioned rank every distributed engine uses where ANSI
+    `row_number() OVER (ORDER BY ...)` would funnel all rows through
+    one task (Spark logs `WindowExec: No Partition Defined` and moves
+    the whole input to ONE partition — the wall this operator removes
+    at 100 TB).
+
+    Pass 1: `repartitionByRange` on the ordering (sampled balanced
+    boundaries, equal keys co-located), pin the partition assignment
+    with an eager localCheckpoint, then ONE tiny per-partition
+    count/sum aggregate — collected to the driver, BOUNDED at one row
+    per shuffle partition (32 locally, a few thousand on a cluster:
+    the same driver-side footprint TakeOrderedAndProject already
+    accepts). Pass 2: exclusive prefix offsets (plain Python over the
+    partition stats) broadcast-joined back on partition id, plus a
+    PARTITIONED window (partitionBy the range-bucket id) for the local
+    rank/running sum: every task ranks only its own range slice.
+
+    Semantics contract: `order_cols` must define a TOTAL order (caller
+    includes a unique tie-breaker, the repo-wide rule) with no NULL
+    keys; then rank == ANSI row_number, cumsum == ROWS UNBOUNDED
+    PRECEDING running sum, and ntile == ANSI NTILE(n) (remainder rows
+    to the leading tiles), so oracle SQL is unchanged.
+
+    Scale shape: two data passes (one range exchange + one hash
+    exchange on the bucket id for the window — each balanced by the
+    range sampler), zero single-partition stages. value_col, when
+    given, must be int64-safe under global summation (cents
+    convention)."""
+    spark = df.sparkSession
+    n_part = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    pid = "_dr_pid"
+    ranged = (
+        df.repartitionByRange(n_part, *order_cols)
+        .withColumn(pid, F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    aggs = [F.count(F.lit(1)).alias("_cnt")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).cast("bigint").alias("_vsum"))
+    # Bounded collect: one row per range bucket (a model, not data).
+    stats = sorted(ranged.groupBy(pid).agg(*aggs).collect(), key=lambda r: r[pid])
+    offsets, r_off, v_off, n_total = [], 0, 0, 0
+    for row in stats:
+        offsets.append((row[pid], r_off, v_off))
+        r_off += row["_cnt"]
+        n_total = r_off
+        if value_col is not None:
+            v_off += int(row["_vsum"] or 0)
+    off_df = spark.createDataFrame(
+        offsets or [(0, 0, 0)], schema=f"{pid} int, _roff long, _voff long"
+    )
+    if not offsets:
+        off_df = off_df.limit(0)
+    w = Window.partitionBy(pid).orderBy(*order_cols)
+    out = ranged.withColumn("_lrank", F.row_number().over(w).cast("long"))
+    if cumsum_col is not None:
+        if value_col is None:
+            raise ValueError("cumsum_col requires value_col")
+        out = out.withColumn(
+            "_lsum",
+            F.sum(value_col)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+    out = out.join(F.broadcast(off_df), pid).withColumn(
+        rank_col, (F.col("_lrank") + F.col("_roff")).cast("long")
+    )
+    if cumsum_col is not None:
+        out = out.withColumn(cumsum_col, (F.col("_lsum") + F.col("_voff")).cast("long"))
+    if ntile_col is not None:
+        # ANSI NTILE(n) from the global rank and the (already known)
+        # total count: base rows per tile with the remainder spread
+        # over the leading tiles — pure integer Column arithmetic.
+        base, rem = divmod(n_total, n_tiles)
+        cut = rem * (base + 1)
+        i = F.col(rank_col)
+        if base == 0:
+            tile = i  # fewer rows than tiles: row i -> tile i
+        else:
+            # Exact int64 `div` (never float division: a 100 TB rank
+            # exceeds double's 2^53 exact-integer range).
+            tile = F.when(
+                F.lit(rem > 0) & (i <= F.lit(cut)),
+                F.expr(f"({rank_col} - 1) div {base + 1}") + 1,
+            ).otherwise(
+                F.lit(rem) + F.expr(f"({rank_col} - {cut} - 1) div {base}") + 1
+            )
+        out = out.withColumn(ntile_col, tile.cast("int"))
+    return out.drop(pid, "_lrank", "_lsum", "_roff", "_voff")
+
+
+def top_k_ranked(
+    df: DataFrame,
+    order_spec: list[tuple[str, bool]],
+    k: int,
+    *,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k with exact 1-based ranks and ZERO window operators: the
+    100 TB form of `row_number() OVER (ORDER BY ...) <= k`. The
+    selection compiles to TakeOrderedAndProject (per-partition heap of
+    k, driver-side merge — no global sort, no single-partition
+    exchange); ranks are then assigned to the <= k survivors by a
+    broadcast lexicographic self-join count (rank(a) = |{b : b <= a}|,
+    k^2 <= 100 comparisons for the k <= 10 call sites), which equals
+    ANSI row_number because the caller's order_spec is a total order
+    over non-NULL keys.
+
+    order_spec: [(column_name, descending?), ...] — names, not Column
+    exprs, because the self-join must re-derive the comparison on both
+    sides."""
+    order_cols = [
+        F.col(name).desc() if desc else F.col(name).asc() for name, desc in order_spec
+    ]
+    top = df.orderBy(*order_cols).limit(k)
+    a = top.alias("_tka")
+    b = top.alias("_tkb")
+    # Lexicographic b <= a over the mixed asc/desc spec.
+    before = F.lit(False)
+    eq = F.lit(True)
+    for name, desc in order_spec:
+        ca, cb = F.col(f"_tka.{name}"), F.col(f"_tkb.{name}")
+        lt = (cb > ca) if desc else (cb < ca)
+        before = before | (eq & lt)
+        eq = eq & (cb == ca)
+    cond = before | eq
+    return (
+        a.join(F.broadcast(b), cond, "inner")
+        .groupBy(*[F.col(f"_tka.{c}").alias(c) for c in top.columns])
+        .agg(F.count(F.lit(1)).cast("long").alias(rank_col))
+    )

@@ -7414,24 +7414,30 @@ def q174_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     deciles, and the cumulative share at each decile boundary is an
     integer e6 fraction of the broadcast 1-row total.
 
-    The ranking window is global by construction (a concentration curve
-    IS a total order) — but it runs over the CUSTOMER AGGREGATE, i.e.
-    |customers| rows after the heavy groupBy, the standard
-    reduce-then-rank shape; at 100 TB the rank input is table-stats
-    scale, not fact-table scale."""
+    The ranking is global by construction (a concentration curve IS a
+    total order) and runs over the CUSTOMER AGGREGATE — but even a
+    dimension grows 100x at 100 TB, so the rank/ntile/cumsum come from
+    relational.distributed_rank (two-pass range-partitioned rank: range
+    exchange -> per-bucket window + broadcast offsets), never a
+    single-partition Window.orderBy; test_plans pins the absence of a
+    global WindowExec."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.relational import (
+        distributed_rank,
+    )
+
     orders = _t(spark, sf_dir, "orders")
     spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.sum(cents(F.col("o_totalprice"))).alias("cents")
     )
-    w = Window.orderBy(F.desc("cents"), "custkey")
-    ranked = spend.select(
-        "custkey",
-        "cents",
-        F.ntile(10).over(w).alias("decile"),
-        F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
-            "cum_cents"
-        ),
-    )
+    ranked = distributed_rank(
+        spend,
+        [F.desc("cents"), F.asc("custkey")],
+        rank_col="_rnk",
+        value_col="cents",
+        cumsum_col="cum_cents",
+        ntile_col="decile",
+        n_tiles=10,
+    ).select("custkey", "cents", "decile", "cum_cents")
     tot = spend.agg(F.sum("cents").cast("bigint").alias("total"))
     return (
         ranked.crossJoin(F.broadcast(tot))
@@ -9332,8 +9338,14 @@ def q205_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     All integer arithmetic; top-5 by (cnt DESC, key ASC) is a total
     order. Scale shape: ONE map-combined groupBy on the key (the same
     aggregate any pre-join count would run), a 1-row global aggregate
-    broadcast back, and a 5-row TakeOrderedAndProject — no sort of the
-    full key table, no second scan of the fact table."""
+    broadcast back, and a 5-row TakeOrderedAndProject whose ranks come
+    from relational.top_k_ranked's broadcast self-join count — zero
+    window operators, so no single-partition WindowExec anywhere (no
+    sort of the full key table, no second scan of the fact table)."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.relational import (
+        top_k_ranked,
+    )
+
     orders = _t(spark, sf_dir, "orders")
     c = orders.groupBy(F.col("o_custkey").alias("k")).agg(
         F.count(F.lit(1)).alias("cnt")
@@ -9343,12 +9355,9 @@ def q205_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("d"),
         F.max("cnt").alias("maxcnt"),
     )
-    w = Window.orderBy(F.col("cnt").desc(), F.col("k").asc())
-    top5 = (
-        c.orderBy(F.col("cnt").desc(), F.col("k").asc())
-        .limit(5)
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-    )
+    top5 = top_k_ranked(
+        c, [("cnt", True), ("k", False)], 5, rank_col="_rk"
+    ).withColumn("rank", F.col("_rk").cast("int"))
     return top5.crossJoin(F.broadcast(g)).select(
         "rank",
         F.col("k").alias("key"),
@@ -9861,20 +9870,28 @@ def q212_ir_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     are data-INDEPENDENT, so they are inlined as the same e9 integer
     literals on both engines (no libm anywhere); P@10 and MRR are
     exact rationals (hits*1e5, 1000000 div first_rel); NDCG's one
-    double division gets the floor6 absorber. Both row_number windows
-    are corpus-global (500-5k docs); the 100 TB path swaps them for
-    TakeOrderedAndProject top-k + broadcast, identical contract."""
+    double division gets the floor6 absorber. Both top-10 selections
+    run as relational.top_k_ranked — TakeOrderedAndProject (per-
+    partition heap, no global sort) + a broadcast 10x10 self-join for
+    the exact ranks — so no corpus-global window survives at ANY
+    scale; test_plans pins the absence of a global WindowExec."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.relational import (
+        top_k_ranked,
+    )
+
     bm = QUERIES["q202_bm25_ranking"](spark, sf_dir)
-    w_truth = Window.orderBy(F.col("score_e6").desc(), F.col("doc_id").asc())
-    w_run = Window.orderBy(F.col("tf1").desc(), F.col("doc_id").asc())
-    truth = (
-        bm.select("doc_id", F.row_number().over(w_truth).alias("tr"))
-        .filter(F.col("tr") <= 10)
-    )
-    run = (
-        bm.select("doc_id", "tf1", F.row_number().over(w_run).alias("rr"))
-        .filter(F.col("rr") <= 10)
-    )
+    truth = top_k_ranked(
+        bm.select("doc_id", "score_e6"),
+        [("score_e6", True), ("doc_id", False)],
+        10,
+        rank_col="tr",
+    ).select("doc_id", "tr")
+    run = top_k_ranked(
+        bm.select("doc_id", "tf1"),
+        [("tf1", True), ("doc_id", False)],
+        10,
+        rank_col="rr",
+    ).select("doc_id", "tf1", "rr")
     disc = F.lit(None)
     for r, d in enumerate(_NDCG_DISC, start=1):
         disc = F.when(F.col("rr") == r, F.lit(d)) if r == 1 else disc.when(
@@ -10156,17 +10173,24 @@ def q215_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) on cents with
     row_number ranks (ties by custkey) — every term an exact int64
     (sum(i*x) <= n^2 * max_spend ~ 2e16 at sf0.1), one double
-    division under floor6. The rank window is global (customer-sized,
-    ~15k rows at sf0.1, AFTER the per-customer aggregate has already
-    shrunk the data); the 100 TB path is the classic two-pass
-    distributed rank (per-partition sort + offset prefix), same
-    contract."""
+    division under floor6. The rank is global (a Lorenz curve is a
+    total order) but never single-partition: it comes from
+    relational.distributed_rank — the classic two-pass range-
+    partitioned rank (range exchange, per-bucket window, broadcast
+    offsets) — so the customer dimension can grow 100x without a
+    one-task sort; test_plans pins the absence of a global
+    WindowExec."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.relational import (
+        distributed_rank,
+    )
+
     o = _t(spark, sf_dir, "orders")
     s = o.groupBy("o_custkey").agg(
         sum_cents(F.col("o_totalprice")).cast("bigint").alias("x")
     )
-    w = Window.orderBy(F.col("x").asc(), F.col("o_custkey").asc())
-    r = s.select("x", F.row_number().over(w).alias("i"))
+    r = distributed_rank(
+        s, [F.col("x").asc(), F.col("o_custkey").asc()], rank_col="i"
+    ).select("x", "i")
     m = r.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("tot"),
@@ -11563,12 +11587,21 @@ def q234_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_cents(F.col("l_extendedprice")).cast("bigint").alias("r")
     )
     t = rev.agg(F.sum("r").cast("bigint").alias("tot"))
-    w_cum = (
-        Window.orderBy(F.col("r").desc(), F.col("p").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Part-sized cumulative revenue WITHOUT a single-partition window:
+    # two-pass range-partitioned prefix sum (relational.distributed_rank).
+    from spark_lakehouse_medallion_pipeline_spark.operators.relational import (
+        distributed_rank,
     )
+
     abc = (
-        rev.select("p", "r", F.sum("r").over(w_cum).cast("bigint").alias("cum"))
+        distributed_rank(
+            rev,
+            [F.col("r").desc(), F.col("p").asc()],
+            rank_col="_rnk",
+            value_col="r",
+            cumsum_col="cum",
+        )
+        .select("p", "r", "cum")
         .crossJoin(F.broadcast(t))
         .select(
             "p",

@@ -577,3 +577,30 @@ def test_round8_late_families_plan_shapes(spark):
     # 5 total, budget-pinned so a lost broadcast fails loudly
     df = QUERIES["q213_categorical_profile"](spark, SF)
     assert explain.count_exchanges(df) <= 5
+
+
+def test_no_single_partition_window_in_ranked_analytics(spark):
+    """VERDICT r8 Next #2: the five dimension-rank analytics queries
+    must carry NO single-partition WindowExec (the `No Partition
+    Defined` / Exchange SinglePartition form) — their global ranks now
+    come from relational.distributed_rank (two-pass range-partitioned
+    rank) or relational.top_k_ranked (TakeOrderedAndProject + broadcast
+    self-join), both of which survive a 100x dimension growth. A
+    partitioned WindowExec prints `Window [exprs], [part], [order]`
+    (two `], [` separators); the banned global form prints only
+    `Window [exprs], [order]` (one)."""
+    for name in (
+        "q174_pareto_abc",
+        "q205_join_skew_profile",
+        "q212_ir_eval_metrics",
+        "q215_gini_spend",
+        "q234_abc_xyz_matrix",
+    ):
+        df = QUERIES[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        bad = [
+            ln.strip()[:160]
+            for ln in plan.splitlines()
+            if "Window [" in ln and ln.count("], [") == 1
+        ]
+        assert not bad, f"{name} still has a global WindowExec: {bad}"

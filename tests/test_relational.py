@@ -338,3 +338,91 @@ def test_bfs_hops_min_over_multiple_sources(spark):
     seeds = spark.createDataFrame([(1,), (5,)], "vertex long")
     got = {r["vertex"]: r["dist"] for r in bfs_hops(edges, seeds, rounds=2).collect()}
     assert got == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}
+
+
+def _global_window_lines(df):
+    """Physical-plan Window nodes with NO partition spec (the single-
+    partition form this repo bans): a partitioned WindowExec prints
+    `Window [exprs], [partcols], [ordercols]` (two `], [` separators),
+    the global form only `Window [exprs], [ordercols]` (one)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return [
+        ln.strip()
+        for ln in plan.splitlines()
+        if "Window [" in ln and ln.count("], [") == 1
+    ]
+
+
+def test_distributed_rank_matches_ansi_row_number(spark):
+    from pyspark.sql import Window
+
+    # 37 rows across 5 range partitions with deliberate ties in the
+    # first key so cross-partition-boundary offsets are exercised.
+    rows = [(i % 7, 100 - i, i) for i in range(37)]
+    df = spark.createDataFrame(rows, "g int, v int, id int").repartition(6)
+    got = relational.distributed_rank(
+        df,
+        [F.col("g").asc(), F.col("v").desc(), F.col("id").asc()],
+        rank_col="r",
+        value_col="v",
+        cumsum_col="cum",
+        ntile_col="tile",
+        n_tiles=4,
+        num_partitions=5,
+    )
+    w = Window.orderBy(F.col("g").asc(), F.col("v").desc(), F.col("id").asc())
+    want = df.select(
+        "id",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.sum("v")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cum"),
+        F.ntile(4).over(w).alias("tile"),
+    )
+    g = {x["id"]: (x["r"], x["cum"], x["tile"]) for x in got.collect()}
+    e = {x["id"]: (x["r"], x["cum"], x["tile"]) for x in want.collect()}
+    assert g == e
+    assert not _global_window_lines(got)
+
+
+def test_distributed_rank_empty_and_tiny(spark):
+    df = spark.createDataFrame([], "v int, id int")
+    got = relational.distributed_rank(
+        df, [F.col("v").asc(), F.col("id").asc()], rank_col="r"
+    )
+    assert got.count() == 0
+    # fewer rows than tiles: tile == rank (ANSI NTILE degenerate case)
+    df3 = spark.createDataFrame([(5, 1), (3, 2), (9, 3)], "v int, id int")
+    got3 = relational.distributed_rank(
+        df3,
+        [F.col("v").asc(), F.col("id").asc()],
+        rank_col="r",
+        value_col="v",
+        ntile_col="t",
+        n_tiles=10,
+        num_partitions=2,
+    ).collect()
+    by_id = {x["id"]: (x["r"], x["t"]) for x in got3}
+    assert by_id == {2: (1, 1), 1: (2, 2), 3: (3, 3)}
+
+
+def test_top_k_ranked_matches_window_and_has_no_window_exec(spark):
+    from pyspark.sql import Window
+
+    rows = [(i % 5, 200 - (i * 7) % 40, i) for i in range(50)]
+    df = spark.createDataFrame(rows, "a int, s int, id int")
+    got = relational.top_k_ranked(
+        df, [("s", True), ("id", False)], 10, rank_col="rk"
+    )
+    w = Window.orderBy(F.col("s").desc(), F.col("id").asc())
+    want = (
+        df.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+    )
+    g = {(x["id"], x["rk"]) for x in got.collect()}
+    e = {(x["id"], x["rk"]) for x in want.collect()}
+    assert g == e
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
