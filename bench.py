@@ -166,6 +166,7 @@ HEADLINE = [
     "q233_tukey_winsorize",
     "q234_abc_xyz_matrix",
     "q235_kanon_suppressed_report",
+    "q236_csv_quarantine",
     "medallion_gold_kpis",
 ]
 

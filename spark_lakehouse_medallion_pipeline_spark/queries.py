@@ -11721,6 +11721,105 @@ def q235_kanon_suppressed_report(
     )
 
 
+# Deterministic malformed CSV lines planted next to the clean export for
+# q236. Spark's PERMISSIVE parser only routes TYPE failures to the
+# corrupt-record column — short rows are null-PADDED and long rows have
+# extra tokens DROPPED without complaint (verified against Spark 4.1) —
+# so a real ingest contract layers a required-field nullability check on
+# top of the parser channel; the arity lines here are caught by THAT
+# layer. Data-independent, so the quarantine count is the same literal
+# on both engines.
+_Q236_BAD_LINES = (
+    "notanint,some text,en,web,42",  # doc_id fails bigint parse -> corrupt
+    "123,text only",  # arity short: null-padded -> required-field check
+    "124,text,en,web,seventeen,EXTRA",  # long + bad n_chars -> corrupt
+    "125,text,en,web,notanint",  # n_chars fails bigint parse -> corrupt
+    "x,y",  # bad doc_id -> corrupt
+)
+
+
+@_q(
+    "q236_csv_quarantine",
+    f"""
+    WITH good AS (SELECT doc_id, n_chars FROM documents
+                  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
+           CAST({len(_Q236_BAD_LINES)} AS BIGINT) AS n_quarantined,
+           CAST(COUNT(*) + {len(_Q236_BAD_LINES)} AS BIGINT) AS n_total,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_good_doc_id,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_good_n_chars
+    FROM good
+    """,
+)
+def q236_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input contract for the CSV source (the first thing a
+    real user hits with file-based ingest, VERDICT r8 Next #5): export
+    the documents table as headerless CSV, PLANT five deterministic
+    malformed lines (non-integer bigint fields, wrong arity) in a
+    sidecar part file, then re-read the directory in PERMISSIVE mode
+    with ``columnNameOfCorruptRecord`` so bad lines land in a
+    quarantine column instead of killing the job (FAILFAST — the mode a
+    curated-zone loader uses — is pinned to raise on the same fixture
+    in test_smoke). Quarantine = the parser's corrupt channel OR a
+    required-field null: PERMISSIVE null-pads short rows and silently
+    drops extra tokens, so arity errors surface as nulls, never as
+    corrupt records — a real contract needs both layers. Returns the audit row every ingest contract needs:
+    good/quarantined/total counts plus two value checksums over the
+    GOOD rows proving the survivors parsed correctly (the oracle
+    computes them from the original parquet — quarantine must lose
+    nothing and corrupt nothing). Scale shape: one distributed write +
+    one distributed read + one map-combinable aggregate; the corrupt
+    column is projected only into counts, never collected."""
+    import os
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    app = spark.sparkContext.applicationId
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_q236_csv_{tag}_{app}"
+    )
+    (
+        docs.write.mode("overwrite")
+        .option("header", False)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+    with open(os.path.join(path, "part-99999-planted-bad.csv"), "w") as fh:
+        fh.write("\n".join(_Q236_BAD_LINES) + "\n")
+    raw = (
+        spark.read.schema(_DOCS_SCHEMA + ", _corrupt string")
+        .option("header", False)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    # Spark caveat: a query over ONLY the corrupt column is disallowed
+    # (internal raw-record pushdown) — aggregate over the full
+    # projection instead, which is what the audit needs anyway.
+    bad = (
+        F.col("_corrupt").isNotNull()
+        | F.col("doc_id").isNull()
+        | F.col("n_chars").isNull()
+    )
+    return raw.agg(
+        F.count(F.when(~bad, 1)).cast("bigint").alias("n_good"),
+        F.count(F.when(bad, 1)).cast("bigint").alias("n_quarantined"),
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(F.when(~bad, F.col("doc_id")))
+        .cast("bigint")
+        .alias("sum_good_doc_id"),
+        F.sum(F.when(~bad, F.col("n_chars")))
+        .cast("bigint")
+        .alias("sum_good_n_chars"),
+    )
+
+
 @_q(
     "q193_column_stats",
     f"""
@@ -12015,7 +12114,7 @@ _DRIVER_SNAPSHOT_50 = [
     # text analysis family
     "q202_bm25_ranking",  # r8 late: BM25 lexical retrieval, birth-round row (q163 PMI green r05-r07; text keeps q185/q186/q135/q182 + BPE reps)
     "q204_containment_scan",  # r8 late: one-sided containment audit, birth-round row (q152 fuzzy-ER d<=2 green r04-r07; dedup keeps q149/q179)
-    "q195_weighted_sample",  # r7 late: per-item A-Res weighted sampler, new family (q164 pseudonymize green r04-r06; text keeps q163/q152/q95/q185)
+    "q236_csv_quarantine",  # r9 late: malformed-ingest contract (PERMISSIVE corrupt channel + required-field nullability), birth-round row (q195 A-Res sampler green r07+r08; sampling keeps stratified_exact_sample pytest + the q208 apportionment machinery in the head, and q195 stays value-oracled in the full gate)
     "q227_referential_integrity_audit",  # r8 late: FK conformance audit, birth-round row (q183 ANN recall eval green r05-r07; the eval family keeps q212 in the head and q183 stays value-oracled in the full gate)
     "q135_retention_cohorts",  # r8: cohort matrices never recorded in 7 rounds (q95 packing green r04-r07; text keeps q163/q152/q185/q186)
     "q219_basket_lift",  # r8 late: association rules (support/confidence/lift), birth-round row (q185 domain affinity green r05-r07; text scoring keeps q202/q186/q163 and q185 stays value-oracled in the full gate)

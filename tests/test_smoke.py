@@ -318,3 +318,60 @@ def test_bench_compact_line_fits_capture_window():
     line2 = bench.build_compact_line(wrecked)
     assert len(line2) <= 2000, len(line2)
     assert json.loads(line2)["queries"]
+
+
+def test_csv_quarantine_contract_modes(spark, tmp_path):
+    """q236's malformed-ingest contract, mode by mode, on a hand-built
+    fixture (3 good rows + the 5 planted bad lines): PERMISSIVE
+    quarantines exactly the planted lines (corrupt channel for type
+    failures, required-field nulls for arity), DROPMALFORMED keeps only
+    parser-good rows, FAILFAST raises — the curated-zone loader
+    behavior."""
+    import pytest as _pytest
+
+    from spark_lakehouse_medallion_pipeline_spark.queries import _Q236_BAD_LINES
+
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    good = ["1,alpha,en,web,5", "2,beta,de,book,4", "3,gamma,en,web,5"]
+    p = tmp_path / "csvq"
+    p.mkdir()
+    (p / "part-good.csv").write_text("\n".join(good) + "\n")
+    (p / "part-bad.csv").write_text("\n".join(_Q236_BAD_LINES) + "\n")
+
+    def read(mode, with_corrupt=True):
+        sch = schema + (", _corrupt string" if with_corrupt else "")
+        r = (
+            spark.read.schema(sch)
+            .option("header", False)
+            .option("mode", mode)
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .csv(str(p))
+        )
+        return r
+
+    from pyspark.sql import functions as F
+
+    perm = read("PERMISSIVE")
+    bad = (
+        F.col("_corrupt").isNotNull()
+        | F.col("doc_id").isNull()
+        | F.col("n_chars").isNull()
+    )
+    agg = perm.agg(
+        F.count(F.when(~bad, 1)).alias("ng"),
+        F.count(F.when(bad, 1)).alias("nq"),
+    ).first()
+    assert (agg["ng"], agg["nq"]) == (3, len(_Q236_BAD_LINES))
+    # DROPMALFORMED removes every planted line (it treats arity-short
+    # rows as malformed, unlike PERMISSIVE which null-pads them — the
+    # asymmetry the q236 contract papers over with its required-field
+    # layer). Gotcha: .count() on a CSV scan with no referenced columns
+    # counts RAW records without parsing (malformed rows included), so
+    # the assertion must force a full parse via collect().
+    dropped = read("DROPMALFORMED", with_corrupt=False)
+    assert len(dropped.collect()) == 3
+    # Same raw-count gotcha: FAILFAST only raises once rows are PARSED,
+    # so drive it with collect(), and match the error text (PySpark 4
+    # wraps the JVM exception).
+    with _pytest.raises(Exception, match="[Mm]alformed|FAILFAST"):
+        read("FAILFAST", with_corrupt=False).collect()
