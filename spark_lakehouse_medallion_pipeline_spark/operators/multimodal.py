@@ -819,6 +819,28 @@ def _jpeg_decode_table(bits: tuple, vals: tuple) -> dict:
     }
 
 
+@_functools.lru_cache(maxsize=64)
+def _jpeg_lut16(bits: tuple, vals: tuple):
+    """Flat 2^16-entry Huffman lookup: index with the NEXT 16 bits of
+    the stream, read (symbol, code length) in O(1) — the libjpeg-style
+    fast path that replaces the bit-at-a-time tree walk (max code
+    length is 16, so every 16-bit window is covered by exactly one
+    code prefix). Entries no code reaches keep length 0, which the
+    decoder turns into the invalid-code ValueError. Built once per
+    distinct DHT content (lru-cached): two vectorized slice fills per
+    symbol."""
+    import numpy as np
+
+    sym_arr = np.zeros(1 << 16, dtype=np.uint8)
+    len_arr = np.zeros(1 << 16, dtype=np.uint8)
+    for sym, (code, length) in _jpeg_canonical_codes_cached(bits, vals).items():
+        start = code << (16 - length)
+        span = 1 << (16 - length)
+        sym_arr[start : start + span] = sym
+        len_arr[start : start + span] = length
+    return sym_arr, len_arr
+
+
 @_functools.lru_cache(maxsize=1)
 def _jpeg_dct_matrix():
     import math
@@ -1057,7 +1079,7 @@ def _jpeg_decode_impl(blob: bytes):
                 bits = tuple(body[i + 1 : i + 17])
                 nv = sum(bits)
                 vals = tuple(body[i + 17 : i + 17 + nv])
-                htables[tc_th] = _jpeg_decode_table(bits, vals)
+                htables[tc_th] = _jpeg_lut16(bits, vals)
                 i += 17 + nv
         elif marker == 0xC0:  # SOF0 baseline
             _p, h, w, nf = struct.unpack_from(">BHHB", body, 0)
@@ -1092,34 +1114,76 @@ def _jpeg_decode_impl(blob: bytes):
     m = _jpeg_dct_matrix()
     bh, bw = (h + 7) // 8, (w + 7) // 8
     planes = [np.zeros((bh * 8, bw * 8)) for _ in comps]
-    rd = _JpegBitReader(d, pos)
-
-    def _decode_huff(table) -> int:
-        code, length = 0, 0
-        while True:
-            code = (code << 1) | rd.bit()
-            length += 1
-            if (length, code) in table:
-                return table[(length, code)]
-            if length > 16:
-                raise ValueError("invalid Huffman code in entropy data")
+    # Vectorized entropy decode (the round-9 replacement for the
+    # per-bit Python reader): locate the scan end (inside entropy data
+    # every 0xFF is stuffed as FF 00, so the first FF + non-00 is a
+    # marker), strip the stuffing in ONE bytes.replace pass, unpack to
+    # a bit array, and precompute the sliding 16-bit window value at
+    # every bit offset with a single matmul. Each Huffman symbol is
+    # then one LUT index (w16[cur] -> symbol, length) and each
+    # amplitude one shift — no per-bit Python remains. A truncated or
+    # corrupt stream walks the cursor past the window array and
+    # surfaces as IndexError, which jpeg_decode_rgb8 translates to the
+    # documented ValueError.
+    end = pos
+    while True:
+        nxt = d.find(b"\xff", end)
+        if nxt == -1 or nxt + 1 >= len(d):
+            end = len(d)
+            break
+        if d[nxt + 1] == 0x00:
+            end = nxt + 2
+            continue
+        end = nxt
+        break
+    seg = d[pos:end].replace(b"\xff\x00", b"\xff")
+    bits_arr = np.unpackbits(np.frombuffer(seg, dtype=np.uint8))
+    # Pad 15 bits so the final code's 16-bit PEEK window exists; the
+    # pad value is irrelevant (every extension of a valid prefix maps
+    # to the same symbol).
+    bits_pad = np.concatenate([bits_arr, np.zeros(15, dtype=np.uint8)])
+    pow2 = (1 << np.arange(15, -1, -1)).astype(np.int32)
+    w16 = (
+        np.lib.stride_tricks.sliding_window_view(bits_pad, 16).astype(np.int32)
+        @ pow2
+    )
+    n_bits = len(bits_arr)
+    cur = 0
 
     prev_dc = [0] * len(comps)
     for by in range(bh):
         for bx in range(bw):
             for idx, td, ta in scan:
-                dc_tab = htables[0x00 | td]
-                ac_tab = htables[0x10 | ta]
+                dc_sym, dc_len = htables[0x00 | td]
+                ac_sym, ac_len = htables[0x10 | ta]
                 qt = qtables[comps[idx][1]]
                 zz = [0] * 64
-                size = _decode_huff(dc_tab)
-                diff = _jpeg_extend(rd.bits(size), size) if size else 0
+                if cur >= n_bits:
+                    # surfaces as the wrapper's truncated-or-corrupt
+                    # ValueError, same as a mid-block IndexError
+                    raise IndexError("entropy data exhausted before last block")
+                peek = w16[cur]
+                size = int(dc_sym[peek])
+                ln = int(dc_len[peek])
+                if ln == 0:
+                    raise ValueError("invalid Huffman code in entropy data")
+                cur += ln
+                if size:
+                    diff = _jpeg_extend(int(w16[cur]) >> (16 - size), size)
+                    cur += size
+                else:
+                    diff = 0
                 prev_dc[idx] += diff
                 zz[0] = prev_dc[idx]
                 k = 1
                 any_ac = False
                 while k < 64:
-                    sym = _decode_huff(ac_tab)
+                    peek = w16[cur]
+                    sym = int(ac_sym[peek])
+                    ln = int(ac_len[peek])
+                    if ln == 0:
+                        raise ValueError("invalid Huffman code in entropy data")
+                    cur += ln
                     if sym == 0x00:  # EOB
                         break
                     run, size = sym >> 4, sym & 0x0F
@@ -1131,7 +1195,8 @@ def _jpeg_decode_impl(blob: bytes):
                     k += run
                     if k > 63:
                         raise ValueError("AC index overrun")
-                    zz[k] = _jpeg_extend(rd.bits(size), size)
+                    zz[k] = _jpeg_extend(int(w16[cur]) >> (16 - size), size)
+                    cur += size
                     any_ac = True
                     k += 1
                 if not any_ac:
