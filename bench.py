@@ -167,6 +167,7 @@ HEADLINE = [
     "q234_abc_xyz_matrix",
     "q235_kanon_suppressed_report",
     "q236_csv_quarantine",
+    "q237_jsonl_quarantine",
     "medallion_gold_kpis",
 ]
 

@@ -808,18 +808,6 @@ def _jpeg_canonical_codes_cached(bits: tuple, vals: tuple) -> dict:
 
 
 @_functools.lru_cache(maxsize=64)
-def _jpeg_decode_table(bits: tuple, vals: tuple) -> dict:
-    """(length, code) -> symbol inversion of the canonical table,
-    memoized for the decoder's per-stream DHT walk."""
-    return {
-        (length, code): sym
-        for sym, (code, length) in _jpeg_canonical_codes_cached(
-            bits, vals
-        ).items()
-    }
-
-
-@_functools.lru_cache(maxsize=64)
 def _jpeg_lut16(bits: tuple, vals: tuple):
     """Flat 2^16-entry Huffman lookup: index with the NEXT 16 bits of
     the stream, read (symbol, code length) in O(1) — the libjpeg-style
@@ -875,33 +863,6 @@ class _JpegBitWriter:
     def flush(self) -> None:
         while self._n:
             self.write(1, 1)  # pad with 1-bits per spec
-
-
-class _JpegBitReader:
-    def __init__(self, data: bytes, pos: int):
-        self.d = data
-        self.pos = pos
-        self._acc = 0
-        self._n = 0
-
-    def bit(self) -> int:
-        if self._n == 0:
-            b = self.d[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                if self.d[self.pos] != 0x00:
-                    raise ValueError("unexpected marker inside entropy data")
-                self.pos += 1  # skip stuffed zero
-            self._acc = b
-            self._n = 8
-        self._n -= 1
-        return (self._acc >> self._n) & 1
-
-    def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
-        return v
 
 
 def _jpeg_extend(v: int, size: int) -> int:

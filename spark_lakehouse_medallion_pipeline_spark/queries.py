@@ -11820,6 +11820,84 @@ def q236_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q237's planted bad JSON lines: syntax failure (whole record null +
+# corrupt), type failures (partial parse + corrupt — verified: Spark
+# keeps the parseable fields and still fills the corrupt column), and a
+# missing required field (NOT corrupt: JSON absence is null, only the
+# required-field layer sees it). Data-independent literals.
+_Q237_BAD_LINES = (
+    '{"doc_id": "notanint", "text": "t", "lang": "en",'
+    ' "source": "web", "n_chars": 2}',
+    "{broken json",
+    '{"doc_id": 90000001, "text": "beta", "lang": "de", "source": "book"}',
+    '{"doc_id": 4.7, "text": "h", "lang": "en", "source": "web", "n_chars": 1}',
+)
+
+
+@_q(
+    "q237_jsonl_quarantine",
+    f"""
+    WITH good AS (SELECT doc_id, n_chars FROM documents
+                  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
+           CAST({len(_Q237_BAD_LINES)} AS BIGINT) AS n_quarantined,
+           CAST(COUNT(*) + {len(_Q237_BAD_LINES)} AS BIGINT) AS n_total,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_good_doc_id,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_good_n_chars
+    FROM good
+    """,
+)
+def q237_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q236's contract on the JSONL source — the crawl-dump interchange
+    format, where malformation is the NORM at ingest: export documents
+    as newline-delimited JSON, plant four deterministic bad lines (a
+    syntax failure, two type failures, a missing required field), and
+    re-read in PERMISSIVE mode with ``columnNameOfCorruptRecord``.
+    JSON's failure taxonomy differs from CSV's (verified on this
+    Spark): type failures KEEP the parseable sibling fields and still
+    mark the record corrupt, a missing field is silently null (never
+    corrupt), extra fields are ignored — so the same two-layer
+    quarantine (corrupt channel + required-field nulls) is what makes
+    the contract airtight. Same audit row and checksums as q236,
+    oracled against the original parquet."""
+    import os
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    app = spark.sparkContext.applicationId
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_q237_jsonl_{tag}_{app}"
+    )
+    docs.write.mode("overwrite").json(path)
+    with open(os.path.join(path, "part-99999-planted-bad.json"), "w") as fh:
+        fh.write("\n".join(_Q237_BAD_LINES) + "\n")
+    raw = (
+        spark.read.schema(_DOCS_SCHEMA + ", _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+    bad = (
+        F.col("_corrupt").isNotNull()
+        | F.col("doc_id").isNull()
+        | F.col("n_chars").isNull()
+    )
+    return raw.agg(
+        F.count(F.when(~bad, 1)).cast("bigint").alias("n_good"),
+        F.count(F.when(bad, 1)).cast("bigint").alias("n_quarantined"),
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(F.when(~bad, F.col("doc_id")))
+        .cast("bigint")
+        .alias("sum_good_doc_id"),
+        F.sum(F.when(~bad, F.col("n_chars")))
+        .cast("bigint")
+        .alias("sum_good_n_chars"),
+    )
+
+
 @_q(
     "q193_column_stats",
     f"""

@@ -5,7 +5,12 @@ the same parquet corpus, then compares row count, column names, and
 order-insensitive values (columns sorted by name, rows sorted by their
 string form — a stand-in for the driver's value hash).
 
-Usage: python tools/oracle_check.py [sf_dir] [query ...]
+Usage: python tools/oracle_check.py [sf_dir] [query ...] [--json OUT]
+
+--json OUT additionally writes a CORRECTNESS-shaped artifact (one entry
+per checked query with status/rows/seconds/problems plus a summary) so a
+full-battery big-SF run can be committed as per-round evidence
+(VERDICT r8 Next #4: ORACLE_SF01_r{N}.json).
 """
 
 from __future__ import annotations
@@ -114,8 +119,14 @@ def dtype_problems(s_dtypes: list[tuple[str, str]], d_schema) -> list[str]:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
     from spark_lakehouse_medallion_pipeline_spark.session import get_spark
@@ -128,6 +139,7 @@ def main() -> None:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures, passes, rows_only = [], [], []
+    record: dict[str, dict] = {}
 
     for name, fn in qs.items():
         if only and name not in only:
@@ -139,12 +151,18 @@ def main() -> None:
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR: {e}"))
+            record[name] = {"status": "fail", "problems": f"SPARK ERROR: {str(e)[:300]}"}
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             continue
         spark_sec = time.time() - t0
 
         if name not in oracles:
             rows_only.append(name)
+            record[name] = {
+                "status": "rows_only",
+                "rows": len(s_rows),
+                "sec": round(spark_sec, 2),
+            }
             print(f"rows-only {name}: {len(s_rows)} rows  [{spark_sec:.1f}s]")
             continue
 
@@ -155,6 +173,7 @@ def main() -> None:
             d_schema = con.execute(oracles[name]).fetch_arrow_table().schema
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"DUCKDB ERROR: {e}"))
+            record[name] = {"status": "fail", "problems": f"DUCKDB ERROR: {str(e)[:300]}"}
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
             continue
 
@@ -172,15 +191,39 @@ def main() -> None:
                 problems.append(f"values differ; first diffs: {diff}")
         if problems:
             failures.append((name, "; ".join(problems)))
+            record[name] = {"status": "fail", "problems": "; ".join(problems)[:500]}
             print(f"FAIL {name}: {'; '.join(problems)[:500]}")
         else:
             passes.append(name)
+            record[name] = {
+                "status": "pass",
+                "rows": len(s_rows),
+                "sec": round(spark_sec, 2),
+            }
             print(f"PASS {name}: {len(s_rows)} rows  [{spark_sec:.1f}s]")
 
     print(
         f"\n=== {len(passes)} pass, {len(failures)} fail, {len(rows_only)} rows-only "
         f"(of {len([q for q in qs if not only or q in only])}) ==="
     )
+    if json_out:
+        import json
+
+        payload = {
+            "summary": {
+                "sf_dir": sf_dir,
+                "n_pass": len(passes),
+                "n_fail": len(failures),
+                "n_rows_only": len(rows_only),
+                "n_checked": len(record),
+                "generated_by": "tools/oracle_check.py --json",
+                "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            },
+            "entries": record,
+        }
+        with open(json_out, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     if failures:
         sys.exit(1)
 
