@@ -168,6 +168,7 @@ HEADLINE = [
     "q235_kanon_suppressed_report",
     "q236_csv_quarantine",
     "q237_jsonl_quarantine",
+    "q238_blocking_quality",
     "medallion_gold_kpis",
 ]
 

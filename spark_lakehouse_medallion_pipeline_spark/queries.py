@@ -11899,6 +11899,186 @@ def q237_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q238_blocking_quality",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 10000000, text || ' zzdup zzdup'
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+      FROM corpus
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS s
+      FROM (SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS i
+            FROM toks WHERE len(l) >= 3)
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS sa FROM sh GROUP BY doc_id),
+    h AS (
+      SELECT doc_id, seed,
+             MIN(('0x' || substr(md5(s || ':' || (seed // 2)),
+                                 CASE WHEN seed % 2 = 0 THEN 2 ELSE 18 END,
+                                 15))::BIGINT) AS m
+      FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    b AS (
+      SELECT doc_id, seed // 4 AS band,
+             string_agg(m, ',' ORDER BY seed) AS bkey
+      FROM h GROUP BY doc_id, seed // 4
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM b x JOIN b y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b2.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b2 ON a.s = b2.s AND a.doc_id < b2.doc_id
+      GROUP BY a.doc_id, b2.doc_id
+    ),
+    truth AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i JOIN sz za ON za.doc_id = i.id_a
+                   JOIN sz zb ON zb.doc_id = i.id_b
+      WHERE 5 * i.i >= 4 * (za.sa + zb.sa - i.i)
+    ),
+    m AS (
+      SELECT (SELECT COUNT(*) FROM sz) AS n_docs,
+             (SELECT COUNT(*) FROM cand) AS n_candidates,
+             (SELECT COUNT(*) FROM truth) AS n_true,
+             (SELECT COUNT(*) FROM truth t JOIN cand c
+                ON c.id_a = t.id_a AND c.id_b = t.id_b) AS n_caught
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS n_all_pairs,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_caught AS BIGINT) AS n_caught,
+           CAST(1000000 - (1000000 * n_candidates)
+                // greatest(n_docs * (n_docs - 1) // 2, 1) AS BIGINT)
+             AS reduction_e6,
+           CAST((1000000 * n_caught) // greatest(n_true, 1) AS BIGINT)
+             AS completeness_e6
+    FROM m
+    """,
+)
+def q238_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality evaluation for the LSH dedup pipeline — the ER
+    metrics (Christen 2012) that tell you whether a blocking scheme is
+    SAFE to deploy at 100 TB: REDUCTION RATIO (what fraction of the
+    quadratic pair space the band join avoids) and PAIR COMPLETENESS
+    (what fraction of genuinely-near-duplicate pairs the blocks still
+    catch, here truth = 3-shingle Jaccard >= 0.8 via the integer
+    cross-multiply 5*inter >= 4*union). Completes the eval suite next
+    to q183 (ANN recall) and q212 (ranking quality). Truth is exact
+    Jaccard, which is quadratic BY NATURE — so it runs on a
+    deterministic 1-in-7 sample (doc_id % 7), exactly how a production
+    audit bounds it; candidates restrict to the same sample, which
+    yields the same within-sample pairs the corpus-wide band join
+    would (banding is per-document). Plan: the truth side is an
+    inverted-index token join on distinct shingles (never a crossJoin;
+    df-cap per q204 is the web-scale knob), the candidate side is
+    q162's banded self-join; both integer-exact, one final 1-row
+    aggregate. The natural corpus has no Jaccard>=0.8 pairs, so each
+    sampled doc gets a PLANTED near-dup twin (id + 1e7, text + two
+    appended tokens, adding 2 boundary shingles: a doc with s distinct
+    shingles twins at j = s/(s+2), i.e. >= 0.8 whenever s >= 8) — the
+    standard seeded-truth protocol for blocking audits, deterministic
+    on both engines."""
+    base = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    docs = base.select("doc_id", "text").unionAll(
+        base.select(
+            (F.col("doc_id") + 10000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzdup zzdup")).alias("text"),
+        )
+    )
+    bands = dedup.minhash_banded_portable(
+        docs, num_hashes=16, bands=4, shingle_k=3,
+        broadcast_distinct_shingles=True,
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        .distinct()
+    )
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("l")
+    ).filter(F.size("l") >= 3)
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("l") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("l"), i),
+                    F.element_at(F.col("l"), i + 1),
+                    F.element_at(F.col("l"), i + 2),
+                ),
+            )
+        ).alias("s"),
+    ).distinct()
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sa"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b2"),
+            (F.col("a.s") == F.col("b2.s"))
+            & (F.col("a.doc_id") < F.col("b2.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b2.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    truth = (
+        inter.join(sz.select(F.col("doc_id").alias("id_a"), F.col("sa").alias("za")), "id_a")
+        .join(sz.select(F.col("doc_id").alias("id_b"), F.col("sa").alias("zb")), "id_b")
+        .filter(5 * F.col("i") >= 4 * (F.col("za") + F.col("zb") - F.col("i")))
+        .select("id_a", "id_b")
+    )
+    caught = truth.join(cand, ["id_a", "id_b"])
+    n_docs = sz.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    stats = (
+        n_docs.crossJoin(
+            F.broadcast(cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates")))
+        )
+        .crossJoin(
+            F.broadcast(truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true")))
+        )
+        .crossJoin(
+            F.broadcast(caught.agg(F.count(F.lit(1)).cast("bigint").alias("n_caught")))
+        )
+    )
+    return stats.select(
+        "n_docs",
+        F.expr("CAST(n_docs * (n_docs - 1) div 2 AS BIGINT)").alias("n_all_pairs"),
+        "n_candidates",
+        "n_true",
+        "n_caught",
+        F.expr(
+            "CAST(1000000 - (1000000 * n_candidates)"
+            " div greatest(n_docs * (n_docs - 1) div 2, CAST(1 AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("reduction_e6"),
+        F.expr(
+            "CAST((1000000 * n_caught)"
+            " div greatest(n_true, CAST(1 AS BIGINT)) AS BIGINT)"
+        ).alias("completeness_e6"),
+    )
+
+
+@_q(
     "q193_column_stats",
     f"""
     WITH s AS (

@@ -375,3 +375,33 @@ def test_csv_quarantine_contract_modes(spark, tmp_path):
     # wraps the JVM exception).
     with _pytest.raises(Exception, match="[Mm]alformed|FAILFAST"):
         read("FAILFAST", with_corrupt=False).collect()
+
+
+def test_sf01_gate_artifact_matches_registry():
+    """ORACLE_SF01_r9.json — the committed full-battery big-SF gate
+    (VERDICT r8 Next #4) — must stay in sync with the registry: every
+    registered query has an entry, pass/rows-only totals reconcile, and
+    it reports zero failures. Refreshed each round by
+    `python3 tools/oracle_check.py /root/testdata/sf0.1 --json
+    ORACLE_SF01_r{N}.json`."""
+    import glob
+    import json
+    from pathlib import Path
+
+    from spark_lakehouse_medallion_pipeline_spark.queries import ORACLE, QUERIES
+
+    root = Path(__file__).resolve().parent.parent
+    arts = sorted(glob.glob(str(root / "ORACLE_SF01_r*.json")))
+    assert arts, "no committed sf0.1 gate artifact"
+    payload = json.loads(Path(arts[-1]).read_text())
+    entries, summary = payload["entries"], payload["summary"]
+    assert summary["n_fail"] == 0, f"big-SF gate has failures: {summary}"
+    assert set(entries) == set(QUERIES), (
+        f"artifact/registry drift: only-artifact="
+    f"{sorted(set(entries) - set(QUERIES))[:5]} "
+        f"only-registry={sorted(set(QUERIES) - set(entries))[:5]}"
+    )
+    n_rows_only = sum(1 for v in entries.values() if v["status"] == "rows_only")
+    assert n_rows_only == len(QUERIES) - len(ORACLE)
+    assert summary["n_pass"] == len(ORACLE)
+    assert summary["sf_dir"].endswith("sf0.1")
