@@ -169,6 +169,7 @@ HEADLINE = [
     "q236_csv_quarantine",
     "q237_jsonl_quarantine",
     "q238_blocking_quality",
+    "q239_leakage_safe_split",
     "medallion_gold_kpis",
 ]
 

@@ -12079,6 +12079,132 @@ def q238_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q239_leakage_safe_split",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, text || ' zzdup zzdup' FROM documents
+    ),
+    c AS (SELECT doc_id, text,
+                 regexp_replace(text, ' zzdup zzdup$', '') AS ckey
+          FROM corpus),
+    cl AS (SELECT ckey, MIN(doc_id) AS rep, COUNT(*) AS n
+           FROM c GROUP BY ckey),
+    named AS (
+      SELECT c.doc_id, c.ckey, length(c.text) AS tl,
+             CASE WHEN b.cb <= 7 THEN 'train' WHEN b.cb = 8 THEN 'val'
+                  ELSE 'test' END AS split,
+             CASE WHEN b.nb <= 7 THEN 'train' WHEN b.nb = 8 THEN 'val'
+                  ELSE 'test' END AS naive
+      FROM c JOIN cl ON cl.ckey = c.ckey
+      CROSS JOIN LATERAL (SELECT
+        ('0x' || substr(md5(CAST(cl.rep AS VARCHAR) || '#split'), 2, 15))
+          ::BIGINT % 10 AS cb,
+        ('0x' || substr(md5(CAST(c.doc_id AS VARCHAR) || '#split'), 2, 15))
+          ::BIGINT % 10 AS nb) b
+    ),
+    lk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS leaks_prevented FROM (
+        SELECT ckey FROM named
+        GROUP BY ckey HAVING COUNT(*) > 1 AND COUNT(DISTINCT naive) > 1)
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT ckey) AS BIGINT) AS n_clusters,
+           CAST(SUM(tl) AS BIGINT) AS sum_chars,
+           CAST(SUM(CASE WHEN split <> naive THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_moved,
+           lk.leaks_prevented
+    FROM named CROSS JOIN lk
+    GROUP BY split, lk.leaks_prevented
+    """,
+)
+def q239_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split — the assignment rule every
+    LLM corpus needs: hash the DEDUP-CLUSTER representative, not the
+    document, so near-duplicates can never straddle train and test
+    (the contamination channel a naive per-doc hash split leaves wide
+    open). Split = 60-bit md5 of the cluster rep mod 10 (0-7 train,
+    8 val, 9 test — seeded, reproducible, shard-order-independent; the
+    repo's portable hash family, so DuckDB replays it digit for
+    digit). The corpus has no natural duplicate clusters, so each doc
+    gets the planted near-dup twin from q238's protocol, with the
+    cluster key derived by canonicalizing the twin marker away —
+    production derives it from q67's connected components / q162's LSH
+    instead, same contract. Reported per split: docs, clusters, chars,
+    docs MOVED relative to the naive per-doc split, and the global
+    count of clusters the naive split would have torn across splits
+    (leaks_prevented — the whole point of the operator). Plan: one
+    groupBy for clusters, a cluster-keyed join back (broadcast-able:
+    cluster table is rep+key only), map-side hash arithmetic, one
+    final split-keyed aggregate; no window, no collect."""
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = base.unionAll(
+        base.select(
+            (F.col("doc_id") + 10000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzdup zzdup")).alias("text"),
+        )
+    )
+    c = corpus.withColumn(
+        "ckey", F.regexp_replace("text", " zzdup zzdup$", "")
+    )
+    cl = c.groupBy("ckey").agg(F.min("doc_id").alias("rep"))
+
+    def _bucket(col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(col.cast("string"), F.lit("#split"))), 2, 15
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 10
+        )
+
+    def _name(b):
+        return (
+            F.when(b <= 7, "train").when(b == 8, "val").otherwise("test")
+        )
+
+    named = (
+        c.join(cl, "ckey")
+        .select(
+            "ckey",
+            F.length("text").alias("tl"),
+            _name(_bucket(F.col("rep"))).alias("split"),
+            _name(_bucket(F.col("doc_id"))).alias("naive"),
+        )
+    )
+    lk = (
+        named.groupBy("ckey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("naive").alias("nn"),
+        )
+        .filter((F.col("n") > 1) & (F.col("nn") > 1))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("leaks_prevented"))
+    )
+    return (
+        named.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("ckey").cast("bigint").alias("n_clusters"),
+            F.sum("tl").cast("bigint").alias("sum_chars"),
+            F.sum((F.col("split") != F.col("naive")).cast("int"))
+            .cast("bigint")
+            .alias("n_docs_moved"),
+        )
+        .crossJoin(F.broadcast(lk))
+        .select(
+            "split", "n_docs", "n_clusters", "sum_chars",
+            "n_docs_moved", "leaks_prevented",
+        )
+    )
+
+
+@_q(
     "q193_column_stats",
     f"""
     WITH s AS (
