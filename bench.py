@@ -762,6 +762,21 @@ def build_compact_line(out: dict) -> str:
         compact["note"] = "min2 1dp;f=BENCH_FULL_LATEST.json"
         line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:
+        # step 3b (new in r9 at 146 full-record entries): shrink the
+        # ENVELOPE before sacrificing the scale ratios — terse note
+        # (the full-record pointer is a repo convention by now), drop
+        # bronze_mb_s (committed in BENCH_FULL_LATEST.json), and
+        # collapse sub-0.05s timings to the bare literal 0 (2 chars
+        # saved per near-zero entry; exact values live in the full
+        # record). Ratios are per-round scale evidence and leave LAST.
+        compact["note"] = "m2;f=FULL"
+        compact.pop("bronze_mb_s", None)
+        compact["queries"] = {
+            k: (0 if v < 0.05 else v)
+            for k, v in queries_map(1, bare=True).items()
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
         compact["variance"] = {
             k: compact_variance[k] for k in ("run1", "run2", "spread_pct")
         }
@@ -772,6 +787,16 @@ def build_compact_line(out: dict) -> str:
         line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900 and errors:
         compact["errors"] = {"n_errors": len(errors)}
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        # final failsafe (never yet reached): integer-second timings —
+        # 2 chars per entry, keeps the line inside the 2000-char
+        # capture at any plausible battery size; exact values remain
+        # in BENCH_FULL_LATEST.json
+        compact["queries"] = {
+            k: int(round(v)) for k, v in queries_map(0, bare=True).items()
+        }
+        compact["note"] = "m2 int-sec;f=FULL"
         line = json.dumps(compact, separators=(",", ":"))
     return line
 
