@@ -170,6 +170,8 @@ HEADLINE = [
     "q237_jsonl_quarantine",
     "q238_blocking_quality",
     "q239_leakage_safe_split",
+    "q240_mad_robust_scale",
+    "q241_filter_agreement_kappa",
     "medallion_gold_kpis",
 ]
 
@@ -612,6 +614,13 @@ def main() -> None:
             "q213_categorical_profile",
             "q219_basket_lift",
             "q220_demand_variability",
+            # round-9 families: the two-pass distributed rank (q215
+            # rides relational.distributed_rank — two balanced
+            # exchanges, no single-partition stage) and the
+            # blocking-quality audit (token join + band join on the
+            # deterministic sample)
+            "q215_gini_spend",
+            "q238_blocking_quality",
         ):
             if name not in qs:
                 continue

@@ -12205,6 +12205,133 @@ def q239_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q240_mad_robust_scale",
+    f"""
+    WITH v AS (SELECT o_orderpriority AS pri,
+                      {SC("o_totalprice")} AS c FROM orders),
+    med AS (SELECT pri, CAST(COUNT(*) AS BIGINT) AS n,
+                   quantile_cont(c, 0.5) AS median_c
+            FROM v GROUP BY pri),
+    dev AS (SELECT v.pri, abs(v.c - med.median_c) AS d
+            FROM v JOIN med ON med.pri = v.pri)
+    SELECT med.pri AS orderpriority, med.n, med.median_c,
+           quantile_cont(dev.d, 0.5) AS mad_c
+    FROM dev JOIN med ON med.pri = dev.pri
+    GROUP BY med.pri, med.n, med.median_c
+    """,
+)
+def q240_mad_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per order priority — the robust scale
+    estimate that completes the outlier-stats family (q233 Tukey
+    fences, q224 z-score, q211 weighted median, q190 trimmed mean):
+    MAD ignores up to 50% contamination where stddev is dragged by a
+    single whale. Exactness: both medians are 0.5-quantile CONT
+    interpolations over exact integers (cents, then |cents - median|
+    whose values are integers or exact halves — all binary-exact
+    doubles, the dyadic-fraction rule), so every output bit matches
+    DuckDB with no quantization. Plan: one grouped exact-percentile
+    aggregate, a 5-row broadcast join back, a second grouped
+    percentile — two exchanges on the 5-key priority column, fact
+    table scanned once per pass (the production swap is
+    percentile_approx, q199's discipline)."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        cents(F.col("o_totalprice")).alias("c"),
+    )
+    med = o.groupBy("pri").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("percentile(c, 0.5)").alias("median_c"),
+    )
+    dev = o.join(F.broadcast(med), "pri").select(
+        "pri", "n", "median_c", F.abs(F.col("c") - F.col("median_c")).alias("d")
+    )
+    return (
+        dev.groupBy("pri", "n", "median_c")
+        .agg(F.expr("percentile(d, 0.5)").alias("mad_c"))
+        .select(
+            F.col("pri").alias("orderpriority"), "n", "median_c", "mad_c"
+        )
+    )
+
+
+@_q(
+    "q241_filter_agreement_kappa",
+    f"""
+    WITH {_GOPHER_TM_CTE},
+    lab AS (
+      SELECT m.doc_id,
+             CAST({_GOPHER_KEEP_SQL} AS INT) AS la,
+             CAST(d.n_chars >= 300 AS INT) AS lb
+      FROM m JOIN documents d ON d.doc_id = m.doc_id
+    ),
+    cm AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN la = 1 AND lb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN la = 1 AND lb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN la = 0 AND lb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN la = 0 AND lb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM lab
+    )
+    SELECT n, a AS both_keep, b AS only_gopher, c AS only_length,
+           d AS both_drop,
+           CAST((1000000 * (a + d)) // n AS BIGINT) AS agree_e6,
+           CAST((1000000 * (n * (a + d) - ((a+b)*(a+c) + (c+d)*(b+d))))
+                // (CASE WHEN n*n = (a+b)*(a+c) + (c+d)*(b+d) THEN 1
+                         ELSE n*n - ((a+b)*(a+c) + (c+d)*(b+d)) END)
+             AS BIGINT) AS kappa_e6
+    FROM cm
+    """,
+)
+def q241_filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two quality filters — the
+    inter-annotator-agreement statistic a curation stack uses to decide
+    whether a CHEAP filter (here: n_chars >= 300) can stand in for an
+    EXPENSIVE one (the Gopher rule battery, CTE shared verbatim with
+    q105/q228's oracles): raw agreement overstates concordance when
+    both labelers mostly keep, kappa subtracts the chance-agreement
+    floor. Exact integer rationals end to end: the 2x2 confusion
+    matrix in one aggregate, kappa = (n*(a+d) - E) / (n^2 - E) with
+    E = (a+b)(a+c)+(c+d)(b+d), delivered as a single e6 trunc-div
+    (numerator may be negative: Spark div == DuckDB // trunc toward
+    zero, the q226 rule; magnitudes stay under 2^45 at sf0.1). Plan:
+    one scan, map-side flag computation, a 1-row aggregate — no join,
+    no shuffle beyond the final combine."""
+    docs = _t(spark, sf_dir, "documents")
+    flags = text.gopher_quality_flags(docs).select(
+        "doc_id", F.col("gopher_keep").cast("int").alias("la")
+    )
+    lab = flags.join(
+        docs.select("doc_id", (F.col("n_chars") >= 300).cast("int").alias("lb")),
+        "doc_id",
+    )
+    cm = lab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(((F.col("la") == 1) & (F.col("lb") == 1)).cast("int"))
+        .cast("bigint").alias("a"),
+        F.sum(((F.col("la") == 1) & (F.col("lb") == 0)).cast("int"))
+        .cast("bigint").alias("b"),
+        F.sum(((F.col("la") == 0) & (F.col("lb") == 1)).cast("int"))
+        .cast("bigint").alias("c"),
+        F.sum(((F.col("la") == 0) & (F.col("lb") == 0)).cast("int"))
+        .cast("bigint").alias("d"),
+    )
+    e = "((a+b)*(a+c) + (c+d)*(b+d))"
+    return cm.select(
+        "n",
+        F.col("a").alias("both_keep"),
+        F.col("b").alias("only_gopher"),
+        F.col("c").alias("only_length"),
+        F.col("d").alias("both_drop"),
+        F.expr("CAST((1000000 * (a + d)) div n AS BIGINT)").alias("agree_e6"),
+        F.expr(
+            f"CAST((1000000 * (n * (a + d) - {e}))"
+            f" div (CASE WHEN n*n = {e} THEN CAST(1 AS BIGINT)"
+            f"      ELSE n*n - {e} END) AS BIGINT)"
+        ).alias("kappa_e6"),
+    )
+
+
+@_q(
     "q193_column_stats",
     f"""
     WITH s AS (
