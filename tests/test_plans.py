@@ -604,3 +604,39 @@ def test_no_single_partition_window_in_ranked_analytics(spark):
             if "Window [" in ln and ln.count("], [") == 1
         ]
         assert not bad, f"{name} still has a global WindowExec: {bad}"
+
+
+def test_round9_families_plan_shapes(spark):
+    """Plan-shape pins for the round-9 families — each assertion is the
+    property that keeps the query viable at 100 TB."""
+    # q236/q237 ingest contracts: scan -> distributed write ->
+    # distributed re-read -> ONE map-combinable aggregate; the single
+    # exchange is the final 1-row combine (quarantine accounting adds
+    # no shuffle)
+    for name in ("q236_csv_quarantine", "q237_jsonl_quarantine"):
+        df = QUERIES[name](spark, SF)
+        assert explain.count_exchanges(df) <= 1, name
+    # q240 MAD: two grouped exact-percentile aggregates on the 5-key
+    # priority column with a broadcast (never sort-merge) median join
+    df = QUERIES["q240_mad_robust_scale"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert explain.count_exchanges(df) <= 2
+    assert "SortMergeJoin" not in plan
+    # q241 kappa: one scan, map-side flags, a 1-row combine
+    df = QUERIES["q241_filter_agreement_kappa"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert explain.count_exchanges(df) <= 1
+    assert "SortMergeJoin" not in plan
+    # q239 split: cluster join is hash/broadcast (never a cartesian of
+    # docs) and no window anywhere
+    df = QUERIES["q239_leakage_safe_split"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Window [" not in plan
+    # q238 blocking audit: band and token joins are KEYED (the only
+    # nested-loop joins are the broadcast 1-row stats assembly) and no
+    # window; truth-side quadratics never leave the sampled corpus
+    df = QUERIES["q238_blocking_quality"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window [" not in plan
+    assert "CartesianProduct" not in plan
