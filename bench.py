@@ -785,19 +785,24 @@ def build_compact_line(out: dict) -> str:
             for k, v in queries_map(1, bare=True).items()
         }
         line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:
+    # From here down the budget relaxes to 1950: the driver's capture
+    # is a hard 2000 chars and 1900 is this repo's comfort margin — at
+    # 148 full-record entries step 3b landed at 1901, which would cost
+    # all 14 scale ratios over ONE char. 1950 + newline still clears
+    # the capture window with room.
+    if len(line) > 1950:
         compact["variance"] = {
             k: compact_variance[k] for k in ("run1", "run2", "spread_pct")
         }
         line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900 and errors:
+    if len(line) > 1950 and errors:
         # failed names still listed, messages in BENCH_FULL_LATEST.json
         compact["errors"] = sorted(errors)
         line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900 and errors:
+    if len(line) > 1950 and errors:
         compact["errors"] = {"n_errors": len(errors)}
         line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:
+    if len(line) > 1950:
         # final failsafe (never yet reached): integer-second timings —
         # 2 chars per entry, keeps the line inside the 2000-char
         # capture at any plausible battery size; exact values remain

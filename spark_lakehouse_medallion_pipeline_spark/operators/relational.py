@@ -282,11 +282,15 @@ def distributed_rank(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
     pid = "_dr_pid"
-    ranged = (
-        df.repartitionByRange(n_part, *order_cols)
-        .withColumn(pid, F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
+    # Pin the partition assignment by PERSISTING (range boundaries come
+    # from sampling, so an unpinned plan could re-draw them between the
+    # stats job and the final job and shift pids). Lazy persist + the
+    # stats collect as the materializing action = ONE pass over the
+    # data for pin+stats combined (an eager localCheckpoint here would
+    # pay an extra full pass just to pin).
+    ranged = df.repartitionByRange(n_part, *order_cols).withColumn(
+        pid, F.spark_partition_id()
+    ).persist()
     aggs = [F.count(F.lit(1)).alias("_cnt")]
     if value_col is not None:
         aggs.append(F.sum(value_col).cast("bigint").alias("_vsum"))
@@ -365,7 +369,11 @@ def top_k_ranked(
     order_cols = [
         F.col(name).desc() if desc else F.col(name).asc() for name, desc in order_spec
     ]
-    top = df.orderBy(*order_cols).limit(k)
+    # Eagerly pin the <=k survivors: the self-join references `top`
+    # TWICE, and without the checkpoint each alias would recompute the
+    # full upstream lineage (measured: q212's BM25 ran 4x per call).
+    # Checkpointing k<=10 rows costs one TakeOrderedAndProject job.
+    top = df.orderBy(*order_cols).limit(k).localCheckpoint(eager=True)
     a = top.alias("_tka")
     b = top.alias("_tkb")
     # Lexicographic b <= a over the mixed asc/desc spec.

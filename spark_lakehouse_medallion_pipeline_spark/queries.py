@@ -9879,7 +9879,9 @@ def q212_ir_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_k_ranked,
     )
 
-    bm = QUERIES["q202_bm25_ranking"](spark, sf_dir)
+    # One materialization of the BM25 scores feeds BOTH top-10 probes
+    # (each top_k_ranked is its own Spark job).
+    bm = QUERIES["q202_bm25_ranking"](spark, sf_dir).localCheckpoint(eager=True)
     truth = top_k_ranked(
         bm.select("doc_id", "score_e6"),
         [("score_e6", True), ("doc_id", False)],

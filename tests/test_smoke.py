@@ -301,7 +301,11 @@ def test_bench_compact_line_fits_capture_window():
     full_path = Path(__file__).resolve().parent.parent / "BENCH_FULL_LATEST.json"
     full = json.loads(full_path.read_text())
     line = bench.build_compact_line(full)
-    assert len(line) < 1900, (
+    # 1950 is the relaxed post-step-3b budget (the driver capture is a
+    # hard 2000; at 148 full-record entries the ratio-bearing form is
+    # 1901 chars, and dropping 14 scale ratios over the old 1900 line
+    # was the wrong trade)
+    assert len(line) <= 1950, (
         f"compact bench line is {len(line)} chars — it will degrade (drop "
         "ratios) or overflow the driver's 2000-char capture; shorten keys "
         "or trim HEADLINE additions"
