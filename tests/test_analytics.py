@@ -373,3 +373,108 @@ def test_q223_groupwise_corr_matches_numpy(spark):
         y = np.round(g["l_quantity"].to_numpy() * 100).astype(np.int64)
         ref = np.corrcoef(x, y)[0, 1]
         assert abs(got - math.floor(ref * 1e6 + 0.5)) <= 1, (brand, got, ref)
+
+
+def test_q239_split_recomputes_with_hashlib(spark):
+    """The leakage-safe split recomputes exactly in pure Python: md5
+    bucketing via hashlib, clusters from the twin protocol, per-split
+    conservation, and the leaks_prevented count — no DuckDB anywhere."""
+    import hashlib
+
+    rows = QUERIES["q239_leakage_safe_split"](spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+
+    def bucket(i: int) -> str:
+        h = int(hashlib.md5(f"{i}#split".encode()).hexdigest()[1:16], 16) % 10
+        return "train" if h <= 7 else ("val" if h == 8 else "test")
+
+    exp = {}
+    leaks = 0
+    for _, r in docs.iterrows():
+        did, tl = int(r["doc_id"]), len(r["text"])
+        rep_split = bucket(did)  # rep = min(doc_id, doc_id+1e7) = doc_id
+        naive_a, naive_b = bucket(did), bucket(did + 10000000)
+        if naive_a != naive_b:
+            leaks += 1
+        e = exp.setdefault(rep_split, [0, 0, 0, 0])
+        e[0] += 2                 # doc + twin
+        e[1] += 1                 # one cluster
+        e[2] += tl * 2 + 12       # twin adds ' zzdup zzdup'
+        e[3] += int(naive_a != rep_split) + int(naive_b != rep_split)
+    got = {
+        r["split"]: (r["n_docs"], r["n_clusters"], r["sum_chars"],
+                     r["n_docs_moved"], r["leaks_prevented"])
+        for r in rows
+    }
+    for split, (nd, nc, sc, mv) in exp.items():
+        assert got[split] == (nd, nc, sc, mv, leaks), split
+    assert sum(v[0] for v in exp.values()) == 2 * len(docs)
+
+
+def test_q240_mad_matches_numpy(spark):
+    import numpy as np
+
+    rows = QUERIES["q240_mad_robust_scale"](spark, SF).collect()
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    o["c"] = (o["o_totalprice"] * 100).round().astype("int64")
+    for r in rows:
+        g = o[o["o_orderpriority"] == r["orderpriority"]]["c"].to_numpy()
+        med = np.quantile(g, 0.5)
+        mad = np.quantile(np.abs(g - med), 0.5)
+        assert r["n"] == len(g)
+        assert r["median_c"] == med
+        assert r["mad_c"] == mad
+
+
+def test_q241_kappa_recomputes(spark):
+    """Kappa recomputes from the engine's own flag table via the
+    textbook float formula — the exact-integer e6 form must land within
+    1 ulp-of-floor of it."""
+    from spark_lakehouse_medallion_pipeline_spark.operators import text
+
+    row = QUERIES["q241_filter_agreement_kappa"](spark, SF).collect()[0]
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    flags = text.gopher_quality_flags(docs).select("doc_id", "gopher_keep").toPandas()
+    nchars = docs.select("doc_id", "n_chars").toPandas()
+    j = flags.merge(nchars, on="doc_id")
+    la = j["gopher_keep"].astype(int)
+    lb = (j["n_chars"] >= 300).astype(int)
+    n = len(j)
+    a = int(((la == 1) & (lb == 1)).sum())
+    b = int(((la == 1) & (lb == 0)).sum())
+    c = int(((la == 0) & (lb == 1)).sum())
+    d = int(((la == 0) & (lb == 0)).sum())
+    assert (row["n"], row["both_keep"], row["only_gopher"],
+            row["only_length"], row["both_drop"]) == (n, a, b, c, d)
+    po = (a + d) / n
+    pe = ((a + b) * (a + c) + (c + d) * (b + d)) / (n * n)
+    kappa = (po - pe) / (1 - pe)
+    assert abs(row["kappa_e6"] - math.floor(kappa * 1e6)) <= 1
+
+
+def test_q238_blocking_invariants_and_planted_floor(spark):
+    """ER-metric invariants plus the planted-truth floor: every sampled
+    doc with >= 8 distinct 3-shingles forms a Jaccard>=0.8 pair with
+    its twin, so n_true is bounded below by that count (computed in
+    pure Python), and completeness/reduction stay in [0, 1e6]."""
+    row = QUERIES["q238_blocking_quality"](spark, SF).collect()[0]
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    samp = docs[docs["doc_id"] % 7 == 0]
+    floor_true = 0
+    for t in samp["text"]:
+        toks = t.lower().split()
+        sh = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        s = len(sh)
+        # twin adds exactly the boundary shingles; j = s / len(union)
+        tw = toks + ["zzdup", "zzdup"]
+        shtw = {" ".join(tw[i:i + 3]) for i in range(len(tw) - 2)}
+        inter, union = len(sh & shtw), len(sh | shtw)
+        if 5 * inter >= 4 * union:
+            floor_true += 1
+    assert row["n_true"] >= floor_true > 0
+    assert row["n_caught"] <= row["n_true"]
+    assert row["n_caught"] <= row["n_candidates"]
+    assert row["n_candidates"] <= row["n_all_pairs"]
+    assert 0 <= row["reduction_e6"] <= 1000000
+    assert 0 <= row["completeness_e6"] <= 1000000
+    assert row["n_docs"] == 2 * len(samp)
