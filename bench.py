@@ -172,6 +172,8 @@ HEADLINE = [
     "q239_leakage_safe_split",
     "q240_mad_robust_scale",
     "q241_filter_agreement_kappa",
+    "q242_percentile_rank_normalize",
+    "q243_position_attribution",
     "medallion_gold_kpis",
 ]
 

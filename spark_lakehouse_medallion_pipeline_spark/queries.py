@@ -12334,6 +12334,142 @@ def q241_filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q242_percentile_rank_normalize",
+    f"""
+    WITH s AS (SELECT o_custkey,
+                      CAST(SUM({SC("o_totalprice")}) AS BIGINT) AS x
+               FROM orders GROUP BY o_custkey),
+    r AS (SELECT o_custkey, x,
+                 row_number() OVER (ORDER BY x ASC, o_custkey ASC) AS rk,
+                 COUNT(*) OVER () AS n
+          FROM s)
+    SELECT o_custkey AS custkey, x AS spend_c,
+           CAST((1000000 * (rk - 1)) // greatest(n - 1, 1) AS BIGINT)
+             AS pct_e6
+    FROM r
+    """,
+)
+def q242_percentile_rank_normalize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Percentile-rank (empirical-CDF) normalization of customer spend
+    — the feature-scaling step of every learned ranking/quality model
+    (map raw spend to [0, 1e6] by rank, robust to any distribution):
+    pct = (rank-1)/(n-1) as an exact e6 integer, rank from
+    relational.distributed_rank (the two-pass range-partitioned rank —
+    this query is the operator's REUSE story: q174/q215/q234 consume
+    cumsum/ntile, this one the raw rank as a model feature), n from a
+    broadcast 1-row count. Deterministic row_number semantics with the
+    (spend, custkey) total order (the rank()-ties variant is the same
+    operator with a coarser key). Output is customer-dimension sized;
+    no single-partition stage at any scale."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.relational import (
+        distributed_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    s = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        sum_cents(F.col("o_totalprice")).cast("bigint").alias("x")
+    )
+    ranked = distributed_rank(
+        s, [F.col("x").asc(), F.col("custkey").asc()], rank_col="rk"
+    )
+    n1 = s.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n1))
+        .select(
+            "custkey",
+            F.col("x").alias("spend_c"),
+            F.expr(
+                "CAST((1000000 * (rk - 1))"
+                " div greatest(n - 1, CAST(1 AS BIGINT)) AS BIGINT)"
+            ).alias("pct_e6"),
+        )
+    )
+
+
+@_q(
+    "q243_position_attribution",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type FROM events
+    ),
+    r AS (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM e
+    ),
+    credited AS (
+      SELECT event_type,
+             CASE
+               WHEN n = 1 THEN 1000000
+               WHEN n = 2 THEN 500000
+               WHEN rn = 1 THEN 400000 + 200000 % (n - 2)
+               WHEN rn = n THEN 400000
+               ELSE 200000 // (n - 2)
+             END AS credit,
+             CASE WHEN rn = 1 THEN 1 ELSE 0 END AS is_first,
+             CASE WHEN rn = n THEN 1 ELSE 0 END AS is_last
+      FROM r
+    )
+    SELECT event_type AS channel,
+           CAST(SUM(credit) AS BIGINT) AS credit_e6,
+           CAST(SUM(is_first) AS BIGINT) AS n_first_touch,
+           CAST(SUM(is_last) AS BIGINT) AS n_last_touch,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM credited GROUP BY event_type
+    """,
+)
+def q243_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution — the standard
+    alternative to q218's last-touch: 40% of each user's credit to the
+    first touch, 40% to the last, 20% split across the middles (n=1
+    takes all, n=2 splits 50/50). Exact integer e6 credits with the
+    division remainder of the middle share assigned to the first touch,
+    so every user's credit sums to EXACTLY 1e6 and the channel totals
+    telescope (conservation pinned in test_analytics). First/last are
+    min/max of the (ts, event_id, type) struct under the total order —
+    no per-user window on the engine side, just one groupBy + a
+    broadcast-able user-model join back; the oracle uses the equivalent
+    PARTITIONED window. Plan: two exchanges on user_id (the model
+    aggregate and the classify join), then one channel-sized rollup."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    model = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min(F.struct("ts", "event_id")).alias("_f"),
+        F.max(F.struct("ts", "event_id")).alias("_l"),
+    ).select(
+        "user_id", "n",
+        F.col("_f.event_id").alias("first_id"),
+        F.col("_l.event_id").alias("last_id"),
+    )
+    credited = ev.join(model, "user_id").select(
+        "event_type",
+        F.when(F.col("n") == 1, F.lit(1000000))
+        .when(F.col("n") == 2, F.lit(500000))
+        .when(
+            F.col("event_id") == F.col("first_id"),
+            F.lit(400000) + F.expr("200000 % (n - 2)"),
+        )
+        .when(F.col("event_id") == F.col("last_id"), F.lit(400000))
+        .otherwise(F.expr("200000 div (n - 2)"))
+        .alias("credit"),
+        (F.col("event_id") == F.col("first_id")).cast("int").alias("is_first"),
+        (F.col("event_id") == F.col("last_id")).cast("int").alias("is_last"),
+    )
+    return credited.groupBy(F.col("event_type").alias("channel")).agg(
+        F.sum("credit").cast("bigint").alias("credit_e6"),
+        F.sum("is_first").cast("bigint").alias("n_first_touch"),
+        F.sum("is_last").cast("bigint").alias("n_last_touch"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+@_q(
     "q193_column_stats",
     f"""
     WITH s AS (

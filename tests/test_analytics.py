@@ -478,3 +478,28 @@ def test_q238_blocking_invariants_and_planted_floor(spark):
     assert 0 <= row["reduction_e6"] <= 1000000
     assert 0 <= row["completeness_e6"] <= 1000000
     assert row["n_docs"] == 2 * len(samp)
+
+
+def test_q243_attribution_conserves_credit(spark):
+    """Every user's U-shaped credit must sum to exactly 1e6 (the
+    remainder rule exists for precisely this), so the channel totals
+    telescope to 1e6 * n_users; first/last touch counts each telescope
+    to n_users."""
+    rows = QUERIES["q243_position_attribution"](spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    n_events = ev.count()
+    assert sum(r["credit_e6"] for r in rows) == 1000000 * n_users
+    assert sum(r["n_first_touch"] for r in rows) == n_users
+    assert sum(r["n_last_touch"] for r in rows) == n_users
+    assert sum(r["n_events"] for r in rows) == n_events
+
+
+def test_q242_percentile_rank_bounds_and_monotone(spark):
+    rows = sorted(
+        QUERIES["q242_percentile_rank_normalize"](spark, SF).collect(),
+        key=lambda r: (r["spend_c"], r["custkey"]),
+    )
+    assert rows[0]["pct_e6"] == 0
+    assert rows[-1]["pct_e6"] == 1000000
+    assert all(a["pct_e6"] <= b["pct_e6"] for a, b in zip(rows, rows[1:]))
