@@ -174,6 +174,7 @@ HEADLINE = [
     "q241_filter_agreement_kappa",
     "q242_percentile_rank_normalize",
     "q243_position_attribution",
+    "q244_hazard_table",
     "medallion_gold_kpis",
 ]
 

@@ -12470,6 +12470,118 @@ def q243_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q244_hazard_table",
+    """
+    WITH s AS (SELECT user_id, MIN(ts) AS t0 FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS tp
+          FROM events e JOIN s ON s.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= (
+            SELECT t0 FROM s s2 WHERE s2.user_id = e.user_id)
+          GROUP BY e.user_id),
+    d AS (SELECT s.user_id,
+                 (epoch_us(p.tp) - epoch_us(s.t0)) // 3600000000 AS h
+          FROM s LEFT JOIN p ON p.user_id = s.user_id),
+    ev AS (SELECT h // 12 AS b, COUNT(*) AS d_w
+           FROM d WHERE h IS NOT NULL AND h < 48 GROUP BY h // 12),
+    g AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n,
+                 (SELECT CAST(COALESCE(SUM(d_w), 0) AS BIGINT) FROM ev)
+                   AS n_events_total),
+    bins AS (SELECT unnest(range(4)) AS b),
+    t AS (
+      SELECT bins.b, CAST(COALESCE(ev.d_w, 0) AS BIGINT) AS d_w,
+             CAST((SELECT COALESCE(SUM(e2.d_w), 0) FROM ev e2
+                   WHERE e2.b < bins.b) AS BIGINT) AS prefix_d
+      FROM bins LEFT JOIN ev ON ev.b = bins.b
+    )
+    SELECT CAST(t.b AS INT) AS bin_12h,
+           CAST(g.n - t.prefix_d AS BIGINT) AS n_at_risk,
+           t.d_w AS n_events,
+           CAST((1000000 * t.d_w) // greatest(g.n - t.prefix_d, 1)
+                AS BIGINT) AS hazard_e6,
+           CAST(g.n AS BIGINT) AS n_cohort,
+           CAST(g.n - g.n_events_total AS BIGINT) AS n_censored
+    FROM t CROSS JOIN g
+    """,
+)
+def q244_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time hazard (life) table for signup-to-purchase
+    conversion — the survival-analysis primitive product analytics
+    runs on every activation funnel: cohort = users with a signup,
+    event = first purchase at or after it, observation window
+    administratively CENSORED at 48 hours (users converting later, or
+    never, stay at risk through every bin and count as censored — the
+    mechanism that makes naive conversion rates biased and hazard
+    tables necessary). Four 12-hour bins; per bin the at-risk count
+    r_w = cohort - prior conversions (censoring is all at the horizon,
+    so nobody leaves risk early) and the hazard d_w/r_w as an exact e6
+    integer. Durations are elapsed full hours from raw microsecond
+    arithmetic ((us_p - us_0) div 3600e6) — NOT date_diff('hour'),
+    which counts clock-boundary crossings and would diverge between
+    engines. Plan: two user-keyed aggregates, a 4-row bin spine
+    (spark.range) with a broadcast suffix self-join for the prefix
+    sums — no window anywhere, every post-aggregate relation is
+    bin- or model-sized."""
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    d = s.join(p, "user_id", "left").select(
+        "user_id",
+        F.expr(
+            "(unix_micros(tp) - unix_micros(t0)) div 3600000000"
+        ).alias("h"),
+    )
+    evd = (
+        d.filter(F.col("h").isNotNull() & (F.col("h") < 48))
+        .groupBy(F.expr("h div 12").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d_w"))
+    )
+    g = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("h").isNotNull() & (F.col("h") < 48), 1).otherwise(0)
+        ).cast("bigint").alias("n_events_total"),
+    )
+    bins = spark.range(4).select(F.col("id").alias("b"))
+    pre = (
+        bins.alias("x")
+        .join(F.broadcast(evd.alias("y")), F.expr("y.b < x.b"), "left")
+        .groupBy(F.col("x.b").alias("b"))
+        .agg(F.coalesce(F.sum("y.d_w"), F.lit(0)).cast("bigint").alias("prefix_d"))
+    )
+    t = (
+        bins.join(evd, "b", "left")
+        .join(pre, "b")
+        .select(
+            "b",
+            F.coalesce(F.col("d_w"), F.lit(0)).cast("bigint").alias("d_w"),
+            "prefix_d",
+        )
+    )
+    return t.crossJoin(F.broadcast(g)).select(
+        F.col("b").cast("int").alias("bin_12h"),
+        (F.col("n") - F.col("prefix_d")).cast("bigint").alias("n_at_risk"),
+        F.col("d_w").alias("n_events"),
+        F.expr(
+            "CAST((1000000 * d_w)"
+            " div greatest(n - prefix_d, CAST(1 AS BIGINT)) AS BIGINT)"
+        ).alias("hazard_e6"),
+        F.col("n").alias("n_cohort"),
+        (F.col("n") - F.col("n_events_total")).cast("bigint").alias("n_censored"),
+    )
+
+
+@_q(
     "q193_column_stats",
     f"""
     WITH s AS (
