@@ -175,6 +175,8 @@ HEADLINE = [
     "q242_percentile_rank_normalize",
     "q243_position_attribution",
     "q244_hazard_table",
+    "q245_cusum_changepoint",
+    "q246_hhi_concentration",
     "medallion_gold_kpis",
 ]
 

@@ -12582,6 +12582,149 @@ def q244_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q245_cusum_changepoint",
+    f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM({SC("o_totalprice")}) AS BIGINT) AS x
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS tot FROM daily),
+    c AS (
+      SELECT day, x,
+             row_number() OVER (ORDER BY day) AS t,
+             CAST(SUM(x) OVER (ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pre
+      FROM daily
+    ),
+    s AS (SELECT c.day, c.t, g.n, g.tot,
+                 CAST(g.n * c.pre - c.t * g.tot AS BIGINT) AS cusum_scaled
+          FROM c CROSS JOIN g)
+    SELECT day AS changepoint_day,
+           CAST(t AS BIGINT) AS day_index,
+           cusum_scaled,
+           n AS n_days, tot AS total_c
+    FROM s
+    ORDER BY abs(cusum_scaled) DESC, day ASC
+    LIMIT 1
+    """,
+)
+def q245_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on daily revenue — the drift monitor
+    that complements q224's rolling z-score (which flags POINT
+    anomalies; CUSUM finds the day the LEVEL shifted, the classic
+    at-most-one-changepoint statistic): the day t maximizing
+    |sum_{i<=t}(x_i - mean)|. Exactness: the mean is rational, so the
+    statistic is CROSS-MULTIPLIED into pure int64 — n*prefix_t -
+    t*total (|.| <= n * total ~ 2^50 at sf1) — no float anywhere. The
+    prefix sum comes from relational.distributed_rank over the
+    day-keyed aggregate (rank = day index t, cumsum = prefix): the
+    two-pass rank as a reusable primitive, no single-partition window
+    even though the input is calendar-sized. The argmax is a 1-row
+    min-struct TakeOrdered; ties break to the earliest day."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.relational import (
+        distributed_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(sum_cents(F.col("o_totalprice")).cast("bigint").alias("x"))
+    ranked = distributed_rank(
+        daily, [F.col("day").asc()], rank_col="t",
+        value_col="x", cumsum_col="pre",
+    )
+    g = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("tot"),
+    )
+    s = ranked.crossJoin(F.broadcast(g)).select(
+        "day",
+        F.col("t").cast("bigint").alias("day_index"),
+        (F.col("n") * F.col("pre") - F.col("t") * F.col("tot"))
+        .cast("bigint")
+        .alias("cusum_scaled"),
+        F.col("n").alias("n_days"),
+        F.col("tot").alias("total_c"),
+    )
+    return (
+        s.orderBy(F.abs(F.col("cusum_scaled")).desc(), F.col("day").asc())
+        .limit(1)
+        .select(
+            F.col("day").alias("changepoint_day"),
+            "day_index", "cusum_scaled", "n_days", "total_c",
+        )
+    )
+
+
+@_q(
+    "q246_hhi_concentration",
+    f"""
+    WITH r AS (
+      SELECT s.s_nationkey AS nation, l.l_suppkey AS supp,
+             CAST(SUM({SC("l.l_extendedprice")}) AS BIGINT) AS x
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    ),
+    t AS (SELECT nation, CAST(SUM(x) AS BIGINT) AS tot,
+                 CAST(COUNT(*) AS BIGINT) AS n_suppliers
+          FROM r GROUP BY nation),
+    sh AS (SELECT r.nation, (1000000 * r.x) // t.tot AS share_e6
+           FROM r JOIN t ON t.nation = r.nation)
+    SELECT sh.nation,
+           t.n_suppliers,
+           t.tot AS revenue_c,
+           CAST(SUM(share_e6 * share_e6) // 1000000 AS BIGINT) AS hhi_e6,
+           CAST(MAX(share_e6) AS BIGINT) AS top_share_e6
+    FROM sh JOIN t ON t.nation = sh.nation
+    GROUP BY sh.nation, t.n_suppliers, t.tot
+    """,
+)
+def q246_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of supplier revenue per
+    nation — the antitrust-grade market-structure statistic that
+    completes the concentration family (q174 Pareto curve, q215 Gini,
+    q205 key skew): HHI = sum of squared revenue shares, 1e6/n at
+    perfect competition up to 1e6 at monopoly. Exactness: shares are
+    e6-quantized FIRST (exact integer trunc-div), then squared and
+    summed in int64 (share <= 1e6 so a square <= 1e12; dozens of
+    suppliers per nation keeps the sum far under 2^63) — the
+    quantize-then-square order is part of the contract on BOTH
+    engines, avoiding the tot^2 > int64 overflow a cross-multiplied
+    form would hit. Plan: one (nation, supplier) aggregate off the
+    broadcast supplier-dim join, a nation-sized totals join back, one
+    nation-keyed rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"),
+        F.col("s_nationkey").alias("nation"),
+    )
+    r = (
+        li.join(F.broadcast(su), "l_suppkey")
+        .groupBy("nation", F.col("l_suppkey").alias("supp"))
+        .agg(sum_cents(F.col("l_extendedprice")).cast("bigint").alias("x"))
+    )
+    t = r.groupBy("nation").agg(
+        F.sum("x").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+    )
+    sh = r.join(F.broadcast(t), "nation").select(
+        "nation", "n_suppliers", "tot",
+        F.expr("(1000000 * x) div tot").alias("share_e6"),
+    )
+    return sh.groupBy("nation", "n_suppliers", "tot").agg(
+        F.expr("CAST(SUM(share_e6 * share_e6) div 1000000 AS BIGINT)").alias(
+            "hhi_e6"
+        ),
+        F.max("share_e6").cast("bigint").alias("top_share_e6"),
+    ).select(
+        "nation", "n_suppliers",
+        F.col("tot").alias("revenue_c"), "hhi_e6", "top_share_e6",
+    )
+
+
+@_q(
     "q193_column_stats",
     f"""
     WITH s AS (

@@ -503,3 +503,42 @@ def test_q242_percentile_rank_bounds_and_monotone(spark):
     assert rows[0]["pct_e6"] == 0
     assert rows[-1]["pct_e6"] == 1000000
     assert all(a["pct_e6"] <= b["pct_e6"] for a, b in zip(rows, rows[1:]))
+
+
+def test_q245_cusum_recomputes_with_numpy(spark):
+    """The changepoint statistic recomputes exactly in numpy int64
+    arithmetic from the raw daily aggregate."""
+    import numpy as np
+
+    row = QUERIES["q245_cusum_changepoint"](spark, SF).collect()[0]
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    o["c"] = (o["o_totalprice"] * 100).round().astype("int64")
+    daily = (
+        o.groupby(o["o_orderdate"].dt.date)["c"].sum().sort_index()
+    )
+    x = daily.to_numpy().astype(object)  # python ints: no overflow
+    n, tot = len(x), int(sum(x))
+    pre = 0
+    best = None
+    for t, v in enumerate(x, start=1):
+        pre += int(v)
+        cs = n * pre - t * tot
+        key = (-abs(cs), t)
+        if best is None or key < best[0]:
+            best = (key, t, cs)
+    assert row["n_days"] == n and row["total_c"] == tot
+    assert (row["day_index"], row["cusum_scaled"]) == (best[1], best[2])
+
+
+def test_q246_hhi_bounds(spark):
+    """HHI lives in [1e6/n, 1e6] (up to quantization slack) and the
+    top share never exceeds it conceptually: hhi >= top_share^2/1e6."""
+    rows = QUERIES["q246_hhi_concentration"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        n, hhi, top = r["n_suppliers"], r["hhi_e6"], r["top_share_e6"]
+        assert 0 < hhi <= 1000000
+        # quantization can only LOWER shares, so the floor has slack n
+        assert hhi >= 1000000 // n - n
+        assert hhi >= (top * top) // 1000000
+        assert top <= 1000000
