@@ -789,6 +789,12 @@ def build_compact_line(out: dict) -> str:
             k: (0 if v < 0.05 else v)
             for k, v in queries_map(1, bare=True).items()
         }
+        # totals at 1dp too (3-digit-second totals carry 3 needless
+        # chars each; the 3-decimal values live in the full record)
+        compact["value"] = round(out["value"], 1)
+        for rk in ("run1", "run2"):
+            compact_variance[rk] = round(compact_variance[rk], 1)
+        compact["variance"] = compact_variance
         line = json.dumps(compact, separators=(",", ":"))
     # From here down the budget relaxes to 1950: the driver's capture
     # is a hard 2000 chars and 1900 is this repo's comfort margin — at
