@@ -236,6 +236,11 @@ def main() -> None:
             except Exception as exc:
                 errors[name] = str(exc).split("\n")[0][:200]
                 print(f"# [{run_label}] {name}: FAILED ({errors[name]})", file=sys.stderr)
+        # Drop the last rank query's range-pinned cache so executor
+        # storage returns to baseline between passes (r9 ADVICE).
+        from spark_lakehouse_medallion_pipeline_spark.operators import relational
+
+        relational.release_rank_caches()
         return pass_timings
 
     # N=2 timed passes so run-to-run variance is recorded in the output.

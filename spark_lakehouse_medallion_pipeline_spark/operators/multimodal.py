@@ -1103,11 +1103,16 @@ def _jpeg_decode_impl(blob: bytes):
     # pad value is irrelevant (every extension of a valid prefix maps
     # to the same symbol).
     bits_pad = np.concatenate([bits_arr, np.zeros(15, dtype=np.uint8)])
-    pow2 = (1 << np.arange(15, -1, -1)).astype(np.int32)
-    w16 = (
-        np.lib.stride_tricks.sliding_window_view(bits_pad, 16).astype(np.int32)
-        @ pow2
-    )
+    # 16 shift-or accumulations build the same per-offset 16-bit window
+    # values as a sliding_window_view matmul would, without ever
+    # materializing the (n_bits, 16) int32 window matrix (~512 bytes per
+    # byte of entropy data — a 256 KB scan cost ~128 MB transient inside
+    # mapInPandas). Peak extra memory here is just the int32 output.
+    n_w = bits_pad.size - 15
+    w16 = np.zeros(n_w, dtype=np.int32)
+    for sh in range(16):
+        np.left_shift(w16, 1, out=w16)
+        np.bitwise_or(w16, bits_pad[sh : sh + n_w], out=w16)
     n_bits = len(bits_arr)
     cur = 0
 

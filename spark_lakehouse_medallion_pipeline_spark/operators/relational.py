@@ -236,6 +236,28 @@ def stratified_exact_sample(
     )
 
 
+# The range-pinned intermediate a distributed_rank call persists (see
+# the function's pinning comment) must stay cached until the CALLER's
+# terminal action — unpersisting earlier would let the final job re-draw
+# the sampled range boundaries and shift partition ids out from under
+# the collected offsets. The function therefore cannot release its own
+# cache; instead each new call evicts the PREVIOUS call's pin (queries
+# run serially in the driver / bench / oracle gate, so by then the prior
+# action has completed), and release_rank_caches() drops the last one.
+# Net cached footprint: at most ONE ranked input at any time, not one
+# per call site per session.
+_LIVE_RANK_CACHE: list[DataFrame] = []
+
+
+def release_rank_caches() -> None:
+    """Unpersist any range-pinned intermediate still cached by a prior
+    :func:`distributed_rank` call. Safe to call any time no rank query
+    is mid-action; idempotent. Bench/oracle harnesses call this between
+    entries so executor storage returns to baseline."""
+    while _LIVE_RANK_CACHE:
+        _LIVE_RANK_CACHE.pop().unpersist(blocking=False)
+
+
 def distributed_rank(
     df: DataFrame,
     order_cols: list[Column],
@@ -288,9 +310,11 @@ def distributed_rank(
     # stats collect as the materializing action = ONE pass over the
     # data for pin+stats combined (an eager localCheckpoint here would
     # pay an extra full pass just to pin).
+    release_rank_caches()  # evict the previous call's pin (serial contract)
     ranged = df.repartitionByRange(n_part, *order_cols).withColumn(
         pid, F.spark_partition_id()
     ).persist()
+    _LIVE_RANK_CACHE.append(ranged)
     aggs = [F.count(F.lit(1)).alias("_cnt")]
     if value_col is not None:
         aggs.append(F.sum(value_col).cast("bigint").alias("_vsum"))

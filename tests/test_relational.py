@@ -430,3 +430,29 @@ def test_top_k_ranked_matches_window_and_has_no_window_exec(spark):
     # pre-checkpoint shape directly)
     sel = df.orderBy(F.col("s").desc(), F.col("id").asc()).limit(10)
     assert "TakeOrderedAndProject" in sel._jdf.queryExecution().executedPlan().toString()
+
+
+def test_distributed_rank_cache_returns_to_baseline(spark):
+    """The range-pinned persist must not leak for the session lifetime
+    (r9 ADVICE): each call evicts the previous call's cache, and
+    release_rank_caches() drops the last one, so getPersistentRDDs()
+    returns to its pre-call size after an end-to-end rank query."""
+    relational.release_rank_caches()
+    baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
+    df = spark.createDataFrame(
+        [(i % 7, 100 - i, i) for i in range(37)], "g int, v int, id int"
+    )
+    relational.distributed_rank(
+        df, [F.col("v").asc(), F.col("id").asc()], rank_col="r"
+    ).collect()
+    # exactly one live pin after a completed rank action
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == baseline + 1
+    # a second rank call evicts the first call's pin (serial contract)
+    relational.distributed_rank(
+        df, [F.col("g").asc(), F.col("id").asc()], rank_col="r2"
+    ).collect()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == baseline + 1
+    relational.release_rank_caches()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == baseline
+    relational.release_rank_caches()  # idempotent
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == baseline

@@ -390,12 +390,17 @@ def test_sf01_gate_artifact_matches_registry():
     ORACLE_SF01_r{N}.json`."""
     import glob
     import json
+    import re
     from pathlib import Path
 
     from spark_lakehouse_medallion_pipeline_spark.queries import ORACLE, QUERIES
 
     root = Path(__file__).resolve().parent.parent
-    arts = sorted(glob.glob(str(root / "ORACLE_SF01_r*.json")))
+    # Numeric round sort: lexicographic would pick r9 over r10.
+    arts = sorted(
+        glob.glob(str(root / "ORACLE_SF01_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
     assert arts, "no committed sf0.1 gate artifact"
     payload = json.loads(Path(arts[-1]).read_text())
     entries, summary = payload["entries"], payload["summary"]

@@ -123,6 +123,8 @@ def main() -> None:
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit("usage: oracle_check.py [SF_DIR] [QUERY ...] [--json OUT.json]")
         json_out = argv[i + 1]
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
@@ -201,6 +203,11 @@ def main() -> None:
                 "sec": round(spark_sec, 2),
             }
             print(f"PASS {name}: {len(s_rows)} rows  [{spark_sec:.1f}s]")
+
+    # Drop the last rank query's range-pinned cache (r9 ADVICE hygiene).
+    from spark_lakehouse_medallion_pipeline_spark.operators import relational
+
+    relational.release_rank_caches()
 
     print(
         f"\n=== {len(passes)} pass, {len(failures)} fail, {len(rows_only)} rows-only "
