@@ -12968,6 +12968,15 @@ def q194_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the full gate), q179/q184/q191/q193/q182/q129/q192 (dedup, BPE, ML,
 # ANALYZE, text, temporal, and graph each keep 2+ reps, see inline).
 
+# Round 10 (VERDICT r9 Next #1): the ten round-9-born families that
+# landed after r9's snapshot edit take their driver rows — led by q242
+# percentile-rank and q245 CUSUM, the driver-visible proof of the
+# distributed_rank primitive. The displacement pool follows the r9
+# precedent (slots green >=2 consecutive rounds whose families keep
+# in-head reps, each annotated inline): q196/q224/q218/q135/q194/q197/
+# q149/q222/q219/q210, all r8-born and green r08+r09, all staying
+# value-oracled in the full gate.
+
 _DRIVER_SNAPSHOT_50 = [
     # reference surface: aggregates, scalars, datetime, medallion KPIs
     "q01_pricing_summary",
@@ -12977,7 +12986,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q212_ir_eval_metrics",  # r8 late: retrieval-eval metrics (P@10/MRR/NDCG), birth-round row (q46 A8 declared-intent aggregates green r04-r07; the aggregate surface keeps q01/q19 and q46 stays value-oracled in the full gate)
     # joins
     "q221_funnel_latency",  # r9: funnel-stage latency quartiles, birth-round row (q192 BFS green r07+r08; graph keeps q67 connected components in the head and q192/q188/q126 stay value-oracled in the full gate)
-    "q224_revenue_anomaly_zscore",  # r8 late: rolling z-score monitoring, birth-round row (q158 WAV codec green r05-r07; multimodal keeps q176/q177/q200 in the head and q158 stays value-oracled in the full gate)
+    "q245_cusum_changepoint",  # r10: int64 cross-multiplied CUSUM changepoint with its prefix sum from distributed_rank, birth-round row (q224 rolling z-score green r08+r09; the anomaly family keeps this entry + q229 EWMA and X10 frames keep q207, with q224 value-oracled in the full gate)
     "q205_join_skew_profile",  # r8 late: skew diagnosis, birth-round row (q133 salted join green r04-r07; the salting operator keeps pytest cover in test_salted_join_matches_plain and q205 is its diagnosis half)
     "q203_equidepth_histogram",  # r8 late: equi-depth boundaries, birth-round row (q145 exact bitmaps green r04-r07; X13 keeps q193/q194/q190/q170)
     "q211_weighted_median",  # r8 late: weighted robust stats, birth-round row (q170 rolling median green r05-r07; X10 frames keep q129 in the head and q170/q190 stay value-oracled in the full gate)
@@ -12988,18 +12997,18 @@ _DRIVER_SNAPSHOT_50 = [
     "q220_demand_variability",  # r8 late: XYZ forecastability classes (distributed exact-int CV), birth-round row (q190 trimmed mean green r05-r07; robust stats keeps q170 in the head and q190/q211 stay value-oracled in the full gate)
     # windows
     "q215_gini_spend",  # r9: Gini concentration index, birth-round row (q189 RRF fusion green r05-r08 = the verdict's own displacement pool; rank-eval keeps q212/q196 in the head and q189 stays value-oracled in the full gate)
-    "q218_touch_attribution",  # r8 late: last-touch attribution, birth-round row (q172 Markov transitions green r05-r07; the window-analytic family keeps q129/q196 in the head and q218's IGNORE-NULLS last_value frame is its own new surface)
+    "q243_position_attribution",  # r10: U-shaped 40/20/40 attribution with exact 1e6-credit conservation, birth-round row (q218 last-touch green r08+r09 — this is its direct multi-touch upgrade; X9 analytic keeps q226 MoM lag in the head and q218 stays value-oracled in the full gate)
     "q229_ewma_revenue_trend",  # r9: finite 8-term EWMA trend, birth-round row (q177 real-GIF codec green r05-r08 = the verdict's own displacement pool; multimodal keeps q200 JPEG in the head and q177 stays value-oracled in the full gate)
-    "q222_dup_cluster_profile",  # r8 late: dedup-audit histogram, birth-round row (q186 tokenizer fertility green r05-r07; text/BPE keeps q181/q184/q202 in the head and q186 stays value-oracled in the full gate)
+    "q239_leakage_safe_split",  # r10: leakage-safe train/val/test split bucketed by md5(dedup-cluster-rep), birth-round row (q222 cluster profile green r08+r09 — q239 reuses its cluster machinery; X17 keeps q67 in the head and q222 stays value-oracled in the full gate)
     # sort/limit, set ops, sketches
     "q225_late_rate_wilson",  # r9: Wilson lower-bound ranking, birth-round row (q182 dup-ngram green r07+r08; text scoring keeps q202/q204/q213/q219 in the head and q182 stays value-oracled in the full gate)
-    "q196_rank_distributions",  # r8: ntile/percent_rank/cume_dist never recorded (q55 multiset green r01-r07; set ops stay value-oracled in the full gate)
+    "q242_percentile_rank_normalize",  # r10: empirical-CDF normalization via relational.distributed_rank — the two-pass rank's reuse story, birth-round row (q196 rank distributions green r08+r09; X8 ranking keeps q215 Gini + q212 IR-eval in the head and q196 stays value-oracled in the full gate)
     "q181_bpe_train_2merges",  # r7: BPE training never recorded (q18 green r01-r06; distinct family keeps q145)
     # time windows / sessionization
     "q230_chi2_independence",  # r9: chi-square lang x source independence, birth-round row (q191 integer k-means green r07+r08; the ML family keeps q198/q201/q210 in the head and q191 stays value-oracled in the full gate)
     "q125_cogroup_asof",  # r8: applyInPandas cogroup never recorded in 7 rounds (q21 sessionization green r01-r07; X15 keeps q168 + streaming pytest)
     # SQL surface: subqueries, lateral, UDTF, interactive SQL
-    "q197_bitwise_flag_rollup",  # r8: bit_and/or/xor aggregates never recorded (q49 SQL surface green r01-r07; S11 keeps q56)
+    "q241_filter_agreement_kappa",  # r10: Cohen's kappa between quality filters in ONE 2x2-confusion aggregate, birth-round row (q197 bitwise rollup green r08+r09; the aggregate-battery surface keeps q41 + q123 in the head and q197 stays value-oracled in the full gate)
     "q235_kanon_suppressed_report",  # r9: k-anonymity small-cell suppression, birth-round row (q56 correlated subqueries green r03-r08, the longest-tenured rotatable slot; the SQL surface keeps the q197/q123 batteries in the head and q56 stays value-oracled in the full gate)
     "q67_dedup_clusters",  # r7: connected components never recorded in 6 rounds (q117 mapInArrow green r04-r06; UDF family keeps q65)
     "q214_correlation_matrix",  # r8 late: multivariate ANALYZE (exact-int Pearson matrix), birth-round row (q65 UDTF green r01-r07; X16 keeps q125 cogroup in the head and q65/q117 stay value-oracled in the full gate)
@@ -13008,8 +13017,8 @@ _DRIVER_SNAPSHOT_50 = [
     "q200_jpeg_image_features",  # r8: real baseline-JPEG codec, birth-round row (q162 portable LSH green r04-r07; its candidates CTE lives on inside q149's oracle, and dedup keeps q149/q152/q179)
     "q123_xml_battery",
     # dedup family
-    "q194_price_histogram",  # r8: equi-width histogram never recorded (q28 exact dedup green r01-r07; X17 keeps q162/q152/q179)
-    "q149_contrastive_pairs",  # r8: newly value-oracled top-up loop, birth-round row (q137 bloom-semi green r04-r07; dedup keeps q152/q179 + the LSH pipeline inside this oracle)
+    "q240_mad_robust_scale",  # r10: grouped MAD via two exact dyadic 0.5-quantile passes, birth-round row (q194 equi-width histogram green r08+r09; X13 keeps q203 equi-depth + q213 profile + q214 in the head and q194 stays value-oracled in the full gate)
+    "q238_blocking_quality",  # r10: LSH blocking-quality ER audit (reduction ratio + pair completeness vs planted-twin exact-Jaccard truth), birth-round row (q149 contrastive pairs green r08+r09; dedup keeps q67/q204/q209 + incoming q239 in the head and q149 stays value-oracled in the full gate)
     "q217_benford_audit",  # r9: Benford first-digit audit, birth-round row (q188 LPA green r05-r08 = the verdict's own displacement pool; graph keeps q67 in the head and q188 stays value-oracled in the full gate)
     "q234_abc_xyz_matrix",  # r9: ABC-XYZ planning matrix, birth-round row (q184 BPE encode green r07+r08; BPE keeps q181 train + q202 BM25 in the head, q220 shares the XYZ machinery, and q184 stays value-oracled in the full gate)
     # similarity family
@@ -13020,11 +13029,11 @@ _DRIVER_SNAPSHOT_50 = [
     "q204_containment_scan",  # r8 late: one-sided containment audit, birth-round row (q152 fuzzy-ER d<=2 green r04-r07; dedup keeps q149/q179)
     "q236_csv_quarantine",  # r9 late: malformed-ingest contract (PERMISSIVE corrupt channel + required-field nullability), birth-round row (q195 A-Res sampler green r07+r08; sampling keeps stratified_exact_sample pytest + the q208 apportionment machinery in the head, and q195 stays value-oracled in the full gate)
     "q227_referential_integrity_audit",  # r8 late: FK conformance audit, birth-round row (q183 ANN recall eval green r05-r07; the eval family keeps q212 in the head and q183 stays value-oracled in the full gate)
-    "q135_retention_cohorts",  # r8: cohort matrices never recorded in 7 rounds (q95 packing green r04-r07; text keeps q163/q152/q185/q186)
-    "q219_basket_lift",  # r8 late: association rules (support/confidence/lift), birth-round row (q185 domain affinity green r05-r07; text scoring keeps q202/q186/q163 and q185 stays value-oracled in the full gate)
+    "q244_hazard_table",  # r10: discrete-time hazard table with administrative censoring, birth-round row (q135 retention cohorts green r08+r09 — same time-to-event family, this is its survival-analysis deepening; q135 stays value-oracled in the full gate)
+    "q246_hhi_concentration",  # r10: Herfindahl-Hirschman market concentration (quantize-then-square e6 shares), birth-round row (q219 basket lift green r08+r09; the commerce-analytics family keeps q223 brand-corr in the head and q219 stays value-oracled in the full gate)
     # multimodal, pandas-UDF, layout, TPC-H decorrelated shapes
     "q223_brand_discount_response",  # r9: per-brand discount-response correlation, birth-round row (q150 as-of tolerance green r04-r08; X6 theta/range keeps q125 cogroup-as-of in the head and q150/q48 stay value-oracled in the full gate)
-    "q210_label_centroid_similarity",  # r8 late: domain-affinity matrix, birth-round row (q174 Pareto ABC green r05-r07; X11 top-k stays exercised by q205's TakeOrderedAndProject + q03 in the full gate)
+    "q237_jsonl_quarantine",  # r10: JSONL malformed-ingest contract (PERMISSIVE corrupt channel + type-fail taxonomy), completing the quarantine pair with q236, birth-round row (q210 centroid similarity green r08+r09; X19 keeps q201 PQ + q212 IR-eval + q198 PCA in the head and q210 stays value-oracled in the full gate)
     "q213_categorical_profile",  # r8 late: string-typed ANALYZE profile, birth-round row (q166 Hilbert layout green r05-r07; the layout family keeps test_layout pytest cover and q92/q166 stay value-oracled in the full gate)
     "q208_mixture_temperature",  # r8 late: temperature mixture quotas, birth-round row (q187 green r05-r07; q208 embeds the identical largest-remainder machinery plus the sqrt temperature)
     # round-3 families: connectors, warehouse maintenance, quality contracts
