@@ -1089,18 +1089,49 @@ def jaccard_join_prefix_filter(
     num, den = F.lit(threshold_num), F.lit(threshold_den)
     L = F.size("_ordered")
     p = L - ((num * L + den - F.lit(1)) / den).cast("long") + F.lit(1)
+    # Carry each doc's distinct-token count alongside its id: the
+    # PPJoin-family LENGTH FILTER prunes in-bucket pairs before they
+    # ever reach the distinct/verify shuffle. Exactness: J(A,B) <=
+    # min(|A|,|B|)/max(|A|,|B|), so J >= num/den forces den*min >=
+    # num*max — a pair outside the length window can never pass the
+    # final test, so dropping it here loses no recall. At t=0.9 the
+    # window is |B| in [ceil(0.9|A|), floor(|A|/0.9)] — on corpora
+    # where prefix pruning degrades (shared vocabulary, near-equal
+    # prefixes) this is the filter that keeps pair generation from
+    # going quadratic in the bucket size.
     prefixes = ranked.select(
-        "_id", F.explode(F.slice(F.col("_ordered"), 1, p)).alias("_pt")
-    ).select("_id", F.col("_pt._tok").alias("_tok"))
+        F.struct(
+            F.col("_id").alias("id"), L.cast("long").alias("len")
+        ).alias("_m"),
+        F.explode(F.slice(F.col("_ordered"), 1, p)).alias("_pt"),
+    ).select("_m", F.col("_pt._tok").alias("_tok"))
     buckets = (
         prefixes.groupBy("_tok")
-        .agg(F.array_sort(F.collect_set("_id")).alias("_ids"))
-        .filter(F.size("_ids") >= 2)
+        .agg(F.array_sort(F.collect_set("_m")).alias("_ms"))
+        .filter(F.size("_ms") >= 2)
     )
     if max_bucket is not None:
-        buckets = buckets.filter(F.size("_ids") <= max_bucket)
+        buckets = buckets.filter(F.size("_ms") <= max_bucket)
+    ms = F.col("_ms")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ms) - 1),
+            lambda i: F.transform(
+                F.filter(
+                    F.slice(ms, 1, i),
+                    lambda a: F.least(a["len"], F.element_at(ms, i + 1)["len"])
+                    * den
+                    >= num * F.greatest(a["len"], F.element_at(ms, i + 1)["len"]),
+                ),
+                lambda a: F.struct(
+                    a["id"].alias("id_a"),
+                    F.element_at(ms, i + 1)["id"].alias("id_b"),
+                ),
+            ),
+        )
+    )
     cand = (
-        buckets.select(F.explode(_bucket_pairs(F.col("_ids"))).alias("p"))
+        buckets.select(F.explode(pairs).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
     )
