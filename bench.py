@@ -88,8 +88,10 @@ HEADLINE = [
     "q157_bmp_image_features",
     # q159 (exact-threshold jaccard join) excluded: at sf0.1 the corpus is
     # homogeneous enough that ~965k pairs clear the threshold — the output
-    # materialization (26s) would swamp the headline signal. It stays in
-    # the oracle gate for correctness.
+    # materialization (~18s even with the PPJoin length filter) would
+    # swamp the headline signal. It stays in the oracle gate for
+    # correctness, and its scale ratio is timed directly in the
+    # scale-linearity section below.
     "q160_unicode_nfc_dedup",
     "q161_triangle_count",
     "q162_minhash_portable",
@@ -631,6 +633,14 @@ def main() -> None:
             # deterministic sample)
             "q215_gini_spend",
             "q238_blocking_quality",
+            # round-10 adds (VERDICT r9 Next #4): the two queries that
+            # demonstrate distributed_rank's scale shape empirically —
+            # q242's empirical CDF ranks every row (the operator's
+            # row-scale stress), q245's changepoint rides its prefix-sum
+            # path; both should track the two balanced exchanges, never
+            # a single-partition sort.
+            "q242_percentile_rank_normalize",
+            "q245_cusum_changepoint",
         ):
             if name not in qs:
                 continue
@@ -661,6 +671,36 @@ def main() -> None:
                     f"{t_big:.2f}s at sf{sf} "
                     f"(ratio {variance[f'{name}_scale_ratio_10x_data']}x "
                     f"for 10x data)",
+                    file=sys.stderr,
+                )
+            except Exception as exc:
+                print(f"# scale-linearity {name} failed: {exc}", file=sys.stderr)
+
+        # q159 exact jaccard prefix join: headline-excluded (output
+        # materialization swamps the signal — see HEADLINE note), but its
+        # scale story must be MEASURED, not asserted (VERDICT r9 Next
+        # #4), so time both SFs directly here. min-of-2 each side, same
+        # discipline as the roster above.
+        name = "q159_jaccard_prefix_join"
+        if name in qs:
+            try:
+                samples: dict[str, list[float]] = {"small": [], "big": []}
+                for d, key in ((small_dir, "small"), (sf_dir, "big")):
+                    for _ in range(2):
+                        t0 = time.time()
+                        qs[name](spark, d).count()
+                        samples[key].append(round(time.time() - t0, 3))
+                t_small, t_big = min(samples["small"]), min(samples["big"])
+                variance[f"{name}_sf001_sec"] = t_small
+                variance[f"{name}_sf01_sec"] = t_big
+                variance[f"{name}_scale_ratio_10x_data"] = round(
+                    t_big / max(t_small, 1e-9), 2
+                )
+                print(
+                    f"# scale-linearity {name}: sf0.01 {t_small:.2f}s -> "
+                    f"{t_big:.2f}s at sf{sf} "
+                    f"(ratio {variance[f'{name}_scale_ratio_10x_data']}x "
+                    f"for 10x data; headline-excluded, timed here only)",
                     file=sys.stderr,
                 )
             except Exception as exc:

@@ -241,11 +241,17 @@ def stratified_exact_sample(
 # terminal action — unpersisting earlier would let the final job re-draw
 # the sampled range boundaries and shift partition ids out from under
 # the collected offsets. The function therefore cannot release its own
-# cache; instead each new call evicts the PREVIOUS call's pin (queries
-# run serially in the driver / bench / oracle gate, so by then the prior
-# action has completed), and release_rank_caches() drops the last one.
-# Net cached footprint: at most ONE ranked input at any time, not one
-# per call site per session.
+# cache; instead the registry holds the newest _RANK_CACHE_CAP pins and
+# evicts beyond that FIFO (queries run serially in the driver / bench /
+# oracle gate, so by the time a pin ages out of the window its query's
+# action has long completed), and release_rank_caches() drops the rest.
+# The cap, not 1, because one query plan may COMPOSE several rank calls
+# (e.g. RFM scores ntile three dimensions) and every pin in the plan
+# must survive until that plan's single terminal action. Contract: no
+# single query composes more than _RANK_CACHE_CAP distributed_rank
+# calls. Net cached footprint: at most 8 ranked intermediates at any
+# time, not one per call site per session.
+_RANK_CACHE_CAP = 8
 _LIVE_RANK_CACHE: list[DataFrame] = []
 
 
@@ -310,7 +316,8 @@ def distributed_rank(
     # stats collect as the materializing action = ONE pass over the
     # data for pin+stats combined (an eager localCheckpoint here would
     # pay an extra full pass just to pin).
-    release_rank_caches()  # evict the previous call's pin (serial contract)
+    while len(_LIVE_RANK_CACHE) >= _RANK_CACHE_CAP:  # FIFO eviction
+        _LIVE_RANK_CACHE.pop(0).unpersist(blocking=False)
     ranged = df.repartitionByRange(n_part, *order_cols).withColumn(
         pid, F.spark_partition_id()
     ).persist()

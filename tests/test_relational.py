@@ -434,24 +434,30 @@ def test_top_k_ranked_matches_window_and_has_no_window_exec(spark):
 
 def test_distributed_rank_cache_returns_to_baseline(spark):
     """The range-pinned persist must not leak for the session lifetime
-    (r9 ADVICE): each call evicts the previous call's cache, and
-    release_rank_caches() drops the last one, so getPersistentRDDs()
-    returns to its pre-call size after an end-to-end rank query."""
+    (r9 ADVICE): the registry holds at most _RANK_CACHE_CAP pins (FIFO
+    eviction — capacity > 1 because one plan may compose several rank
+    calls), and release_rank_caches() drops the rest, so
+    getPersistentRDDs() returns to its pre-call size."""
     relational.release_rank_caches()
     baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
     df = spark.createDataFrame(
         [(i % 7, 100 - i, i) for i in range(37)], "g int, v int, id int"
     )
-    relational.distributed_rank(
-        df, [F.col("v").asc(), F.col("id").asc()], rank_col="r"
-    ).collect()
-    # exactly one live pin after a completed rank action
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == baseline + 1
-    # a second rank call evicts the first call's pin (serial contract)
-    relational.distributed_rank(
-        df, [F.col("g").asc(), F.col("id").asc()], rank_col="r2"
-    ).collect()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == baseline + 1
+    # cap + 2 calls: the registry must saturate at the cap, never grow
+    # one-per-call for the session lifetime. Distinct num_partitions per
+    # call forces distinct logical plans — Spark's CacheManager dedupes
+    # same-plan persists to ONE entry, which would mask growth here.
+    for k in range(relational._RANK_CACHE_CAP + 2):
+        relational.distributed_rank(
+            df,
+            [F.col("v").asc(), F.col("id").asc()],
+            rank_col=f"r{k}",
+            num_partitions=2 + k,
+        ).collect()
+    assert (
+        spark.sparkContext._jsc.getPersistentRDDs().size()
+        == baseline + relational._RANK_CACHE_CAP
+    )
     relational.release_rank_caches()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == baseline
     relational.release_rank_caches()  # idempotent
