@@ -179,6 +179,10 @@ HEADLINE = [
     "q244_hazard_table",
     "q245_cusum_changepoint",
     "q246_hhi_concentration",
+    "q247_parquet_schema_drift",
+    "q248_kaplan_meier",
+    "q249_mann_whitney",
+    "q250_rfm_scores",
     "medallion_gold_kpis",
 ]
 

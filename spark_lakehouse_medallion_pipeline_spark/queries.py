@@ -12854,6 +12854,419 @@ def q194_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q247_parquet_schema_drift",
+    """
+    WITH v1 AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 0),
+         v2 AS (SELECT doc_id, n_chars, n_chars * 1000 AS quality_e6
+                FROM documents WHERE doc_id % 2 = 1)
+    SELECT CAST((SELECT COUNT(*) FROM v1) + (SELECT COUNT(*) FROM v2)
+                AS BIGINT) AS n_total,
+           CAST((SELECT COUNT(*) FROM v1) AS BIGINT) AS n_legacy,
+           CAST((SELECT COUNT(*) FROM v2) AS BIGINT) AS n_evolved,
+           CAST((SELECT SUM(n_chars) FROM v1)
+                + (SELECT SUM(n_chars) FROM v2) AS BIGINT) AS sum_n_chars,
+           CAST((SELECT SUM(quality_e6) FROM v2) AS BIGINT) AS sum_quality_e6,
+           CAST((SELECT SUM(doc_id) FROM v1) AS BIGINT) AS sum_legacy_doc_id
+    """,
+)
+def q247_parquet_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift ingest contract for the parquet source — completing
+    the malformed-ingest family (q236 CSV, q237 JSONL) with the failure
+    mode COLUMNAR lakes actually hit: a producer evolves the schema
+    mid-stream, so the landing zone holds a mix of file schemas. Two
+    batches are written — legacy (doc_id, text, n_chars) and evolved
+    (doc_id, n_chars, quality_e6: text DROPPED, a column ADDED) — and
+    read back as one relation with ``mergeSchema=true``, Spark's
+    schema-union semantics: added columns are null for legacy files,
+    dropped columns null for evolved files, never an error. (The third
+    taxonomy arm — the same column changing TYPE across files — fails
+    the merge outright and is pinned as an exception in test_smoke,
+    with FAILFAST-style fixed-schema reads silently null-filling as the
+    CSV/JSON contracts documented.) Returns the drift-audit row: batch
+    counts recovered from column presence plus checksums over both
+    schema generations, oracled against the original parquet. Scale
+    shape: two distributed writes, one merged read (footer-only schema
+    union), ONE map-combined aggregate."""
+    import os
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    app = spark.sparkContext.applicationId
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_q247_drift_{tag}_{app}"
+    )
+    v1 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "text", "n_chars"
+    )
+    v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "n_chars",
+        (F.col("n_chars") * 1000).cast("bigint").alias("quality_e6"),
+    )
+    p1, p2 = os.path.join(base, "batch1"), os.path.join(base, "batch2")
+    v1.write.mode("overwrite").parquet(p1)
+    v2.write.mode("overwrite").parquet(p2)
+    merged = spark.read.option("mergeSchema", "true").parquet(p1, p2)
+    legacy = F.col("quality_e6").isNull()  # evolved files always fill it
+    return merged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.count(F.when(legacy, 1)).cast("bigint").alias("n_legacy"),
+        F.count(F.when(~legacy, 1)).cast("bigint").alias("n_evolved"),
+        F.sum("n_chars").cast("bigint").alias("sum_n_chars"),
+        F.sum("quality_e6").cast("bigint").alias("sum_quality_e6"),
+        F.sum(F.when(legacy, F.col("doc_id")))
+        .cast("bigint")
+        .alias("sum_legacy_doc_id"),
+    )
+
+
+@_q(
+    "q248_kaplan_meier",
+    """
+    WITH s AS (SELECT user_id, MIN(ts) AS t0 FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    agg AS (
+      SELECT s.user_id, s.t0,
+             MIN(CASE WHEN e.event_type = 'purchase' THEN e.ts END) AS tp,
+             MAX(CASE WHEN (epoch_us(e.ts) - epoch_us(s.t0))
+                           // 3600000000 < 48 THEN e.ts END) AS tw
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.ts >= s.t0
+      GROUP BY s.user_id, s.t0
+    ),
+    u AS (
+      SELECT user_id,
+             (epoch_us(tp) - epoch_us(t0)) // 3600000000 AS hp,
+             (epoch_us(tw) - epoch_us(t0)) // 3600000000 AS hw
+      FROM agg
+    ),
+    pb AS (
+      SELECT CASE WHEN hp IS NOT NULL AND hp < 48 THEN 1 ELSE 0 END AS ev,
+             CASE WHEN hp IS NOT NULL AND hp < 48 THEN hp // 12
+                  ELSE hw // 12 END AS b
+      FROM u
+    ),
+    k AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN ev = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+             CAST(SUM(CASE WHEN ev = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             CAST(SUM(CASE WHEN ev = 1 AND b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+             CAST(SUM(CASE WHEN ev = 1 AND b = 3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+             CAST(SUM(CASE WHEN ev = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(SUM(CASE WHEN ev = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN ev = 0 AND b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+             CAST(SUM(CASE WHEN ev = 0 AND b = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3
+      FROM pb
+    ),
+    r AS (
+      SELECT *, n AS r0, n - d0 - c0 AS r1,
+             n - d0 - c0 - d1 - c1 AS r2,
+             n - d0 - c0 - d1 - c1 - d2 - c2 AS r3
+      FROM k
+    ),
+    sv AS (
+      SELECT *,
+             (1000000 * (r0 - d0)) // GREATEST(r0, 1) AS s0
+      FROM r
+    ),
+    sv1 AS (SELECT *, (s0 * (r1 - d1)) // GREATEST(r1, 1) AS s1 FROM sv),
+    sv2 AS (SELECT *, (s1 * (r2 - d2)) // GREATEST(r2, 1) AS s2 FROM sv1),
+    sv3 AS (SELECT *, (s2 * (r3 - d3)) // GREATEST(r3, 1) AS s3 FROM sv2)
+    SELECT CAST(0 AS INT) AS bin_12h, CAST(r0 AS BIGINT) AS n_at_risk,
+           d0 AS n_events, c0 AS n_censored, CAST(s0 AS BIGINT) AS survival_e6
+    FROM sv3
+    UNION ALL SELECT 1, CAST(r1 AS BIGINT), d1, c1, CAST(s1 AS BIGINT) FROM sv3
+    UNION ALL SELECT 2, CAST(r2 AS BIGINT), d2, c2, CAST(s2 AS BIGINT) FROM sv3
+    UNION ALL SELECT 3, CAST(r3 AS BIGINT), d3, c3, CAST(s3 AS BIGINT) FROM sv3
+    """,
+)
+def q248_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival curve for signup-to-purchase
+    — q244's hazard table deepened with the estimator survival analysis
+    is actually named for, and with MID-STUDY censoring (the case where
+    KM stops being a trivial conversion fraction): a user who does not
+    convert inside the 48 h study window is censored at their LAST
+    observed activity hour WITHIN the window — lost to follow-up, the
+    moment after which we can no longer claim they were still at risk
+    (on this corpus that is 51 of 150 users at sf0.01, spread across
+    hours 12-47, so the at-risk set genuinely shrinks mid-study and KM
+    diverges from the naive conversion fraction it exists to correct).
+    Four 12-hour bins, end-of-interval censoring convention (a user
+    censored in bin w still counts at risk FOR bin w). Survival is the deterministic e6 integer recurrence
+    s_w = s_{w-1} * (r_w - d_w) div r_w — the same trunc-div chain on
+    both engines (the unrolled-integer-iteration convention), each
+    step <= 1e6 * n so int64-safe at any scale. Durations from raw
+    microsecond arithmetic, never date_diff. Plan: two user-keyed
+    aggregates, ONE 1-row bin-tally pivot broadcast into a 4-row
+    unrolled spine — no window, nothing post-aggregate larger than the
+    cohort model."""
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    agg = (
+        ev.join(s, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id", "t0")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("tp"),
+            F.max(
+                F.when(
+                    F.expr(
+                        "(unix_micros(ts) - unix_micros(t0))"
+                        " div 3600000000 < 48"
+                    ),
+                    F.col("ts"),
+                )
+            ).alias("tw"),
+        )
+    )
+    u = agg.select(
+        F.expr("(unix_micros(tp) - unix_micros(t0)) div 3600000000").alias("hp"),
+        F.expr("(unix_micros(tw) - unix_micros(t0)) div 3600000000").alias("hw"),
+    )
+    is_ev = F.col("hp").isNotNull() & (F.col("hp") < 48)
+    pb = u.select(
+        is_ev.cast("int").alias("ev"),
+        F.when(is_ev, F.expr("hp div 12"))
+        .otherwise(F.expr("hw div 12"))
+        .alias("b"),
+    )
+    tallies = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for w in range(4):
+        tallies.append(
+            F.sum(F.when((F.col("ev") == 1) & (F.col("b") == w), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"d{w}")
+        )
+        tallies.append(
+            F.sum(F.when((F.col("ev") == 0) & (F.col("b") == w), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"c{w}")
+        )
+    k = pb.agg(*tallies)
+    # unrolled at-risk counts and the e6 survival recurrence — pure
+    # Column arithmetic over the 1-row tally
+    k = (
+        k.withColumn("r0", F.col("n"))
+        .withColumn("r1", F.expr("n - d0 - c0"))
+        .withColumn("r2", F.expr("n - d0 - c0 - d1 - c1"))
+        .withColumn("r3", F.expr("n - d0 - c0 - d1 - c1 - d2 - c2"))
+        .withColumn("s0", F.expr("(1000000 * (r0 - d0)) div greatest(r0, CAST(1 AS BIGINT))"))
+        .withColumn("s1", F.expr("(s0 * (r1 - d1)) div greatest(r1, CAST(1 AS BIGINT))"))
+        .withColumn("s2", F.expr("(s1 * (r2 - d2)) div greatest(r2, CAST(1 AS BIGINT))"))
+        .withColumn("s3", F.expr("(s2 * (r3 - d3)) div greatest(r3, CAST(1 AS BIGINT))"))
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(w).cast("int").alias("bin_12h"),
+                F.col(f"r{w}").cast("bigint").alias("n_at_risk"),
+                F.col(f"d{w}").alias("n_events"),
+                F.col(f"c{w}").alias("n_censored"),
+                F.col(f"s{w}").cast("bigint").alias("survival_e6"),
+            )
+            for w in range(4)
+        ]
+    )
+    return k.select(F.explode(rows).alias("x")).select("x.*")
+
+
+@_q(
+    "q249_mann_whitney",
+    f"""
+    WITH v AS (
+      SELECT {SC("o_totalprice")} AS val,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a
+      FROM orders
+    ),
+    t AS (SELECT val, CAST(COUNT(*) AS BIGINT) AS cnt,
+                 CAST(SUM(a) AS BIGINT) AS cnt_a
+          FROM v GROUP BY val),
+    c AS (SELECT val, cnt, cnt_a,
+                 CAST(SUM(cnt) OVER (ORDER BY val
+                                     ROWS UNBOUNDED PRECEDING) - cnt
+                      AS BIGINT) AS cnt_lt
+          FROM t),
+    g AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+                 CAST(SUM(cnt) AS BIGINT) AS n,
+                 CAST(SUM(cnt_a * (2 * cnt_lt + cnt + 1)) AS BIGINT) AS r_a_x2
+          FROM c)
+    SELECT n_a AS n_urgent,
+           CAST(n - n_a AS BIGINT) AS n_other,
+           r_a_x2 AS rank_sum_urgent_x2,
+           CAST(r_a_x2 - n_a * (n_a + 1) AS BIGINT) AS u_urgent_x2,
+           CAST(2 * n_a * (n - n_a) - (r_a_x2 - n_a * (n_a + 1))
+                AS BIGINT) AS u_other_x2
+    FROM g
+    """,
+)
+def q249_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test statistic comparing the
+    order-value distributions of urgent vs non-urgent orders — the
+    nonparametric two-sample test an experimentation platform reaches
+    for when revenue distributions are too skewed for a t-test. Exact
+    integer throughout via the DOUBLED-rank convention: with ties taking
+    the average rank, a row's rank is (2*cnt_lt + cnt_eq + 1)/2 — a
+    half-integer — so every statistic is carried x2 and stays int64
+    (R_x2 <= 2N^2, safe past 10^9 rows). The per-value tally collapses
+    the table to its value domain first; cnt_lt comes from
+    relational.distributed_rank's prefix sum over that value-keyed
+    aggregate (the two-pass rank as the engine's ONLY ordered pass — no
+    single-partition window; the oracle uses the equivalent ANSI running
+    sum), and one final map-combined aggregate folds the rank sum.
+    Identity u_urgent + u_other = n_a*n_b (x2) doubles as the built-in
+    sanity check. Plan: value-domain aggregate -> two balanced
+    exchanges (range + pid) -> 1-row reduce."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.relational import (
+        distributed_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    v = o.select(
+        cents(F.col("o_totalprice")).alias("val"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("a"),
+    )
+    t = v.groupBy("val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("a").cast("bigint").alias("cnt_a"),
+    )
+    # rank over the DISTINCT value domain: cumsum(cnt) - cnt = number of
+    # rows strictly below this value, the tie-average building block
+    c = distributed_rank(
+        t,
+        [F.col("val").asc()],
+        rank_col="_vr",
+        value_col="cnt",
+        cumsum_col="_cum",
+    ).select(
+        "val", "cnt", "cnt_a", (F.col("_cum") - F.col("cnt")).alias("cnt_lt")
+    )
+    g = c.agg(
+        F.sum("cnt_a").cast("bigint").alias("n_a"),
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(
+            F.col("cnt_a") * (F.lit(2) * F.col("cnt_lt") + F.col("cnt") + 1)
+        )
+        .cast("bigint")
+        .alias("r_a_x2"),
+    )
+    return g.select(
+        F.col("n_a").alias("n_urgent"),
+        (F.col("n") - F.col("n_a")).cast("bigint").alias("n_other"),
+        F.col("r_a_x2").alias("rank_sum_urgent_x2"),
+        F.expr("CAST(r_a_x2 - n_a * (n_a + 1) AS BIGINT)").alias(
+            "u_urgent_x2"
+        ),
+        F.expr(
+            "CAST(2 * n_a * (n - n_a) - (r_a_x2 - n_a * (n_a + 1))"
+            " AS BIGINT)"
+        ).alias("u_other_x2"),
+    )
+
+
+@_q(
+    "q250_rfm_scores",
+    f"""
+    WITH c AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                       (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders))
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM({SC("o_totalprice")}) AS BIGINT) AS monetary_c
+      FROM orders GROUP BY o_custkey
+    ),
+    t AS (
+      SELECT *,
+             NTILE(5) OVER (ORDER BY recency_days ASC, custkey ASC) AS t_r,
+             NTILE(5) OVER (ORDER BY n_orders DESC, custkey ASC) AS t_f,
+             NTILE(5) OVER (ORDER BY monetary_c DESC, custkey ASC) AS t_m
+      FROM c
+    )
+    SELECT custkey,
+           CAST(recency_days AS BIGINT) AS recency_days,
+           n_orders, monetary_c,
+           CAST(6 - t_r AS INT) AS r_score,
+           CAST(6 - t_f AS INT) AS f_score,
+           CAST(6 - t_m AS INT) AS m_score,
+           CAST(100 * (6 - t_r) + 10 * (6 - t_f) + (6 - t_m) AS INT)
+             AS rfm_code
+    FROM t
+    """,
+)
+def q250_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) quintile scoring — the
+    workhorse customer-segmentation model of every CRM: score 5 = most
+    recent / most frequent / highest spend, quintiles by exact ANSI
+    NTILE(5) with the custkey tie-break making each a total order.
+    This is the composition stress for relational.distributed_rank:
+    THREE chained ntile passes over the customer model, each two
+    balanced exchanges with its range-pinned cache alive until the one
+    terminal action (the capacity-8 registry contract — evict-on-next-
+    call would have broken exactly this plan). The oracle's NTILE
+    windows are single-partition only in DuckDB; the engine side never
+    funnels through one task. Recency is measured against the corpus's
+    own max order date (1-row broadcast), days as exact datediff
+    integers. Output is customer-dimension sized."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.relational import (
+        distributed_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    ref = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("_ref"))
+    c = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("_last"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            sum_cents(F.col("o_totalprice")).cast("bigint").alias("monetary_c"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "custkey",
+            F.datediff(F.col("_ref"), F.col("_last"))
+            .cast("bigint")
+            .alias("recency_days"),
+            "n_orders",
+            "monetary_c",
+        )
+    )
+    scored = c
+    for rank_name, tile, order in (
+        ("_rk_r", "t_r", [F.col("recency_days").asc(), F.col("custkey").asc()]),
+        ("_rk_f", "t_f", [F.col("n_orders").desc(), F.col("custkey").asc()]),
+        ("_rk_m", "t_m", [F.col("monetary_c").desc(), F.col("custkey").asc()]),
+    ):
+        scored = distributed_rank(
+            scored, order, rank_col=rank_name, ntile_col=tile, n_tiles=5
+        ).drop(rank_name)
+    return scored.select(
+        "custkey",
+        "recency_days",
+        "n_orders",
+        "monetary_c",
+        (F.lit(6) - F.col("t_r")).cast("int").alias("r_score"),
+        (F.lit(6) - F.col("t_f")).cast("int").alias("f_score"),
+        (F.lit(6) - F.col("t_m")).cast("int").alias("m_score"),
+        (
+            F.lit(100) * (F.lit(6) - F.col("t_r"))
+            + F.lit(10) * (F.lit(6) - F.col("t_f"))
+            + (F.lit(6) - F.col("t_m"))
+        )
+        .cast("int")
+        .alias("rfm_code"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------

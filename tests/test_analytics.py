@@ -542,3 +542,93 @@ def test_q246_hhi_bounds(spark):
         assert hhi >= 1000000 // n - n
         assert hhi >= (top * top) // 1000000
         assert top <= 1000000
+
+
+def test_q248_kaplan_meier_recomputes(spark):
+    """The KM life table recomputes exactly in pure-Python integer
+    arithmetic from the raw events: same cohort, same censoring rule
+    (last in-window activity), same e6 trunc-div recurrence."""
+    from spark_lakehouse_medallion_pipeline_spark.sources.io import read_events
+
+    ev = read_events(spark, SF).toPandas()
+    ns = lambda s: s.astype("int64")  # noqa: E731
+    t0 = (
+        ev[ev.event_type == "signup"].groupby("user_id")["ts"].min()
+    )
+    rows = []
+    for uid, u0 in t0.items():
+        mine = ev[(ev.user_id == uid) & (ns(ev.ts) >= int(ns(t0)[uid]))]
+        base = int(u0.value)
+        hours = (ns(mine.ts) - base) // 3_600_000_000_000
+        purch = hours[mine.event_type == "purchase"]
+        hp = int(purch.min()) if len(purch) else None
+        hw = int(hours[hours < 48].max())  # signup itself is at hour 0
+        if hp is not None and hp < 48:
+            rows.append((1, hp // 12))
+        else:
+            rows.append((0, hw // 12))
+    n = len(rows)
+    d = [sum(1 for e, b in rows if e and b == w) for w in range(4)]
+    c = [sum(1 for e, b in rows if not e and b == w) for w in range(4)]
+    got = {
+        r["bin_12h"]: r
+        for r in QUERIES["q248_kaplan_meier"](spark, SF).collect()
+    }
+    s_prev, exited = 1000000, 0
+    for w in range(4):
+        r_w = n - exited
+        s_w = s_prev * (r_w - d[w]) // max(r_w, 1)
+        g = got[w]
+        assert (g["n_at_risk"], g["n_events"], g["n_censored"]) == (
+            r_w,
+            d[w],
+            c[w],
+        ), f"bin {w}"
+        assert g["survival_e6"] == s_w, f"bin {w}"
+        s_prev, exited = s_w, exited + d[w] + c[w]
+
+
+def test_q249_mann_whitney_matches_numpy(spark):
+    """U statistic recomputes from numpy tie-averaged doubled ranks,
+    and the U_a + U_b = 2 * n_a * n_b identity holds."""
+    import numpy as np
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    val = (o["o_totalprice"] * 100).round().astype("int64").to_numpy()
+    a = (o["o_orderpriority"] == "1-URGENT").to_numpy()
+    order = np.argsort(val, kind="stable")
+    sv = val[order]
+    # doubled tie-averaged rank per position: first+last 1-based rank
+    # of the value's run
+    starts = np.r_[0, np.nonzero(np.diff(sv))[0] + 1]
+    ends = np.r_[starts[1:], len(sv)]
+    rx2 = np.empty(len(sv), dtype="int64")
+    for s_, e_ in zip(starts, ends):
+        rx2[s_:e_] = (s_ + 1) + e_  # (first + last) 1-based
+    r_a_x2 = int(rx2[a[order]].sum())
+    n_a, n = int(a.sum()), len(val)
+    row = QUERIES["q249_mann_whitney"](spark, SF).collect()[0]
+    assert row["n_urgent"] == n_a and row["n_other"] == n - n_a
+    assert row["rank_sum_urgent_x2"] == r_a_x2
+    assert row["u_urgent_x2"] == r_a_x2 - n_a * (n_a + 1)
+    assert row["u_urgent_x2"] + row["u_other_x2"] == 2 * n_a * (n - n_a)
+
+
+def test_q250_rfm_invariants(spark):
+    """Quintiles are ANSI-balanced (sizes differ by at most 1 per
+    dimension), every score is 1..5, and the code decomposes."""
+    rows = QUERIES["q250_rfm_scores"](spark, SF).collect()
+    assert rows
+    for dim in ("r_score", "f_score", "m_score"):
+        sizes = {}
+        for r in rows:
+            assert 1 <= r[dim] <= 5, dim
+            sizes[r[dim]] = sizes.get(r[dim], 0) + 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (dim, sizes)
+    for r in rows:
+        assert r["rfm_code"] == 100 * r["r_score"] + 10 * r["f_score"] + r["m_score"]
+    # score 5 on recency = the most recent quintile: its max recency is
+    # <= the min recency of score 1 (the stalest)
+    rec5 = max(r["recency_days"] for r in rows if r["r_score"] == 5)
+    rec1 = min(r["recency_days"] for r in rows if r["r_score"] == 1)
+    assert rec5 <= rec1

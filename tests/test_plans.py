@@ -640,3 +640,39 @@ def test_round9_families_plan_shapes(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window [" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round10_families_plan_shapes(spark):
+    """Plan-shape pins for the round-10 families — each assertion is
+    the property that keeps the query viable at 100 TB."""
+    # q247 schema drift: merged read -> ONE map-combined aggregate
+    df = QUERIES["q247_parquet_schema_drift"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert explain.count_exchanges(df) <= 1
+    assert "Window [" not in plan
+    # q248 KM: two user-keyed aggregates + the 1-row tally; the 4-bin
+    # spine is pure Column arithmetic (no join, no window)
+    df = QUERIES["q248_kaplan_meier"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert explain.count_exchanges(df) <= 3
+    assert "Window [" not in plan
+    assert "CartesianProduct" not in plan
+    # q249 Mann-Whitney: value-domain aggregate + distributed_rank's two
+    # balanced exchanges (+ its broadcast offsets) + 1-row reduce; the
+    # only WindowExec is the rank's PARTITIONED local pass — never the
+    # single-partition global form
+    # q250 RFM: three chained rank passes, each range + pid-hash +
+    # broadcast-offset exchanges over the customer model — all balanced
+    for name, budget in (
+        ("q249_mann_whitney", 6),
+        ("q250_rfm_scores", 16),
+    ):
+        df = QUERIES[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert explain.count_exchanges(df) <= budget, name
+        bad = [
+            ln.strip()[:160]
+            for ln in plan.splitlines()
+            if "Window [" in ln and ln.count("], [") == 1
+        ]
+        assert not bad, f"{name} has a global WindowExec: {bad}"

@@ -414,3 +414,27 @@ def test_sf01_gate_artifact_matches_registry():
     assert n_rows_only == len(QUERIES) - len(ORACLE)
     assert summary["n_pass"] == len(ORACLE)
     assert summary["sf_dir"].endswith("sf0.1")
+
+
+def test_q247_schema_drift_taxonomy(spark, tmp_path):
+    """The parquet drift taxonomy q247's docstring documents: added /
+    dropped columns MERGE cleanly (exercised by the query itself), a
+    TYPE change of the same column across files fails the schema merge
+    loudly, and a fixed-schema read of a drifted directory silently
+    null-fills the missing column (why curated zones pin schemas)."""
+    import pytest as _pytest
+
+    p1, p2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    spark.createDataFrame([(1, 10)], "doc_id bigint, n_chars bigint").write.parquet(p1)
+    spark.createDataFrame(
+        [("x", 20)], "doc_id string, n_chars bigint"
+    ).write.parquet(p2)
+    with _pytest.raises(Exception, match="[Ff]ailed.*merg|merg.*fail|incompatible"):
+        spark.read.option("mergeSchema", "true").parquet(p1, p2).collect()
+    # fixed-schema read: files lacking quality_e6 null-fill, no error
+    rows = (
+        spark.read.schema("doc_id bigint, n_chars bigint, quality_e6 bigint")
+        .parquet(p1)
+        .collect()
+    )
+    assert rows[0]["quality_e6"] is None
