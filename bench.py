@@ -183,6 +183,9 @@ HEADLINE = [
     "q248_kaplan_meier",
     "q249_mann_whitney",
     "q250_rfm_scores",
+    "q251_spearman_rank_corr",
+    "q252_partition_pruned_read",
+    "q253_zipf_rank_frequency",
     "medallion_gold_kpis",
 ]
 

@@ -13267,6 +13267,245 @@ def q250_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q251_spearman_rank_corr",
+    f"""
+    WITH c AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(SUM({SC("o_totalprice")}) AS BIGINT) AS y
+      FROM orders GROUP BY o_custkey
+    ),
+    tx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY x),
+    cx AS (SELECT x, CAST(2 * (SUM(cnt) OVER (ORDER BY x
+                                              ROWS UNBOUNDED PRECEDING)
+                              - cnt) + cnt + 1 AS BIGINT) AS rx
+           FROM tx),
+    ty AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY y),
+    cy AS (SELECT y, CAST(2 * (SUM(cnt) OVER (ORDER BY y
+                                              ROWS UNBOUNDED PRECEDING)
+                              - cnt) + cnt + 1 AS BIGINT) AS ry
+           FROM ty),
+    r AS (SELECT cx.rx, cy.ry FROM c
+          JOIN cx ON cx.x = c.x JOIN cy ON cy.y = c.y),
+    m AS (SELECT COUNT(*) AS n, SUM(rx) AS sx, SUM(ry) AS sy,
+                 SUM(rx*rx) AS sxx, SUM(ry*ry) AS syy,
+                 SUM(rx*ry) AS sxy
+          FROM r)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(FLOOR(CAST(n*sxy - sx*sy AS DOUBLE)
+                      / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                         * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+                      * 1000000.0 + 0.5) AS BIGINT) AS spearman_e6
+    FROM m
+    """,
+)
+def q251_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between a customer's order count and
+    total spend — the robust monotone-association measure analysts
+    reach for when Pearson (q214/q223) is distorted by heavy tails:
+    Pearson applied to TIE-AVERAGED ranks. Exactness end to end: a
+    tie-averaged rank is (2*cnt_lt + cnt_eq + 1)/2, a half-integer, so
+    ranks are carried DOUBLED (the q249 convention) and every sum of
+    rank products is an exact integer (decimal(38,0) / HUGEINT at the
+    aggregate — rx*ry <= 4n^2 per row); rho is assembled from those
+    exact integers with one correctly-rounded double cast per factor,
+    IEEE sqrt, and round-half-up e6 (the q214 idiom, bit-identical on
+    both engines). Each variable's cnt_lt prefix comes from
+    relational.distributed_rank's cumsum over that variable's VALUE
+    domain — two independent rank passes composed in one plan (the
+    capacity-8 cache registry at work), joined back on value, then ONE
+    map-combined 6-sum aggregate. No single-partition stage anywhere;
+    the oracle's running sums are DuckDB windows."""
+    import math as _math
+
+    from spark_lakehouse_medallion_pipeline_spark.operators.relational import (
+        distributed_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        sum_cents(F.col("o_totalprice")).cast("bigint").alias("y"),
+    )
+
+    def ranks_x2(var: str, out: str) -> DataFrame:
+        t = c.groupBy(var).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        rk = distributed_rank(
+            t,
+            [F.col(var).asc()],
+            rank_col="_r",
+            value_col="cnt",
+            cumsum_col="_cum",
+        )
+        return rk.select(
+            var,
+            (
+                F.lit(2) * (F.col("_cum") - F.col("cnt")) + F.col("cnt") + 1
+            ).alias(out),
+        )
+
+    r = c.join(ranks_x2("x", "rx"), "x").join(ranks_x2("y", "ry"), "y")
+    row = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rx").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("ry").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("rx") * F.col("rx")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("ry") * F.col("ry")).cast("decimal(38,0)")).alias("syy"),
+        F.sum((F.col("rx") * F.col("ry")).cast("decimal(38,0)")).alias("sxy"),
+    ).collect()[0]
+    n = int(row["n"])
+    sx, sy = int(row["sx"]), int(row["sy"])
+    sxx, syy, sxy = int(row["sxx"]), int(row["syy"]), int(row["sxy"])
+    num = n * sxy - sx * sy
+    va, vb = n * sxx - sx * sx, n * syy - sy * sy
+    rho_e6 = _math.floor(
+        float(num) / (_math.sqrt(float(va)) * _math.sqrt(float(vb)))
+        * 1000000.0
+        + 0.5
+    )
+    return spark.createDataFrame(
+        [(n, rho_e6)], "n_customers bigint, spearman_e6 bigint"
+    )
+
+
+@_q(
+    "q252_partition_pruned_read",
+    f"""
+    WITH lo AS (SELECT strftime(MIN(CAST(o_orderdate AS DATE)), '%Y-%m')
+                AS mon FROM orders)
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM({SC("o_totalprice")}) AS BIGINT) AS revenue_c
+    FROM orders, lo
+    WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m') = lo.mon
+    GROUP BY CAST(o_orderdate AS DATE)
+    """,
+)
+def q252_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition pruning end to end — THE mechanism that
+    makes a 100 TB table queryable in seconds (a month filter on a
+    month-partitioned lake reads 1/84th of the files; without pruning
+    it scans everything): orders is written out partitioned by order
+    month (``partitionBy`` directory layout), re-read with an equality
+    filter on the partition column, and the daily revenue rollup runs
+    over the single surviving partition. The filter is resolved from a
+    1-row MIN(o_orderdate) aggregate (bounded driver collect — a
+    literal, data-derived, so both engines agree at any SF). The plan
+    pin in test_plans asserts the scan carries the month in
+    PartitionFilters (directory-level pruning, zero data files from
+    other months touched) — not as a post-scan Filter. Scale shape:
+    one partitioned write, a footer+directory-pruned read, one
+    day-keyed map-combined aggregate."""
+    import os
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    app = spark.sparkContext.applicationId
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_q252_part_{tag}_{app}"
+    )
+    (
+        o.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            cents(F.col("o_totalprice")).alias("price_c"),
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias(
+                "mon"
+            ),
+        )
+        .write.mode("overwrite")
+        .partitionBy("mon")
+        .parquet(path)
+    )
+    lo = o.agg(
+        F.date_format(
+            F.min(F.col("o_orderdate").cast("date")), "yyyy-MM"
+        ).alias("mon")
+    ).collect()[0]["mon"]
+    part = spark.read.parquet(path).filter(F.col("mon") == lo)
+    return part.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("price_c").cast("bigint").alias("revenue_c"),
+    )
+
+
+@_q(
+    "q253_zipf_rank_frequency",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex({_NORM_SQL}, '\\s+')) AS token
+      FROM documents
+    ),
+    f AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM toks GROUP BY token),
+    r AS (SELECT token, freq,
+                 CAST(row_number() OVER (ORDER BY freq DESC, token ASC)
+                      AS BIGINT) AS rank
+          FROM f),
+    m AS (SELECT CAST(quantile_cont(2 * rank * freq, 0.5) AS BIGINT)
+                 AS med_x2 FROM r)
+    SELECT token, rank, freq,
+           CAST(rank * freq AS BIGINT) AS rank_freq,
+           CAST((1000000 * abs(2 * rank * freq - med_x2)) // med_x2
+                AS BIGINT) AS zipf_dev_e6
+    FROM r CROSS JOIN m
+    """,
+)
+def q253_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law conformity audit of the corpus vocabulary — the
+    rank-frequency diagnostic LLM-corpus curation runs to spot
+    template spam and boilerplate (a natural corpus has rank*freq
+    roughly constant; a synthetic or templated one doesn't, and THIS
+    corpus's 31-token shared vocabulary is exactly such a flat-ish
+    distribution — the audit's numbers say so): per token its global
+    frequency, its frequency rank (relational.distributed_rank over
+    the vocabulary — the corpus collapses to vocabulary size at the
+    first groupBy, the BPE-family scale shape), the exact rank*freq
+    product, and its deviation from the corpus's MEDIAN rank*freq as
+    an exact e6 integer. The median is dyadic-exact (doubled products
+    keep the even-n midpoint an integer — the q240 discipline) from a
+    1-row percentile broadcast. Everything integer; no floats, no ln
+    (a log-log slope would drag libm in — the product-deviation form
+    is the exact-arithmetic equivalent test). Plan: token groupBy,
+    two balanced rank exchanges over 31 rows, 1-row median broadcast."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.relational import (
+        distributed_rank,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.split(
+                F.regexp_replace(
+                    F.lower(F.trim(F.col("text"))), r"\s+", " "
+                ),
+                " ",
+            )
+        ).alias("token")
+    )
+    f = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    r = distributed_rank(
+        f, [F.col("freq").desc(), F.col("token").asc()], rank_col="rank"
+    )
+    m = r.agg(
+        F.expr("CAST(percentile(2 * rank * freq, 0.5) AS BIGINT)").alias(
+            "med_x2"
+        )
+    )
+    return r.crossJoin(F.broadcast(m)).select(
+        "token",
+        F.col("rank").cast("bigint").alias("rank"),
+        "freq",
+        (F.col("rank") * F.col("freq")).cast("bigint").alias("rank_freq"),
+        F.expr(
+            "CAST((1000000 * abs(2 * rank * freq - med_x2)) div med_x2"
+            " AS BIGINT)"
+        ).alias("zipf_dev_e6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------

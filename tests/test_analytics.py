@@ -632,3 +632,69 @@ def test_q250_rfm_invariants(spark):
     rec5 = max(r["recency_days"] for r in rows if r["r_score"] == 5)
     rec1 = min(r["recency_days"] for r in rows if r["r_score"] == 1)
     assert rec5 <= rec1
+
+
+def test_q251_spearman_matches_numpy(spark):
+    """Spearman recomputes from numpy tie-averaged doubled ranks +
+    exact-int Pearson with the same float assembly."""
+    import math
+
+    import numpy as np
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    g = o.groupby("o_custkey").agg(
+        x=("o_orderkey", "size"), y=("o_totalprice", "sum")
+    )
+    y = (g["y"] * 100).round().astype("int64").to_numpy()
+    x = g["x"].to_numpy()
+
+    def rx2(v):
+        order = np.argsort(v, kind="stable")
+        sv = v[order]
+        starts = np.r_[0, np.nonzero(np.diff(sv))[0] + 1]
+        ends = np.r_[starts[1:], len(sv)]
+        out = np.empty(len(sv), dtype="int64")
+        for s_, e_ in zip(starts, ends):
+            out[s_:e_] = (s_ + 1) + e_
+        inv = np.empty(len(sv), dtype="int64")
+        inv[order] = out
+        return inv
+
+    rx, ry = rx2(x), rx2(y)
+    n = len(rx)
+    sx, sy = int(rx.sum()), int(ry.sum())
+    sxx = int((rx.astype(object) * rx).sum())
+    syy = int((ry.astype(object) * ry).sum())
+    sxy = int((rx.astype(object) * ry).sum())
+    num = n * sxy - sx * sy
+    va, vb = n * sxx - sx * sx, n * syy - sy * sy
+    want = math.floor(
+        float(num) / (math.sqrt(float(va)) * math.sqrt(float(vb)))
+        * 1000000.0
+        + 0.5
+    )
+    row = QUERIES["q251_spearman_rank_corr"](spark, SF).collect()[0]
+    assert row["n_customers"] == n
+    assert row["spearman_e6"] == want
+    assert -1000000 <= row["spearman_e6"] <= 1000000
+
+
+def test_q253_zipf_invariants(spark):
+    """Ranks are a contiguous 1..V permutation ordered by frequency,
+    products are exact, and the median element has zero deviation when
+    V is odd."""
+    rows = sorted(
+        QUERIES["q253_zipf_rank_frequency"](spark, SF).collect(),
+        key=lambda r: r["rank"],
+    )
+    v = len(rows)
+    assert [r["rank"] for r in rows] == list(range(1, v + 1))
+    freqs = [r["freq"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    for r in rows:
+        assert r["rank_freq"] == r["rank"] * r["freq"]
+        assert r["zipf_dev_e6"] >= 0
+    if v % 2 == 1:
+        med_rf = sorted(r["rank_freq"] for r in rows)[v // 2]
+        zero_devs = [r for r in rows if r["zipf_dev_e6"] == 0]
+        assert any(r["rank_freq"] == med_rf for r in zero_devs)

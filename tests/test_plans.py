@@ -676,3 +676,33 @@ def test_round10_families_plan_shapes(spark):
             if "Window [" in ln and ln.count("], [") == 1
         ]
         assert not bad, f"{name} has a global WindowExec: {bad}"
+
+
+def test_round10_late_families_plan_shapes(spark):
+    """q251-q253 plan pins."""
+    import re
+
+    # q252 partition pruning: the month equality must reach the scan as
+    # a PartitionFilter (directory-level pruning), NOT a post-scan
+    # Filter; one exchange (the day rollup)
+    df = QUERIES["q252_partition_pruned_read"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert explain.count_exchanges(df) <= 1
+    pf = re.search(r"PartitionFilters: \[[^\]]*\bmon\b[^\]]*=[^\]]*\]", plan)
+    assert pf, "month filter did not reach PartitionFilters"
+    # q253 zipf: vocabulary-sized rank (two balanced exchanges + the
+    # token groupBy + 1-row median broadcast), no global window
+    df = QUERIES["q253_zipf_rank_frequency"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert explain.count_exchanges(df) <= 7
+    bad = [
+        ln.strip()[:160]
+        for ln in plan.splitlines()
+        if "Window [" in ln and ln.count("], [") == 1
+    ]
+    assert not bad, f"q253 has a global WindowExec: {bad}"
+    # q251 spearman: the returned relation is the 1-row driver-side
+    # model (the q214 Gram precedent) — the distributed work is the
+    # rank passes + ONE 6-sum aggregate inside the function
+    df = QUERIES["q251_spearman_rank_corr"](spark, SF)
+    assert df.count() == 1
