@@ -854,6 +854,16 @@ def build_compact_line(out: dict) -> str:
     # all 14 scale ratios over ONE char. 1950 + newline still clears
     # the capture window with room.
     if len(line) > 1950:
+        # step 4 (r10, VERDICT r9 Next #6): integer-second timings
+        # BEFORE sacrificing the scale ratios — the ratios are
+        # per-round 100TB evidence, sub-second per-query precision
+        # lives in the full record. ~2 chars per entry reclaimed.
+        compact["queries"] = {
+            k: int(round(v)) for k, v in queries_map(0, bare=True).items()
+        }
+        compact["note"] = "m2 int;f=FULL"
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1950:
         compact["variance"] = {
             k: compact_variance[k] for k in ("run1", "run2", "spread_pct")
         }
