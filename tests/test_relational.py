@@ -439,7 +439,16 @@ def test_distributed_rank_cache_returns_to_baseline(spark):
     calls), and release_rank_caches() drops the rest, so
     getPersistentRDDs() returns to its pre-call size."""
     relational.release_rank_caches()
-    baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    # Track OUR RDD ids, not the global count: the ContextCleaner
+    # asynchronously drops other tests' GC'd caches, so a global
+    # baseline is unstable inside a shared session.
+    def pinned_ids():
+        return set(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        )
+
+    before = pinned_ids()
     df = spark.createDataFrame(
         [(i % 7, 100 - i, i) for i in range(37)], "g int, v int, id int"
     )
@@ -454,11 +463,8 @@ def test_distributed_rank_cache_returns_to_baseline(spark):
             rank_col=f"r{k}",
             num_partitions=2 + k,
         ).collect()
-    assert (
-        spark.sparkContext._jsc.getPersistentRDDs().size()
-        == baseline + relational._RANK_CACHE_CAP
-    )
+    assert len(pinned_ids() - before) == relational._RANK_CACHE_CAP
     relational.release_rank_caches()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == baseline
+    assert not (pinned_ids() - before)
     relational.release_rank_caches()  # idempotent
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == baseline
+    assert not (pinned_ids() - before)
