@@ -186,6 +186,7 @@ HEADLINE = [
     "q251_spearman_rank_corr",
     "q252_partition_pruned_read",
     "q253_zipf_rank_frequency",
+    "q254_snapshot_time_travel",
     "medallion_gold_kpis",
 ]
 

@@ -13506,6 +13506,83 @@ def q253_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q254_snapshot_time_travel",
+    """
+    WITH v1 AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 0),
+    cur AS (
+      SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 1
+      UNION ALL
+      SELECT doc_id, n_chars + 1000 FROM documents WHERE doc_id % 6 = 0
+      UNION ALL
+      SELECT doc_id, n_chars FROM documents
+      WHERE doc_id % 3 = 0 AND doc_id % 6 <> 0
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v1) AS n_v1,
+           (SELECT CAST(SUM(n_chars) AS BIGINT) FROM v1) AS sum_v1_nchars,
+           (SELECT CAST(SUM(doc_id) AS BIGINT) FROM v1) AS sum_v1_doc_id,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cur) AS n_current,
+           (SELECT CAST(SUM(n_chars) AS BIGINT) FROM cur)
+             AS sum_current_nchars,
+           (SELECT CAST(SUM(doc_id) AS BIGINT) FROM cur)
+             AS sum_current_doc_id
+    """,
+)
+def q254_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-table time travel end to end — the warehouse-maintenance
+    family's first VALUE-ORACLED battery row (write_snapshot /
+    merge_upsert_snapshot / read_snapshot previously had pytest-only
+    evidence): commit v1 (every doc_id % 3 = 0), then a MERGE commit
+    that both INSERTS the % 3 = 1 slice and UPDATES the % 6 = 0 rows
+    (n_chars + 1000), then read BOTH versions — v1 via time travel must
+    be byte-stable after the second commit (the reader-isolation
+    guarantee the atomic manifest flip provides), and current must
+    reflect exactly the merge semantics (updates replace, inserts
+    append, untouched rows survive). The audit row carries counts and
+    checksums of both versions, all derivable from the source parquet,
+    so the oracle proves the whole commit/merge/travel path. Scale
+    shape: two snapshot commits (distributed writes + one left-anti
+    merge join), two footer-pruned reads, two 1-row aggregates."""
+    import os
+    import shutil
+    import tempfile
+
+    from spark_lakehouse_medallion_pipeline_spark.sources.io import (
+        merge_upsert_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    app = spark.sparkContext.applicationId
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_q254_snap_{tag}_{app}"
+    )
+    # fresh table per call: write_snapshot always appends a version, and
+    # this query's contract is exactly two commits
+    shutil.rmtree(path, ignore_errors=True)
+    v1 = docs.filter(F.col("doc_id") % 3 == 0)
+    assert write_snapshot(spark, v1, path) == 1
+    updates = docs.filter(F.col("doc_id") % 3 == 1).unionByName(
+        docs.filter(F.col("doc_id") % 6 == 0).select(
+            "doc_id", (F.col("n_chars") + 1000).cast("bigint").alias("n_chars")
+        )
+    )
+    assert merge_upsert_snapshot(spark, updates, path, ["doc_id"]) == 2
+    a1 = read_snapshot(spark, path, version=1).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_v1"),
+        F.sum("n_chars").cast("bigint").alias("sum_v1_nchars"),
+        F.sum("doc_id").cast("bigint").alias("sum_v1_doc_id"),
+    )
+    a2 = read_snapshot(spark, path).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_current"),
+        F.sum("n_chars").cast("bigint").alias("sum_current_nchars"),
+        F.sum("doc_id").cast("bigint").alias("sum_current_doc_id"),
+    )
+    return a1.crossJoin(F.broadcast(a2))
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
@@ -13628,6 +13705,11 @@ def q253_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in-head reps, each annotated inline): q196/q224/q218/q135/q194/q197/
 # q149/q222/q219/q210, all r8-born and green r08+r09, all staying
 # value-oracled in the full gate.
+# Late round 10: four of the eight round-10-born families take
+# birth-round rows (the q236 precedent): q247 schema drift (for q216),
+# q248 Kaplan-Meier (for q211), q250 RFM (for q220), q252 partition
+# pruning (for q203) — 14 rotations total this round; q249/q251/q253/
+# q254 are the r11 never-recorded backlog.
 
 _DRIVER_SNAPSHOT_50 = [
     # reference surface: aggregates, scalars, datetime, medallion KPIs
@@ -13640,13 +13722,13 @@ _DRIVER_SNAPSHOT_50 = [
     "q221_funnel_latency",  # r9: funnel-stage latency quartiles, birth-round row (q192 BFS green r07+r08; graph keeps q67 connected components in the head and q192/q188/q126 stay value-oracled in the full gate)
     "q245_cusum_changepoint",  # r10: int64 cross-multiplied CUSUM changepoint with its prefix sum from distributed_rank, birth-round row (q224 rolling z-score green r08+r09; the anomaly family keeps this entry + q229 EWMA and X10 frames keep q207, with q224 value-oracled in the full gate)
     "q205_join_skew_profile",  # r8 late: skew diagnosis, birth-round row (q133 salted join green r04-r07; the salting operator keeps pytest cover in test_salted_join_matches_plain and q205 is its diagnosis half)
-    "q203_equidepth_histogram",  # r8 late: equi-depth boundaries, birth-round row (q145 exact bitmaps green r04-r07; X13 keeps q193/q194/q190/q170)
-    "q211_weighted_median",  # r8 late: weighted robust stats, birth-round row (q170 rolling median green r05-r07; X10 frames keep q129 in the head and q170/q190 stay value-oracled in the full gate)
+    "q252_partition_pruned_read",  # r10 late: Hive-style partition pruning pinned at the scan (PartitionFilters plan test), birth-round row (q203 equi-depth green r08+r09; X13 keeps q213/q214 + q240's percentile machinery in the head and q203 stays value-oracled in the full gate)
+    "q248_kaplan_meier",  # r10 late: Kaplan-Meier product-limit curve with genuine mid-study censoring, birth-round row (q211 weighted median green r08+r09; the robust-stats family keeps q240 MAD + q233 Tukey in the head and q211 stays value-oracled in the full gate)
     "q226_mom_revenue_growth",  # r9: MoM growth with trunc-div-safe negative months, birth-round row (q129 SCD2 green r07+r08; the temporal family keeps q207/q224 window frames in the head and q129/q128/q130 stay value-oracled in the full gate)
     "q209_incremental_near_dup_portable",  # r8 late: incremental-ingest family's first possible driver row (q48 interval join green r04-r07; X6 theta/range keeps q150 as-of tolerance)
     # grouping extensions
     "q228_curation_verdict",  # r9: curation capstone with auditable pass mask, birth-round row (q176 real-PNG codec green r05-r08 = the verdict's own displacement pool; multimodal keeps q200 JPEG in the head and q176 stays value-oracled in the full gate)
-    "q220_demand_variability",  # r8 late: XYZ forecastability classes (distributed exact-int CV), birth-round row (q190 trimmed mean green r05-r07; robust stats keeps q170 in the head and q190/q211 stay value-oracled in the full gate)
+    "q250_rfm_scores",  # r10 late: RFM quintile scoring via three composed distributed_rank NTILE passes (the rank operator's composition case), birth-round row (q220 demand variability green r08+r09; X14 time windows keep q221 funnel + q207 in the head, q234 shares q220's XYZ machinery, and q220 stays value-oracled in the full gate)
     # windows
     "q215_gini_spend",  # r9: Gini concentration index, birth-round row (q189 RRF fusion green r05-r08 = the verdict's own displacement pool; rank-eval keeps q212/q196 in the head and q189 stays value-oracled in the full gate)
     "q243_position_attribution",  # r10: U-shaped 40/20/40 attribution with exact 1e6-credit conservation, birth-round row (q218 last-touch green r08+r09 — this is its direct multi-touch upgrade; X9 analytic keeps q226 MoM lag in the head and q218 stays value-oracled in the full gate)
@@ -13691,7 +13773,7 @@ _DRIVER_SNAPSHOT_50 = [
     # round-3 families: connectors, warehouse maintenance, quality contracts
     "q231_csv_roundtrip",  # r9: CSV source/sink byte-lossless round trip, the first I/O-format driver row (q124 python datasource green r03-r08; X16 keeps q125 cogroup in the head and q124 stays value-oracled in the full gate)
     "q232_jsonl_roundtrip",  # r9: JSONL source/sink round trip, the crawl-dump interchange format (q193 ANALYZE column stats green r07+r08; the ANALYZE kit keeps q194/q203/q205/q206/q213/q216 in the head and q193 stays value-oracled in the full gate)
-    "q216_encoding_advisor",  # r8 late: write-path encoding advisor, birth-round row (q128 CDC green r03-r07; the temporal family keeps q129 SCD2 in the head and q128 stays value-oracled in the full gate)
+    "q247_parquet_schema_drift",  # r10 late: parquet schema-drift ingest contract (mergeSchema union; type-change + fixed-schema arms pinned in pytest), completing the quarantine trio with q236/q237, birth-round row (q216 encoding advisor green r08+r09; the write-path/ANALYZE family keeps q206 + q213 in the head and q216 stays value-oracled in the full gate)
     "q206_functional_dependency_audit",  # r8 late: FD profiling, birth-round row (q127 quality contracts green r03-r07; quality family keeps q128 CDC + the ANALYZE kit q193/q194)
 ]
 
