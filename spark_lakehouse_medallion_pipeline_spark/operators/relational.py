@@ -271,6 +271,8 @@ def distributed_rank(
     rank_col: str = "rank",
     value_col: str | None = None,
     cumsum_col: str | None = None,
+    cumsum_cols: dict[str, str] | None = None,
+    cummax_cols: dict[str, str] | None = None,
     ntile_col: str | None = None,
     n_tiles: int = 10,
     num_partitions: int | None = None,
@@ -304,7 +306,24 @@ def distributed_rank(
     exchange on the bucket id for the window — each balanced by the
     range sampler), zero single-partition stages. value_col, when
     given, must be int64-safe under global summation (cents
-    convention)."""
+    convention).
+
+    cumsum_cols maps ADDITIONAL value columns to their output prefix-sum
+    names ({value col -> cumsum col}); all of them share the same two
+    passes and the same one-row-per-partition stats collect, so a
+    multi-ECDF statistic (Kolmogorov-Smirnov needs both samples'
+    cumulative counts at every value) costs no more than a single
+    prefix sum. Same int64-safety contract per column.
+
+    cummax_cols maps value columns to EXCLUSIVE prefix-max outputs —
+    ANSI `MAX(x) OVER (ORDER BY ... ROWS BETWEEN UNBOUNDED PRECEDING
+    AND 1 PRECEDING)` (NULL on the globally first row). Exclusive, not
+    inclusive, because that is the dominance test a 2-D Pareto skyline
+    needs (is anything strictly earlier in the order already at least
+    this good?) and the inclusive form is recoverable by the caller
+    (greatest(premax, x)) while the reverse is not. Same two passes:
+    the per-partition stats row carries each column's partition max,
+    prior-partition maxima fold in via null-skipping greatest()."""
     spark = df.sparkSession
     n_part = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
@@ -322,39 +341,80 @@ def distributed_rank(
         pid, F.spark_partition_id()
     ).persist()
     _LIVE_RANK_CACHE.append(ranged)
+    # Normalize the one-pair sugar (value_col/cumsum_col) and the
+    # multi-pair form (cumsum_cols: {value col -> output col}) into one
+    # list of (value col, output col); every pair rides the SAME two
+    # passes — a k-statistic rank (e.g. the KS test's two ECDFs) costs
+    # exactly what a 1-statistic rank costs.
+    if cumsum_col is not None and value_col is None:
+        raise ValueError("cumsum_col requires value_col")
+    pairs: list[tuple[str, str]] = []
+    if cumsum_col is not None:
+        pairs.append((value_col, cumsum_col))
+    if cumsum_cols:
+        pairs.extend(cumsum_cols.items())
+    mpairs: list[tuple[str, str]] = list(cummax_cols.items()) if cummax_cols else []
     aggs = [F.count(F.lit(1)).alias("_cnt")]
-    if value_col is not None:
-        aggs.append(F.sum(value_col).cast("bigint").alias("_vsum"))
+    for i, (vc, _) in enumerate(pairs):
+        aggs.append(F.sum(vc).cast("bigint").alias(f"_vsum{i}"))
+    for i, (vc, _) in enumerate(mpairs):
+        aggs.append(F.max(vc).cast("bigint").alias(f"_vmax{i}"))
     # Bounded collect: one row per range bucket (a model, not data).
     stats = sorted(ranged.groupBy(pid).agg(*aggs).collect(), key=lambda r: r[pid])
-    offsets, r_off, v_off, n_total = [], 0, 0, 0
+    offsets, r_off, n_total = [], 0, 0
+    v_off = [0] * len(pairs)
+    m_off: list[int | None] = [None] * len(mpairs)
     for row in stats:
-        offsets.append((row[pid], r_off, v_off))
+        offsets.append((row[pid], r_off, *v_off, *m_off))
         r_off += row["_cnt"]
         n_total = r_off
-        if value_col is not None:
-            v_off += int(row["_vsum"] or 0)
+        for i in range(len(pairs)):
+            v_off[i] += int(row[f"_vsum{i}"] or 0)
+        for i in range(len(mpairs)):
+            pmax = row[f"_vmax{i}"]
+            if pmax is not None:
+                pmax = int(pmax)
+                m_off[i] = pmax if m_off[i] is None else max(m_off[i], pmax)
+    v_schema = "".join(f", _voff{i} long" for i in range(len(pairs)))
+    m_schema = "".join(f", _moff{i} long" for i in range(len(mpairs)))
     off_df = spark.createDataFrame(
-        offsets or [(0, 0, 0)], schema=f"{pid} int, _roff long, _voff long"
+        offsets or [(0, 0, *([0] * len(pairs)), *([None] * len(mpairs)))],
+        schema=f"{pid} int, _roff long{v_schema}{m_schema}",
     )
     if not offsets:
         off_df = off_df.limit(0)
     w = Window.partitionBy(pid).orderBy(*order_cols)
     out = ranged.withColumn("_lrank", F.row_number().over(w).cast("long"))
-    if cumsum_col is not None:
-        if value_col is None:
-            raise ValueError("cumsum_col requires value_col")
+    for i, (vc, _) in enumerate(pairs):
         out = out.withColumn(
-            "_lsum",
-            F.sum(value_col)
+            f"_lsum{i}",
+            F.sum(vc)
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+    for i, (vc, _) in enumerate(mpairs):
+        # EXCLUSIVE local running max (empty frame on each partition's
+        # first row -> NULL, exactly the ANSI 1-PRECEDING frame)
+        out = out.withColumn(
+            f"_lmax{i}",
+            F.max(vc)
+            .over(w.rowsBetween(Window.unboundedPreceding, -1))
             .cast("long"),
         )
     out = out.join(F.broadcast(off_df), pid).withColumn(
         rank_col, (F.col("_lrank") + F.col("_roff")).cast("long")
     )
-    if cumsum_col is not None:
-        out = out.withColumn(cumsum_col, (F.col("_lsum") + F.col("_voff")).cast("long"))
+    for i, (_, oc) in enumerate(pairs):
+        out = out.withColumn(
+            oc, (F.col(f"_lsum{i}") + F.col(f"_voff{i}")).cast("long")
+        )
+    for i, (_, oc) in enumerate(mpairs):
+        # greatest() skips NULLs (NULL only when both sides are NULL =
+        # the globally first row), folding prior partitions' maxima in
+        out = out.withColumn(
+            oc,
+            F.greatest(F.col(f"_lmax{i}"), F.col(f"_moff{i}")).cast("long"),
+        )
     if ntile_col is not None:
         # ANSI NTILE(n) from the global rank and the (already known)
         # total count: base rows per tile with the remainder spread
@@ -374,7 +434,10 @@ def distributed_rank(
                 F.lit(rem) + F.expr(f"({rank_col} - {cut} - 1) div {base}") + 1
             )
         out = out.withColumn(ntile_col, tile.cast("int"))
-    return out.drop(pid, "_lrank", "_lsum", "_roff", "_voff")
+    scratch = [
+        c for i in range(len(pairs)) for c in (f"_lsum{i}", f"_voff{i}")
+    ] + [c for i in range(len(mpairs)) for c in (f"_lmax{i}", f"_moff{i}")]
+    return out.drop(pid, "_lrank", "_roff", *scratch)
 
 
 def top_k_ranked(

@@ -386,6 +386,84 @@ def test_distributed_rank_matches_ansi_row_number(spark):
     assert not _global_window_lines(got)
 
 
+def test_distributed_rank_multi_cumsum_matches_ansi(spark):
+    """cumsum_cols: several prefix sums share one two-pass rank — the
+    KS-test shape (both samples' ECDF counts at every value) must match
+    the ANSI running sums exactly, including across range-partition
+    boundaries."""
+    from pyspark.sql import Window
+
+    rows = [(100 - i, i % 3, (i * i) % 11, i) for i in range(41)]
+    df = spark.createDataFrame(rows, "v int, a int, b int, id int").repartition(7)
+    got = relational.distributed_rank(
+        df,
+        [F.col("v").asc(), F.col("id").asc()],
+        rank_col="r",
+        value_col="a",
+        cumsum_col="cum_a",
+        cumsum_cols={"b": "cum_b", "id": "cum_id"},
+        num_partitions=5,
+    )
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.select(
+        "id",
+        F.sum("a").over(w).cast("long").alias("cum_a"),
+        F.sum("b").over(w).cast("long").alias("cum_b"),
+        F.sum("id").over(w).cast("long").alias("cum_id"),
+    )
+    g = {x["id"]: (x["cum_a"], x["cum_b"], x["cum_id"]) for x in got.collect()}
+    e = {x["id"]: (x["cum_a"], x["cum_b"], x["cum_id"]) for x in want.collect()}
+    assert g == e
+    assert not _global_window_lines(got)
+    # no scratch columns leak into the output schema
+    assert not [c for c in got.columns if c.startswith("_")]
+
+
+def test_distributed_rank_exclusive_cummax_matches_ansi(spark):
+    """cummax_cols: the exclusive prefix max must equal ANSI
+    MAX(x) OVER (ORDER BY ... ROWS BETWEEN UNBOUNDED PRECEDING AND
+    1 PRECEDING) — NULL on the first row, cross-partition maxima
+    folded in, and composable with cumsum in the same call."""
+    from pyspark.sql import Window
+
+    rows = [((i * 13) % 29, (i * 7) % 17, i) for i in range(43)]
+    df = spark.createDataFrame(rows, "v int, s int, id int").repartition(6)
+    got = relational.distributed_rank(
+        df,
+        [F.col("v").asc(), F.col("id").asc()],
+        rank_col="r",
+        value_col="s",
+        cumsum_col="cum_s",
+        cummax_cols={"s": "premax_s", "id": "premax_id"},
+        num_partitions=5,
+    )
+    wo = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    want = df.select(
+        "id",
+        F.sum("s")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cum_s"),
+        F.max("s")
+        .over(wo.rowsBetween(Window.unboundedPreceding, -1))
+        .cast("long")
+        .alias("premax_s"),
+        F.max("id")
+        .over(wo.rowsBetween(Window.unboundedPreceding, -1))
+        .cast("long")
+        .alias("premax_id"),
+    )
+    g = {x["id"]: (x["cum_s"], x["premax_s"], x["premax_id"]) for x in got.collect()}
+    e = {x["id"]: (x["cum_s"], x["premax_s"], x["premax_id"]) for x in want.collect()}
+    assert g == e
+    # exactly one NULL premax: the globally first row
+    assert sum(1 for v in g.values() if v[1] is None) == 1
+    assert not _global_window_lines(got)
+    assert not [c for c in got.columns if c.startswith("_")]
+
+
 def test_distributed_rank_empty_and_tiny(spark):
     df = spark.createDataFrame([], "v int, id int")
     got = relational.distributed_rank(
