@@ -187,6 +187,12 @@ HEADLINE = [
     "q252_partition_pruned_read",
     "q253_zipf_rank_frequency",
     "q254_snapshot_time_travel",
+    "q255_ks_two_sample",
+    "q256_mann_kendall_trend",
+    "q257_compaction_binpack_plan",
+    "q258_theil_sen_slope",
+    "q259_seasonal_index",
+    "q260_pareto_skyline",
     "medallion_gold_kpis",
 ]
 
@@ -649,6 +655,11 @@ def main() -> None:
             # a single-partition sort.
             "q242_percentile_rank_normalize",
             "q245_cusum_changepoint",
+            # round-10-late add: the KS test rides the NEW multi-
+            # prefix-sum rank form (both ECDFs in one two-pass rank
+            # over the value domain) — its ratio certifies that the
+            # widened operator kept the balanced-exchange scale shape.
+            "q255_ks_two_sample",
         ):
             if name not in qs:
                 continue

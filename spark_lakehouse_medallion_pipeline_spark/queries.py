@@ -13583,6 +13583,529 @@ def q254_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a1.crossJoin(F.broadcast(a2))
 
 
+@_q(
+    "q255_ks_two_sample",
+    f"""
+    WITH v AS (
+      SELECT {SC("o_totalprice")} AS val,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS a
+      FROM orders
+    ),
+    t AS (SELECT val, CAST(COUNT(*) AS BIGINT) AS cnt,
+                 CAST(SUM(a) AS BIGINT) AS cnt_a
+          FROM v GROUP BY val),
+    c AS (SELECT val,
+                 CAST(SUM(cnt) OVER (ORDER BY val
+                                     ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum,
+                 CAST(SUM(cnt_a) OVER (ORDER BY val
+                                       ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum_a
+          FROM t),
+    g AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+                 CAST(SUM(cnt) AS BIGINT) AS n
+          FROM t),
+    d AS (SELECT c.val,
+                 ABS(c.cum_a * (g.n - g.n_a) - (c.cum - c.cum_a) * g.n_a)
+                   AS dif
+          FROM c, g),
+    m AS (SELECT CAST(MAX(dif) AS BIGINT) AS d_num FROM d)
+    SELECT g.n_a AS n_priority,
+           CAST(g.n - g.n_a AS BIGINT) AS n_other,
+           m.d_num AS d_num,
+           CAST((1000000 * m.d_num) // (g.n_a * (g.n - g.n_a)) AS BIGINT)
+             AS ks_e6,
+           (SELECT CAST(MIN(val) AS BIGINT) FROM d WHERE dif = m.d_num)
+             AS at_val_cents
+    FROM g, m
+    """,
+)
+def q255_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov two-sample test comparing the order-value
+    distributions of priority (URGENT/HIGH) vs other orders — the
+    distribution-shift detector a data-quality monitor runs between a
+    reference corpus and today's ingest (q249's Mann-Whitney catches
+    location shifts; KS catches ANY shape difference). Exact integer
+    throughout: both ECDFs are evaluated on the shared value domain as
+    CROSS-MULTIPLIED counts (D_num(v) = |cum_a*n_b - cum_b*n_a|, int64
+    to ~3e9 rows per side — the q249 convention), so sup|F_a - F_b| =
+    max(D_num)/(n_a*n_b) with a single e6 trunc division at the end and
+    zero float comparisons. Both cumulative counts ride ONE
+    distributed_rank pass (the new cumsum_cols multi-prefix-sum form —
+    one range exchange serves both samples); the max and its leftmost
+    argmax value are two 1-row aggregates over the value domain, the
+    oracle the equivalent ANSI running sums. No single-partition stage
+    at any scale."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.relational import (
+        distributed_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    v = o.select(
+        cents(F.col("o_totalprice")).alias("val"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("a"),
+    )
+    t = v.groupBy("val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("a").cast("bigint").alias("cnt_a"),
+    )
+    c = distributed_rank(
+        t,
+        [F.col("val").asc()],
+        rank_col="_vr",
+        value_col="cnt",
+        cumsum_col="cum",
+        cumsum_cols={"cnt_a": "cum_a"},
+    )
+    g = t.agg(
+        F.sum("cnt_a").cast("bigint").alias("n_a"),
+        F.sum("cnt").cast("bigint").alias("n"),
+    )
+    d = c.crossJoin(F.broadcast(g)).select(
+        "val",
+        F.abs(
+            F.col("cum_a") * (F.col("n") - F.col("n_a"))
+            - (F.col("cum") - F.col("cum_a")) * F.col("n_a")
+        )
+        .cast("bigint")
+        .alias("dif"),
+    )
+    m = d.agg(F.max("dif").cast("bigint").alias("d_num"))
+    at = (
+        d.join(F.broadcast(m), F.col("dif") == F.col("d_num"))
+        .agg(F.min("val").cast("bigint").alias("at_val_cents"))
+    )
+    return (
+        g.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(at))
+        .select(
+            F.col("n_a").alias("n_priority"),
+            (F.col("n") - F.col("n_a")).cast("bigint").alias("n_other"),
+            "d_num",
+            F.expr(
+                "CAST((1000000 * d_num) div (n_a * (n - n_a)) AS BIGINT)"
+            ).alias("ks_e6"),
+            "at_val_cents",
+        )
+    )
+
+
+@_q(
+    "q256_mann_kendall_trend",
+    f"""
+    WITH m AS (
+      SELECT n.n_name AS nation,
+             EXTRACT(year FROM CAST(o.o_orderdate AS DATE)) * 12
+               + EXTRACT(month FROM CAST(o.o_orderdate AS DATE)) AS mk,
+             CAST(SUM({SC("o.o_totalprice")}) AS BIGINT) AS rev_c
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    s AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_months
+          FROM m GROUP BY nation),
+    p AS (
+      SELECT a.nation,
+             CASE WHEN b.rev_c > a.rev_c THEN 1
+                  WHEN b.rev_c < a.rev_c THEN -1 ELSE 0 END AS sgn,
+             CASE WHEN b.rev_c = a.rev_c THEN 1 ELSE 0 END AS tie
+      FROM m a JOIN m b ON a.nation = b.nation AND a.mk < b.mk
+    ),
+    q AS (SELECT nation, CAST(SUM(sgn) AS BIGINT) AS s_stat,
+                 CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 CAST(SUM(tie) AS BIGINT) AS n_ties
+          FROM p GROUP BY nation)
+    SELECT s.nation, s.n_months, q.n_pairs, q.s_stat, q.n_ties,
+           CASE WHEN q.s_stat > 0 THEN 'increasing'
+                WHEN q.s_stat < 0 THEN 'decreasing'
+                ELSE 'no-trend' END AS trend
+    FROM s JOIN q ON s.nation = q.nation
+    """,
+)
+def q256_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on monthly revenue per nation — the
+    nonparametric monotone-trend detector (S = sum over month pairs
+    i<j of sign(rev_j - rev_i)) that needs no distributional assumption
+    and no float arithmetic: every statistic is an exact int64 count
+    over sign comparisons of exact cent sums. Completes the rank-stats
+    shelf (Spearman q251 = association between two variables, this =
+    trend against time, Mann-Whitney q249 = two-sample location, KS
+    q255 = two-sample shape). The pair enumeration is a self-join of
+    the per-nation MONTHLY aggregate with itself — bounded by the
+    calendar (~84 months x 25 nations regardless of row count), so the
+    quadratic lives on a dimension-sized frame while the 100 TB fact
+    scan collapses at the first groupBy. Nations with a single month
+    drop out (no pairs) on both engines alike."""
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    od = F.col("o_orderdate").cast("date")
+    m = (
+        o.join(cu, o["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (F.year(od) * 12 + F.month(od)).cast("bigint").alias("mk"),
+        )
+        .agg(sum_cents(F.col("o_totalprice")).cast("bigint").alias("rev_c"))
+    )
+    s = m.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months")
+    )
+    a = m.select(
+        F.col("nation").alias("_na"),
+        F.col("mk").alias("_ka"),
+        F.col("rev_c").alias("_ra"),
+    )
+    b = m.select(
+        F.col("nation").alias("_nb"),
+        F.col("mk").alias("_kb"),
+        F.col("rev_c").alias("_rb"),
+    )
+    p = a.join(b, (F.col("_na") == F.col("_nb")) & (F.col("_ka") < F.col("_kb")))
+    q = p.groupBy(F.col("_na").alias("nation")).agg(
+        F.sum(
+            F.when(F.col("_rb") > F.col("_ra"), 1)
+            .when(F.col("_rb") < F.col("_ra"), -1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s_stat"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("_rb") == F.col("_ra"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ties"),
+    )
+    return s.join(q, "nation").select(
+        "nation",
+        "n_months",
+        "n_pairs",
+        "s_stat",
+        "n_ties",
+        F.when(F.col("s_stat") > 0, "increasing")
+        .when(F.col("s_stat") < 0, "decreasing")
+        .otherwise("no-trend")
+        .alias("trend"),
+    )
+
+
+@_q(
+    "q257_compaction_binpack_plan",
+    """
+    WITH f AS (
+      SELECT source, CAST(doc_id // 16 AS BIGINT) AS bucket,
+             CAST(SUM(n_chars) AS BIGINT) AS bytes,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1, 2
+    ),
+    pl AS (
+      SELECT source, bucket, bytes, n_docs,
+             CAST(SUM(bytes) OVER (PARTITION BY source ORDER BY bucket
+                                   ROWS UNBOUNDED PRECEDING) - bytes
+                  AS BIGINT) AS pre
+      FROM f
+    )
+    SELECT source,
+           CAST(pre // 8192 AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(MIN(bucket) AS BIGINT) AS first_bucket,
+           CAST(MAX(bucket) AS BIGINT) AS last_bucket
+    FROM pl GROUP BY source, CAST(pre // 8192 AS BIGINT)
+    """,
+)
+def q257_compaction_binpack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (binpack) PLANNER — the warehouse
+    maintenance step every lakehouse runs nightly (Iceberg
+    rewrite_data_files binpack, Delta OPTIMIZE): given a per-partition
+    micro-file inventory, assign contiguous files to target-size bins
+    by exclusive-prefix-sum division, so each bin's REWRITE task is
+    independent and the plan itself is pure relational algebra. The
+    inventory here is the documents corpus bucketed into micro-files
+    (doc_id div 16 within source, logical bytes = n_chars sums); bins
+    target 8192 logical bytes. bin_id = floor(exclusive_prefix /
+    target) is the streaming first-fit: every bin's byte total lands in
+    [target - max_file + 1, target + max_file - 1], files never split,
+    ordering deterministic. Scale shape: the 100 TB corpus collapses to
+    file-inventory metadata at the first groupBy; the running sum is a
+    PER-SOURCE partitioned window (inventory-sized frames), then one
+    rollup per bin — no global sort, no single-partition stage. The
+    reference compacts via maxRecordsPerFile at write time (CM:124-133);
+    this is the after-the-fact maintenance plan for data already on
+    disk."""
+    docs = _t(spark, sf_dir, "documents")
+    f = docs.groupBy(
+        "source", F.expr("CAST(doc_id div 16 AS BIGINT)").alias("bucket")
+    ).agg(
+        F.sum("n_chars").cast("bigint").alias("bytes"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pl = f.withColumn(
+        "pre", (F.sum("bytes").over(w) - F.col("bytes")).cast("bigint")
+    )
+    return (
+        pl.groupBy("source", F.expr("CAST(pre div 8192 AS BIGINT)").alias("bin_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("bytes").cast("bigint").alias("bin_bytes"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.min("bucket").cast("bigint").alias("first_bucket"),
+            F.max("bucket").cast("bigint").alias("last_bucket"),
+        )
+    )
+
+
+@_q(
+    "q258_theil_sen_slope",
+    f"""
+    WITH m AS (
+      SELECT n.n_name AS nation,
+             EXTRACT(year FROM CAST(o.o_orderdate AS DATE)) * 12
+               + EXTRACT(month FROM CAST(o.o_orderdate AS DATE)) AS mk,
+             CAST(SUM({SC("o.o_totalprice")}) AS BIGINT) AS rev_c
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.nation,
+             CAST(b.rev_c - a.rev_c AS BIGINT) AS dy,
+             CAST(b.mk - a.mk AS BIGINT) AS dx,
+             CAST(b.rev_c - a.rev_c AS DOUBLE) / (b.mk - a.mk) AS slope
+      FROM m a JOIN m b ON a.nation = b.nation AND a.mk < b.mk
+    ),
+    r AS (
+      SELECT nation, dy, dx, slope,
+             row_number() OVER (PARTITION BY nation
+                                ORDER BY slope, dy, dx) AS rn,
+             COUNT(*) OVER (PARTITION BY nation) AS np
+      FROM p
+    )
+    SELECT nation, CAST(np AS BIGINT) AS n_pairs,
+           dy AS med_dy_cents, dx AS med_dx_months,
+           slope AS slope_cents_per_month
+    FROM r WHERE rn = (np + 1) // 2
+    """,
+)
+def q258_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend slope of monthly revenue per nation — the
+    median of all pairwise slopes, the estimator that shrugs off up to
+    ~29% outlier months where OLS is dragged arbitrarily (the natural
+    SLOPE companion to q256's Mann-Kendall direction test: same
+    pair enumeration, same calendar-bounded quadratic). Exactness
+    discipline: dy (cents) and dx (months) are exact int64; the slope
+    is ONE IEEE double division of two int64s — correctly rounded and
+    bit-identical on both engines — and the median element is selected
+    by the deterministic total order (slope, dy, dx) at the lower
+    median position (n+1) div 2, so the reported (dy, dx) pair is
+    reproducible, not just the ratio. The per-nation ordering window
+    runs on pair frames bounded by the calendar (~84 months -> <=3.5k
+    pairs per nation at ANY fact-table scale); the 100 TB scan
+    collapses at the monthly groupBy."""
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    od = F.col("o_orderdate").cast("date")
+    m = (
+        o.join(cu, o["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (F.year(od) * 12 + F.month(od)).cast("bigint").alias("mk"),
+        )
+        .agg(sum_cents(F.col("o_totalprice")).cast("bigint").alias("rev_c"))
+    )
+    a = m.select(
+        F.col("nation").alias("_na"),
+        F.col("mk").alias("_ka"),
+        F.col("rev_c").alias("_ra"),
+    )
+    b = m.select(
+        F.col("nation").alias("_nb"),
+        F.col("mk").alias("_kb"),
+        F.col("rev_c").alias("_rb"),
+    )
+    p = (
+        a.join(b, (F.col("_na") == F.col("_nb")) & (F.col("_ka") < F.col("_kb")))
+        .select(
+            F.col("_na").alias("nation"),
+            (F.col("_rb") - F.col("_ra")).cast("bigint").alias("dy"),
+            (F.col("_kb") - F.col("_ka")).cast("bigint").alias("dx"),
+            (
+                (F.col("_rb") - F.col("_ra")).cast("double")
+                / (F.col("_kb") - F.col("_ka"))
+            ).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("slope", "dy", "dx")
+    r = p.withColumn("rn", F.row_number().over(w)).withColumn(
+        "np", F.count(F.lit(1)).over(Window.partitionBy("nation"))
+    )
+    return r.filter(F.expr("rn = (np + 1) div 2")).select(
+        "nation",
+        F.col("np").cast("bigint").alias("n_pairs"),
+        F.col("dy").alias("med_dy_cents"),
+        F.col("dx").alias("med_dx_months"),
+        F.col("slope").alias("slope_cents_per_month"),
+    )
+
+
+@_q(
+    "q259_seasonal_index",
+    f"""
+    WITH m AS (
+      SELECT EXTRACT(year FROM CAST(o_orderdate AS DATE)) * 12
+               + EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS mk,
+             CAST(EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS INT)
+               AS moy,
+             CAST(SUM({SC("o_totalprice")}) AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT moy, rev_c,
+             CAST(SUM(rev_c) OVER (ORDER BY mk
+                                   ROWS BETWEEN 5 PRECEDING
+                                   AND 6 FOLLOWING) AS BIGINT) AS ma12,
+             COUNT(*) OVER (ORDER BY mk ROWS BETWEEN 5 PRECEDING
+                            AND 6 FOLLOWING) AS nw
+      FROM m
+    ),
+    idx AS (
+      SELECT moy,
+             CAST((rev_c * 12000000) // ma12 AS BIGINT) AS index_e6
+      FROM w WHERE nw = 12
+    )
+    SELECT moy AS month_of_year,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(SUM(index_e6) // COUNT(*) AS BIGINT) AS seasonal_e6
+    FROM idx GROUP BY moy
+    """,
+)
+def q259_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal indices by ratio-to-moving-average — the classical
+    demand-planning decomposition (which calendar months run hot/cold
+    after detrending): each month's revenue over its centered 12-month
+    moving total, averaged per month-of-year. Exact integers all the
+    way: index_e6 = rev*12e6 div MA12-sum (one trunc division of
+    positive int64s, safe to ~7e11 cents/month), seasonal factor = the
+    trunc mean of the e6 indices; months without a full 12-month
+    window drop out on both engines alike. The moving frame runs over
+    the GLOBAL month spine — ~84 rows at any fact-table scale (the
+    calendar-bounded-frame class this repo's plan audit already
+    admits), after the 100 TB scan collapses at the monthly groupBy.
+    Completes the temporal shelf: q226 MoM growth, q229 EWMA trend,
+    q256 trend direction, q258 trend slope, this = seasonality."""
+    o = _t(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    m = o.groupBy(
+        (F.year(od) * 12 + F.month(od)).cast("bigint").alias("mk"),
+        F.month(od).cast("int").alias("moy"),
+    ).agg(sum_cents(F.col("o_totalprice")).cast("bigint").alias("rev_c"))
+    w = Window.orderBy("mk").rowsBetween(-5, 6)
+    wd = m.select(
+        "moy",
+        "rev_c",
+        F.sum("rev_c").over(w).cast("bigint").alias("ma12"),
+        F.count(F.lit(1)).over(w).alias("nw"),
+    ).filter(F.col("nw") == 12)
+    idx = wd.select(
+        "moy",
+        F.expr("CAST((rev_c * 12000000) div ma12 AS BIGINT)").alias(
+            "index_e6"
+        ),
+    )
+    return idx.groupBy(F.col("moy").alias("month_of_year")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.expr(
+            "CAST(CAST(SUM(index_e6) AS BIGINT) div COUNT(*) AS BIGINT)"
+        ).alias("seasonal_e6"),
+    )
+
+
+@_q(
+    "q260_pareto_skyline",
+    f"""
+    WITH d AS (
+      SELECT {SC("p_retailprice")} AS price_c,
+             CAST(MAX(p_size) AS BIGINT) AS gmax
+      FROM part GROUP BY 1
+    ),
+    r AS (
+      SELECT price_c, gmax,
+             MAX(gmax) OVER (ORDER BY price_c
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS premax
+      FROM d
+    ),
+    s AS (SELECT price_c, gmax FROM r
+          WHERE premax IS NULL OR gmax > premax)
+    SELECT p.p_partkey AS partkey, s.price_c AS price_cents,
+           CAST(p.p_size AS BIGINT) AS size
+    FROM part p
+    JOIN s ON {SC("p.p_retailprice")} = s.price_c AND p.p_size = s.gmax
+    """,
+)
+def q260_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of part offerings — minimize price,
+    maximize size: the multi-objective shortlist operator (same shape
+    as 'the cost/quality frontier of training-data sources' — no point
+    on it is beaten on both axes at once). The naive definition is an
+    O(n^2) NOT-EXISTS dominance join; the 100 TB form here is the
+    sort-based skyline: collapse to the price value domain (one
+    groupBy), then one EXCLUSIVE prefix max over ascending price via
+    relational.distributed_rank's cummax_cols (the two-pass rank's
+    third statistic form after cumsum and ntile) — a domain row
+    survives iff its best size strictly exceeds every strictly-cheaper
+    price's best (gmax > premax, premax NULL = cheapest price), and
+    the frontier (<= |size domain| rows by construction) broadcasts
+    back to fetch all tying parts. Exact integers only (price in
+    cents, size as-is); the oracle runs the identical algorithm with
+    the ANSI 1-PRECEDING frame, and the pytest cross-check replays the
+    quadratic dominance definition directly. Plan: one value-domain
+    aggregate, two balanced rank exchanges, one broadcast probe join
+    on the fact scan — no cartesian, no single-partition stage."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.relational import (
+        distributed_rank,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    d = part.groupBy(cents(F.col("p_retailprice")).alias("price_c")).agg(
+        F.max("p_size").cast("bigint").alias("gmax")
+    )
+    r = distributed_rank(
+        d,
+        [F.col("price_c").asc()],
+        rank_col="_r",
+        cummax_cols={"gmax": "premax"},
+    )
+    s = r.filter(
+        F.col("premax").isNull() | (F.col("gmax") > F.col("premax"))
+    ).select("price_c", "gmax")
+    return (
+        part.join(
+            F.broadcast(s),
+            (cents(F.col("p_retailprice")) == F.col("price_c"))
+            & (F.col("p_size") == F.col("gmax")),
+        )
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("price_c").alias("price_cents"),
+            F.col("p_size").cast("bigint").alias("size"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
@@ -13708,8 +14231,11 @@ def q254_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Late round 10: four of the eight round-10-born families take
 # birth-round rows (the q236 precedent): q247 schema drift (for q216),
 # q248 Kaplan-Meier (for q211), q250 RFM (for q220), q252 partition
-# pruning (for q203) — 14 rotations total this round; q249/q251/q253/
-# q254 are the r11 never-recorded backlog.
+# pruning (for q203); then q255 KS (for q214) — the driver-visible
+# proof of distributed_rank's new multi-prefix-sum form — makes 15
+# rotations total this round (the r9 precedent count); q249/q251/
+# q253/q254/q256/q257/q258/q259/q260 are the r11 never-recorded
+# backlog.
 
 _DRIVER_SNAPSHOT_50 = [
     # reference surface: aggregates, scalars, datetime, medallion KPIs
@@ -13745,7 +14271,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q241_filter_agreement_kappa",  # r10: Cohen's kappa between quality filters in ONE 2x2-confusion aggregate, birth-round row (q197 bitwise rollup green r08+r09; the aggregate-battery surface keeps q41 + q123 in the head and q197 stays value-oracled in the full gate)
     "q235_kanon_suppressed_report",  # r9: k-anonymity small-cell suppression, birth-round row (q56 correlated subqueries green r03-r08, the longest-tenured rotatable slot; the SQL surface keeps the q197/q123 batteries in the head and q56 stays value-oracled in the full gate)
     "q67_dedup_clusters",  # r7: connected components never recorded in 6 rounds (q117 mapInArrow green r04-r06; UDF family keeps q65)
-    "q214_correlation_matrix",  # r8 late: multivariate ANALYZE (exact-int Pearson matrix), birth-round row (q65 UDTF green r01-r07; X16 keeps q125 cogroup in the head and q65/q117 stay value-oracled in the full gate)
+    "q255_ks_two_sample",  # r10 late: Kolmogorov-Smirnov two-sample test — the driver-visible proof of distributed_rank's multi-prefix-sum (cumsum_cols) form, birth-round row (q214 correlation matrix green r08+r09; the multivariate-ANALYZE family keeps q213 profile + q240 MAD in the head and q214 stays value-oracled in the full gate)
     # semi-structured: JSON, arrays, maps/structs
     "q207_rolling_distinct_users",  # r8 late: rolling bitmap distinct, birth-round row (q168 TWAP green r05-r07; the time-window family keeps q150/q170/q172/q178 + this entry)
     "q200_jpeg_image_features",  # r8: real baseline-JPEG codec, birth-round row (q162 portable LSH green r04-r07; its candidates CTE lives on inside q149's oracle, and dedup keeps q149/q152/q179)

@@ -698,3 +698,238 @@ def test_q253_zipf_invariants(spark):
         med_rf = sorted(r["rank_freq"] for r in rows)[v // 2]
         zero_devs = [r for r in rows if r["zipf_dev_e6"] == 0]
         assert any(r["rank_freq"] == med_rf for r in zero_devs)
+
+
+def test_q255_ks_two_sample_matches_numpy(spark):
+    """The KS D numerator, its e6 ratio, and the leftmost argmax value
+    all recompute from a direct numpy integer ECDF scan."""
+    import numpy as np
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    val = (o["o_totalprice"] * 100).round().astype("int64").to_numpy()
+    a = o["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]).to_numpy()
+    vs = np.unique(val)
+    cum = np.searchsorted(np.sort(val), vs, side="right").astype("int64")
+    cum_a = np.searchsorted(np.sort(val[a]), vs, side="right").astype("int64")
+    n_a, n = int(a.sum()), len(val)
+    n_b = n - n_a
+    dif = np.abs(cum_a * n_b - (cum - cum_a) * n_a)
+    d_num = int(dif.max())
+    at_val = int(vs[np.nonzero(dif == d_num)[0][0]])
+    row = QUERIES["q255_ks_two_sample"](spark, SF).collect()[0]
+    assert row["n_priority"] == n_a and row["n_other"] == n_b
+    assert row["d_num"] == d_num
+    assert row["ks_e6"] == (1_000_000 * d_num) // (n_a * n_b)
+    assert row["at_val_cents"] == at_val
+
+
+def test_q256_mann_kendall_matches_numpy(spark):
+    """S recomputes from a direct O(n^2) sign scan per nation, and the
+    pair-count identity n_pairs = n_months*(n_months-1)/2 holds."""
+    import numpy as np
+    import pandas as pd
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    c = spark.read.parquet(f"{SF}/customer.parquet").toPandas()
+    n = spark.read.parquet(f"{SF}/nation.parquet").toPandas()
+    df = o.merge(c, left_on="o_custkey", right_on="c_custkey").merge(
+        n, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    d = pd.to_datetime(df["o_orderdate"])
+    df["mk"] = d.dt.year * 12 + d.dt.month
+    df["cents"] = (df["o_totalprice"] * 100).round().astype("int64")
+    m = (
+        df.groupby(["n_name", "mk"])["cents"]
+        .sum()
+        .reset_index()
+        .sort_values(["n_name", "mk"])
+    )
+    rows = {
+        r["nation"]: r
+        for r in QUERIES["q256_mann_kendall_trend"](spark, SF).collect()
+    }
+    checked = 0
+    for nation, grp in m.groupby("n_name"):
+        y = grp["cents"].to_numpy()
+        if len(y) < 2:
+            assert nation not in rows  # no pairs -> dropped on both sides
+            continue
+        diff_sign = np.sign(y[None, :] - y[:, None])
+        iu = np.triu_indices(len(y), k=1)
+        s = int(diff_sign[iu].sum())
+        ties = int((diff_sign[iu] == 0).sum())
+        r = rows[nation]
+        assert r["n_months"] == len(y)
+        assert r["n_pairs"] == len(y) * (len(y) - 1) // 2
+        assert r["s_stat"] == s and r["n_ties"] == ties
+        want_trend = (
+            "increasing" if s > 0 else "decreasing" if s < 0 else "no-trend"
+        )
+        assert r["trend"] == want_trend
+        checked += 1
+    assert checked == len(rows)
+
+
+def test_q257_binpack_plan_recomputes_and_invariants(spark):
+    """The bin plan recomputes from a pandas replay of the same
+    first-fit rule, bins partition every source's inventory exactly
+    (bytes and file counts conserve), and bucket ranges are contiguous
+    non-overlapping per source."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    docs["bucket"] = docs["doc_id"] // 16
+    inv = (
+        docs.groupby(["source", "bucket"])
+        .agg(bytes=("n_chars", "sum"), n_docs=("doc_id", "count"))
+        .reset_index()
+        .sort_values(["source", "bucket"])
+    )
+    want = {}
+    for source, grp in inv.groupby("source"):
+        pre = 0
+        for _, r in grp.iterrows():
+            b = pre // 8192
+            key = (source, b)
+            w = want.setdefault(
+                key,
+                {"n_files": 0, "bin_bytes": 0, "n_docs": 0,
+                 "first": int(r["bucket"]), "last": int(r["bucket"])},
+            )
+            w["n_files"] += 1
+            w["bin_bytes"] += int(r["bytes"])
+            w["n_docs"] += int(r["n_docs"])
+            w["last"] = int(r["bucket"])
+            pre += int(r["bytes"])
+    got = QUERIES["q257_compaction_binpack_plan"](spark, SF).collect()
+    g = {
+        (r["source"], r["bin_id"]): (
+            r["n_files"], r["bin_bytes"], r["n_docs"],
+            r["first_bucket"], r["last_bucket"],
+        )
+        for r in got
+    }
+    e = {
+        k: (w["n_files"], w["bin_bytes"], w["n_docs"], w["first"], w["last"])
+        for k, w in want.items()
+    }
+    assert g == e
+    # contiguity: per source, bins ordered by bin_id tile the bucket axis
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r)
+    for source, bins in by_src.items():
+        bins.sort(key=lambda r: r["bin_id"])
+        for prev, nxt in zip(bins, bins[1:]):
+            assert prev["last_bucket"] < nxt["first_bucket"], source
+
+
+def test_q258_theil_sen_matches_numpy(spark):
+    """The median pairwise slope recomputes from a direct numpy pair
+    enumeration under the same (slope, dy, dx) total order, and the
+    reported (dy, dx) witness reproduces the slope exactly."""
+    import numpy as np
+    import pandas as pd
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    c = spark.read.parquet(f"{SF}/customer.parquet").toPandas()
+    n = spark.read.parquet(f"{SF}/nation.parquet").toPandas()
+    df = o.merge(c, left_on="o_custkey", right_on="c_custkey").merge(
+        n, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    d = pd.to_datetime(df["o_orderdate"])
+    df["mk"] = d.dt.year * 12 + d.dt.month
+    df["cents"] = (df["o_totalprice"] * 100).round().astype("int64")
+    m = (
+        df.groupby(["n_name", "mk"])["cents"]
+        .sum()
+        .reset_index()
+        .sort_values(["n_name", "mk"])
+    )
+    rows = {
+        r["nation"]: r
+        for r in QUERIES["q258_theil_sen_slope"](spark, SF).collect()
+    }
+    checked = 0
+    for nation, grp in m.groupby("n_name"):
+        y = grp["cents"].to_numpy()
+        x = grp["mk"].to_numpy()
+        if len(y) < 2:
+            assert nation not in rows
+            continue
+        iu, ju = np.triu_indices(len(y), k=1)
+        dy = y[ju] - y[iu]
+        dx = x[ju] - x[iu]
+        slope = dy.astype("float64") / dx
+        order = np.lexsort((dx, dy, slope))  # last key primary
+        k = (len(dy) + 1) // 2 - 1  # lower median, 0-based
+        pick = order[k]
+        r = rows[nation]
+        assert r["n_pairs"] == len(dy)
+        assert r["med_dy_cents"] == dy[pick] and r["med_dx_months"] == dx[pick]
+        assert r["slope_cents_per_month"] == slope[pick]
+        assert r["slope_cents_per_month"] == r["med_dy_cents"] / r["med_dx_months"]
+        checked += 1
+    assert checked == len(rows)
+
+
+def test_q259_seasonal_index_recomputes(spark):
+    """Seasonal factors recompute from a pandas replay of the centered
+    12-month ratio-to-moving-total, and a full year of factors averages
+    near 1e6 (the detrending identity, loose bound for trunc effects)."""
+    import pandas as pd
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    d = pd.to_datetime(o["o_orderdate"])
+    o["mk"] = d.dt.year * 12 + d.dt.month
+    o["moy"] = d.dt.month
+    o["cents"] = (o["o_totalprice"] * 100).round().astype("int64")
+    m = (
+        o.groupby(["mk", "moy"])["cents"].sum().reset_index().sort_values("mk")
+    )
+    rev = m["cents"].to_numpy()
+    want: dict[int, list[int]] = {}
+    for i in range(len(m)):
+        lo, hi = i - 5, i + 7
+        if lo < 0 or hi > len(m):
+            continue
+        ma12 = int(rev[lo:hi].sum())
+        idx = (int(rev[i]) * 12_000_000) // ma12
+        want.setdefault(int(m["moy"].iloc[i]), []).append(idx)
+    got = {
+        r["month_of_year"]: (r["n_obs"], r["seasonal_e6"])
+        for r in QUERIES["q259_seasonal_index"](spark, SF).collect()
+    }
+    exp = {
+        moy: (len(v), sum(v) // len(v)) for moy, v in want.items()
+    }
+    assert got == exp
+    factors = [v[1] for v in got.values()]
+    assert len(factors) == 12
+    assert abs(sum(factors) / 12 - 1_000_000) < 120_000
+
+
+def test_q260_pareto_skyline_matches_quadratic_dominance(spark):
+    """The sort-based skyline equals the O(n^2) NOT-EXISTS dominance
+    definition replayed directly in numpy: a part is on the frontier
+    iff no part has (price <=, size >=) with at least one strict."""
+    import numpy as np
+
+    p = spark.read.parquet(f"{SF}/part.parquet").toPandas()
+    price = (p["p_retailprice"] * 100).round().astype("int64").to_numpy()
+    size = p["p_size"].astype("int64").to_numpy()
+    key = p["p_partkey"].astype("int64").to_numpy()
+    dom_price = (price[None, :] <= price[:, None]) & (
+        size[None, :] >= size[:, None]
+    )
+    strict = (price[None, :] < price[:, None]) | (size[None, :] > size[:, None])
+    dominated = (dom_price & strict).any(axis=1)
+    want = {
+        (int(key[i]), int(price[i]), int(size[i]))
+        for i in range(len(key))
+        if not dominated[i]
+    }
+    got = {
+        (r["partkey"], r["price_cents"], r["size"])
+        for r in QUERIES["q260_pareto_skyline"](spark, SF).collect()
+    }
+    assert got == want
+    assert got  # non-degenerate: the frontier is never empty

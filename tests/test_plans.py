@@ -706,3 +706,86 @@ def test_round10_late_families_plan_shapes(spark):
     # rank passes + ONE 6-sum aggregate inside the function
     df = QUERIES["q251_spearman_rank_corr"](spark, SF)
     assert df.count() == 1
+
+
+def test_round10_stats_families_plan_shapes(spark):
+    """q255-q257 plan pins — each assertion is the property that keeps
+    the query viable at 100 TB."""
+    # q255 KS: value-domain aggregate, then BOTH ECDF prefix sums ride
+    # ONE distributed_rank (range + pid-hash exchanges, PARTITIONED
+    # window only), then broadcast 1-row max/argmax joins
+    df = QUERIES["q255_ks_two_sample"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    bad = [
+        ln.strip()[:160]
+        for ln in plan.splitlines()
+        if "Window [" in ln and ln.count("], [") == 1
+    ]
+    assert not bad, f"q255 has a global WindowExec: {bad}"
+    assert "CartesianProduct" not in plan
+    # q256 Mann-Kendall: the quadratic pair join runs on the
+    # calendar-bounded monthly aggregate, never the fact table — the
+    # join must be an equi-join on nation (hash/broadcast), not a
+    # cartesian product
+    df = QUERIES["q256_mann_kendall_trend"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window [" not in plan
+    # q257 binpack: inventory aggregate -> PER-SOURCE partitioned
+    # window (never global) -> one bin rollup
+    df = QUERIES["q257_compaction_binpack_plan"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    bad = [
+        ln.strip()[:160]
+        for ln in plan.splitlines()
+        if "Window [" in ln and ln.count("], [") == 1
+    ]
+    assert not bad, f"q257 has a global WindowExec: {bad}"
+    assert explain.count_exchanges(df) <= 3
+
+
+def test_q258_q259_plan_shapes(spark):
+    """q258 Theil-Sen: the pair join is an equi-join on nation over the
+    monthly aggregate (no cartesian), and its ordering windows are
+    PARTITIONED by nation — never the global single-partition form.
+    q259 seasonal: the one global window runs on the ~84-row month
+    spine (the calendar-bounded class the plan audit admits) — pin that
+    its input is the POST-aggregate relation, not the fact table, by
+    budgeting exchanges."""
+    df = QUERIES["q258_theil_sen_slope"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # one `], [` separator + an ordering spec = the global form; a
+    # partition-only window (q258's per-nation COUNT frame) also prints
+    # one separator but no ASC/DESC and never funnels to one task
+    bad = [
+        ln.strip()[:160]
+        for ln in plan.splitlines()
+        if "Window [" in ln
+        and ln.count("], [") == 1
+        and (" ASC" in ln or " DESC" in ln)
+    ]
+    assert not bad, f"q258 has a global WindowExec: {bad}"
+    df = QUERIES["q259_seasonal_index"](spark, SF)
+    # monthly aggregate (1-2 exchanges w/ partial agg) + the spine
+    # window's single-partition exchange + the final moy rollup
+    assert explain.count_exchanges(df) <= 5
+
+
+def test_q260_skyline_plan_shape(spark):
+    """q260: price-domain aggregate + the rank's balanced exchanges +
+    a BROADCAST probe join back to the scan — never a cartesian, never
+    a global ordered window, and the probe side must be broadcast (the
+    frontier is <= |size domain| rows by construction)."""
+    df = QUERIES["q260_pareto_skyline"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    bad = [
+        ln.strip()[:160]
+        for ln in plan.splitlines()
+        if "Window [" in ln
+        and ln.count("], [") == 1
+        and (" ASC" in ln or " DESC" in ln)
+    ]
+    assert not bad, f"q260 has a global WindowExec: {bad}"
+    assert "BroadcastHashJoin" in plan
