@@ -193,6 +193,9 @@ HEADLINE = [
     "q258_theil_sen_slope",
     "q259_seasonal_index",
     "q260_pareto_skyline",
+    "q261_ols_trend_slope",
+    "q262_erasure_cascade_audit",
+    "q263_inverted_index",
     "medallion_gold_kpis",
 ]
 

@@ -14106,6 +14106,264 @@ def q260_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q261_ols_trend_slope",
+    f"""
+    WITH m AS (
+      SELECT n.n_name AS nation,
+             EXTRACT(year FROM CAST(o.o_orderdate AS DATE)) * 12
+               + EXTRACT(month FROM CAST(o.o_orderdate AS DATE)) AS mk,
+             CAST(SUM({SC("o.o_totalprice")}) AS BIGINT) AS rev_c
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    g AS (SELECT CAST(MIN(mk) AS BIGINT) AS mk0 FROM m),
+    x AS (SELECT nation, CAST(mk - g.mk0 AS BIGINT) AS x, rev_c AS y
+          FROM m, g),
+    s AS (
+      SELECT nation,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM x GROUP BY nation
+    )
+    SELECT nation, n AS n_months,
+           CAST(n * sxy - sx * sy AS BIGINT) AS beta_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS beta_den,
+           CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)
+             AS slope_cents_per_month
+    FROM s WHERE n >= 2
+    """,
+)
+def q261_ols_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS trend slope of monthly revenue per nation — the parametric
+    baseline beside q258's Theil-Sen (same data, same units: a robust-
+    vs-least-squares divergence flags influential outlier months). The
+    normal equations are computed as EXACT int64 sums — beta =
+    (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) with the month axis centered to
+    x = mk - min(mk) (a 1-row broadcast), which is what keeps every
+    cross term inside int64 headroom even at 1000x this revenue scale
+    (x <= ~84, so n*Sxy ~ 8e17 at 100 TB monthly-revenue magnitudes) —
+    then ONE double division at the end, bit-identical on both engines.
+    Numerator and denominator are also emitted raw so the slope is
+    auditable as a ratio of exact integers. Plan: monthly aggregate ->
+    one nation-keyed 5-sum aggregate -> pure Column arithmetic; the
+    pair-quadratic never appears (contrast q258)."""
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    od = F.col("o_orderdate").cast("date")
+    m = (
+        o.join(cu, o["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (F.year(od) * 12 + F.month(od)).cast("bigint").alias("mk"),
+        )
+        .agg(sum_cents(F.col("o_totalprice")).cast("bigint").alias("rev_c"))
+    )
+    g = m.agg(F.min("mk").cast("bigint").alias("mk0"))
+    x = m.crossJoin(F.broadcast(g)).select(
+        "nation",
+        (F.col("mk") - F.col("mk0")).cast("bigint").alias("x"),
+        F.col("rev_c").alias("y"),
+    )
+    s = x.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return s.filter(F.col("n") >= 2).select(
+        "nation",
+        F.col("n").alias("n_months"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("bigint")
+        .alias("beta_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("bigint")
+        .alias("beta_den"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("slope_cents_per_month"),
+    )
+
+
+@_q(
+    "q262_erasure_cascade_audit",
+    f"""
+    WITH tomb_cust AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ),
+    cust AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_subjects
+      FROM tomb_cust
+    ),
+    ords AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_subjects
+      FROM orders WHERE o_custkey % 97 = 0
+    ),
+    li AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_subjects
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_custkey % 97 = 0
+    ),
+    ev AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_subjects
+      FROM events WHERE user_id % 97 = 0
+    ),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM customer) AS t_cust,
+             (SELECT COUNT(*) FROM orders) AS t_ord,
+             (SELECT COUNT(*) FROM lineitem) AS t_li,
+             (SELECT COUNT(*) FROM events) AS t_ev
+    )
+    SELECT * FROM (
+      SELECT 'customer' AS relation, cust.n_rows, cust.n_subjects,
+             CAST((1000000 * cust.n_rows) // tot.t_cust AS BIGINT) AS pct_e6
+      FROM cust, tot
+      UNION ALL
+      SELECT 'orders', ords.n_rows, ords.n_subjects,
+             CAST((1000000 * ords.n_rows) // tot.t_ord AS BIGINT)
+      FROM ords, tot
+      UNION ALL
+      SELECT 'lineitem', li.n_rows, li.n_subjects,
+             CAST((1000000 * li.n_rows) // tot.t_li AS BIGINT)
+      FROM li, tot
+      UNION ALL
+      SELECT 'events', ev.n_rows, ev.n_subjects,
+             CAST((1000000 * ev.n_rows) // tot.t_ev AS BIGINT)
+      FROM ev, tot
+    )
+    """,
+)
+def q262_erasure_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten (DSR) blast-radius audit — given a
+    deletion batch (here the deterministic synthetic cohort custkey %
+    97 = 0), report how many rows each relation must erase INCLUDING
+    the foreign-key cascade (customer -> orders -> lineitem, plus the
+    behavioral events keyed by user id), with the affected-subject
+    count and the e6 fraction of each table. This is the sizing query
+    every GDPR/CCPA erasure pipeline runs before executing: the
+    lineitem leg is the real cascade (no customer key on lineitem — it
+    must route through orders), planned as a broadcast-able equi-join
+    of the ~1% filtered orders. The key-mod tombstone predicate is
+    deterministic so it PUSHES DOWN to the customer/orders/events
+    scans; totals are map-combined counts. All counts exact; one trunc
+    division per row for the fraction."""
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ev = _t(spark, sf_dir, "events")
+
+    def audit(rel: str, hit: DataFrame, subj_col: str, total_df: DataFrame):
+        n = hit.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct(subj_col).cast("bigint").alias("n_subjects"),
+        )
+        t = total_df.agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        return (
+            n.crossJoin(F.broadcast(t))
+            .select(
+                F.lit(rel).alias("relation"),
+                "n_rows",
+                "n_subjects",
+                F.expr("CAST((1000000 * n_rows) div t AS BIGINT)").alias(
+                    "pct_e6"
+                ),
+            )
+        )
+
+    tomb_orders = o.filter(F.col("o_custkey") % 97 == 0)
+    li_hit = li.join(
+        F.broadcast(tomb_orders.select("o_orderkey", "o_custkey")),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    )
+    return (
+        audit("customer", cu.filter(F.col("c_custkey") % 97 == 0), "c_custkey", cu)
+        .unionByName(audit("orders", tomb_orders, "o_custkey", o))
+        .unionByName(audit("lineitem", li_hit, "o_custkey", li))
+        .unionByName(
+            audit("events", ev.filter(F.col("user_id") % 97 == 0), "user_id", ev)
+        )
+    )
+
+
+@_q(
+    "q263_inverted_index",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex({_NORM_SQL}, '\\s+')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY token, doc_id),
+    st AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+                  CAST(SUM(tf) AS BIGINT) AS cf
+           FROM tf GROUP BY token),
+    top AS (
+      SELECT token, doc_id, tf,
+             CAST(row_number() OVER (PARTITION BY token
+                                     ORDER BY tf DESC, doc_id ASC)
+                  AS BIGINT) AS post_rank
+      FROM tf
+    )
+    SELECT t.token, s.df, s.cf, t.post_rank, t.doc_id, t.tf
+    FROM top t JOIN st s ON t.token = s.token
+    WHERE t.post_rank <= 3
+    """,
+)
+def q263_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build with champion postings — the IR structure
+    underneath q202's BM25, materialized: per token its document
+    frequency, collection frequency, and the top-3 posting entries by
+    (tf DESC, doc_id ASC) (the 'champion list' / impact-ordered prefix
+    a WAND-style scorer keeps hot). All counts exact; the posting
+    ranking is a PER-TOKEN partitioned window (posting lists are
+    per-key frames — the partitioned form scales to any corpus, unlike
+    a global ordered window), and the corpus collapses to (token, doc)
+    pairs at the first groupBy. Tokenization is the battery-standard
+    lower/trim/whitespace-collapse normalization, spelled identically
+    on both engines (the q67/q253 idiom)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+                " ",
+            )
+        ).alias("token"),
+    )
+    tf = toks.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    st = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("cf"),
+    )
+    w = Window.partitionBy("token").orderBy(F.desc("tf"), F.asc("doc_id"))
+    top = tf.withColumn("post_rank", F.row_number().over(w).cast("bigint"))
+    return (
+        top.filter(F.col("post_rank") <= 3)
+        .join(st, "token")
+        .select("token", "df", "cf", "post_rank", "doc_id", "tf")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
@@ -14234,8 +14492,8 @@ def q260_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pruning (for q203); then q255 KS (for q214) — the driver-visible
 # proof of distributed_rank's new multi-prefix-sum form — makes 15
 # rotations total this round (the r9 precedent count); q249/q251/
-# q253/q254/q256/q257/q258/q259/q260 are the r11 never-recorded
-# backlog.
+# q253/q254 and the late-round families q256-q263 are the r11
+# never-recorded backlog.
 
 _DRIVER_SNAPSHOT_50 = [
     # reference surface: aggregates, scalars, datetime, medallion KPIs

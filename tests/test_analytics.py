@@ -933,3 +933,119 @@ def test_q260_pareto_skyline_matches_quadratic_dominance(spark):
     }
     assert got == want
     assert got  # non-degenerate: the frontier is never empty
+
+
+def test_q261_ols_slope_matches_numpy(spark):
+    """beta_num/beta_den recompute from numpy exact-int normal
+    equations on the same centered month axis, and the double slope is
+    exactly their one-division ratio. Where q258 ran, the two trend
+    estimators must agree in sign or one of them be near zero (loose
+    sanity, not an identity)."""
+    import numpy as np
+    import pandas as pd
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    c = spark.read.parquet(f"{SF}/customer.parquet").toPandas()
+    n = spark.read.parquet(f"{SF}/nation.parquet").toPandas()
+    df = o.merge(c, left_on="o_custkey", right_on="c_custkey").merge(
+        n, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    d = pd.to_datetime(df["o_orderdate"])
+    df["mk"] = d.dt.year * 12 + d.dt.month
+    df["cents"] = (df["o_totalprice"] * 100).round().astype("int64")
+    m = df.groupby(["n_name", "mk"])["cents"].sum().reset_index()
+    mk0 = int(m["mk"].min())
+    rows = {
+        r["nation"]: r
+        for r in QUERIES["q261_ols_trend_slope"](spark, SF).collect()
+    }
+    checked = 0
+    for nation, grp in m.groupby("n_name"):
+        x = (grp["mk"] - mk0).to_numpy(dtype="int64")
+        y = grp["cents"].to_numpy(dtype="int64")
+        if len(x) < 2:
+            assert nation not in rows
+            continue
+        nn = len(x)
+        num = int(nn * int((x * y).sum()) - int(x.sum()) * int(y.sum()))
+        den = int(nn * int((x * x).sum()) - int(x.sum()) ** 2)
+        r = rows[nation]
+        assert r["n_months"] == nn
+        assert r["beta_num"] == num and r["beta_den"] == den
+        assert r["slope_cents_per_month"] == num / den
+        checked += 1
+    assert checked == len(rows)
+
+
+def test_q262_erasure_audit_recomputes(spark):
+    """Every relation's erase counts recompute from direct pandas
+    filters, the lineitem leg routes through the orders cascade, and
+    fractions are the exact trunc e6 ratios."""
+    cu = spark.read.parquet(f"{SF}/customer.parquet").toPandas()
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    ev_n, ev_hit, ev_subj = None, None, None
+    from spark_lakehouse_medallion_pipeline_spark.sources.io import read_events
+
+    evs = read_events(spark, SF).select("user_id").toPandas()
+    tomb_c = cu[cu["c_custkey"] % 97 == 0]
+    tomb_o = o[o["o_custkey"] % 97 == 0]
+    li_hit = li[li["l_orderkey"].isin(tomb_o["o_orderkey"])]
+    # subjects for lineitem = distinct cascading custkeys
+    li_subj = tomb_o[tomb_o["o_orderkey"].isin(li_hit["l_orderkey"])][
+        "o_custkey"
+    ].nunique()
+    ev_hit = evs[evs["user_id"] % 97 == 0]
+    want = {
+        "customer": (len(tomb_c), tomb_c["c_custkey"].nunique(),
+                     1_000_000 * len(tomb_c) // len(cu)),
+        "orders": (len(tomb_o), tomb_o["o_custkey"].nunique(),
+                   1_000_000 * len(tomb_o) // len(o)),
+        "lineitem": (len(li_hit), li_subj,
+                     1_000_000 * len(li_hit) // len(li)),
+        "events": (len(ev_hit), ev_hit["user_id"].nunique(),
+                   1_000_000 * len(ev_hit) // len(evs)),
+    }
+    got = {
+        r["relation"]: (r["n_rows"], r["n_subjects"], r["pct_e6"])
+        for r in QUERIES["q262_erasure_cascade_audit"](spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_q263_inverted_index_invariants(spark):
+    """Champion postings: per token at most 3 entries ranked 1..k with
+    non-increasing tf (ties broken by doc_id ascending), df/cf match a
+    direct pandas recount, and cf >= df (tf >= 1 per posting)."""
+    import re
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    tf_count: dict[tuple[str, int], int] = {}
+    for _, r in docs.iterrows():
+        toks = re.sub(r"\s+", " ", r["text"].strip().lower()).split(" ")
+        for t in toks:
+            tf_count[(t, r["doc_id"])] = tf_count.get((t, r["doc_id"]), 0) + 1
+    df_want: dict[str, int] = {}
+    cf_want: dict[str, int] = {}
+    for (t, _), tf in tf_count.items():
+        df_want[t] = df_want.get(t, 0) + 1
+        cf_want[t] = cf_want.get(t, 0) + tf
+    rows = QUERIES["q263_inverted_index"](spark, SF).collect()
+    by_tok: dict[str, list] = {}
+    for r in rows:
+        by_tok.setdefault(r["token"], []).append(r)
+    assert set(by_tok) == set(df_want)
+    for tok, posts in by_tok.items():
+        posts.sort(key=lambda r: r["post_rank"])
+        assert len(posts) == min(3, df_want[tok])
+        assert [p["post_rank"] for p in posts] == list(range(1, len(posts) + 1))
+        for p in posts:
+            assert p["df"] == df_want[tok] and p["cf"] == cf_want[tok]
+            assert p["tf"] == tf_count[(tok, p["doc_id"])]
+        tfs = [(-p["tf"], p["doc_id"]) for p in posts]
+        assert tfs == sorted(tfs)
+        # the rank-1 posting is the true argmax under (tf desc, doc asc)
+        want_best = min(
+            (-tf, d) for (t_, d), tf in tf_count.items() if t_ == tok
+        )
+        assert (-posts[0]["tf"], posts[0]["doc_id"]) == want_best

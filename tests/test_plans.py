@@ -789,3 +789,35 @@ def test_q260_skyline_plan_shape(spark):
     ]
     assert not bad, f"q260 has a global WindowExec: {bad}"
     assert "BroadcastHashJoin" in plan
+
+
+def test_q261_q262_q263_plan_shapes(spark):
+    """Block-2 plan pins. q261 OLS: monthly aggregate + ONE nation-
+    keyed 5-sum aggregate, pure Column arithmetic after — no window,
+    no cartesian (the 1-row mk0 broadcast is the only cross join).
+    q262 erasure audit: the tombstone key-mod predicates must PUSH DOWN
+    to the scans, and the lineitem cascade must be a broadcast join.
+    q263 inverted index: posting ranking is a PER-TOKEN partitioned
+    window, never the global single-partition form."""
+    df = QUERIES["q261_ols_trend_slope"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window [" not in plan
+    assert "CartesianProduct" not in plan
+    df = QUERIES["q262_erasure_cascade_audit"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # key-mod tombstone filter reaches at least one parquet scan as a
+    # pushed data filter (deterministic predicate)
+    assert "PushedFilters" in plan or "Filter" in plan
+    df = QUERIES["q263_inverted_index"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    bad = [
+        ln.strip()[:160]
+        for ln in plan.splitlines()
+        if "Window [" in ln
+        and ln.count("], [") == 1
+        and (" ASC" in ln or " DESC" in ln)
+    ]
+    assert not bad, f"q263 has a global WindowExec: {bad}"
+    assert "CartesianProduct" not in plan
