@@ -29,6 +29,7 @@ def test_ndcg_constants_match_their_formula():
         assert p == acc
 
 
+@pytest.mark.slow
 def test_q212_metric_invariants(spark):
     row = QUERIES["q212_ir_eval_metrics"](spark, SF).collect()[0]
     assert row["k"] == 10

@@ -136,6 +136,7 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+@pytest.mark.slow
 def test_connected_components_matches_union_find(spark):
     import random
 
@@ -251,6 +252,7 @@ def test_incremental_near_dup_filter_rejects_width_mismatch(toy_docs):
         dedup.incremental_near_dup_filter(toy_docs, sigs32, num_hashes=64)
 
 
+@pytest.mark.slow
 def test_fuzzy_pairs_exact_recall_vs_naive(spark):
     """The deletion-neighborhood blocking must find EXACTLY the pairs the
     naive quadratic levenshtein predicate finds (equal, substitution,
@@ -287,6 +289,7 @@ def test_fuzzy_pairs_exact_recall_vs_naive(spark):
         dedup.fuzzy_pairs(df, max_dist=3)
 
 
+@pytest.mark.slow
 def test_fuzzy_pairs_d2_exact_recall_vs_naive(spark):
     """2-delete neighborhoods must reproduce the naive quadratic d<=2
     predicate exactly: transpositions (two substitutions under plain

@@ -109,6 +109,7 @@ def test_gold_deterministic(spark):
     assert a == b
 
 
+@pytest.mark.slow
 def test_full_pipeline_roundtrip(spark, tmp_path):
     stats = run_pipeline(spark, str(tmp_path), rows=2000)
     assert stats["gold_rows"] >= 28
@@ -131,6 +132,7 @@ def test_empty_stage_guard(spark, tmp_path):
             raise EmptyStageError("Bronze dataset is empty")
 
 
+@pytest.mark.slow
 def test_cli_stage_contract(spark, tmp_path, capsys):
     """The module CLI mirrors the reference orchestrator: per-stage
     invocations compose into the same pipeline, smoke prints the
@@ -158,6 +160,7 @@ def test_validate_missing_layers(spark, tmp_path):
     assert counts == {"bronze_rows": -1, "silver_rows": -1, "gold_rows": -1}
 
 
+@pytest.mark.slow
 def test_run_pipeline_use_tables_end_to_end(spark, tmp_path):
     """S5/S7 managed-table path end-to-end: CREATE NAMESPACE + partitioned
     saveAsTable for silver and gold, gold reading silver via the catalog,

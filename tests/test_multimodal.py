@@ -1,6 +1,7 @@
 """Multimodal binary-column plumbing (X21): schema, Arrow batching, stub codec."""
 
 from __future__ import annotations
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -113,6 +114,7 @@ def test_bmp_box_resize_matches_numpy(spark):
     assert (got == want).all()
 
 
+@pytest.mark.slow
 def test_image_and_audio_features_closed_form(spark):
     from spark_lakehouse_medallion_pipeline_spark.operators import multimodal as mm
 
@@ -192,6 +194,7 @@ def test_png_roundtrip_and_all_filters():
     assert (png_decode_rgb8(blob) == img).all()
 
 
+@pytest.mark.slow
 def test_png_features_agree_with_bmp(spark):
     from spark_lakehouse_medallion_pipeline_spark.operators import multimodal
 
@@ -229,6 +232,7 @@ def test_gif_roundtrip_with_clear_resets():
         gif_encode_rgb8(big)
 
 
+@pytest.mark.slow
 def test_gif_features_agree_with_bmp(spark):
     from spark_lakehouse_medallion_pipeline_spark.operators import multimodal
 

@@ -411,6 +411,7 @@ def test_lint_plan_flags_antipatterns_and_passes_clean(spark):
     assert any(f.startswith("exchange-count") for f in finds)
 
 
+@pytest.mark.slow
 def test_lint_clean_across_driver_snapshot(spark):
     """Whole-battery hygiene: every driver-snapshot query must be free
     of cartesian products and row-at-a-time Python UDFs. (q65's UDTF is
@@ -443,6 +444,7 @@ def test_lint_clean_across_driver_snapshot(spark):
     assert not bad, bad
 
 
+@pytest.mark.slow
 def test_lint_clean_across_bench_headline(spark):
     """The bench set evolves separately from the driver snapshot; lint it
     too so a new bench entry can't regress plan shape silently (same

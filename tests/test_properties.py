@@ -6,6 +6,7 @@ Few examples, no deadline: every example is a Spark job.
 """
 
 from __future__ import annotations
+import pytest
 
 from datetime import datetime, timedelta
 
@@ -18,6 +19,7 @@ BASE = datetime(2024, 1, 1)
 offsets = st.integers(min_value=0, max_value=72 * 3600)  # seconds in 3 days
 
 
+@pytest.mark.slow
 @settings(
     max_examples=5,
     deadline=None,

@@ -2,6 +2,7 @@
 broadcast where intended, TakeOrdered instead of global sort, pushed filters)."""
 
 from __future__ import annotations
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -510,6 +511,7 @@ def test_top_k_ranked_matches_window_and_has_no_window_exec(spark):
     assert "TakeOrderedAndProject" in sel._jdf.queryExecution().executedPlan().toString()
 
 
+@pytest.mark.slow
 def test_distributed_rank_cache_returns_to_baseline(spark):
     """The range-pinned persist must not leak for the session lifetime
     (r9 ADVICE): the registry holds at most _RANK_CACHE_CAP pins (FIFO

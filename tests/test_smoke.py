@@ -1,6 +1,7 @@
 """Smoke: session config + parquet round-trip (reference smoke.py, CM:416-448)."""
 
 from __future__ import annotations
+import pytest
 
 from spark_lakehouse_medallion_pipeline_spark.medallion.pipeline import smoke
 from spark_lakehouse_medallion_pipeline_spark.sources.io import read_parquet, write_parquet
@@ -185,6 +186,7 @@ def test_snapshot_table_versioned_commits(spark, tmp_path):
         sio.read_snapshot(spark, tdir, version=1)
 
 
+@pytest.mark.slow
 def test_python_datasource_partition_slicing(spark):
     """synthetic_docs custom source: exact row count under uneven
     ceil-division slicing, executor-side parallelism equal to the

@@ -382,6 +382,7 @@ def test_streaming_restart_resumes_from_checkpoint(spark, tmp_path):
     assert ids == list(range(250))  # every id exactly once
 
 
+@pytest.mark.slow
 def test_streaming_near_dup_ingest_matches_sequential(spark, tmp_path):
     """Cross-batch near-dup ingest: each micro-batch self-dedups, then
     probes the signature store of everything previously accepted —
@@ -474,6 +475,7 @@ def test_streaming_near_dup_ingest_fails_on_corrupt_store(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_streaming_near_dup_ingest_retry_idempotent(spark, tmp_path):
     """A batch retried AFTER its signature write landed but BEFORE the
     checkpoint committed must re-accept its own documents: the store
