@@ -1058,7 +1058,11 @@ def jaccard_join_prefix_filter(
     generation is the same single groupBy-bucket shuffle as the MinHash
     path, with the same ``max_bucket`` guard — a stopword that survives
     into prefixes (short docs make p ~ L) would otherwise pair a huge
-    bucket quadratically. Effectiveness note: pruning power comes from
+    bucket quadratically. In-bucket pairs pass the PPJoin LENGTH filter
+    (den*min(len) >= num*max(len)) and POSITIONAL filter ((num+den)*
+    (1+min(rest)) >= num*(len_a+len_b)) before the verify shuffle —
+    both provably recall-free-of-loss (see inline comments).
+    Effectiveness note: pruning power comes from
     rare tokens; on a homogeneous-vocabulary corpus the candidate set
     degrades toward all-pairs and MinHash-LSH (with its recall trade) is
     the better tool — this operator is for when recall must be exact.
@@ -1099,12 +1103,29 @@ def jaccard_join_prefix_filter(
     # where prefix pruning degrades (shared vocabulary, near-equal
     # prefixes) this is the filter that keeps pair generation from
     # going quadratic in the bucket size.
+    # Carry each prefix token's POSITION too (as rest = len - 1-based
+    # pos): the PPJoin POSITIONAL FILTER needs it. For a pair meeting
+    # at its globally-smallest SHARED token w (position i in A, j in
+    # B), no shared token precedes w in either list, so |I| <= 1 +
+    # min(len_a - i, len_b - j) = 1 + min(rest_a, rest_b); J >= num/den
+    # is equivalent to (num+den)*|I| >= num*(len_a+len_b), so a pair
+    # whose upper bound fails that is unprunable-recall-safe to drop AT
+    # THAT BUCKET. At a non-smallest shared token the bound doesn't
+    # hold — but every qualifying pair is still generated at its
+    # smallest shared token's bucket (the prefix property), and the
+    # candidate union keeps it, so recall stays exact.
     prefixes = ranked.select(
+        F.col("_id"),
+        L.cast("long").alias("_len"),
+        F.posexplode(F.slice(F.col("_ordered"), 1, p)).alias("_pos", "_pt"),
+    ).select(
         F.struct(
-            F.col("_id").alias("id"), L.cast("long").alias("len")
+            F.col("_id").alias("id"),
+            F.col("_len").alias("len"),
+            (F.col("_len") - F.col("_pos") - 1).cast("long").alias("rest"),
         ).alias("_m"),
-        F.explode(F.slice(F.col("_ordered"), 1, p)).alias("_pt"),
-    ).select("_m", F.col("_pt._tok").alias("_tok"))
+        F.col("_pt._tok").alias("_tok"),
+    )
     buckets = (
         prefixes.groupBy("_tok")
         .agg(F.array_sort(F.collect_set("_m")).alias("_ms"))
@@ -1119,9 +1140,24 @@ def jaccard_join_prefix_filter(
             lambda i: F.transform(
                 F.filter(
                     F.slice(ms, 1, i),
-                    lambda a: F.least(a["len"], F.element_at(ms, i + 1)["len"])
-                    * den
-                    >= num * F.greatest(a["len"], F.element_at(ms, i + 1)["len"]),
+                    # length filter + positional filter (see the
+                    # prefixes comment for the recall proofs)
+                    lambda a: (
+                        F.least(a["len"], F.element_at(ms, i + 1)["len"])
+                        * den
+                        >= num
+                        * F.greatest(a["len"], F.element_at(ms, i + 1)["len"])
+                    )
+                    & (
+                        (num + den)
+                        * (
+                            F.lit(1)
+                            + F.least(
+                                a["rest"], F.element_at(ms, i + 1)["rest"]
+                            )
+                        )
+                        >= num * (a["len"] + F.element_at(ms, i + 1)["len"])
+                    ),
                 ),
                 lambda a: F.struct(
                     a["id"].alias("id_a"),
