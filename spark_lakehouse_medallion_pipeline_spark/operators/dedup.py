@@ -1059,9 +1059,15 @@ def jaccard_join_prefix_filter(
     path, with the same ``max_bucket`` guard — a stopword that survives
     into prefixes (short docs make p ~ L) would otherwise pair a huge
     bucket quadratically. In-bucket pairs pass the PPJoin LENGTH filter
-    (den*min(len) >= num*max(len)) and POSITIONAL filter ((num+den)*
-    (1+min(rest)) >= num*(len_a+len_b)) before the verify shuffle —
-    both provably recall-free-of-loss (see inline comments).
+    (den*min(len) >= num*max(len)) and, in exact mode only, the
+    POSITIONAL filter ((num+den)*(1+min(rest)) >= num*(len_a+len_b))
+    before the verify shuffle — both provably recall-free-of-loss when
+    ``max_bucket`` is None (see inline comments). With ``max_bucket``
+    set the join is already best-effort; the positional filter is then
+    skipped so the cap's recall loss is not compounded (a pair whose
+    smallest-shared-token bucket was dropped can still be recovered at
+    another shared prefix token, where the positional bound is invalid
+    but the length bound still holds).
     Effectiveness note: pruning power comes from
     rare tokens; on a homogeneous-vocabulary corpus the candidate set
     degrades toward all-pairs and MinHash-LSH (with its recall trade) is
@@ -1113,7 +1119,15 @@ def jaccard_join_prefix_filter(
     # THAT BUCKET. At a non-smallest shared token the bound doesn't
     # hold — but every qualifying pair is still generated at its
     # smallest shared token's bucket (the prefix property), and the
-    # candidate union keeps it, so recall stays exact.
+    # candidate union keeps it, so recall stays exact. That proof
+    # REQUIRES the smallest-shared-token bucket to survive: under
+    # max_bucket that bucket may be dropped, and while the
+    # position-independent LENGTH filter still lets the pair be
+    # recovered at any other shared prefix token's bucket, the
+    # positional bound is invalid there and could prune it — so in
+    # best-effort mode (max_bucket set) the positional filter is
+    # SKIPPED below, keeping max_bucket's recall exactly what it was
+    # pre-positional-filter instead of compounding the loss.
     prefixes = ranked.select(
         F.col("_id"),
         L.cast("long").alias("_len"),
@@ -1134,30 +1148,28 @@ def jaccard_join_prefix_filter(
     if max_bucket is not None:
         buckets = buckets.filter(F.size("_ms") <= max_bucket)
     ms = F.col("_ms")
+
+    # Length filter always; positional filter ONLY in exact mode
+    # (max_bucket is None) — see the prefixes comment: its recall
+    # proof needs the smallest-shared-token bucket to survive.
+    def _pair_ok(a, b):  # a, b: the two prefix structs of a candidate
+        ok = F.least(a["len"], b["len"]) * den >= num * F.greatest(
+            a["len"], b["len"]
+        )
+        if max_bucket is None:
+            ok = ok & (
+                (num + den) * (F.lit(1) + F.least(a["rest"], b["rest"]))
+                >= num * (a["len"] + b["len"])
+            )
+        return ok
+
     pairs = F.flatten(
         F.transform(
             F.sequence(F.lit(1), F.size(ms) - 1),
             lambda i: F.transform(
                 F.filter(
                     F.slice(ms, 1, i),
-                    # length filter + positional filter (see the
-                    # prefixes comment for the recall proofs)
-                    lambda a: (
-                        F.least(a["len"], F.element_at(ms, i + 1)["len"])
-                        * den
-                        >= num
-                        * F.greatest(a["len"], F.element_at(ms, i + 1)["len"])
-                    )
-                    & (
-                        (num + den)
-                        * (
-                            F.lit(1)
-                            + F.least(
-                                a["rest"], F.element_at(ms, i + 1)["rest"]
-                            )
-                        )
-                        >= num * (a["len"] + F.element_at(ms, i + 1)["len"])
-                    ),
+                    lambda a: _pair_ok(a, F.element_at(ms, i + 1)),
                 ),
                 lambda a: F.struct(
                     a["id"].alias("id_a"),

@@ -13614,7 +13614,8 @@ def q254_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g.n_a AS n_priority,
            CAST(g.n - g.n_a AS BIGINT) AS n_other,
            m.d_num AS d_num,
-           CAST((1000000 * m.d_num) // (g.n_a * (g.n - g.n_a)) AS BIGINT)
+           CAST((CAST(1000000 AS HUGEINT) * m.d_num)
+                // (g.n_a * (g.n - g.n_a)) AS BIGINT)
              AS ks_e6,
            (SELECT CAST(MIN(val) AS BIGINT) FROM d WHERE dif = m.d_num)
              AS at_val_cents
@@ -13631,7 +13632,13 @@ def q255_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     CROSS-MULTIPLIED counts (D_num(v) = |cum_a*n_b - cum_b*n_a|, int64
     to ~3e9 rows per side — the q249 convention), so sup|F_a - F_b| =
     max(D_num)/(n_a*n_b) with a single e6 trunc division at the end and
-    zero float comparisons. Both cumulative counts ride ONE
+    zero float comparisons. The e6 pre-scaling rides exact wide
+    integers (1e6 * d_num reaches ~9.2e24 when d_num nears n_a*n_b,
+    past int64): DECIMAL(38,0) `div` on Spark, HUGEINT `//` on the
+    DuckDB oracle (its decimal `//` degrades to DOUBLE and loses
+    exactness past 2^53) — verified identical at the int64 edge — so
+    the binding envelope stays the cross-products' own ~3e9 rows per
+    side, not the ~3e6 an int64 pre-scale would impose. Both cumulative counts ride ONE
     distributed_rank pass (the new cumsum_cols multi-prefix-sum form —
     one range exchange serves both samples); the max and its leftmost
     argmax value are two 1-row aggregates over the value domain, the
@@ -13686,7 +13693,8 @@ def q255_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") - F.col("n_a")).cast("bigint").alias("n_other"),
             "d_num",
             F.expr(
-                "CAST((1000000 * d_num) div (n_a * (n - n_a)) AS BIGINT)"
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * d_num)"
+                " div (n_a * (n - n_a)) AS BIGINT)"
             ).alias("ks_e6"),
             "at_val_cents",
         )
@@ -14258,8 +14266,13 @@ def q262_erasure_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     count and the e6 fraction of each table. This is the sizing query
     every GDPR/CCPA erasure pipeline runs before executing: the
     lineitem leg is the real cascade (no customer key on lineitem — it
-    must route through orders), planned as a broadcast-able equi-join
-    of the ~1% filtered orders. The key-mod tombstone predicate is
+    must route through orders) as a plain equi-join with NO forced
+    broadcast — the tombstone slice is ~1% of orders, which grows
+    linearly with the data (tens of GB at the 100 TB design point,
+    over Spark's broadcast hard cap), so strategy choice is left to
+    AQE: at small SF it broadcasts anyway, at scale it picks a shuffle
+    join on the pushed-down-filtered slice. The key-mod tombstone
+    predicate is
     deterministic so it PUSHES DOWN to the customer/orders/events
     scans; totals are map-combined counts. All counts exact; one trunc
     division per row for the fraction."""
@@ -14287,8 +14300,10 @@ def q262_erasure_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     tomb_orders = o.filter(F.col("o_custkey") % 97 == 0)
+    # Deliberately NO broadcast hint: tomb_orders is data-proportional
+    # (~1% of orders), so a forced broadcast is a driver OOM at scale.
     li_hit = li.join(
-        F.broadcast(tomb_orders.select("o_orderkey", "o_custkey")),
+        tomb_orders.select("o_orderkey", "o_custkey"),
         li["l_orderkey"] == F.col("o_orderkey"),
     )
     return (

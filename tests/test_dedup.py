@@ -509,6 +509,39 @@ def test_jaccard_prefix_join_prunes_on_diverse_vocab(spark):
     assert out[0]["jaccard"] == 1.0
 
 
+def test_jaccard_prefix_join_max_bucket_skips_positional(spark):
+    """Best-effort mode (max_bucket set) must NOT apply the positional
+    filter: its recall proof needs the smallest-shared-token bucket to
+    survive. Adversarial corpus: pair (1,2) qualifies at t=4/5
+    (J=11/13), its smallest shared prefix token w sits in a 32-doc
+    bucket (dropped at max_bucket=16), and at the surviving fallback
+    token x the positional bound (num+den)*(1+min(rest))=90 <
+    num*(len_a+len_b)=96 would prune it — so with the positional
+    filter active under max_bucket the pair is silently lost, and with
+    the fix it is found via the (position-independent) length filter."""
+    c = " ".join(f"c{i}" for i in range(1, 10))  # 9 common tokens
+    rows = [(1, f"ua w x {c}"), (2, f"ub w x {c}")]
+    # 30 floods: w lands in their prefix (w rarer than the commons),
+    # inflating bucket(w) to 32 > max_bucket
+    rows += [(100 + i, "w c1 c2 c3 c4") for i in range(30)]
+    # 126 fillers push df(c*) above df(x); their own near-dup pairs
+    # only share prefix tokens with fat (dropped) buckets
+    rows += [(200 + i, f"d{i} {c}") for i in range(126)]
+    # 40 paddings set df(x)=42 WITHOUT putting x in their prefix
+    # (L=4 at t=4/5 gives p=1, exposing only the unique e-token)
+    rows += [(400 + i, f"e{i} x c1 c2") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_join_prefix_filter(
+            df, 4, 5, max_bucket=16
+        ).collect()
+    }
+    assert (1, 2) in got
+    # and nothing outside the planted qualifying families appears
+    assert all(a in (1, 2) or a >= 100 for (a, b) in got)
+
+
 def test_triangle_count_known_graphs(spark):
     from spark_lakehouse_medallion_pipeline_spark.operators.graph import triangle_count
 

@@ -798,7 +798,11 @@ def test_q261_q262_q263_plan_shapes(spark):
     keyed 5-sum aggregate, pure Column arithmetic after — no window,
     no cartesian (the 1-row mk0 broadcast is the only cross join).
     q262 erasure audit: the tombstone key-mod predicates must PUSH DOWN
-    to the scans, and the lineitem cascade must be a broadcast join.
+    to the scans, and the lineitem cascade is an UNHINTED equi-join —
+    the tombstone slice is data-proportional (~1% of orders), so the
+    strategy is AQE's call: broadcast at small SF, shuffle at scale.
+    The pin accepts any hash-join strategy and only forbids a
+    cartesian product.
     q263 inverted index: posting ranking is a PER-TOKEN partitioned
     window, never the global single-partition form."""
     df = QUERIES["q261_ols_trend_slope"](spark, SF)
@@ -807,8 +811,19 @@ def test_q261_q262_q263_plan_shapes(spark):
     assert "CartesianProduct" not in plan
     df = QUERIES["q262_erasure_cascade_audit"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
     assert "CartesianProduct" not in plan
+    # The lineitem cascade must NOT carry a forced broadcast of the
+    # data-proportional tombstone side (driver OOM at the 100 TB
+    # design point); the source asserts the hint is absent.
+    import inspect
+
+    src = inspect.getsource(QUERIES["q262_erasure_cascade_audit"])
+    assert "F.broadcast(tomb_orders" not in src
     # key-mod tombstone filter reaches at least one parquet scan as a
     # pushed data filter (deterministic predicate)
     assert "PushedFilters" in plan or "Filter" in plan
