@@ -741,6 +741,37 @@ def main() -> None:
     if errors:
         out["errors"] = errors
 
+    # CONTENTION GUARD (VERDICT r10 Next #4): the driver's r10 recording
+    # ran on a contended host (spread 184.6%, medallion_e2e_1m 83 s vs a
+    # committed 16 s for identical code) and would have poisoned
+    # round-over-round comparison if read at face value. A recording
+    # self-flags as contended when (a) the two headline passes disagree
+    # by >25% — a quiet host holds min-of-2 comparability even when raw
+    # spread is 10-17%, and 25% is ~2x the worst quiet-host spread ever
+    # observed here — or (b) any named section's min-of-reps exceeds 2x
+    # the committed prior record's min for the same key (only keys >= 2 s
+    # in the prior, so sub-second jitter can't trip it). The record is
+    # still emitted (the driver needs a line to parse) but carries
+    # "contended": true + reasons, and the comparator convention is
+    # min-of-2 on a quiet host (README, Benchmarks).
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LATEST.json"
+    )
+    try:
+        with open(full_path) as fh:
+            prior = json.load(fh)
+    except (OSError, ValueError):
+        prior = None
+    contended_reasons = contention_reasons(variance, prior)
+    if contended_reasons:
+        out["contended"] = True
+        out["contended_reasons"] = contended_reasons
+        print(
+            "# CONTENDED RECORDING — do not use as a round-over-round "
+            f"comparator: {'; '.join(contended_reasons)}",
+            file=sys.stderr,
+        )
+
     # The driver's capture keeps only the LAST ~2000 characters of stdout
     # and parses the final line as JSON (BENCH_r07.json: the single
     # ~3.5 KB line was cut mid-queries-dict and parse failed — VERDICT r7
@@ -754,9 +785,6 @@ def main() -> None:
     #      ("q01" = q01_pricing_summary — names in the full file),
     #      non-q entries keep full names, values at 2 decimals, variance
     #      reduced to totals + spread + scale ratios.
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LATEST.json"
-    )
     try:
         with open(full_path, "w") as fh:
             json.dump(out, fh, indent=1, sort_keys=True)
@@ -765,6 +793,34 @@ def main() -> None:
         print(f"# could not write {full_path}: {exc}", file=sys.stderr)
     print(json.dumps(out))
     print(build_compact_line(out))
+
+
+def contention_reasons(variance: dict, prior: dict | None) -> list[str]:
+    """The contention guard's decision, separated for unit testing:
+    reasons this recording must not be used as a round-over-round
+    comparator. (a) headline pass spread > 25% (quiet-host raw spread
+    is 10-17% here; 25% is ~2x the worst quiet observation); (b) any
+    named section's min-of-reps > 2x the committed prior record's min
+    for the same key, priors below 2 s ignored so sub-second jitter
+    can't trip it. A prior that is itself flagged contended is not a
+    comparator and arm (b) is skipped."""
+    reasons = []
+    if variance["spread_pct"] > 25:
+        reasons.append(f"headline spread {variance['spread_pct']}% > 25%")
+    if prior and not prior.get("contended"):
+        pvar = prior.get("variance", {})
+        for key, reps in variance.items():
+            if not key.endswith("_runs_sec") or not isinstance(reps, list):
+                continue
+            prior_reps = pvar.get(key)
+            if not isinstance(prior_reps, list) or not prior_reps:
+                continue
+            cur_min, pri_min = min(reps), min(prior_reps)
+            if pri_min >= 2.0 and cur_min > 2.0 * pri_min:
+                reasons.append(
+                    f"{key} min {cur_min:.1f}s > 2x committed {pri_min:.1f}s"
+                )
+    return reasons
 
 
 def build_compact_line(out: dict) -> str:
@@ -815,6 +871,10 @@ def build_compact_line(out: dict) -> str:
         "variance": compact_variance,
         "note": "min2;full=BENCH_FULL_LATEST.json",
     }
+    if out.get("contended"):
+        # survives every degrade step: a contended record must never be
+        # readable as a clean comparator even from the compact line
+        compact["contended"] = True
     errors = out.get("errors") or {}
     if errors:
         compact["errors"] = {k: v[:60] for k, v in errors.items()}

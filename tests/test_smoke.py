@@ -326,6 +326,55 @@ def test_bench_compact_line_fits_capture_window():
     assert json.loads(line2)["queries"]
 
 
+def test_bench_contention_guard():
+    """The r10 driver recording (spread 184.6%, medallion_e2e_1m min-of-2
+    at 83 s vs a committed 16 s for identical code) would have poisoned
+    round-over-round comparison if read at face value. The guard flags
+    (a) >25% headline spread, (b) any named section min > 2x the
+    committed prior's min — and a flagged record's compact line carries
+    the marker through every degrade step."""
+    import json
+
+    import bench
+
+    quiet = {
+        "spread_pct": 12.0,
+        "medallion_e2e_1m_runs_sec": [15.0, 16.2],
+    }
+    prior = {"variance": {"medallion_e2e_1m_runs_sec": [16.0, 17.1]}}
+    assert bench.contention_reasons(quiet, prior) == []
+    assert bench.contention_reasons(quiet, None) == []
+
+    # arm (a): the r10 driver spread
+    hot = dict(quiet, spread_pct=184.6)
+    assert any("spread" in r for r in bench.contention_reasons(hot, prior))
+    # arm (b): e2e_1m at 83 s vs committed 16 s
+    slow = {"spread_pct": 12.0, "medallion_e2e_1m_runs_sec": [83.3, 251.0]}
+    assert any(
+        "medallion_e2e_1m" in r for r in bench.contention_reasons(slow, prior)
+    )
+    # a contended prior is not a comparator: arm (b) must not fire
+    tainted_prior = dict(prior, contended=True)
+    assert bench.contention_reasons(slow, tainted_prior) == []
+    # sub-2s priors never trip (jitter guard)
+    tiny = {"spread_pct": 5.0, "x_runs_sec": [4.0, 4.1]}
+    tiny_prior = {"variance": {"x_runs_sec": [1.0, 1.1]}}
+    assert bench.contention_reasons(tiny, tiny_prior) == []
+
+    # the compact line keeps the flag at every degrade step
+    from pathlib import Path
+
+    full_path = Path(__file__).resolve().parent.parent / "BENCH_FULL_LATEST.json"
+    full = json.loads(full_path.read_text())
+    flagged = dict(full, contended=True)
+    flagged["errors"] = {
+        f"q{900 + i}_totally_broken_query_name": "x" * 200 for i in range(8)
+    }
+    line = bench.build_compact_line(flagged)
+    assert len(line) <= 2000
+    assert json.loads(line)["contended"] is True
+
+
 def test_csv_quarantine_contract_modes(spark, tmp_path):
     """q236's malformed-ingest contract, mode by mode, on a hand-built
     fixture (3 good rows + the 5 planted bad lines): PERMISSIVE
