@@ -196,6 +196,11 @@ HEADLINE = [
     "q261_ols_trend_slope",
     "q262_erasure_cascade_audit",
     "q263_inverted_index",
+    "q264_snapshot_retention_vacuum",
+    "q265_weighted_systematic_sample",
+    "q266_salted_skew_aggregate",
+    "q267_bucketed_colocated_join",
+    "q268_heavy_hitters_exact",
     "medallion_gold_kpis",
 ]
 

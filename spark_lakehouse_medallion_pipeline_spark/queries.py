@@ -14379,6 +14379,403 @@ def q263_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q264_snapshot_retention_vacuum",
+    """
+    WITH cur AS (
+      SELECT doc_id,
+             n_chars + CASE WHEN doc_id % 8 = 0 THEN 500 ELSE 0 END
+               AS n_chars
+      FROM documents
+    ),
+    v3 AS (SELECT * FROM cur WHERE doc_id % 4 IN (0, 1, 2))
+    SELECT CAST(4 AS BIGINT) AS n_versions_committed,
+           CAST(2 AS BIGINT) AS n_versions_dropped,
+           CAST(2 AS BIGINT) AS n_versions_retained,
+           CAST(1 AS BIGINT) AS expired_read_raises,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cur) AS n_current,
+           (SELECT CAST(SUM(n_chars) AS BIGINT) FROM cur)
+             AS sum_cur_nchars_pre,
+           (SELECT CAST(SUM(n_chars) AS BIGINT) FROM cur)
+             AS sum_cur_nchars_post,
+           (SELECT CAST(SUM(doc_id) AS BIGINT) FROM cur) AS sum_cur_doc_id,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v3) AS n_v3_retained,
+           (SELECT CAST(SUM(n_chars) AS BIGINT) FROM v3) AS sum_v3_nchars
+    """,
+)
+def q264_snapshot_retention_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot RETENTION/VACUUM — the warehouse-maintenance arm q254
+    left open (q254 proves commit/merge/travel; this proves expiry):
+    commit four versions (v1 = doc_id%4=0; v2 merges in the %4=1
+    slice; v3 updates %8=0 rows (+500 chars) and inserts %4=2; v4
+    inserts %4=3), checksum the current version, then VACUUM with
+    keep=2 — Delta's retention contract in miniature. The audit row
+    proves (a) exactly versions 1 and 2 were expired and their
+    directories reclaimed, (b) the current version is BYTE-UNAFFECTED
+    (pre- and post-vacuum checksums are separate columns the oracle
+    forces equal), (c) the oldest RETAINED version (v3) still
+    time-travels with its exact merge-era content, and (d) reading an
+    expired version raises cleanly (FileNotFoundError naming the
+    vacuumed versions) rather than a partial scan. Every number is
+    derivable from the source parquet, so the oracle certifies the
+    whole commit->merge->vacuum->travel path. Scale shape: four
+    snapshot commits (distributed writes + bounded left-anti merge
+    joins), vacuum is driver-side directory metadata (bounded by
+    version count, never data size), three 1-row aggregates."""
+    import os
+    import shutil
+    import tempfile
+
+    from spark_lakehouse_medallion_pipeline_spark.sources.io import (
+        merge_upsert_snapshot,
+        read_snapshot,
+        snapshot_versions,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    app = spark.sparkContext.applicationId
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_q264_snap_{tag}_{app}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    assert write_snapshot(spark, docs.filter(F.col("doc_id") % 4 == 0), path) == 1
+    assert (
+        merge_upsert_snapshot(
+            spark, docs.filter(F.col("doc_id") % 4 == 1), path, ["doc_id"]
+        )
+        == 2
+    )
+    v3_updates = (
+        docs.filter(F.col("doc_id") % 8 == 0)
+        .select("doc_id", (F.col("n_chars") + 500).cast("bigint").alias("n_chars"))
+        .unionByName(docs.filter(F.col("doc_id") % 4 == 2))
+    )
+    assert merge_upsert_snapshot(spark, v3_updates, path, ["doc_id"]) == 3
+    assert (
+        merge_upsert_snapshot(
+            spark, docs.filter(F.col("doc_id") % 4 == 3), path, ["doc_id"]
+        )
+        == 4
+    )
+    n_committed = len(snapshot_versions(path))
+    # checksum BEFORE vacuum (eager 1-row collect — the "before" must be
+    # measured before the deletes, not a lazy plan evaluated after)
+    pre = read_snapshot(spark, path).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("s_nchars"),
+        F.sum("doc_id").cast("bigint").alias("s_docid"),
+    ).first()
+    dropped = vacuum_snapshots(path, keep=2)
+    n_retained = len(snapshot_versions(path))
+    try:
+        read_snapshot(spark, path, version=dropped[0] if dropped else 1)
+        raised = 0
+    except FileNotFoundError:
+        raised = 1
+    post = read_snapshot(spark, path).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_current"),
+        F.sum("n_chars").cast("bigint").alias("sum_cur_nchars_post"),
+        F.sum("doc_id").cast("bigint").alias("sum_cur_doc_id"),
+    )
+    v3 = read_snapshot(spark, path, version=3).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_v3_retained"),
+        F.sum("n_chars").cast("bigint").alias("sum_v3_nchars"),
+    )
+    return post.crossJoin(F.broadcast(v3)).select(
+        F.lit(n_committed).cast("bigint").alias("n_versions_committed"),
+        F.lit(len(dropped)).cast("bigint").alias("n_versions_dropped"),
+        F.lit(n_retained).cast("bigint").alias("n_versions_retained"),
+        F.lit(raised).cast("bigint").alias("expired_read_raises"),
+        "n_current",
+        F.lit(int(pre["s_nchars"])).cast("bigint").alias("sum_cur_nchars_pre"),
+        "sum_cur_nchars_post",
+        "sum_cur_doc_id",
+        "n_v3_retained",
+        "sum_v3_nchars",
+    )
+
+
+@_q(
+    "q265_weighted_systematic_sample",
+    """
+    WITH d AS (
+      SELECT doc_id, n_chars AS w,
+             CAST(('0x' || substr(md5('wss:' || CAST(doc_id AS VARCHAR)),
+                                  18, 15)) AS BIGINT) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, w,
+             CAST(SUM(w) OVER (ORDER BY h, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM d
+    ),
+    g AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM d)
+    SELECT doc_id, w AS weight, mult FROM (
+      SELECT doc_id, w,
+             CAST((200 * cum + tw - 1) // (2 * tw)
+                  - (200 * (cum - w) + tw - 1) // (2 * tw) AS BIGINT)
+               AS mult
+      FROM c CROSS JOIN g
+    ) WHERE mult >= 1
+    """,
+)
+def q265_weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling via SYSTEMATIC (midpoint) selection — the
+    exact-integer counterpart of A-ES/A-Res weighted reservoirs (the
+    exp-jitter priority is replaced by a rank-of-hash order, the
+    curation-mixture sampler's distributed form; q195 covers the
+    uniform A-Res case, q208 the stratum-quota case): documents are
+    laid on a weight line in portable-hash order (md5-60bit, the q239
+    idiom — a deterministic shuffle both engines replay), k=100
+    midpoint selection points p_j = (2j+1)*W/(2k) pick the item whose
+    exact prefix-weight interval [cum-w, cum) contains p_j, giving
+    inclusion probability proportional to weight (n_chars), zero
+    variance in the total (sum(mult) == k ALWAYS — the systematic
+    guarantee, pinned in pytest), and multiplicity >1 only for items
+    heavier than the W/k stride. The per-item point count is CLOSED
+    FORM (two ceil-divisions on int64 cross-products — no join against
+    a points table, no per-row loop), the prefix weights ride ONE
+    distributed_rank cumsum pass (two balanced exchanges, no
+    single-partition window), and everything is integer (envelope:
+    2k*W must fit int64, so W <= 4.6e16 at k=100 — ~46 petabytes of
+    weight at 1 char = 1 unit). The oracle replays the hash order and
+    the same divisions verbatim."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.relational import (
+        distributed_rank,
+    )
+
+    k = 100
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("w"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wss:"), F.col("doc_id").cast("string"))),
+                18,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    c = distributed_rank(
+        d,
+        [F.col("h").asc(), F.col("doc_id").asc()],
+        rank_col="_r",
+        value_col="w",
+        cumsum_col="cum",
+    )
+    g = d.agg(F.sum("w").cast("bigint").alias("tw"))
+    return (
+        c.crossJoin(F.broadcast(g))
+        .select(
+            "doc_id",
+            F.col("w").alias("weight"),
+            F.expr(
+                f"CAST(({2 * k} * cum + tw - 1) div (2 * tw)"
+                f" - ({2 * k} * (cum - w) + tw - 1) div (2 * tw) AS BIGINT)"
+            ).alias("mult"),
+        )
+        .filter(F.col("mult") >= 1)
+    )
+
+
+@_q(
+    "q266_salted_skew_aggregate",
+    f"""
+    WITH e AS (
+      SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id % 97 END
+               AS hot_key,
+             user_id, {SC("value")} AS val_c
+      FROM events
+    )
+    SELECT hot_key,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(val_c) AS BIGINT) AS sum_value_c,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM e GROUP BY hot_key
+    """,
+)
+def q266_salted_skew_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED two-stage aggregation — the FIX for the skew q205
+    diagnoses (q205 is the profile; this is the treatment, completing
+    the pair): a deliberately pathological key (~70% of events land on
+    hot_key 0 — the single-hot-key case AQE's skew split cannot help
+    for aggregation) is decomposed as groupBy(key, salt) partials then
+    groupBy(key) re-combination, so the hot key's rows spread over 16
+    tasks in the first exchange instead of funneling into one. The
+    salt is user_id % 16 — deterministic, and chosen so COUNT(DISTINCT
+    user_id) stays EXACT through the decomposition (equal users share
+    a salt, so per-(key,salt) distinct counts are disjoint and their
+    SUM is the true distinct count — the standard exact-distinct skew
+    rewrite; count/sum re-combine trivially). The oracle is the plain
+    unsalted GROUP BY, so the value-hash match IS the equality proof
+    salted == unsalted; the plan pin (test_plans) asserts the first
+    exchange hashes on (hot_key, salt) and the second on hot_key.
+    Scale shape: two balanced hash exchanges, the second over at most
+    |keys| x 16 partial rows — never data-proportional."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        F.when(F.col("user_id") % 10 < 7, F.lit(0))
+        .otherwise(F.col("user_id") % 97)
+        .cast("bigint")
+        .alias("hot_key"),
+        "user_id",
+        cents(F.col("value")).alias("val_c"),
+    ).withColumn("_salt", (F.col("user_id") % 16).cast("int"))
+    partial = e.groupBy("hot_key", "_salt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("val_c").cast("bigint").alias("_s"),
+        F.countDistinct("user_id").cast("bigint").alias("_u"),
+    )
+    return partial.groupBy("hot_key").agg(
+        F.sum("_n").cast("bigint").alias("n_events"),
+        F.sum("_s").cast("bigint").alias("sum_value_c"),
+        F.sum("_u").cast("bigint").alias("n_users"),
+    )
+
+
+@_q(
+    "q267_bucketed_colocated_join",
+    f"""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM({SC("o.o_totalprice")}) AS BIGINT) AS sum_total_c
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q267_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed CO-LOCATED fact-to-dim join (R-family's 100 TB join
+    layout, promoted from pytest-only evidence to a value-oracled
+    battery row): orders and customer are written as managed tables
+    bucketed by the customer key into the same bucket count, so the
+    subsequent SortMergeJoin reads co-located buckets directly — ZERO
+    exchange on the join key (plan-pinned in test_plans; the only
+    shuffle left is the 5-row segment aggregate). This is the
+    pay-the-shuffle-once pattern for joins repeated across a pipeline:
+    at 100 TB the bucket write is amortized over every downstream
+    join of the pair, and bucket count scales with cluster width
+    without touching the query. The oracle is the plain parquet join —
+    the value-hash match proves the bucketed layout changes WHERE rows
+    meet, never WHAT the join computes."""
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+
+    from spark_lakehouse_medallion_pipeline_spark.operators.relational import (
+        write_bucketed_table,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", cents(F.col("o_totalprice")).alias("total_c")
+    )
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    sfx = _re.sub(r"[^a-z0-9]", "_", _os.path.basename(sf_dir.rstrip("/")).lower())
+    t_o, t_c = f"q267_orders_{sfx}", f"q267_customer_{sfx}"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for tbl in (t_o, t_c):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        _shutil.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
+    write_bucketed_table(orders, t_o, "o_custkey", 16)
+    write_bucketed_table(
+        customer.withColumnRenamed("c_custkey", "o_custkey"), t_c, "o_custkey", 16
+    )
+    return (
+        spark.table(t_o)
+        .join(spark.table(t_c).hint("merge"), "o_custkey")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("total_c").cast("bigint").alias("sum_total_c"),
+        )
+    )
+
+
+@_q(
+    "q268_heavy_hitters_exact",
+    """
+    WITH e AS (
+      SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id % 97 END
+               AS hot_key
+      FROM events
+    ),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+    c AS (SELECT hot_key, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM e GROUP BY hot_key)
+    SELECT c.hot_key, c.cnt,
+           CAST((1000000 * c.cnt) // g.n AS BIGINT) AS share_e6
+    FROM c, g WHERE 50 * c.cnt >= g.n
+    """,
+)
+def q268_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters by two-pass Misra-Gries candidacy — the
+    huge-key-domain frequent-items pattern (X13's deterministic
+    complement to the HLL/CMS sketch family): pass 1 runs a k=64
+    Misra-Gries summary PER PARTITION inside one shuffle-free
+    mapInPandas (counter merge per Arrow batch, then the standard MG
+    compaction: subtract the (k+1)-th largest count, drop
+    non-positives), whose union provably contains every key with
+    global share > 1/(k+1) ~ 1.5% (if a key is light in EVERY
+    partition — count_p <= N_p/(k+1) — summing gives global count <=
+    N/(k+1), so a 2% key must be MG-heavy somewhere); pass 2 recounts
+    ONLY the <= 64*n_partitions candidates exactly (left-semi probe +
+    map-combined groupBy) and keeps keys at >= 2% share. Output is
+    therefore EXACT and partitioning-independent even though the
+    candidate set isn't — the oracle is the plain GROUP BY ... HAVING.
+    Scale shape: why not just groupBy? Over a 100 TB key domain the
+    full aggregate shuffles |domain| rows; this shuffles only the
+    bounded candidate set (64 x n_partitions) plus per-partition
+    partials. The demo key is q266's deliberately skewed 70%-hot
+    mapping, so the answer is the planted hot key."""
+    k = 64
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.when(F.col("user_id") % 10 < 7, F.lit(0))
+        .otherwise(F.col("user_id") % 97)
+        .cast("bigint")
+        .alias("hot_key")
+    )
+
+    def mg_partition(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        summary: dict[int, int] = {}
+        for pdf in batches:
+            for key, cnt in Counter(pdf["hot_key"].to_numpy()).items():
+                summary[int(key)] = summary.get(int(key), 0) + int(cnt)
+            if len(summary) > k:
+                # MG merge compaction: subtract the (k+1)-th largest
+                # count from everyone, keep strictly-positive survivors
+                dec = sorted(summary.values(), reverse=True)[k]
+                summary = {x: c - dec for x, c in summary.items() if c > dec}
+        yield pd.DataFrame({"hot_key": pd.Series(list(summary), dtype="int64")})
+
+    cands = keyed.mapInPandas(mg_partition, "hot_key long").distinct()
+    g = keyed.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        keyed.join(F.broadcast(cands), "hot_key", "left_semi")
+        .groupBy("hot_key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .crossJoin(F.broadcast(g))
+        .filter(F.lit(50) * F.col("cnt") >= F.col("n"))
+        .select(
+            "hot_key",
+            "cnt",
+            F.expr("CAST((1000000 * cnt) div n AS BIGINT)").alias("share_e6"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
@@ -14509,40 +14906,48 @@ def q263_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rotations total this round (the r9 precedent count); q249/q251/
 # q253/q254 and the late-round families q256-q263 are the r11
 # never-recorded backlog.
+#
+# Round 11 cleared that backlog in full: all 12 never-recorded
+# round-10 families (q249/q251/q253/q254/q256-q263) rotated in, plus
+# birth-round rows for the five round-11 families (q264 vacuum, q265
+# systematic sample, q266 salted skew fix, q267 bucketed join, q268
+# heavy hitters) — 17 rotations, each displacing a slot green >= 2
+# consecutive driver rounds whose family keeps an in-head rep (the
+# per-slot annotations below name both sides of every swap).
 
 _DRIVER_SNAPSHOT_50 = [
     # reference surface: aggregates, scalars, datetime, medallion KPIs
     "q01_pricing_summary",
     "q19_daily_event_kpis",
     "q41_scalar_battery",
-    "q233_tukey_winsorize",  # r9: Tukey-fence outlier report + winsorized mean, birth-round row (q179 chunk dedup green r07+r08; dedup keeps q149/q204/q209/q222/q67 in the head and q179 stays value-oracled in the full gate)
+    "q249_mann_whitney",  # r11: Mann-Whitney U (exact cross-multiplied rank sums), first driver row for the r10-born nonparametric-test family (q233 Tukey-winsorize green r9+r10; robust stats keep q240 MAD + q255 KS in the head and q233 stays value-oracled in the full gate),
     "q212_ir_eval_metrics",  # r8 late: retrieval-eval metrics (P@10/MRR/NDCG), birth-round row (q46 A8 declared-intent aggregates green r04-r07; the aggregate surface keeps q01/q19 and q46 stays value-oracled in the full gate)
     # joins
     "q221_funnel_latency",  # r9: funnel-stage latency quartiles, birth-round row (q192 BFS green r07+r08; graph keeps q67 connected components in the head and q192/q188/q126 stay value-oracled in the full gate)
     "q245_cusum_changepoint",  # r10: int64 cross-multiplied CUSUM changepoint with its prefix sum from distributed_rank, birth-round row (q224 rolling z-score green r08+r09; the anomaly family keeps this entry + q229 EWMA and X10 frames keep q207, with q224 value-oracled in the full gate)
-    "q205_join_skew_profile",  # r8 late: skew diagnosis, birth-round row (q133 salted join green r04-r07; the salting operator keeps pytest cover in test_salted_join_matches_plain and q205 is its diagnosis half)
+    "q266_salted_skew_aggregate",  # r11 birth-round: the skew FIX replacing its own diagnosis slot (q205 profile green r8-r10; q266 is q205's treatment half — salted two-stage decomposition with exact COUNT(DISTINCT), plan-pinned; q205 stays value-oracled in the full gate),
     "q252_partition_pruned_read",  # r10 late: Hive-style partition pruning pinned at the scan (PartitionFilters plan test), birth-round row (q203 equi-depth green r08+r09; X13 keeps q213/q214 + q240's percentile machinery in the head and q203 stays value-oracled in the full gate)
     "q248_kaplan_meier",  # r10 late: Kaplan-Meier product-limit curve with genuine mid-study censoring, birth-round row (q211 weighted median green r08+r09; the robust-stats family keeps q240 MAD + q233 Tukey in the head and q211 stays value-oracled in the full gate)
     "q226_mom_revenue_growth",  # r9: MoM growth with trunc-div-safe negative months, birth-round row (q129 SCD2 green r07+r08; the temporal family keeps q207/q224 window frames in the head and q129/q128/q130 stay value-oracled in the full gate)
-    "q209_incremental_near_dup_portable",  # r8 late: incremental-ingest family's first possible driver row (q48 interval join green r04-r07; X6 theta/range keeps q150 as-of tolerance)
+    "q268_heavy_hitters_exact",  # r11 birth-round: two-pass Misra-Gries exact heavy hitters in shuffle-free mapInPandas (q209 incremental near-dup green r8-r10; dedup keeps q67/q238/q239 in the head and q209 stays value-oracled in the full gate),
     # grouping extensions
     "q228_curation_verdict",  # r9: curation capstone with auditable pass mask, birth-round row (q176 real-PNG codec green r05-r08 = the verdict's own displacement pool; multimodal keeps q200 JPEG in the head and q176 stays value-oracled in the full gate)
     "q250_rfm_scores",  # r10 late: RFM quintile scoring via three composed distributed_rank NTILE passes (the rank operator's composition case), birth-round row (q220 demand variability green r08+r09; X14 time windows keep q221 funnel + q207 in the head, q234 shares q220's XYZ machinery, and q220 stays value-oracled in the full gate)
     # windows
-    "q215_gini_spend",  # r9: Gini concentration index, birth-round row (q189 RRF fusion green r05-r08 = the verdict's own displacement pool; rank-eval keeps q212/q196 in the head and q189 stays value-oracled in the full gate)
+    "q251_spearman_rank_corr",  # r11: Spearman rank correlation — another distributed_rank composition, never driver-recorded (q215 Gini green r9+r10; the rank family keeps q242/q250/q255 in the head and q215 stays value-oracled in the full gate),
     "q243_position_attribution",  # r10: U-shaped 40/20/40 attribution with exact 1e6-credit conservation, birth-round row (q218 last-touch green r08+r09 — this is its direct multi-touch upgrade; X9 analytic keeps q226 MoM lag in the head and q218 stays value-oracled in the full gate)
-    "q229_ewma_revenue_trend",  # r9: finite 8-term EWMA trend, birth-round row (q177 real-GIF codec green r05-r08 = the verdict's own displacement pool; multimodal keeps q200 JPEG in the head and q177 stays value-oracled in the full gate)
+    "q259_seasonal_index",  # r11: ratio-to-centered-moving-total seasonal indices, never driver-recorded (q229 finite EWMA green r9+r10 — same smoothing family; X10 frames keep q207 rolling bitmap in the head and q229 stays value-oracled in the full gate),
     "q239_leakage_safe_split",  # r10: leakage-safe train/val/test split bucketed by md5(dedup-cluster-rep), birth-round row (q222 cluster profile green r08+r09 — q239 reuses its cluster machinery; X17 keeps q67 in the head and q222 stays value-oracled in the full gate)
     # sort/limit, set ops, sketches
-    "q225_late_rate_wilson",  # r9: Wilson lower-bound ranking, birth-round row (q182 dup-ngram green r07+r08; text scoring keeps q202/q204/q213/q219 in the head and q182 stays value-oracled in the full gate)
+    "q258_theil_sen_slope",  # r11: Theil-Sen robust slope, never driver-recorded (q225 Wilson lower bound green r9+r10; the statistical-test surface keeps q241 kappa + incoming q249/q256 in the head and q225 stays value-oracled in the full gate),
     "q242_percentile_rank_normalize",  # r10: empirical-CDF normalization via relational.distributed_rank — the two-pass rank's reuse story, birth-round row (q196 rank distributions green r08+r09; X8 ranking keeps q215 Gini + q212 IR-eval in the head and q196 stays value-oracled in the full gate)
     "q181_bpe_train_2merges",  # r7: BPE training never recorded (q18 green r01-r06; distinct family keeps q145)
     # time windows / sessionization
-    "q230_chi2_independence",  # r9: chi-square lang x source independence, birth-round row (q191 integer k-means green r07+r08; the ML family keeps q198/q201/q210 in the head and q191 stays value-oracled in the full gate)
+    "q261_ols_trend_slope",  # r11: exact-int OLS normal equations, never driver-recorded (q230 chi-square green r9+r10; contingency tests keep q241 kappa in the head and q230 stays value-oracled in the full gate),
     "q125_cogroup_asof",  # r8: applyInPandas cogroup never recorded in 7 rounds (q21 sessionization green r01-r07; X15 keeps q168 + streaming pytest)
     # SQL surface: subqueries, lateral, UDTF, interactive SQL
     "q241_filter_agreement_kappa",  # r10: Cohen's kappa between quality filters in ONE 2x2-confusion aggregate, birth-round row (q197 bitwise rollup green r08+r09; the aggregate-battery surface keeps q41 + q123 in the head and q197 stays value-oracled in the full gate)
-    "q235_kanon_suppressed_report",  # r9: k-anonymity small-cell suppression, birth-round row (q56 correlated subqueries green r03-r08, the longest-tenured rotatable slot; the SQL surface keeps the q197/q123 batteries in the head and q56 stays value-oracled in the full gate)
+    "q264_snapshot_retention_vacuum",  # r11 birth-round: retention/VACUUM completing the warehouse-maintenance family with q254/q257 (q235 k-anonymity green r9+r10; governance keeps incoming q262 erasure audit in the head and q235 stays value-oracled in the full gate),
     "q67_dedup_clusters",  # r7: connected components never recorded in 6 rounds (q117 mapInArrow green r04-r06; UDF family keeps q65)
     "q255_ks_two_sample",  # r10 late: Kolmogorov-Smirnov two-sample test — the driver-visible proof of distributed_rank's multi-prefix-sum (cumsum_cols) form, birth-round row (q214 correlation matrix green r08+r09; the multivariate-ANALYZE family keeps q213 profile + q240 MAD in the head and q214 stays value-oracled in the full gate)
     # semi-structured: JSON, arrays, maps/structs
@@ -14553,24 +14958,24 @@ _DRIVER_SNAPSHOT_50 = [
     "q240_mad_robust_scale",  # r10: grouped MAD via two exact dyadic 0.5-quantile passes, birth-round row (q194 equi-width histogram green r08+r09; X13 keeps q203 equi-depth + q213 profile + q214 in the head and q194 stays value-oracled in the full gate)
     "q238_blocking_quality",  # r10: LSH blocking-quality ER audit (reduction ratio + pair completeness vs planted-twin exact-Jaccard truth), birth-round row (q149 contrastive pairs green r08+r09; dedup keeps q67/q204/q209 + incoming q239 in the head and q149 stays value-oracled in the full gate)
     "q217_benford_audit",  # r9: Benford first-digit audit, birth-round row (q188 LPA green r05-r08 = the verdict's own displacement pool; graph keeps q67 in the head and q188 stays value-oracled in the full gate)
-    "q234_abc_xyz_matrix",  # r9: ABC-XYZ planning matrix, birth-round row (q184 BPE encode green r07+r08; BPE keeps q181 train + q202 BM25 in the head, q220 shares the XYZ machinery, and q184 stays value-oracled in the full gate)
+    "q260_pareto_skyline",  # r11: Pareto frontier via the cummax_cols EXCLUSIVE prefix max — the driver-visible proof of the r10 rank-statistic widening, never driver-recorded (q234 ABC-XYZ green r9+r10; planning analytics keep q246 in the head and q234/q220 stay value-oracled in the full gate),
     # similarity family
     "q201_pq_codes_int",  # r8: integer-exact PQ train+encode, first-ever driver row for the PQ family (q36 brute kNN green r01-r07; q183's recall eval computes the same brute kNN internally)
     "q198_pca_power_customers",  # r8: integer power-iteration PCA, birth-round row (q126 PageRank green r01-r07; graph keeps q192/q67/q188)
     # text analysis family
-    "q202_bm25_ranking",  # r8 late: BM25 lexical retrieval, birth-round row (q163 PMI green r05-r07; text keeps q185/q186/q135/q182 + BPE reps)
-    "q204_containment_scan",  # r8 late: one-sided containment audit, birth-round row (q152 fuzzy-ER d<=2 green r04-r07; dedup keeps q149/q179)
-    "q236_csv_quarantine",  # r9 late: malformed-ingest contract (PERMISSIVE corrupt channel + required-field nullability), birth-round row (q195 A-Res sampler green r07+r08; sampling keeps stratified_exact_sample pytest + the q208 apportionment machinery in the head, and q195 stays value-oracled in the full gate)
-    "q227_referential_integrity_audit",  # r8 late: FK conformance audit, birth-round row (q183 ANN recall eval green r05-r07; the eval family keeps q212 in the head and q183 stays value-oracled in the full gate)
+    "q253_zipf_rank_frequency",  # r11: Zipf rank-frequency vocabulary audit, never driver-recorded (q202 BM25 green r8-r10; lexical retrieval keeps q181 BPE + incoming q263 inverted index in the head and q202 stays value-oracled in the full gate),
+    "q263_inverted_index",  # r11: champion-postings inverted index, never driver-recorded (q204 containment green r8-r10; dedup keeps q67/q238/q239 in the head and q204 stays value-oracled in the full gate),
+    "q267_bucketed_colocated_join",  # r11 birth-round: zero-join-key-exchange bucketed layout, plan-pinned (q236 CSV quarantine green r9+r10; the quarantine trio keeps q237+q247 in the head and q236 stays value-oracled in the full gate),
+    "q262_erasure_cascade_audit",  # r11: GDPR erasure blast-radius (now with the AQE-chosen, unforced cascade join), never driver-recorded (q227 FK conformance green r8-r10 — q262 exercises the same FK cascade; q227 stays value-oracled in the full gate),
     "q244_hazard_table",  # r10: discrete-time hazard table with administrative censoring, birth-round row (q135 retention cohorts green r08+r09 — same time-to-event family, this is its survival-analysis deepening; q135 stays value-oracled in the full gate)
     "q246_hhi_concentration",  # r10: Herfindahl-Hirschman market concentration (quantize-then-square e6 shares), birth-round row (q219 basket lift green r08+r09; the commerce-analytics family keeps q223 brand-corr in the head and q219 stays value-oracled in the full gate)
     # multimodal, pandas-UDF, layout, TPC-H decorrelated shapes
-    "q223_brand_discount_response",  # r9: per-brand discount-response correlation, birth-round row (q150 as-of tolerance green r04-r08; X6 theta/range keeps q125 cogroup-as-of in the head and q150/q48 stay value-oracled in the full gate)
+    "q256_mann_kendall_trend",  # r11: Mann-Kendall monotone trend on the monthly revenue spine, never driver-recorded (q223 brand-discount correlation green r9+r10; commerce analytics keep q246 HHI in the head and q223/q219 stay value-oracled in the full gate),
     "q237_jsonl_quarantine",  # r10: JSONL malformed-ingest contract (PERMISSIVE corrupt channel + type-fail taxonomy), completing the quarantine pair with q236, birth-round row (q210 centroid similarity green r08+r09; X19 keeps q201 PQ + q212 IR-eval + q198 PCA in the head and q210 stays value-oracled in the full gate)
-    "q213_categorical_profile",  # r8 late: string-typed ANALYZE profile, birth-round row (q166 Hilbert layout green r05-r07; the layout family keeps test_layout pytest cover and q92/q166 stay value-oracled in the full gate)
-    "q208_mixture_temperature",  # r8 late: temperature mixture quotas, birth-round row (q187 green r05-r07; q208 embeds the identical largest-remainder machinery plus the sqrt temperature)
+    "q257_compaction_binpack_plan",  # r11: small-file binpack compaction planner, never driver-recorded (q213 categorical profile green r8-r10; the ANALYZE kit keeps q240 + incoming q268 frequent-items in the head and q213/q193/q194/q206 stay value-oracled in the full gate),
+    "q265_weighted_systematic_sample",  # r11 birth-round: weighted systematic sampling on the exact prefix-weight line (q208 temperature quotas green r8-r10 — same mixture-sampling family; q195/q208 stay value-oracled in the full gate),
     # round-3 families: connectors, warehouse maintenance, quality contracts
-    "q231_csv_roundtrip",  # r9: CSV source/sink byte-lossless round trip, the first I/O-format driver row (q124 python datasource green r03-r08; X16 keeps q125 cogroup in the head and q124 stays value-oracled in the full gate)
+    "q254_snapshot_time_travel",  # r11: snapshot commit/merge/time-travel, never driver-recorded (q231 CSV roundtrip green r9+r10; the I/O-format family keeps q232 JSONL roundtrip in the head and q231 stays value-oracled in the full gate),
     "q232_jsonl_roundtrip",  # r9: JSONL source/sink round trip, the crawl-dump interchange format (q193 ANALYZE column stats green r07+r08; the ANALYZE kit keeps q194/q203/q205/q206/q213/q216 in the head and q193 stays value-oracled in the full gate)
     "q247_parquet_schema_drift",  # r10 late: parquet schema-drift ingest contract (mergeSchema union; type-change + fixed-schema arms pinned in pytest), completing the quarantine trio with q236/q237, birth-round row (q216 encoding advisor green r08+r09; the write-path/ANALYZE family keeps q206 + q213 in the head and q216 stays value-oracled in the full gate)
     "q206_functional_dependency_audit",  # r8 late: FD profiling, birth-round row (q127 quality contracts green r03-r07; quality family keeps q128 CDC + the ANALYZE kit q193/q194)

@@ -1050,3 +1050,144 @@ def test_q263_inverted_index_invariants(spark):
             (-tf, d) for (t_, d), tf in tf_count.items() if t_ == tok
         )
         assert (-posts[0]["tf"], posts[0]["doc_id"]) == want_best
+
+
+def test_q264_vacuum_retention_invariants(spark):
+    """Retention audit row: exactly 2 of 4 versions expired, the
+    expired read raised, current is unaffected (pre == post checksum),
+    and the v3 content matches a direct pandas replay of the merge
+    history (v1 insert %4=0, v2 insert %4=1, v3 update %8=0 +500 and
+    insert %4=2) — none of it via the DuckDB oracle."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    row = QUERIES["q264_snapshot_retention_vacuum"](spark, SF).collect()[0]
+    assert row["n_versions_committed"] == 4
+    assert row["n_versions_dropped"] == 2
+    assert row["n_versions_retained"] == 2
+    assert row["expired_read_raises"] == 1
+    assert row["sum_cur_nchars_pre"] == row["sum_cur_nchars_post"]
+    assert row["n_current"] == len(docs)
+    bump = docs["doc_id"] % 8 == 0
+    assert row["sum_cur_nchars_post"] == int(
+        docs["n_chars"].sum() + 500 * bump.sum()
+    )
+    v3 = docs[docs["doc_id"] % 4 < 3]
+    assert row["n_v3_retained"] == len(v3)
+    assert row["sum_v3_nchars"] == int(
+        v3["n_chars"].sum() + 500 * (v3["doc_id"] % 8 == 0).sum()
+    )
+
+
+def test_q265_systematic_sample_replay(spark):
+    """The systematic guarantee (sum of multiplicities == k EXACTLY)
+    plus a full hashlib/python replay of the weight line: same md5
+    order, same prefix sums, same closed-form point counts."""
+    import hashlib
+
+    k = 100
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    items = []
+    for _, r in docs.iterrows():
+        h = int(
+            hashlib.md5(f"wss:{r['doc_id']}".encode()).hexdigest()[17:32], 16
+        )
+        items.append((h, int(r["doc_id"]), int(r["n_chars"])))
+    items.sort()
+    tw = sum(w for _, _, w in items)
+    want = {}
+    cum = 0
+    for h, doc_id, w in items:
+        lo, cum = cum, cum + w
+        jmax = (2 * k * cum + tw - 1) // (2 * tw)
+        jmin = (2 * k * lo + tw - 1) // (2 * tw)
+        if jmax - jmin >= 1:
+            want[doc_id] = (w, jmax - jmin)
+    rows = QUERIES["q265_weighted_systematic_sample"](spark, SF).collect()
+    got = {r["doc_id"]: (r["weight"], r["mult"]) for r in rows}
+    assert got == want
+    assert sum(m for _, m in got.values()) == k
+
+
+def test_q266_salted_equals_unsalted(spark):
+    """The salted two-stage decomposition must equal the plain
+    single-stage groupBy computed IN SPARK (the DuckDB oracle is the
+    other witness) — including the exact distinct-user counts."""
+    from pyspark.sql import functions as F
+
+    from spark_lakehouse_medallion_pipeline_spark.queries import cents
+    from spark_lakehouse_medallion_pipeline_spark.sources.io import read_events
+
+    ev = read_events(spark, SF)
+    plain = {
+        r["hot_key"]: (r["n_events"], r["sum_value_c"], r["n_users"])
+        for r in ev.select(
+            F.when(F.col("user_id") % 10 < 7, F.lit(0))
+            .otherwise(F.col("user_id") % 97)
+            .cast("bigint")
+            .alias("hot_key"),
+            "user_id",
+            cents(F.col("value")).alias("val_c"),
+        )
+        .groupBy("hot_key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("val_c").cast("bigint").alias("sum_value_c"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .collect()
+    }
+    got = {
+        r["hot_key"]: (r["n_events"], r["sum_value_c"], r["n_users"])
+        for r in QUERIES["q266_salted_skew_aggregate"](spark, SF).collect()
+    }
+    assert got == plain
+    # the hot key really is hot: ~70% of events
+    total = sum(v[0] for v in got.values())
+    assert got[0][0] * 10 >= 6 * total
+
+
+def test_q267_bucketed_join_equals_plain(spark):
+    """The bucketed layout must change WHERE rows meet, never WHAT the
+    join computes: equality against the plain parquet join in Spark."""
+    from pyspark.sql import functions as F
+
+    from spark_lakehouse_medallion_pipeline_spark.queries import cents
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    plain = {
+        r["segment"]: (r["n_orders"], r["sum_total_c"])
+        for r in o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(cents(F.col("o_totalprice"))).cast("bigint").alias("sum_total_c"),
+        )
+        .collect()
+    }
+    got = {
+        r["segment"]: (r["n_orders"], r["sum_total_c"])
+        for r in QUERIES["q267_bucketed_colocated_join"](spark, SF).collect()
+    }
+    assert got == plain and len(got) >= 2
+
+
+def test_q268_heavy_hitters_replay(spark):
+    """Exact heavy hitters vs a full pandas recount at the same 2%
+    threshold — the MG candidate stage must not lose the planted hot
+    key nor admit any sub-threshold key into the OUTPUT."""
+    from spark_lakehouse_medallion_pipeline_spark.sources.io import read_events
+
+    ev = read_events(spark, SF).select("user_id").toPandas()
+    keys = ev["user_id"].where(ev["user_id"] % 10 >= 7, 0)
+    keys = keys.where(keys == 0, keys % 97)
+    counts = keys.value_counts()
+    n = int(counts.sum())
+    want = {
+        int(k): (int(v), 1000000 * int(v) // n)
+        for k, v in counts.items()
+        if 50 * int(v) >= n
+    }
+    rows = QUERIES["q268_heavy_hitters_exact"](spark, SF).collect()
+    got = {r["hot_key"]: (r["cnt"], r["share_e6"]) for r in rows}
+    assert got == want
+    assert 0 in got  # the planted 70% key

@@ -838,3 +838,63 @@ def test_q261_q262_q263_plan_shapes(spark):
     ]
     assert not bad, f"q263 has a global WindowExec: {bad}"
     assert "CartesianProduct" not in plan
+
+
+def test_q265_q266_plan_shapes(spark):
+    """Round-11 plan pins. q265 weighted systematic sample: the prefix
+    weights ride distributed_rank — the only Window is partitioned by
+    the range-bucket id, never the global single-partition form; no
+    cartesian (the 1-row total-weight broadcast is a BNLJ). q266
+    salted skew aggregate: the skew fix IS the plan shape — every
+    pre-final exchange must spread the hot key with the salt (or the
+    salt+user expand for the exact distinct), and only the LAST
+    aggregation exchange may hash on hot_key alone, over the bounded
+    |keys| x 16 partial rows."""
+    df = QUERIES["q265_weighted_systematic_sample"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    bad = [
+        ln.strip()[:160]
+        for ln in plan.splitlines()
+        if "Window [" in ln
+        and ln.count("], [") == 1
+        and (" ASC" in ln or " DESC" in ln)
+    ]
+    assert not bad, f"q265 has a global WindowExec: {bad}"
+
+    df = QUERIES["q266_salted_skew_aggregate"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    hashes = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "hot_key" in ln
+    ]
+    assert hashes, "q266 lost its hash exchanges"
+    salted = [ln for ln in hashes if "_salt" in ln]
+    unsalted = [ln for ln in hashes if "_salt" not in ln]
+    # at least one exchange spreads the hot key over the salts, and
+    # exactly one (the bounded final re-combination) hashes on the
+    # bare key
+    assert salted, f"q266 has no salted exchange: {hashes}"
+    assert len(unsalted) == 1, f"q266 bare-key exchanges: {unsalted}"
+
+
+def test_q267_q268_plan_shapes(spark):
+    """q267 bucketed co-located join: the SortMergeJoin must consume
+    the bucketed layout directly — NO exchange on the join key; the
+    single hash exchange left is the 5-row segment aggregate. q268
+    exact heavy hitters: pass 1 is a shuffle-free MapInPandas whose
+    bounded candidate set broadcasts into a left-semi probe; the only
+    data-sized exchanges hash on hot_key (the map-combined recount)."""
+    df = QUERIES["q267_bucketed_colocated_join"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning(o_custkey" not in plan
+    assert "CartesianProduct" not in plan
+
+    df = QUERIES["q268_heavy_hitters_exact"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "LeftSemi" in plan and "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
