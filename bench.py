@@ -201,6 +201,9 @@ HEADLINE = [
     "q266_salted_skew_aggregate",
     "q267_bucketed_colocated_join",
     "q268_heavy_hitters_exact",
+    "q269_incremental_view_maintenance",
+    "q270_zonemap_skipping_audit",
+    "q271_gap_fill_interpolate",
     "medallion_gold_kpis",
 ]
 

@@ -14776,6 +14776,336 @@ def q268_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q269_incremental_view_maintenance",
+    f"""
+    WITH e AS (
+      SELECT event_type, CAST(user_id % 100 AS BIGINT) AS bucket,
+             CASE WHEN ts < TIMESTAMP '2024-01-25' THEN 1 ELSE 0 END
+               AS is_base,
+             {SC("value")} AS val_c
+      FROM events
+    )
+    SELECT event_type, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(val_c) AS BIGINT) AS sum_value_c,
+           CAST(SUM(is_base) AS BIGINT) AS n_base,
+           CAST(COUNT(*) - SUM(is_base) AS BIGINT) AS n_delta
+    FROM e GROUP BY 1, 2
+    """,
+)
+def q269_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (IVM) of a gold aggregate — the
+    nightly-refresh pattern that makes a 100 TB materialized view
+    affordable: the stored MV (here simulated as the pre-cutoff
+    aggregate — in production it is persisted state, e.g. a q254
+    snapshot table) absorbs an insert-only delta batch by aggregating
+    ONLY the delta and merging per key (full-outer join + coalesced
+    partial sums — count and sum are the self-maintainable aggregates;
+    MIN/MAX and join views need the delete-compensation machinery this
+    entry deliberately excludes). The oracle is the full recompute
+    over base+delta, so the value-hash match IS the IVM == recompute
+    equality proof (the q266 discipline). Complements q128's row-level
+    CDC apply: that maintains a TABLE, this maintains an AGGREGATE.
+    Scale shape: the delta scan is delta-sized, the merge joins two
+    |keys|-bounded aggregates (AQE broadcasts the smaller), and the
+    base is never rescanned — the whole point."""
+    cutoff = F.lit("2024-01-25").cast("timestamp")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 100).cast("bigint").alias("bucket"),
+        "ts",
+        cents(F.col("value")).alias("val_c"),
+    )
+
+    def agg(df: DataFrame, n_col: str, s_col: str) -> DataFrame:
+        return df.groupBy("event_type", "bucket").agg(
+            F.count(F.lit(1)).cast("bigint").alias(n_col),
+            F.sum("val_c").cast("bigint").alias(s_col),
+        )
+
+    mv = agg(ev.filter(F.col("ts") < cutoff), "n_base", "s_base")
+    delta = agg(ev.filter(F.col("ts") >= cutoff), "n_delta_", "s_delta")
+    merged = mv.join(delta, ["event_type", "bucket"], "full_outer")
+    z = F.lit(0).cast("bigint")
+    nb, nd = F.coalesce("n_base", z), F.coalesce("n_delta_", z)
+    return merged.select(
+        "event_type",
+        "bucket",
+        (nb + nd).cast("bigint").alias("n_total"),
+        (F.coalesce("s_base", z) + F.coalesce("s_delta", z))
+        .cast("bigint")
+        .alias("sum_value_c"),
+        nb.cast("bigint").alias("n_base"),
+        nd.cast("bigint").alias("n_delta"),
+    )
+
+
+_Q270_ZONE_ROWS = 10_000
+_Q270_CUTOFF = "2001-01-01"
+
+
+@_q(
+    "q270_zonemap_skipping_audit",
+    f"""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS sd
+      FROM lineitem
+    ),
+    zoned AS (
+      SELECT sd,
+             (row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1)
+               // {_Q270_ZONE_ROWS} AS z_nat,
+             (row_number() OVER (ORDER BY sd, l_orderkey, l_linenumber) - 1)
+               // {_Q270_ZONE_ROWS} AS z_srt
+      FROM li
+    ),
+    layouts AS (
+      SELECT 'natural' AS layout, z_nat AS z, sd FROM zoned
+      UNION ALL
+      SELECT 'sorted', z_srt, sd FROM zoned
+    ),
+    zstats AS (
+      SELECT layout, z, MAX(sd) AS zmax,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN sd >= DATE '{_Q270_CUTOFF}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+      FROM layouts GROUP BY layout, z
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_zones,
+           CAST(SUM(CASE WHEN zmax < DATE '{_Q270_CUTOFF}'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped_zones,
+           CAST(SUM(CASE WHEN zmax >= DATE '{_Q270_CUTOFF}'
+                         THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+           CAST(SUM(n_match) AS BIGINT) AS rows_matched,
+           CAST(SUM(CASE WHEN zmax >= DATE '{_Q270_CUTOFF}'
+                         THEN n_rows ELSE 0 END) - SUM(n_match) AS BIGINT)
+             AS false_positive_rows,
+           CAST((1000000 * SUM(CASE WHEN zmax < DATE '{_Q270_CUTOFF}'
+                                    THEN 1 ELSE 0 END)) // COUNT(*)
+                AS BIGINT) AS skip_ratio_e6
+    FROM zstats GROUP BY layout
+    """,
+)
+def q270_zonemap_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max data-skipping) effectiveness audit — the
+    Delta/Iceberg file-skipping math, quantified for two physical
+    layouts of the SAME data: equal-size 10,000-row zones
+    (_Q270_ZONE_ROWS) cut in the table's natural (orderkey) order vs
+    in shipdate-sorted order. For the predicate `l_shipdate >=
+    2001-01-01` (_Q270_CUTOFF) each layout reports zones skippable by
+    the zone's max-stat alone, rows the scanner must still read, the
+    true match count (identical across layouts — skipping never
+    changes answers), and the false positives the natural layout
+    forces the scanner to read. This is the numeric argument for
+    q92/q166-style sort/cluster-on-write: the sorted layout's skip
+    ratio approaches the predicate's selectivity while the natural
+    layout skips ~nothing. Both zonings ride
+    relational.distributed_rank (two balanced two-pass ranks, no
+    single-partition window — the oracle uses the equivalent ANSI
+    row_number); everything downstream is exact integer zone
+    metadata, ~|rows| / zone_rows rows."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.relational import (
+        distributed_rank,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("sd"),
+    )
+    nat = distributed_rank(
+        li, [F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        rank_col="_rn",
+    ).select("sd", ((F.col("_rn") - 1) / _Q270_ZONE_ROWS).cast("bigint").alias("z"))
+    srt = distributed_rank(
+        li,
+        [F.col("sd").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        rank_col="_rs",
+    ).select("sd", ((F.col("_rs") - 1) / _Q270_ZONE_ROWS).cast("bigint").alias("z"))
+    cutoff = F.lit(_Q270_CUTOFF).cast("date")
+    out = []
+    for layout, zoned in (("natural", nat), ("sorted", srt)):
+        zstats = zoned.groupBy("z").agg(
+            F.max("sd").alias("zmax"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("sd") >= cutoff, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_match"),
+        )
+        out.append(
+            zstats.agg(
+                F.lit(layout).alias("layout"),
+                F.count(F.lit(1)).cast("bigint").alias("n_zones"),
+                F.sum(F.when(F.col("zmax") < cutoff, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_skipped_zones"),
+                F.sum(
+                    F.when(F.col("zmax") >= cutoff, F.col("n_rows")).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("rows_scanned"),
+                F.sum("n_match").cast("bigint").alias("rows_matched"),
+            ).select(
+                "layout",
+                "n_zones",
+                "n_skipped_zones",
+                "rows_scanned",
+                "rows_matched",
+                (F.col("rows_scanned") - F.col("rows_matched"))
+                .cast("bigint")
+                .alias("false_positive_rows"),
+                F.expr(
+                    "CAST((1000000 * n_skipped_zones) div n_zones AS BIGINT)"
+                ).alias("skip_ratio_e6"),
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
+@_q(
+    "q271_gap_fill_interpolate",
+    f"""
+    WITH m AS (
+      SELECT n.n_name AS nation,
+             EXTRACT(year FROM CAST(o.o_orderdate AS DATE)) * 12
+               + EXTRACT(month FROM CAST(o.o_orderdate AS DATE)) AS mk,
+             CAST(SUM({SC("o.o_totalprice")}) AS BIGINT) AS rev_c
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE o.o_orderpriority = '1-URGENT'
+      GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT MIN(EXTRACT(year FROM CAST(o_orderdate AS DATE)) * 12
+                 + EXTRACT(month FROM CAST(o_orderdate AS DATE))) AS mk_lo,
+             MAX(EXTRACT(year FROM CAST(o_orderdate AS DATE)) * 12
+                 + EXTRACT(month FROM CAST(o_orderdate AS DATE))) AS mk_hi
+      FROM orders
+    ),
+    spine AS (
+      SELECT n.n_name AS nation, CAST(s.mk AS BIGINT) AS mk
+      FROM nation n
+      CROSS JOIN (SELECT unnest(range(
+        (SELECT mk_lo FROM bounds), (SELECT mk_hi FROM bounds) + 1)) AS mk)
+        AS s
+    ),
+    j AS (
+      SELECT sp.nation, sp.mk, m.rev_c FROM spine sp
+      LEFT JOIN m ON sp.nation = m.nation AND sp.mk = m.mk
+    ),
+    w AS (
+      SELECT nation, mk, rev_c,
+             last_value(rev_c IGNORE NULLS) OVER
+               (PARTITION BY nation ORDER BY mk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_c,
+             last_value(rev_c IGNORE NULLS) OVER
+               (PARTITION BY nation ORDER BY mk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+             last_value(CASE WHEN rev_c IS NOT NULL THEN mk END IGNORE NULLS)
+               OVER (PARTITION BY nation ORDER BY mk
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmk,
+             first_value(rev_c IGNORE NULLS) OVER
+               (PARTITION BY nation ORDER BY mk
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN rev_c IS NOT NULL THEN mk END IGNORE NULLS)
+               OVER (PARTITION BY nation ORDER BY mk
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nmk
+      FROM j
+    )
+    SELECT nation, mk, rev_c,
+           CASE WHEN rev_c IS NULL THEN 1 ELSE 0 END AS is_gap,
+           CAST(locf_c AS BIGINT) AS locf_c,
+           CAST(CASE WHEN rev_c IS NOT NULL THEN rev_c
+                     WHEN pv IS NOT NULL AND nv IS NOT NULL
+                     THEN pv + ((nv - pv) * (mk - pmk)) // (nmk - pmk)
+                     END AS BIGINT) AS interp_c
+    FROM w
+    """,
+)
+def q271_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-filling with LOCF and exact linear interpolation —
+    the spine-densification step every forecasting/feature pipeline
+    runs before a model sees a sparse series: the URGENT-priority
+    monthly revenue per nation (genuinely sparse — not every nation
+    books an urgent order every month) is left-joined onto the full
+    nation x month spine, then each gap gets (a) the last observation
+    carried forward and (b) the linear interpolation between its
+    bracketing observations, computed as EXACT integer cents:
+    prev + ((next-prev)*(mk-pmk)) div (nmk-pmk) — one trunc division
+    whose negative-delta behavior is identical on Spark `div` and
+    DuckDB `//` (both truncate toward zero; the q226 discipline).
+    Leading gaps (no prior observation) keep NULL locf and interp,
+    trailing gaps LOCF only — the honest convention, pinned in pytest.
+    All windows are PER-NATION partitioned IGNORE-NULLS frames over
+    the ~84-row calendar spine (bounded at any fact scale); the spine
+    itself is nation x sequence(mk_lo, mk_hi) — no data-sized
+    cross join anywhere."""
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    od = F.col("o_orderdate").cast("date")
+    mk = (F.year(od) * 12 + F.month(od)).cast("bigint")
+    m = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .join(cu, o["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), mk.alias("mk"))
+        .agg(sum_cents(F.col("o_totalprice")).cast("bigint").alias("rev_c"))
+    )
+    bounds = o.agg(
+        F.min(mk).cast("bigint").alias("mk_lo"), F.max(mk).cast("bigint").alias("mk_hi")
+    )
+    months = bounds.select(
+        F.explode(F.sequence("mk_lo", "mk_hi")).alias("mk")
+    )
+    spine = na.select(F.col("n_name").alias("nation")).crossJoin(
+        F.broadcast(months)
+    )
+    j = spine.join(m, ["nation", "mk"], "left")
+    wp = (
+        Window.partitionBy("nation")
+        .orderBy("mk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wc = (
+        Window.partitionBy("nation")
+        .orderBy("mk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("nation")
+        .orderBy("mk")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    mk_if_obs = F.when(F.col("rev_c").isNotNull(), F.col("mk"))
+    w = j.select(
+        "nation",
+        "mk",
+        "rev_c",
+        F.last("rev_c", ignorenulls=True).over(wc).alias("locf_c"),
+        F.last("rev_c", ignorenulls=True).over(wp).alias("pv"),
+        F.last(mk_if_obs, ignorenulls=True).over(wp).alias("pmk"),
+        F.first("rev_c", ignorenulls=True).over(wn).alias("nv"),
+        F.first(mk_if_obs, ignorenulls=True).over(wn).alias("nmk"),
+    )
+    return w.select(
+        "nation",
+        "mk",
+        "rev_c",
+        F.when(F.col("rev_c").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
+        F.col("locf_c").cast("bigint").alias("locf_c"),
+        F.when(F.col("rev_c").isNotNull(), F.col("rev_c"))
+        .otherwise(
+            F.expr("pv + ((nv - pv) * (mk - pmk)) div (nmk - pmk)")
+        )
+        .cast("bigint")
+        .alias("interp_c"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
@@ -14920,34 +15250,34 @@ _DRIVER_SNAPSHOT_50 = [
     "q01_pricing_summary",
     "q19_daily_event_kpis",
     "q41_scalar_battery",
-    "q249_mann_whitney",  # r11: Mann-Whitney U (exact cross-multiplied rank sums), first driver row for the r10-born nonparametric-test family (q233 Tukey-winsorize green r9+r10; robust stats keep q240 MAD + q255 KS in the head and q233 stays value-oracled in the full gate),
+    "q249_mann_whitney",  # r11: Mann-Whitney U (exact cross-multiplied rank sums), first driver row for the r10-born nonparametric-test family (q233 Tukey-winsorize green r9+r10; robust stats keep q240 MAD + q255 KS in the head and q233 stays value-oracled in the full gate)
     "q212_ir_eval_metrics",  # r8 late: retrieval-eval metrics (P@10/MRR/NDCG), birth-round row (q46 A8 declared-intent aggregates green r04-r07; the aggregate surface keeps q01/q19 and q46 stays value-oracled in the full gate)
     # joins
     "q221_funnel_latency",  # r9: funnel-stage latency quartiles, birth-round row (q192 BFS green r07+r08; graph keeps q67 connected components in the head and q192/q188/q126 stay value-oracled in the full gate)
     "q245_cusum_changepoint",  # r10: int64 cross-multiplied CUSUM changepoint with its prefix sum from distributed_rank, birth-round row (q224 rolling z-score green r08+r09; the anomaly family keeps this entry + q229 EWMA and X10 frames keep q207, with q224 value-oracled in the full gate)
-    "q266_salted_skew_aggregate",  # r11 birth-round: the skew FIX replacing its own diagnosis slot (q205 profile green r8-r10; q266 is q205's treatment half — salted two-stage decomposition with exact COUNT(DISTINCT), plan-pinned; q205 stays value-oracled in the full gate),
+    "q266_salted_skew_aggregate",  # r11 birth-round: the skew FIX replacing its own diagnosis slot (q205 profile green r8-r10; q266 is q205's treatment half — salted two-stage decomposition with exact COUNT(DISTINCT), plan-pinned; q205 stays value-oracled in the full gate)
     "q252_partition_pruned_read",  # r10 late: Hive-style partition pruning pinned at the scan (PartitionFilters plan test), birth-round row (q203 equi-depth green r08+r09; X13 keeps q213/q214 + q240's percentile machinery in the head and q203 stays value-oracled in the full gate)
     "q248_kaplan_meier",  # r10 late: Kaplan-Meier product-limit curve with genuine mid-study censoring, birth-round row (q211 weighted median green r08+r09; the robust-stats family keeps q240 MAD + q233 Tukey in the head and q211 stays value-oracled in the full gate)
     "q226_mom_revenue_growth",  # r9: MoM growth with trunc-div-safe negative months, birth-round row (q129 SCD2 green r07+r08; the temporal family keeps q207/q224 window frames in the head and q129/q128/q130 stay value-oracled in the full gate)
-    "q268_heavy_hitters_exact",  # r11 birth-round: two-pass Misra-Gries exact heavy hitters in shuffle-free mapInPandas (q209 incremental near-dup green r8-r10; dedup keeps q67/q238/q239 in the head and q209 stays value-oracled in the full gate),
+    "q268_heavy_hitters_exact",  # r11 birth-round: two-pass Misra-Gries exact heavy hitters in shuffle-free mapInPandas (q209 incremental near-dup green r8-r10; dedup keeps q67/q238/q239 in the head and q209 stays value-oracled in the full gate)
     # grouping extensions
     "q228_curation_verdict",  # r9: curation capstone with auditable pass mask, birth-round row (q176 real-PNG codec green r05-r08 = the verdict's own displacement pool; multimodal keeps q200 JPEG in the head and q176 stays value-oracled in the full gate)
     "q250_rfm_scores",  # r10 late: RFM quintile scoring via three composed distributed_rank NTILE passes (the rank operator's composition case), birth-round row (q220 demand variability green r08+r09; X14 time windows keep q221 funnel + q207 in the head, q234 shares q220's XYZ machinery, and q220 stays value-oracled in the full gate)
     # windows
-    "q251_spearman_rank_corr",  # r11: Spearman rank correlation — another distributed_rank composition, never driver-recorded (q215 Gini green r9+r10; the rank family keeps q242/q250/q255 in the head and q215 stays value-oracled in the full gate),
+    "q251_spearman_rank_corr",  # r11: Spearman rank correlation — another distributed_rank composition, never driver-recorded (q215 Gini green r9+r10; the rank family keeps q242/q250/q255 in the head and q215 stays value-oracled in the full gate)
     "q243_position_attribution",  # r10: U-shaped 40/20/40 attribution with exact 1e6-credit conservation, birth-round row (q218 last-touch green r08+r09 — this is its direct multi-touch upgrade; X9 analytic keeps q226 MoM lag in the head and q218 stays value-oracled in the full gate)
-    "q259_seasonal_index",  # r11: ratio-to-centered-moving-total seasonal indices, never driver-recorded (q229 finite EWMA green r9+r10 — same smoothing family; X10 frames keep q207 rolling bitmap in the head and q229 stays value-oracled in the full gate),
+    "q259_seasonal_index",  # r11: ratio-to-centered-moving-total seasonal indices, never driver-recorded (q229 finite EWMA green r9+r10 — same smoothing family; X10 frames keep q207 rolling bitmap in the head and q229 stays value-oracled in the full gate)
     "q239_leakage_safe_split",  # r10: leakage-safe train/val/test split bucketed by md5(dedup-cluster-rep), birth-round row (q222 cluster profile green r08+r09 — q239 reuses its cluster machinery; X17 keeps q67 in the head and q222 stays value-oracled in the full gate)
     # sort/limit, set ops, sketches
-    "q258_theil_sen_slope",  # r11: Theil-Sen robust slope, never driver-recorded (q225 Wilson lower bound green r9+r10; the statistical-test surface keeps q241 kappa + incoming q249/q256 in the head and q225 stays value-oracled in the full gate),
+    "q258_theil_sen_slope",  # r11: Theil-Sen robust slope, never driver-recorded (q225 Wilson lower bound green r9+r10; the statistical-test surface keeps q241 kappa + incoming q249/q256 in the head and q225 stays value-oracled in the full gate)
     "q242_percentile_rank_normalize",  # r10: empirical-CDF normalization via relational.distributed_rank — the two-pass rank's reuse story, birth-round row (q196 rank distributions green r08+r09; X8 ranking keeps q215 Gini + q212 IR-eval in the head and q196 stays value-oracled in the full gate)
     "q181_bpe_train_2merges",  # r7: BPE training never recorded (q18 green r01-r06; distinct family keeps q145)
     # time windows / sessionization
-    "q261_ols_trend_slope",  # r11: exact-int OLS normal equations, never driver-recorded (q230 chi-square green r9+r10; contingency tests keep q241 kappa in the head and q230 stays value-oracled in the full gate),
+    "q261_ols_trend_slope",  # r11: exact-int OLS normal equations, never driver-recorded (q230 chi-square green r9+r10; contingency tests keep q241 kappa in the head and q230 stays value-oracled in the full gate)
     "q125_cogroup_asof",  # r8: applyInPandas cogroup never recorded in 7 rounds (q21 sessionization green r01-r07; X15 keeps q168 + streaming pytest)
     # SQL surface: subqueries, lateral, UDTF, interactive SQL
     "q241_filter_agreement_kappa",  # r10: Cohen's kappa between quality filters in ONE 2x2-confusion aggregate, birth-round row (q197 bitwise rollup green r08+r09; the aggregate-battery surface keeps q41 + q123 in the head and q197 stays value-oracled in the full gate)
-    "q264_snapshot_retention_vacuum",  # r11 birth-round: retention/VACUUM completing the warehouse-maintenance family with q254/q257 (q235 k-anonymity green r9+r10; governance keeps incoming q262 erasure audit in the head and q235 stays value-oracled in the full gate),
+    "q264_snapshot_retention_vacuum",  # r11 birth-round: retention/VACUUM completing the warehouse-maintenance family with q254/q257 (q235 k-anonymity green r9+r10; governance keeps incoming q262 erasure audit in the head and q235 stays value-oracled in the full gate)
     "q67_dedup_clusters",  # r7: connected components never recorded in 6 rounds (q117 mapInArrow green r04-r06; UDF family keeps q65)
     "q255_ks_two_sample",  # r10 late: Kolmogorov-Smirnov two-sample test — the driver-visible proof of distributed_rank's multi-prefix-sum (cumsum_cols) form, birth-round row (q214 correlation matrix green r08+r09; the multivariate-ANALYZE family keeps q213 profile + q240 MAD in the head and q214 stays value-oracled in the full gate)
     # semi-structured: JSON, arrays, maps/structs
@@ -14958,24 +15288,24 @@ _DRIVER_SNAPSHOT_50 = [
     "q240_mad_robust_scale",  # r10: grouped MAD via two exact dyadic 0.5-quantile passes, birth-round row (q194 equi-width histogram green r08+r09; X13 keeps q203 equi-depth + q213 profile + q214 in the head and q194 stays value-oracled in the full gate)
     "q238_blocking_quality",  # r10: LSH blocking-quality ER audit (reduction ratio + pair completeness vs planted-twin exact-Jaccard truth), birth-round row (q149 contrastive pairs green r08+r09; dedup keeps q67/q204/q209 + incoming q239 in the head and q149 stays value-oracled in the full gate)
     "q217_benford_audit",  # r9: Benford first-digit audit, birth-round row (q188 LPA green r05-r08 = the verdict's own displacement pool; graph keeps q67 in the head and q188 stays value-oracled in the full gate)
-    "q260_pareto_skyline",  # r11: Pareto frontier via the cummax_cols EXCLUSIVE prefix max — the driver-visible proof of the r10 rank-statistic widening, never driver-recorded (q234 ABC-XYZ green r9+r10; planning analytics keep q246 in the head and q234/q220 stay value-oracled in the full gate),
+    "q260_pareto_skyline",  # r11: Pareto frontier via the cummax_cols EXCLUSIVE prefix max — the driver-visible proof of the r10 rank-statistic widening, never driver-recorded (q234 ABC-XYZ green r9+r10; planning analytics keep q246 in the head and q234/q220 stay value-oracled in the full gate)
     # similarity family
     "q201_pq_codes_int",  # r8: integer-exact PQ train+encode, first-ever driver row for the PQ family (q36 brute kNN green r01-r07; q183's recall eval computes the same brute kNN internally)
     "q198_pca_power_customers",  # r8: integer power-iteration PCA, birth-round row (q126 PageRank green r01-r07; graph keeps q192/q67/q188)
     # text analysis family
-    "q253_zipf_rank_frequency",  # r11: Zipf rank-frequency vocabulary audit, never driver-recorded (q202 BM25 green r8-r10; lexical retrieval keeps q181 BPE + incoming q263 inverted index in the head and q202 stays value-oracled in the full gate),
-    "q263_inverted_index",  # r11: champion-postings inverted index, never driver-recorded (q204 containment green r8-r10; dedup keeps q67/q238/q239 in the head and q204 stays value-oracled in the full gate),
-    "q267_bucketed_colocated_join",  # r11 birth-round: zero-join-key-exchange bucketed layout, plan-pinned (q236 CSV quarantine green r9+r10; the quarantine trio keeps q237+q247 in the head and q236 stays value-oracled in the full gate),
-    "q262_erasure_cascade_audit",  # r11: GDPR erasure blast-radius (now with the AQE-chosen, unforced cascade join), never driver-recorded (q227 FK conformance green r8-r10 — q262 exercises the same FK cascade; q227 stays value-oracled in the full gate),
+    "q253_zipf_rank_frequency",  # r11: Zipf rank-frequency vocabulary audit, never driver-recorded (q202 BM25 green r8-r10; lexical retrieval keeps q181 BPE + incoming q263 inverted index in the head and q202 stays value-oracled in the full gate)
+    "q263_inverted_index",  # r11: champion-postings inverted index, never driver-recorded (q204 containment green r8-r10; dedup keeps q67/q238/q239 in the head and q204 stays value-oracled in the full gate)
+    "q267_bucketed_colocated_join",  # r11 birth-round: zero-join-key-exchange bucketed layout, plan-pinned (q236 CSV quarantine green r9+r10; the quarantine trio keeps q237+q247 in the head and q236 stays value-oracled in the full gate)
+    "q262_erasure_cascade_audit",  # r11: GDPR erasure blast-radius (now with the AQE-chosen, unforced cascade join), never driver-recorded (q227 FK conformance green r8-r10 — q262 exercises the same FK cascade; q227 stays value-oracled in the full gate)
     "q244_hazard_table",  # r10: discrete-time hazard table with administrative censoring, birth-round row (q135 retention cohorts green r08+r09 — same time-to-event family, this is its survival-analysis deepening; q135 stays value-oracled in the full gate)
     "q246_hhi_concentration",  # r10: Herfindahl-Hirschman market concentration (quantize-then-square e6 shares), birth-round row (q219 basket lift green r08+r09; the commerce-analytics family keeps q223 brand-corr in the head and q219 stays value-oracled in the full gate)
     # multimodal, pandas-UDF, layout, TPC-H decorrelated shapes
-    "q256_mann_kendall_trend",  # r11: Mann-Kendall monotone trend on the monthly revenue spine, never driver-recorded (q223 brand-discount correlation green r9+r10; commerce analytics keep q246 HHI in the head and q223/q219 stay value-oracled in the full gate),
+    "q256_mann_kendall_trend",  # r11: Mann-Kendall monotone trend on the monthly revenue spine, never driver-recorded (q223 brand-discount correlation green r9+r10; commerce analytics keep q246 HHI in the head and q223/q219 stay value-oracled in the full gate)
     "q237_jsonl_quarantine",  # r10: JSONL malformed-ingest contract (PERMISSIVE corrupt channel + type-fail taxonomy), completing the quarantine pair with q236, birth-round row (q210 centroid similarity green r08+r09; X19 keeps q201 PQ + q212 IR-eval + q198 PCA in the head and q210 stays value-oracled in the full gate)
-    "q257_compaction_binpack_plan",  # r11: small-file binpack compaction planner, never driver-recorded (q213 categorical profile green r8-r10; the ANALYZE kit keeps q240 + incoming q268 frequent-items in the head and q213/q193/q194/q206 stay value-oracled in the full gate),
-    "q265_weighted_systematic_sample",  # r11 birth-round: weighted systematic sampling on the exact prefix-weight line (q208 temperature quotas green r8-r10 — same mixture-sampling family; q195/q208 stay value-oracled in the full gate),
+    "q257_compaction_binpack_plan",  # r11: small-file binpack compaction planner, never driver-recorded (q213 categorical profile green r8-r10; the ANALYZE kit keeps q240 + incoming q268 frequent-items in the head and q213/q193/q194/q206 stay value-oracled in the full gate)
+    "q265_weighted_systematic_sample",  # r11 birth-round: weighted systematic sampling on the exact prefix-weight line (q208 temperature quotas green r8-r10 — same mixture-sampling family; q195/q208 stay value-oracled in the full gate)
     # round-3 families: connectors, warehouse maintenance, quality contracts
-    "q254_snapshot_time_travel",  # r11: snapshot commit/merge/time-travel, never driver-recorded (q231 CSV roundtrip green r9+r10; the I/O-format family keeps q232 JSONL roundtrip in the head and q231 stays value-oracled in the full gate),
+    "q254_snapshot_time_travel",  # r11: snapshot commit/merge/time-travel, never driver-recorded (q231 CSV roundtrip green r9+r10; the I/O-format family keeps q232 JSONL roundtrip in the head and q231 stays value-oracled in the full gate)
     "q232_jsonl_roundtrip",  # r9: JSONL source/sink round trip, the crawl-dump interchange format (q193 ANALYZE column stats green r07+r08; the ANALYZE kit keeps q194/q203/q205/q206/q213/q216 in the head and q193 stays value-oracled in the full gate)
     "q247_parquet_schema_drift",  # r10 late: parquet schema-drift ingest contract (mergeSchema union; type-change + fixed-schema arms pinned in pytest), completing the quarantine trio with q236/q237, birth-round row (q216 encoding advisor green r08+r09; the write-path/ANALYZE family keeps q206 + q213 in the head and q216 stays value-oracled in the full gate)
     "q206_functional_dependency_audit",  # r8 late: FD profiling, birth-round row (q127 quality contracts green r03-r07; quality family keeps q128 CDC + the ANALYZE kit q193/q194)

@@ -1191,3 +1191,139 @@ def test_q268_heavy_hitters_replay(spark):
     got = {r["hot_key"]: (r["cnt"], r["share_e6"]) for r in rows}
     assert got == want
     assert 0 in got  # the planted 70% key
+
+
+def test_q269_ivm_equals_full_recompute(spark):
+    """The delta-merge must equal a single full groupBy computed IN
+    SPARK (the oracle is the other witness), and the base/delta split
+    must reconcile: n_total == n_base + n_delta everywhere with both
+    sides non-trivially populated."""
+    from pyspark.sql import functions as F
+
+    from spark_lakehouse_medallion_pipeline_spark.queries import cents
+    from spark_lakehouse_medallion_pipeline_spark.sources.io import read_events
+
+    ev = read_events(spark, SF)
+    full = {
+        (r["event_type"], r["bucket"]): (r["n_total"], r["sum_value_c"])
+        for r in ev.select(
+            "event_type",
+            (F.col("user_id") % 100).cast("bigint").alias("bucket"),
+            cents(F.col("value")).alias("val_c"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum("val_c").cast("bigint").alias("sum_value_c"),
+        )
+        .collect()
+    }
+    rows = QUERIES["q269_incremental_view_maintenance"](spark, SF).collect()
+    got = {
+        (r["event_type"], r["bucket"]): (r["n_total"], r["sum_value_c"])
+        for r in rows
+    }
+    assert got == full
+    assert all(r["n_total"] == r["n_base"] + r["n_delta"] for r in rows)
+    assert sum(r["n_base"] for r in rows) > 0
+    assert sum(r["n_delta"] for r in rows) > 0
+
+
+def test_q270_zonemap_replay(spark):
+    """Full pandas replay of both zonings and the skip math, plus the
+    structural invariants: matches identical across layouts (skipping
+    never changes answers), and the sorted layout skips at least as
+    many zones and reads at most as many rows as the natural one."""
+    import pandas as pd
+
+    from spark_lakehouse_medallion_pipeline_spark.queries import (
+        _Q270_CUTOFF,
+        _Q270_ZONE_ROWS,
+    )
+
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .selectExpr("l_orderkey", "l_linenumber", "CAST(l_shipdate AS DATE) sd")
+        .toPandas()
+    )
+    cutoff = pd.Timestamp(_Q270_CUTOFF).date()
+
+    def stats(df_sorted):
+        z = pd.Series(range(len(df_sorted))) // _Q270_ZONE_ROWS
+        g = df_sorted.reset_index(drop=True).groupby(z)
+        zmax = g["sd"].max()
+        nrows = g.size()
+        nmatch = g["sd"].apply(lambda s: int((s >= cutoff).sum()))
+        skipped = int((zmax < cutoff).sum())
+        scanned = int(nrows[zmax >= cutoff].sum())
+        return (
+            len(zmax),
+            skipped,
+            scanned,
+            int(nmatch.sum()),
+            scanned - int(nmatch.sum()),
+            1000000 * skipped // len(zmax),
+        )
+
+    want = {
+        "natural": stats(li.sort_values(["l_orderkey", "l_linenumber"])),
+        "sorted": stats(li.sort_values(["sd", "l_orderkey", "l_linenumber"])),
+    }
+    got = {
+        r["layout"]: (
+            r["n_zones"],
+            r["n_skipped_zones"],
+            r["rows_scanned"],
+            r["rows_matched"],
+            r["false_positive_rows"],
+            r["skip_ratio_e6"],
+        )
+        for r in QUERIES["q270_zonemap_skipping_audit"](spark, SF).collect()
+    }
+    assert got == want
+    assert got["sorted"][3] == got["natural"][3]  # identical matches
+    assert got["sorted"][1] >= got["natural"][1]  # sorted skips >= natural
+    assert got["sorted"][2] <= got["natural"][2]  # sorted reads <= natural
+
+
+def test_q271_gap_fill_conventions(spark):
+    """Gap-fill invariants on the real series: non-gap rows carry
+    themselves in locf and interp; leading gaps stay NULL in both;
+    interior gaps interpolate BETWEEN their bracketing observations
+    (value within [min(prev,next), max(prev,next)]); trailing gaps
+    LOCF but never interpolate; and there are real gaps to fill."""
+    rows = QUERIES["q271_gap_fill_interpolate"](spark, SF).collect()
+    by_nation: dict[str, list] = {}
+    for r in rows:
+        by_nation.setdefault(r["nation"], []).append(r)
+    n_gaps = 0
+    for series in by_nation.values():
+        series.sort(key=lambda r: r["mk"])
+        seen_obs = False
+        last_obs_idx = max(
+            (i for i, r in enumerate(series) if r["rev_c"] is not None),
+            default=-1,
+        )
+        prev_val = None
+        for i, r in enumerate(series):
+            if r["rev_c"] is not None:
+                seen_obs = True
+                prev_val = r["rev_c"]
+                assert r["locf_c"] == r["rev_c"] and r["interp_c"] == r["rev_c"]
+                assert r["is_gap"] == 0
+                continue
+            n_gaps += 1
+            assert r["is_gap"] == 1
+            if not seen_obs:  # leading gap
+                assert r["locf_c"] is None and r["interp_c"] is None
+                continue
+            assert r["locf_c"] == prev_val
+            if i > last_obs_idx:  # trailing gap
+                assert r["interp_c"] is None
+            else:  # interior gap: bracketed
+                nxt = next(
+                    s["rev_c"] for s in series[i + 1 :] if s["rev_c"] is not None
+                )
+                lo, hi = min(prev_val, nxt), max(prev_val, nxt)
+                assert lo <= r["interp_c"] <= hi
+    assert n_gaps > 0

@@ -898,3 +898,35 @@ def test_q267_q268_plan_shapes(spark):
     assert "MapInPandas" in plan
     assert "LeftSemi" in plan and "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q269_q270_q271_plan_shapes(spark):
+    """q269 IVM: the merge is a |keys|-bounded full-outer join — no
+    cartesian, no window at all. q270 zone-map audit: both zonings ride
+    distributed_rank, so no global single-partition window. q271
+    gap-fill: every analytic window is PARTITIONED by nation (the
+    ~84-row calendar frame), never the global form; the spine cross
+    join is the bounded broadcast of the month sequence."""
+    df = QUERIES["q269_incremental_view_maintenance"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window [" not in plan
+
+    def global_windows(plan: str) -> list[str]:
+        return [
+            ln.strip()[:160]
+            for ln in plan.splitlines()
+            if "Window [" in ln
+            and ln.count("], [") == 1
+            and (" ASC" in ln or " DESC" in ln)
+        ]
+
+    df = QUERIES["q270_zonemap_skipping_audit"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert not global_windows(plan), "q270 has a global WindowExec"
+
+    df = QUERIES["q271_gap_fill_interpolate"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert not global_windows(plan), "q271 has a global WindowExec"
