@@ -1327,3 +1327,43 @@ def test_q271_gap_fill_conventions(spark):
                 lo, hi = min(prev_val, nxt), max(prev_val, nxt)
                 assert lo <= r["interp_c"] <= hi
     assert n_gaps > 0
+
+
+def test_q268_mg_kernel_adversarial_domain(spark):
+    """The Misra-Gries candidate stage under conditions the events
+    fixture can't produce — a 10k-key domain, empty partitions, and a
+    30% hot key: candidates stay bounded (<= k per partition) and the
+    exact recount still isolates precisely the true heavy hitter.
+    (Mirrors q268's kernel; the query itself is value-oracled — this
+    pins the MERGE-COMPACTION math at domain >> k.)"""
+    from collections import Counter
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rows = [(0,) for _ in range(30000)]
+    rows += [(i,) for i in range(1, 10001) for _ in range(7)]
+    df = spark.createDataFrame(rows, "hot_key long").repartition(64)
+    k = 64
+
+    def mg_partition(batches):
+        summary: dict[int, int] = {}
+        for pdf in batches:
+            for key, cnt in Counter(pdf["hot_key"].to_numpy()).items():
+                summary[int(key)] = summary.get(int(key), 0) + int(cnt)
+            if len(summary) > k:
+                dec = sorted(summary.values(), reverse=True)[k]
+                summary = {x: c - dec for x, c in summary.items() if c > dec}
+        yield pd.DataFrame({"hot_key": pd.Series(list(summary), dtype="int64")})
+
+    cands = df.mapInPandas(mg_partition, "hot_key long").distinct()
+    assert cands.count() <= 64 * 64  # bounded candidate set
+    heavy = (
+        df.join(F.broadcast(cands), "hot_key", "left_semi")
+        .groupBy("hot_key")
+        .count()
+        .crossJoin(F.broadcast(df.agg(F.count(F.lit(1)).alias("n"))))
+        .filter(F.lit(50) * F.col("count") >= F.col("n"))
+        .collect()
+    )
+    assert [(r["hot_key"], r["count"]) for r in heavy] == [(0, 30000)]
