@@ -204,6 +204,9 @@ HEADLINE = [
     "q269_incremental_view_maintenance",
     "q270_zonemap_skipping_audit",
     "q271_gap_fill_interpolate",
+    "q272_sequence_motif_match",
+    "q273_distribution_drift_tvd",
+    "q274_consistent_hash_rebalance",
     "medallion_gold_kpis",
 ]
 

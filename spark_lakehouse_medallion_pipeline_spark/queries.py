@@ -15106,6 +15106,313 @@ def q271_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q272_sequence_motif_match",
+    """
+    WITH s AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, seq,
+           CAST(length(seq) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 'cp')) AS BIGINT)
+             AS n_click_to_buy,
+           CAST(len(regexp_extract_all(seq, 'ee+')) AS BIGINT)
+             AS n_error_bursts,
+           CAST(len(regexp_extract_all(seq, '[cv]{4,}')) AS BIGINT)
+             AS n_browse_runs,
+           CASE WHEN seq LIKE '%p%' THEN 1 ELSE 0 END AS has_purchase
+    FROM s
+    """,
+)
+def q272_sequence_motif_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence-motif matching — MATCH_RECOGNIZE-lite, the
+    state-machine mining a product-analytics stack runs over event
+    streams: each user's full history collapses to a symbol string
+    (first letter of the event type — c/v/p/s/e are distinct here) in
+    the deterministic (ts, event_id) order, then regex motifs count
+    non-overlapping occurrences of click-then-buy ('cp'), error bursts
+    ('ee+' — the retry-loop frustration signal), and long browse runs
+    without buying ('[cv]{4,}'). Complements q171's gaps-and-islands
+    (single-type runs) and q172's Markov transitions (adjacent pairs):
+    motifs span arbitrary-length subsequences. Greedy non-overlapping
+    extraction agrees between Java regex and DuckDB's RE2 for these
+    backreference-free patterns (pinned by the value hash on the FULL
+    sequence string, which rides along as a column). Scale shape: ONE
+    per-user groupBy (the sequence length is the user's event count —
+    the same per-key bound any sessionization carries); the regexes
+    are JVM-side expressions over the collapsed ~|users| rows."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts",
+                            "event_id",
+                            F.substring("event_type", 1, 1).alias("sym"),
+                        )
+                    )
+                ),
+                lambda x: x["sym"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    return s.select(
+        "user_id",
+        "seq",
+        F.length("seq").cast("bigint").alias("seq_len"),
+        F.size(F.expr("regexp_extract_all(seq, 'cp', 0)"))
+        .cast("bigint")
+        .alias("n_click_to_buy"),
+        F.size(F.expr("regexp_extract_all(seq, 'ee+', 0)"))
+        .cast("bigint")
+        .alias("n_error_bursts"),
+        F.size(F.expr("regexp_extract_all(seq, '[cv]{4,}', 0)"))
+        .cast("bigint")
+        .alias("n_browse_runs"),
+        F.when(F.col("seq").contains("p"), 1).otherwise(0).alias("has_purchase"),
+    )
+
+
+@_q(
+    "q273_distribution_drift_tvd",
+    f"""
+    WITH e AS (
+      SELECT event_type,
+             LEAST({SC("value")} // 2500, 19) AS vb,
+             CASE WHEN ts < TIMESTAMP '2024-01-25' THEN 1 ELSE 0 END
+               AS is_base
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, CAST(vb AS BIGINT) AS vb,
+             CAST(SUM(is_base) AS BIGINT) AS n_base,
+             CAST(COUNT(*) - SUM(is_base) AS BIGINT) AS n_delta
+      FROM e GROUP BY 1, 2
+    ),
+    g AS (SELECT CAST(SUM(n_base) AS BIGINT) AS nb,
+                 CAST(SUM(n_delta) AS BIGINT) AS nd
+          FROM c),
+    d AS (
+      SELECT c.*, ABS(c.n_base * g.nd - c.n_delta * g.nb) AS dnum, g.nb, g.nd
+      FROM c, g
+    ),
+    t AS (SELECT CAST((CAST(1000000 AS HUGEINT) * SUM(dnum))
+                      // (2 * MAX(nb) * MAX(nd)) AS BIGINT) AS tvd_e6
+          FROM d)
+    SELECT d.event_type, d.vb, d.n_base, d.n_delta,
+           CAST(d.dnum AS BIGINT) AS drift_num, t.tvd_e6
+    FROM d, t
+    """,
+)
+def q273_distribution_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit by EXACT total-variation distance — the
+    data-quality monitor between a reference window and fresh ingest
+    (the ML-ops role PSI plays, but TVD needs no logarithms so it stays
+    exact-integer end to end): events split at the q269 cutoff into
+    base/delta, binned over (event_type x 20 value buckets), and
+    TVD = 0.5 * sum_i |p_i - q_i| computed as cross-multiplied counts
+    (|n_i*M - m_i*N|, int64 to ~3e9 rows per window — the q249/q255
+    convention) with ONE wide-integer e6 division at the end
+    (DECIMAL(38,0) div on Spark, HUGEINT // on DuckDB — the q255
+    idiom, since 1e6*sum(dnum) reaches 2e6*N*M). Per-cell rows carry
+    both counts and the exact drift numerator so the audit names the
+    drifting cells, with the global tvd_e6 alongside. Scale shape: one
+    map-combined groupBy to ~|cells| rows, a 1-row totals broadcast,
+    a 1-row TVD broadcast."""
+    cutoff = F.lit("2024-01-25").cast("timestamp")
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        cents(F.col("value")).alias("val_c"),
+        F.when(F.col("ts") < cutoff, 1).otherwise(0).alias("is_base"),
+    ).select(
+        "event_type",
+        F.least(F.expr("val_c div 2500"), F.lit(19).cast("bigint"))
+        .cast("bigint")
+        .alias("vb"),
+        "is_base",
+    )
+    c = e.groupBy("event_type", "vb").agg(
+        F.sum("is_base").cast("bigint").alias("n_base"),
+        (F.count(F.lit(1)) - F.sum("is_base")).cast("bigint").alias("n_delta"),
+    )
+    g = c.agg(
+        F.sum("n_base").cast("bigint").alias("nb"),
+        F.sum("n_delta").cast("bigint").alias("nd"),
+    )
+    d = c.crossJoin(F.broadcast(g)).withColumn(
+        "dnum",
+        F.abs(F.col("n_base") * F.col("nd") - F.col("n_delta") * F.col("nb")),
+    )
+    t = d.agg(
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * SUM(dnum))"
+            " div (2 * MAX(nb) * MAX(nd)) AS BIGINT)"
+        ).alias("tvd_e6")
+    )
+    return d.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        "vb",
+        "n_base",
+        "n_delta",
+        F.col("dnum").cast("bigint").alias("drift_num"),
+        "tvd_e6",
+    )
+
+
+def _q274_ring_sql(n_shards: int, alias: str) -> str:
+    """The consistent-hash ring as a VALUES-free inline relation: 4
+    virtual nodes per shard at md5-60bit positions (the portable-hash
+    idiom both engines replay byte-for-byte)."""
+    return f"""
+    {alias} AS (
+      SELECT s.s AS shard, v.v AS vnode,
+             CAST(('0x' || substr(md5('node:' || CAST(s.s AS VARCHAR)
+                                   || ':' || CAST(v.v AS VARCHAR)),
+                                  18, 15)) AS BIGINT) AS pos
+      FROM (SELECT unnest(range(0, {n_shards})) AS s) s
+      CROSS JOIN (SELECT unnest(range(0, 4)) AS v) v
+    )"""
+
+
+@_q(
+    "q274_consistent_hash_rebalance",
+    f"""
+    WITH {_q274_ring_sql(16, "r16")},
+    {_q274_ring_sql(17, "r17")},
+    k AS (
+      SELECT c_custkey,
+             CAST(('0x' || substr(md5('key:' || CAST(c_custkey AS VARCHAR)),
+                                  18, 15)) AS BIGINT) AS kpos
+      FROM customer
+    ),
+    a16 AS (
+      SELECT k.c_custkey,
+             COALESCE(MIN(r.pos) FILTER (WHERE r.pos >= k.kpos),
+                      (SELECT MIN(pos) FROM r16)) AS tpos
+      FROM k CROSS JOIN r16 r GROUP BY k.c_custkey, k.kpos
+    ),
+    a17 AS (
+      SELECT k.c_custkey,
+             COALESCE(MIN(r.pos) FILTER (WHERE r.pos >= k.kpos),
+                      (SELECT MIN(pos) FROM r17)) AS tpos
+      FROM k CROSS JOIN r17 r GROUP BY k.c_custkey, k.kpos
+    ),
+    asg AS (
+      SELECT a16.c_custkey,
+             s16.shard AS shard_before, s17.shard AS shard_after
+      FROM a16
+      JOIN r16 s16 ON a16.tpos = s16.pos
+      JOIN a17 ON a16.c_custkey = a17.c_custkey
+      JOIN r17 s17 ON a17.tpos = s17.pos
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN shard_before <> shard_after
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+           CAST(SUM(CASE WHEN shard_before <> shard_after
+                          AND shard_after = 16
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_to_new,
+           CAST((1000000 * SUM(CASE WHEN shard_before <> shard_after
+                                    THEN 1 ELSE 0 END)) // COUNT(*)
+                AS BIGINT) AS moved_ratio_e6,
+           CAST(COUNT(DISTINCT shard_after) AS BIGINT) AS n_shards_after
+    FROM asg
+    """,
+)
+def q274_consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hashing shard assignment + rebalancing audit — the
+    sharding math under every distributed cache/store this engine
+    would feed at 100 TB: customers hash onto a 2^60 ring (md5-60bit,
+    the portable idiom), shards own arcs via 4 virtual nodes each, a
+    key belongs to the first vnode clockwise. The audit adds a 17th
+    shard and measures the reshuffle: the consistent-hashing CONTRACT
+    says every moved key moves TO the new shard (n_moved ==
+    n_moved_to_new — the oracle hash-checks this equality as data) and
+    the moved fraction is ~1/17 of keys (vs ~16/17 for mod-N
+    sharding — the whole point), emitted as exact moved_ratio_e6.
+    Scale shape: the rings are 64/68-row broadcasts; assignment is a
+    per-key aggregate over the broadcast cross join (|keys| x 68,
+    map-side combined to one row per key), then two 64/68-row joins
+    map positions back to shards. The 60-bit positions are collision-
+    free on these fixed rings (pinned in pytest), so the position
+    join is exact."""
+    cu = _t(spark, sf_dir, "customer")
+    h60 = lambda col: F.conv(F.substring(F.md5(col), 18, 15), 16, 10).cast(  # noqa: E731
+        "bigint"
+    )
+
+    def ring(n_shards: int) -> DataFrame:
+        s = spark.range(n_shards).select(F.col("id").cast("int").alias("shard"))
+        v = spark.range(4).select(F.col("id").cast("int").alias("vnode"))
+        return s.crossJoin(v).select(
+            "shard",
+            "vnode",
+            h60(
+                F.concat(
+                    F.lit("node:"),
+                    F.col("shard").cast("string"),
+                    F.lit(":"),
+                    F.col("vnode").cast("string"),
+                )
+            ).alias("pos"),
+        )
+
+    k = cu.select(
+        "c_custkey",
+        h60(F.concat(F.lit("key:"), F.col("c_custkey").cast("string"))).alias(
+            "kpos"
+        ),
+    )
+
+    def assign(ring_df: DataFrame, out: str) -> DataFrame:
+        wrap = ring_df.agg(F.min("pos").alias("_wrap"))
+        a = (
+            k.crossJoin(F.broadcast(ring_df.select("pos")))
+            .groupBy("c_custkey")
+            .agg(
+                F.min(F.when(F.col("pos") >= F.col("kpos"), F.col("pos"))).alias(
+                    "_t"
+                )
+            )
+            .crossJoin(F.broadcast(wrap))
+            .select(
+                "c_custkey", F.coalesce("_t", "_wrap").alias("tpos")
+            )
+        )
+        return a.join(
+            F.broadcast(ring_df.select("pos", F.col("shard").alias(out))),
+            a["tpos"] == F.col("pos"),
+        ).select("c_custkey", out)
+    asg = assign(ring(16), "shard_before").join(
+        assign(ring(17), "shard_after"), "c_custkey"
+    )
+    moved = F.when(F.col("shard_before") != F.col("shard_after"), 1).otherwise(0)
+    return asg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(moved).cast("bigint").alias("n_moved"),
+        F.sum(
+            F.when(
+                (F.col("shard_before") != F.col("shard_after"))
+                & (F.col("shard_after") == 16),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_moved_to_new"),
+        F.expr(
+            "CAST((1000000 * SUM(CASE WHEN shard_before <> shard_after"
+            " THEN 1 ELSE 0 END)) div COUNT(*) AS BIGINT)"
+        ).alias("moved_ratio_e6"),
+        F.countDistinct("shard_after").cast("bigint").alias("n_shards_after"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------

@@ -1367,3 +1367,70 @@ def test_q268_mg_kernel_adversarial_domain(spark):
         .collect()
     )
     assert [(r["hot_key"], r["count"]) for r in heavy] == [(0, 30000)]
+
+
+def test_q272_motif_replay(spark):
+    """Full python re replay of the symbol sequences and motif counts
+    (the regex semantics witness besides the DuckDB oracle)."""
+    import re
+
+    from spark_lakehouse_medallion_pipeline_spark.sources.io import read_events
+
+    pdf = read_events(spark, SF).select(
+        "user_id", "ts", "event_id", "event_type"
+    ).toPandas()
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+    seqs = (
+        pdf.assign(sym=pdf["event_type"].str[0])
+        .groupby("user_id")["sym"]
+        .agg("".join)
+    )
+    rows = QUERIES["q272_sequence_motif_match"](spark, SF).collect()
+    assert len(rows) == len(seqs)
+    for r in rows:
+        s = seqs[r["user_id"]]
+        assert r["seq"] == s and r["seq_len"] == len(s)
+        assert r["n_click_to_buy"] == len(re.findall("cp", s))
+        assert r["n_error_bursts"] == len(re.findall("ee+", s))
+        assert r["n_browse_runs"] == len(re.findall("[cv]{4,}", s))
+        assert r["has_purchase"] == int("p" in s)
+
+
+def test_q273_tvd_invariants(spark):
+    """TVD replay: per-cell counts reconcile to the window totals, the
+    drift numerators recompute exactly, and tvd_e6 equals the exact
+    wide-integer formula (also bounded in [0, 1e6])."""
+    rows = QUERIES["q273_distribution_drift_tvd"](spark, SF).collect()
+    nb = sum(r["n_base"] for r in rows)
+    nd = sum(r["n_delta"] for r in rows)
+    assert nb > 0 and nd > 0
+    tot = 0
+    for r in rows:
+        want = abs(r["n_base"] * nd - r["n_delta"] * nb)
+        assert r["drift_num"] == want
+        tot += want
+    want_tvd = (1000000 * tot) // (2 * nb * nd)
+    assert all(r["tvd_e6"] == want_tvd for r in rows)
+    assert 0 <= want_tvd <= 1000000
+
+
+def test_q274_consistent_hash_invariants(spark):
+    """The consistent-hashing contract, plus the collision-freeness the
+    position join relies on: all 68 vnode positions distinct (hashlib
+    replay), every moved key moves TO the new shard, the moved
+    fraction is near 1/17 (well under the ~16/17 a mod-N reshard
+    forces), and all 17 shards own keys afterwards."""
+    import hashlib
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[17:32], 16)
+
+    pos17 = {h60(f"node:{s}:{v}") for s in range(17) for v in range(4)}
+    assert len(pos17) == 68  # collision-free ring
+    row = QUERIES["q274_consistent_hash_rebalance"](spark, SF).collect()[0]
+    assert row["n_moved"] == row["n_moved_to_new"]
+    assert row["n_shards_after"] == 17
+    assert 0 < row["n_moved"] < row["n_keys"]
+    # moved fraction ~ 1/17 (allow generous variance on a 4-vnode ring,
+    # but far from mod-N's 16/17)
+    assert row["moved_ratio_e6"] < 300000

@@ -930,3 +930,34 @@ def test_q269_q270_q271_plan_shapes(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert not global_windows(plan), "q271 has a global WindowExec"
+
+
+def test_q272_q273_q274_plan_shapes(spark):
+    """q272 motif match: ONE per-user aggregate, regexes are JVM
+    expressions over the collapsed rows — no cartesian, no window.
+    q273 TVD drift: one map-combined groupBy + 1-row broadcasts only.
+    q274 consistent hashing: every ring side must BROADCAST (64/68
+    rows); no CartesianProduct node anywhere (the bounded cross joins
+    plan as broadcast nested loops)."""
+    for name in (
+        "q272_sequence_motif_match",
+        "q273_distribution_drift_tvd",
+        "q274_consistent_hash_rebalance",
+    ):
+        df = QUERIES[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+    plan = (
+        QUERIES["q272_sequence_motif_match"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window [" not in plan
+    plan = (
+        QUERIES["q274_consistent_hash_rebalance"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan
