@@ -15544,13 +15544,17 @@ def q274_consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFram
 # q253/q254 and the late-round families q256-q263 are the r11
 # never-recorded backlog.
 #
-# Round 11 cleared that backlog in full: all 12 never-recorded
-# round-10 families (q249/q251/q253/q254/q256-q263) rotated in, plus
-# birth-round rows for the five round-11 families (q264 vacuum, q265
-# systematic sample, q266 salted skew fix, q267 bucketed join, q268
-# heavy hitters) — 17 rotations, each displacing a slot green >= 2
-# consecutive driver rounds whose family keeps an in-head rep (the
-# per-slot annotations below name both sides of every swap).
+# Round 11 cleared that backlog in full AND left no new one: all 12
+# never-recorded round-10 families (q249/q251/q253/q254/q256-q263)
+# rotated in, plus birth-round rows for ALL ELEVEN round-11 families
+# (q264 vacuum, q265 systematic sample, q266 salted skew fix, q267
+# bucketed join, q268 heavy hitters, q269 IVM, q270 zone-map audit,
+# q271 gap-fill, q272 sequence motifs, q273 TVD drift, q274
+# consistent hashing) — 23 rotations, each displacing a slot green
+# >= 2 consecutive driver rounds whose family keeps an in-head rep
+# (the per-slot annotations below name both sides of every swap).
+# Every family born through round 11 now has a driver row or a head
+# slot pending its birth-round record.
 
 _DRIVER_SNAPSHOT_50 = [
     # reference surface: aggregates, scalars, datetime, medallion KPIs
@@ -15565,10 +15569,10 @@ _DRIVER_SNAPSHOT_50 = [
     "q266_salted_skew_aggregate",  # r11 birth-round: the skew FIX replacing its own diagnosis slot (q205 profile green r8-r10; q266 is q205's treatment half — salted two-stage decomposition with exact COUNT(DISTINCT), plan-pinned; q205 stays value-oracled in the full gate)
     "q252_partition_pruned_read",  # r10 late: Hive-style partition pruning pinned at the scan (PartitionFilters plan test), birth-round row (q203 equi-depth green r08+r09; X13 keeps q213/q214 + q240's percentile machinery in the head and q203 stays value-oracled in the full gate)
     "q248_kaplan_meier",  # r10 late: Kaplan-Meier product-limit curve with genuine mid-study censoring, birth-round row (q211 weighted median green r08+r09; the robust-stats family keeps q240 MAD + q233 Tukey in the head and q211 stays value-oracled in the full gate)
-    "q226_mom_revenue_growth",  # r9: MoM growth with trunc-div-safe negative months, birth-round row (q129 SCD2 green r07+r08; the temporal family keeps q207/q224 window frames in the head and q129/q128/q130 stay value-oracled in the full gate)
+    "q269_incremental_view_maintenance",  # r11 late birth-round: IVM of a gold aggregate — delta-only merge == full recompute (q226 MoM growth green r9+r10; the temporal family now keeps q256/q258/q259/q261 in the head and q226 stays value-oracled in the full gate)
     "q268_heavy_hitters_exact",  # r11 birth-round: two-pass Misra-Gries exact heavy hitters in shuffle-free mapInPandas (q209 incremental near-dup green r8-r10; dedup keeps q67/q238/q239 in the head and q209 stays value-oracled in the full gate)
     # grouping extensions
-    "q228_curation_verdict",  # r9: curation capstone with auditable pass mask, birth-round row (q176 real-PNG codec green r05-r08 = the verdict's own displacement pool; multimodal keeps q200 JPEG in the head and q176 stays value-oracled in the full gate)
+    "q273_distribution_drift_tvd",  # r11 late birth-round: exact-TVD distribution drift — the quality monitor between reference and ingest windows (q228 curation verdict green r9+r10; the quality family keeps q237/q247 quarantines + q253 zipf in the head and q228 stays value-oracled in the full gate)
     "q250_rfm_scores",  # r10 late: RFM quintile scoring via three composed distributed_rank NTILE passes (the rank operator's composition case), birth-round row (q220 demand variability green r08+r09; X14 time windows keep q221 funnel + q207 in the head, q234 shares q220's XYZ machinery, and q220 stays value-oracled in the full gate)
     # windows
     "q251_spearman_rank_corr",  # r11: Spearman rank correlation — another distributed_rank composition, never driver-recorded (q215 Gini green r9+r10; the rank family keeps q242/q250/q255 in the head and q215 stays value-oracled in the full gate)
@@ -15581,7 +15585,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q181_bpe_train_2merges",  # r7: BPE training never recorded (q18 green r01-r06; distinct family keeps q145)
     # time windows / sessionization
     "q261_ols_trend_slope",  # r11: exact-int OLS normal equations, never driver-recorded (q230 chi-square green r9+r10; contingency tests keep q241 kappa in the head and q230 stays value-oracled in the full gate)
-    "q125_cogroup_asof",  # r8: applyInPandas cogroup never recorded in 7 rounds (q21 sessionization green r01-r07; X15 keeps q168 + streaming pytest)
+    "q271_gap_fill_interpolate",  # r11 late birth-round: spine gap-fill with LOCF + exact integer interpolation (q125 cogroup-as-of green r8-r10; X6 theta/range keeps q221 funnel in the head, X16 keeps q200 JPEG + q268 mapInPandas, and q125 stays value-oracled in the full gate)
     # SQL surface: subqueries, lateral, UDTF, interactive SQL
     "q241_filter_agreement_kappa",  # r10: Cohen's kappa between quality filters in ONE 2x2-confusion aggregate, birth-round row (q197 bitwise rollup green r08+r09; the aggregate-battery surface keeps q41 + q123 in the head and q197 stays value-oracled in the full gate)
     "q264_snapshot_retention_vacuum",  # r11 birth-round: retention/VACUUM completing the warehouse-maintenance family with q254/q257 (q235 k-anonymity green r9+r10; governance keeps incoming q262 erasure audit in the head and q235 stays value-oracled in the full gate)
@@ -15590,11 +15594,11 @@ _DRIVER_SNAPSHOT_50 = [
     # semi-structured: JSON, arrays, maps/structs
     "q207_rolling_distinct_users",  # r8 late: rolling bitmap distinct, birth-round row (q168 TWAP green r05-r07; the time-window family keeps q150/q170/q172/q178 + this entry)
     "q200_jpeg_image_features",  # r8: real baseline-JPEG codec, birth-round row (q162 portable LSH green r04-r07; its candidates CTE lives on inside q149's oracle, and dedup keeps q149/q152/q179)
-    "q123_xml_battery",
+    "q274_consistent_hash_rebalance",  # r11 late birth-round: consistent-hashing ring rebalance with the moved-to-new-shard contract hash-checked (q123 XML battery green r4-r10, the longest-tenured rotatable slot; X22 keeps q232/q237 in the head and q123 stays value-oracled in the full gate)
     # dedup family
     "q240_mad_robust_scale",  # r10: grouped MAD via two exact dyadic 0.5-quantile passes, birth-round row (q194 equi-width histogram green r08+r09; X13 keeps q203 equi-depth + q213 profile + q214 in the head and q194 stays value-oracled in the full gate)
     "q238_blocking_quality",  # r10: LSH blocking-quality ER audit (reduction ratio + pair completeness vs planted-twin exact-Jaccard truth), birth-round row (q149 contrastive pairs green r08+r09; dedup keeps q67/q204/q209 + incoming q239 in the head and q149 stays value-oracled in the full gate)
-    "q217_benford_audit",  # r9: Benford first-digit audit, birth-round row (q188 LPA green r05-r08 = the verdict's own displacement pool; graph keeps q67 in the head and q188 stays value-oracled in the full gate)
+    "q272_sequence_motif_match",  # r11 late birth-round: MATCH_RECOGNIZE-lite sequence motifs over per-user event strings (q217 Benford green r9+r10; the audit-stats family keeps q241/q249/q256 in the head and q217 stays value-oracled in the full gate)
     "q260_pareto_skyline",  # r11: Pareto frontier via the cummax_cols EXCLUSIVE prefix max — the driver-visible proof of the r10 rank-statistic widening, never driver-recorded (q234 ABC-XYZ green r9+r10; planning analytics keep q246 in the head and q234/q220 stay value-oracled in the full gate)
     # similarity family
     "q201_pq_codes_int",  # r8: integer-exact PQ train+encode, first-ever driver row for the PQ family (q36 brute kNN green r01-r07; q183's recall eval computes the same brute kNN internally)
@@ -15615,7 +15619,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q254_snapshot_time_travel",  # r11: snapshot commit/merge/time-travel, never driver-recorded (q231 CSV roundtrip green r9+r10; the I/O-format family keeps q232 JSONL roundtrip in the head and q231 stays value-oracled in the full gate)
     "q232_jsonl_roundtrip",  # r9: JSONL source/sink round trip, the crawl-dump interchange format (q193 ANALYZE column stats green r07+r08; the ANALYZE kit keeps q194/q203/q205/q206/q213/q216 in the head and q193 stays value-oracled in the full gate)
     "q247_parquet_schema_drift",  # r10 late: parquet schema-drift ingest contract (mergeSchema union; type-change + fixed-schema arms pinned in pytest), completing the quarantine trio with q236/q237, birth-round row (q216 encoding advisor green r08+r09; the write-path/ANALYZE family keeps q206 + q213 in the head and q216 stays value-oracled in the full gate)
-    "q206_functional_dependency_audit",  # r8 late: FD profiling, birth-round row (q127 quality contracts green r03-r07; quality family keeps q128 CDC + the ANALYZE kit q193/q194)
+    "q270_zonemap_skipping_audit",  # r11 late birth-round: min/max data-skipping audit, natural vs sorted zoning via two distributed_rank passes (q206 FD audit green r8-r10; the ANALYZE kit keeps q240/q252/q257/q268 in the head and q206 stays value-oracled in the full gate)
 ]
 
 
