@@ -1434,3 +1434,75 @@ def test_q274_consistent_hash_invariants(spark):
     # moved fraction ~ 1/17 (allow generous variance on a 4-vnode ring,
     # but far from mod-N's 16/17)
     assert row["moved_ratio_e6"] < 300000
+
+
+def test_q265_kernel_heavy_item_multiplicity(spark):
+    """The systematic sampler's multiplicity semantics on a case the
+    documents fixture can't produce: one item heavier than several
+    strides must receive multiplicity ~ w_i*k/W (its exact point
+    count), and conservation still holds. Mirrors q265's kernel on a
+    synthetic weight line (the q268-adversarial pattern)."""
+    from pyspark.sql import functions as F
+
+    from spark_lakehouse_medallion_pipeline_spark.operators.relational import (
+        distributed_rank,
+    )
+
+    k = 10
+    # 20 unit items + one whale of weight 80 -> W=100, stride=10:
+    # the whale owns ~8 of the 10 midpoints regardless of hash order
+    rows = [(i, 1) for i in range(20)] + [(99, 80)]
+    d = spark.createDataFrame(rows, "doc_id long, w long").select(
+        "doc_id",
+        "w",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wss:"), F.col("doc_id").cast("string"))),
+                18,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    c = distributed_rank(
+        d,
+        [F.col("h").asc(), F.col("doc_id").asc()],
+        rank_col="_r",
+        value_col="w",
+        cumsum_col="cum",
+    )
+    g = d.agg(F.sum("w").cast("bigint").alias("tw"))
+    out = {
+        r["doc_id"]: r["mult"]
+        for r in c.crossJoin(F.broadcast(g))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CAST(({2 * k} * cum + tw - 1) div (2 * tw)"
+                f" - ({2 * k} * (cum - w) + tw - 1) div (2 * tw) AS BIGINT)"
+            ).alias("mult"),
+        )
+        .filter(F.col("mult") >= 1)
+        .collect()
+    }
+    assert sum(out.values()) == k  # conservation
+    assert out[99] in (8, 9)  # the whale owns ~ w*k/W = 8 midpoints
+    assert all(m == 1 for d_, m in out.items() if d_ != 99)
+
+
+def test_q267_reruns_in_one_session(spark):
+    """q267 drops and rewrites its bucketed tables per call — two
+    back-to-back runs in one session must both succeed and agree
+    (the overwrite/DROP path, which a single gate pass never hits)."""
+    a = {
+        r["segment"]: (r["n_orders"], r["sum_total_c"])
+        for r in QUERIES["q267_bucketed_colocated_join"](spark, SF).collect()
+    }
+    b = {
+        r["segment"]: (r["n_orders"], r["sum_total_c"])
+        for r in QUERIES["q267_bucketed_colocated_join"](spark, SF).collect()
+    }
+    assert a == b and len(a) >= 2
