@@ -765,11 +765,9 @@ def main() -> None:
     # still emitted (the driver needs a line to parse) but carries
     # "contended": true + reasons, and the comparator convention is
     # min-of-2 on a quiet host (README, Benchmarks).
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LATEST.json"
-    )
+    base_dir = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(full_path) as fh:
+        with open(os.path.join(base_dir, "BENCH_FULL_LATEST.json")) as fh:
             prior = json.load(fh)
     except (OSError, ValueError):
         prior = None
@@ -787,23 +785,47 @@ def main() -> None:
     # and parses the final line as JSON (BENCH_r07.json: the single
     # ~3.5 KB line was cut mid-queries-dict and parse failed — VERDICT r7
     # Next #3). Three-layer fix:
-    #   1. the FULL verbose JSON is written to BENCH_FULL_LATEST.json
-    #      next to this script (committed with the round, so every
-    #      per-query time survives for round-over-round comparison);
+    #   1. the FULL verbose JSON is written next to this script
+    #      (committed with the round, so every per-query time survives
+    #      for round-over-round comparison) — see persist_full_record
+    #      for the contended-vs-clean routing;
     #   2. the full JSON is still printed first (contract/logs);
     #   3. the FINAL stdout line is a compact (<2000-char) JSON that fits
     #      the capture window whole: q-entries keyed by bare q-number
     #      ("q01" = q01_pricing_summary — names in the full file),
     #      non-q entries keep full names, values at 2 decimals, variance
     #      reduced to totals + spread + scale ratios.
+    persist_full_record(out, base_dir)
+    print(json.dumps(out))
+    print(build_compact_line(out))
+
+
+def persist_full_record(out: dict, base_dir: str) -> str:
+    """Write the full verbose record to disk and return the path written.
+
+    Laundering fix (VERDICT r11 What's-wrong #1): a CONTENDED recording
+    must never become the next run's arm-(b) comparator. The old code
+    unconditionally overwrote BENCH_FULL_LATEST.json, so a flagged
+    48.5%-spread attempt displaced the clean r10 prior on disk; the
+    re-run then compared against a contended prior, skipped arm (b),
+    and committed a medallion_e2e_100k min 2.4x the clean record without
+    tripping the guard. Now flagged records go to
+    BENCH_CONTENDED_LATEST.json (kept for diagnosis, never read as a
+    comparator) and BENCH_FULL_LATEST.json holds only the last CLEAN
+    record."""
+    name = (
+        "BENCH_CONTENDED_LATEST.json"
+        if out.get("contended")
+        else "BENCH_FULL_LATEST.json"
+    )
+    path = os.path.join(base_dir, name)
     try:
-        with open(full_path, "w") as fh:
+        with open(path, "w") as fh:
             json.dump(out, fh, indent=1, sort_keys=True)
             fh.write("\n")
     except OSError as exc:
-        print(f"# could not write {full_path}: {exc}", file=sys.stderr)
-    print(json.dumps(out))
-    print(build_compact_line(out))
+        print(f"# could not write {path}: {exc}", file=sys.stderr)
+    return path
 
 
 def contention_reasons(variance: dict, prior: dict | None) -> list[str]:

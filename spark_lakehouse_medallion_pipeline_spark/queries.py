@@ -14441,25 +14441,26 @@ def q264_snapshot_retention_vacuum(spark: SparkSession, sf_dir: str) -> DataFram
         tempfile.gettempdir(), f"spark_graft_q264_snap_{tag}_{app}"
     )
     shutil.rmtree(path, ignore_errors=True)
-    assert write_snapshot(spark, docs.filter(F.col("doc_id") % 4 == 0), path) == 1
-    assert (
-        merge_upsert_snapshot(
-            spark, docs.filter(F.col("doc_id") % 4 == 1), path, ["doc_id"]
-        )
-        == 2
+    # Side-effecting commits bound to variables FIRST, asserted after
+    # (ADVICE r11: a bare `assert write_snapshot(...) == 1` is elided
+    # entirely under python -O, silently skipping the commit itself)
+    c1 = write_snapshot(spark, docs.filter(F.col("doc_id") % 4 == 0), path)
+    assert c1 == 1, c1
+    c2 = merge_upsert_snapshot(
+        spark, docs.filter(F.col("doc_id") % 4 == 1), path, ["doc_id"]
     )
+    assert c2 == 2, c2
     v3_updates = (
         docs.filter(F.col("doc_id") % 8 == 0)
         .select("doc_id", (F.col("n_chars") + 500).cast("bigint").alias("n_chars"))
         .unionByName(docs.filter(F.col("doc_id") % 4 == 2))
     )
-    assert merge_upsert_snapshot(spark, v3_updates, path, ["doc_id"]) == 3
-    assert (
-        merge_upsert_snapshot(
-            spark, docs.filter(F.col("doc_id") % 4 == 3), path, ["doc_id"]
-        )
-        == 4
+    c3 = merge_upsert_snapshot(spark, v3_updates, path, ["doc_id"])
+    assert c3 == 3, c3
+    c4 = merge_upsert_snapshot(
+        spark, docs.filter(F.col("doc_id") % 4 == 3), path, ["doc_id"]
     )
+    assert c4 == 4, c4
     n_committed = len(snapshot_versions(path))
     # checksum BEFORE vacuum (eager 1-row collect — the "before" must be
     # measured before the deletes, not a lazy plan evaluated after)
@@ -14918,12 +14919,12 @@ def q270_zonemap_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = distributed_rank(
         li, [F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
         rank_col="_rn",
-    ).select("sd", ((F.col("_rn") - 1) / _Q270_ZONE_ROWS).cast("bigint").alias("z"))
+    ).select("sd", F.expr(f"(_rn - 1) div {_Q270_ZONE_ROWS}").alias("z"))
     srt = distributed_rank(
         li,
         [F.col("sd").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
         rank_col="_rs",
-    ).select("sd", ((F.col("_rs") - 1) / _Q270_ZONE_ROWS).cast("bigint").alias("z"))
+    ).select("sd", F.expr(f"(_rs - 1) div {_Q270_ZONE_ROWS}").alias("z"))
     cutoff = F.lit(_Q270_CUTOFF).cast("date")
     out = []
     for layout, zoned in (("natural", nat), ("sorted", srt)):
@@ -15106,14 +15107,21 @@ def q271_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q272_MAX_EVENTS = 4096
+
+
 @_q(
     "q272_sequence_motif_match",
-    """
-    WITH s AS (
-      SELECT user_id,
-             string_agg(substr(event_type, 1, 1), ''
-                        ORDER BY ts, event_id) AS seq
-      FROM events GROUP BY user_id
+    f"""
+    WITH r AS (
+      SELECT user_id, substr(event_type, 1, 1) AS sym,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, string_agg(sym, '' ORDER BY rn) AS seq
+      FROM r WHERE rn <= {_Q272_MAX_EVENTS} GROUP BY user_id
     )
     SELECT user_id, seq,
            CAST(length(seq) AS BIGINT) AS seq_len,
@@ -15121,7 +15129,7 @@ def q271_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_click_to_buy,
            CAST(len(regexp_extract_all(seq, 'ee+')) AS BIGINT)
              AS n_error_bursts,
-           CAST(len(regexp_extract_all(seq, '[cv]{4,}')) AS BIGINT)
+           CAST(len(regexp_extract_all(seq, '[cv]{{4,}}')) AS BIGINT)
              AS n_browse_runs,
            CASE WHEN seq LIKE '%p%' THEN 1 ELSE 0 END AS has_purchase
     FROM s
@@ -15141,21 +15149,42 @@ def q272_sequence_motif_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction agrees between Java regex and DuckDB's RE2 for these
     backreference-free patterns (pinned by the value hash on the FULL
     sequence string, which rides along as a column). Scale shape: ONE
-    per-user groupBy (the sequence length is the user's event count —
-    the same per-key bound any sessionization carries); the regexes
-    are JVM-side expressions over the collapsed ~|users| rows."""
+    per-user groupBy; the regexes are JVM-side expressions over the
+    collapsed ~|users| rows. Per-key bound (VERDICT r11 hardening,
+    replacing the inherited unbounded sessionization collect): events
+    past the first _Q272_MAX_EVENTS = 4096 per user are dropped BEFORE
+    the collect via a per-user row_number() filter — not a post-hoc
+    F.slice, which would still buffer the whale's full history in the
+    aggregation state — so a bot-traffic whale (exactly where motif
+    mining runs) costs at most ~4 KB of collect state instead of an
+    OOM. Motif counts are therefore defined as "within the first 4096
+    events"; the oracle replays the identical row_number() <= N
+    truncation. The per-user window rides the SAME hash exchange the
+    groupBy needs (plan-pinned: one shuffle, no global window). At the
+    fixtures the cap is never hit (max 86 events/user at sf0.01);
+    test_q272_whale_cap pins the truncation on a synthetic 10k-event
+    whale."""
     ev = _t(spark, sf_dir, "events")
-    s = ev.groupBy("user_id").agg(
+    capped = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.substring("event_type", 1, 1).alias("sym"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ),
+        )
+        .filter(F.col("_rn") <= _Q272_MAX_EVENTS)
+    )
+    s = capped.groupBy("user_id").agg(
         F.array_join(
             F.transform(
                 F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            "ts",
-                            "event_id",
-                            F.substring("event_type", 1, 1).alias("sym"),
-                        )
-                    )
+                    F.collect_list(F.struct("ts", "event_id", "sym"))
                 ),
                 lambda x: x["sym"],
             ),
@@ -15218,9 +15247,12 @@ def q273_distribution_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     base/delta, binned over (event_type x 20 value buckets), and
     TVD = 0.5 * sum_i |p_i - q_i| computed as cross-multiplied counts
     (|n_i*M - m_i*N|, int64 to ~3e9 rows per window — the q249/q255
-    convention) with ONE wide-integer e6 division at the end
-    (DECIMAL(38,0) div on Spark, HUGEINT // on DuckDB — the q255
-    idiom, since 1e6*sum(dnum) reaches 2e6*N*M). Per-cell rows carry
+    convention) with the SUM itself widened inside the aggregate
+    (SUM(CAST(dnum AS DECIMAL(38,0))) on Spark, HUGEINT on DuckDB —
+    ADVICE r11: summing in BIGINT first overflows at the very envelope
+    the per-cell math is safe to, since sum(dnum) alone reaches 2*N*M
+    ~ 1.8e19 > int64 max) and ONE wide-integer e6 division at the end
+    (the q255 idiom, since 1e6*sum(dnum) reaches 2e6*N*M). Per-cell rows carry
     both counts and the exact drift numerator so the audit names the
     drifting cells, with the global tvd_e6 alongside. Scale shape: one
     map-combined groupBy to ~|cells| rows, a 1-row totals broadcast,
@@ -15252,7 +15284,8 @@ def q273_distribution_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = d.agg(
         F.expr(
-            "CAST((CAST(1000000 AS DECIMAL(38,0)) * SUM(dnum))"
+            "CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * SUM(CAST(dnum AS DECIMAL(38,0))))"
             " div (2 * MAX(nb) * MAX(nd)) AS BIGINT)"
         ).alias("tvd_e6")
     )

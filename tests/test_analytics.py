@@ -1371,15 +1371,20 @@ def test_q268_mg_kernel_adversarial_domain(spark):
 
 def test_q272_motif_replay(spark):
     """Full python re replay of the symbol sequences and motif counts
-    (the regex semantics witness besides the DuckDB oracle)."""
+    (the regex semantics witness besides the DuckDB oracle). The replay
+    applies the same first-N-events truncation as the query (never hit
+    at this sf — max 86 events/user — but replayed for semantic
+    parity)."""
     import re
 
+    from spark_lakehouse_medallion_pipeline_spark.queries import _Q272_MAX_EVENTS
     from spark_lakehouse_medallion_pipeline_spark.sources.io import read_events
 
     pdf = read_events(spark, SF).select(
         "user_id", "ts", "event_id", "event_type"
     ).toPandas()
     pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+    pdf = pdf.groupby("user_id").head(_Q272_MAX_EVENTS)
     seqs = (
         pdf.assign(sym=pdf["event_type"].str[0])
         .groupby("user_id")["sym"]
@@ -1394,6 +1399,71 @@ def test_q272_motif_replay(spark):
         assert r["n_error_bursts"] == len(re.findall("ee+", s))
         assert r["n_browse_runs"] == len(re.findall("[cv]{4,}", s))
         assert r["has_purchase"] == int("p" in s)
+
+
+def test_q272_whale_cap(spark, tmp_path):
+    """The r12 whale-cap contract on a synthetic bot user: 10,000
+    events for user 1 (2.4x the cap) + 10 for user 2. The whale's
+    sequence must truncate to exactly the FIRST _Q272_MAX_EVENTS
+    events in (ts, event_id) order — pinned by planting all 'p'
+    events past the cap, so has_purchase == 0 proves the tail was
+    dropped before the regexes ran — and the normal user is untouched."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from spark_lakehouse_medallion_pipeline_spark.queries import (
+        QUERIES,
+        _Q272_MAX_EVENTS,
+    )
+
+    n_whale = 10_000
+    whale = spark.range(n_whale).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            (F.lit(1_700_000_000_000_000) + F.col("id") * 1_000_000).cast("long")
+        ).alias("ts"),
+        F.lit(1).cast("bigint").alias("user_id"),
+        # head of the sequence cycles c/v/e; every event past the cap
+        # is a purchase — visible iff the cap leaks
+        F.when(F.col("id") >= _Q272_MAX_EVENTS, F.lit("purchase"))
+        .when(F.col("id") % 3 == 0, F.lit("click"))
+        .when(F.col("id") % 3 == 1, F.lit("view"))
+        .otherwise(F.lit("error"))
+        .alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    normal = spark.range(10).select(
+        (F.col("id") + n_whale).alias("event_id"),
+        F.timestamp_micros(
+            (F.lit(1_700_000_000_000_000) + F.col("id") * 1_000_000).cast("long")
+        ).alias("ts"),
+        F.lit(2).cast("bigint").alias("user_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("click"))
+        .otherwise(F.lit("purchase"))
+        .alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    whale.unionByName(normal).write.parquet(f"{tmp_path}/events.parquet")
+
+    rows = {
+        r["user_id"]: r
+        for r in QUERIES["q272_sequence_motif_match"](spark, str(tmp_path)).collect()
+    }
+    w = rows[1]
+    assert w["seq_len"] == _Q272_MAX_EVENTS
+    expect = "".join(
+        "cve"[i % 3] for i in range(_Q272_MAX_EVENTS)
+    )
+    assert w["seq"] == expect
+    assert w["has_purchase"] == 0, "post-cap purchases leaked into the motifs"
+    assert w["n_error_bursts"] == len(re.findall("ee+", expect))
+    assert w["n_browse_runs"] == len(re.findall("[cv]{4,}", expect))
+    n = rows[2]
+    assert n["seq_len"] == 10 and n["has_purchase"] == 1
+    assert n["seq"] == "cp" * 5 and n["n_click_to_buy"] == 5
 
 
 def test_q273_tvd_invariants(spark):

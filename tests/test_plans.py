@@ -900,6 +900,18 @@ def test_q267_q268_plan_shapes(spark):
     assert "CartesianProduct" not in plan
 
 
+def global_windows(plan: str) -> list[str]:
+    """WindowExec lines with NO partition spec (single-partition global
+    sort) — the scale-killer shape; partitioned windows don't match."""
+    return [
+        ln.strip()[:160]
+        for ln in plan.splitlines()
+        if "Window [" in ln
+        and ln.count("], [") == 1
+        and (" ASC" in ln or " DESC" in ln)
+    ]
+
+
 def test_q269_q270_q271_plan_shapes(spark):
     """q269 IVM: the merge is a |keys|-bounded full-outer join — no
     cartesian, no window at all. q270 zone-map audit: both zonings ride
@@ -911,15 +923,6 @@ def test_q269_q270_q271_plan_shapes(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "Window [" not in plan
-
-    def global_windows(plan: str) -> list[str]:
-        return [
-            ln.strip()[:160]
-            for ln in plan.splitlines()
-            if "Window [" in ln
-            and ln.count("], [") == 1
-            and (" ASC" in ln or " DESC" in ln)
-        ]
 
     df = QUERIES["q270_zonemap_skipping_audit"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -953,7 +956,14 @@ def test_q272_q273_q274_plan_shapes(spark):
         .executedPlan()
         .toString()
     )
-    assert "Window [" not in plan
+    # r12 whale cap: the per-user row_number truncation window is
+    # partitioned (never global) and rides the SAME user_id hash
+    # exchange the collect aggregate needs — exactly one shuffle.
+    assert not global_windows(plan), "q272 has a global WindowExec"
+    import re as _re
+
+    n_shuffles = len(_re.findall(r"Exchange hashpartitioning", plan))
+    assert n_shuffles == 1, f"q272 expected 1 shuffle, got {n_shuffles}"
     plan = (
         QUERIES["q274_consistent_hash_rebalance"](spark, SF)
         ._jdf.queryExecution()

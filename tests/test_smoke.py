@@ -375,6 +375,66 @@ def test_bench_contention_guard():
     assert json.loads(line)["contended"] is True
 
 
+def test_bench_contended_record_never_displaces_clean_prior(tmp_path):
+    """Regression for the r11 laundering loophole (VERDICT r11 What's
+    wrong #1): a contended attempt used to overwrite
+    BENCH_FULL_LATEST.json, so the re-run compared against a contended
+    prior, arm (b) skipped itself, and a 2.4x-slow medallion record was
+    committed unflagged. Pin the fixed sequence end-to-end:
+    contended attempt -> persisted to the SIDE file only -> a
+    slow-but-consistent (low-spread) re-run still flags against the
+    surviving clean prior."""
+    import json
+
+    import bench
+
+    clean = {
+        "queries": {},
+        "variance": {
+            "spread_pct": 6.4,
+            "medallion_e2e_100k_runs_sec": [6.12, 6.9],
+        },
+    }
+    clean_path = tmp_path / "BENCH_FULL_LATEST.json"
+    clean_path.write_text(json.dumps(clean))
+
+    # step 1: a 48.5%-spread attempt is flagged (arm a) ...
+    hot_var = {
+        "spread_pct": 48.5,
+        "medallion_e2e_100k_runs_sec": [14.58, 21.7],
+    }
+    reasons = bench.contention_reasons(hot_var, clean)
+    assert reasons
+    hot = {"variance": hot_var, "contended": True, "contended_reasons": reasons}
+    # ... and persisting it must NOT touch the clean comparator
+    written = bench.persist_full_record(hot, str(tmp_path))
+    assert written.endswith("BENCH_CONTENDED_LATEST.json")
+    assert json.loads(clean_path.read_text()) == clean
+
+    # step 2: the slow-but-CONSISTENT re-run (spread 6% — arm (a) blind,
+    # exactly the committed-r11 failure shape) must still trip arm (b)
+    # against the surviving clean prior
+    rerun_var = {
+        "spread_pct": 6.0,
+        "medallion_e2e_100k_runs_sec": [14.58, 15.2],
+    }
+    rerun_reasons = bench.contention_reasons(
+        rerun_var, json.loads(clean_path.read_text())
+    )
+    assert any("medallion_e2e_100k" in r for r in rerun_reasons)
+
+    # a clean record still lands in the comparator file
+    quiet = {
+        "variance": {
+            "spread_pct": 8.0,
+            "medallion_e2e_100k_runs_sec": [6.5, 7.0],
+        }
+    }
+    written2 = bench.persist_full_record(quiet, str(tmp_path))
+    assert written2.endswith("BENCH_FULL_LATEST.json")
+    assert json.loads(clean_path.read_text()) == quiet
+
+
 def test_csv_quarantine_contract_modes(spark, tmp_path):
     """q236's malformed-ingest contract, mode by mode, on a hand-built
     fixture (3 good rows + the 5 planted bad lines): PERMISSIVE
