@@ -207,6 +207,14 @@ HEADLINE = [
     "q272_sequence_motif_match",
     "q273_distribution_drift_tvd",
     "q274_consistent_hash_rebalance",
+    "q275_scd2_dimension_history",
+    "q276_interval_overlap_join",
+    "q277_topk_with_ties",
+    "q278_sorted_write_zonemap",
+    "q279_zorder_interleave_audit",
+    "q280_watermark_late_data_audit",
+    "q281_scd2_incremental_merge",
+    "q282_replica_divergence_audit",
     "medallion_gold_kpis",
 ]
 
@@ -970,6 +978,20 @@ def build_compact_line(out: dict) -> str:
             k: int(round(v)) for k, v in queries_map(0, bare=True).items()
         }
         compact["note"] = "m2 int;f=FULL"
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1950:
+        # step 4b (r12 at 187 full-record entries): omit the entries
+        # that rounded to ZERO seconds from the compact map — they
+        # carry no signal the "0" isn't already implying, their exact
+        # sub-second values live in the full record, and ~6 chars per
+        # omitted entry is what keeps the scale ratios (per-round
+        # 100 TB evidence) in the line at any plausible battery size.
+        compact["queries"] = {
+            k: v
+            for k, v in ((k, int(round(v))) for k, v in queries_map(0, bare=True).items())
+            if v > 0
+        }
+        compact["note"] = "m2 int>0;f=FULL"
         line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1950:
         compact["variance"] = {

@@ -15446,6 +15446,1157 @@ def q274_consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@_q(
+    "q275_scd2_dimension_history",
+    """
+    WITH ch AS (
+      SELECT user_id, ts, event_id,
+             LEAST(CAST(ROUND(value*100) AS BIGINT) // 2500, 19) AS tier
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, tier, ts AS eff_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS eff_to
+      FROM ch
+    ),
+    f AS (
+      SELECT user_id, ts, CAST(ROUND(value*100) AS BIGINT) AS val_c
+      FROM events WHERE event_type = 'click'
+    ),
+    pit AS (
+      SELECT COALESCE(v.tier, -1) AS tier, f.val_c
+      FROM f LEFT JOIN v
+        ON f.user_id = v.user_id
+       AND f.ts >= v.eff_from
+       AND (v.eff_to IS NULL OR f.ts < v.eff_to)
+    ),
+    dimagg AS (
+      SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_versions,
+             CAST(SUM(CASE WHEN eff_to IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_current
+      FROM v GROUP BY tier
+    ),
+    factagg AS (
+      SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_clicks,
+             CAST(SUM(val_c) AS BIGINT) AS sum_click_cents
+      FROM pit GROUP BY tier
+    )
+    SELECT COALESCE(d.tier, fa.tier) AS tier,
+           COALESCE(d.n_versions, 0) AS n_versions,
+           COALESCE(d.n_current, 0) AS n_current,
+           COALESCE(fa.n_clicks, 0) AS n_clicks,
+           COALESCE(fa.sum_click_cents, 0) AS sum_click_cents
+    FROM dimagg d FULL JOIN factagg fa ON d.tier = fa.tier
+    """,
+)
+def q275_scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension-history build + point-in-time fact join —
+    the warehouse pattern completing the q128 CDC / q269 IVM trio: a
+    change stream (purchase events, each setting the user's spend
+    tier) becomes versioned dimension rows with half-open validity
+    [eff_from, eff_to) via lead() over the deterministic (ts, event_id)
+    order — eff_to IS NULL marks the current version — and facts
+    (click events) join back AS OF their own timestamp: f.ts >=
+    eff_from AND (eff_to IS NULL OR f.ts < eff_to). A click before the
+    user's first version attributes to tier -1 (the LEFT join's
+    honest unattributed bucket); the half-open intervals PARTITION
+    each user's timeline, so no fact can double-attribute (two
+    versions at an identical change ts yield an empty [ts, ts) first
+    interval — still single-attribution). Output merges dimension-side
+    (versions, current rows) and fact-side (clicks, exact cents) per
+    tier via a full outer join. Scale shape: ONE partitioned window
+    over the change stream (shuffle on user_id), the PIT join is a
+    SortMergeJoin on user_id with the range predicate as its
+    conjunctive post-filter (per-user version count = that user's
+    purchase count), then two map-combined ~|tiers|-row aggregates and
+    a bounded full-outer merge."""
+    ev = _t(spark, sf_dir, "events")
+    ch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.least(
+            F.expr("CAST(ROUND(value*100) AS BIGINT) div 2500"),
+            F.lit(19).cast("bigint"),
+        ).alias("tier"),
+    )
+    v = ch.select(
+        "user_id",
+        "tier",
+        F.col("ts").alias("eff_from"),
+        F.lead("ts")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("eff_to"),
+    )
+    f = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", cents(F.col("value")).alias("val_c")
+    )
+    pit = f.join(
+        v,
+        (f["user_id"] == v["user_id"])
+        & (f["ts"] >= v["eff_from"])
+        & (v["eff_to"].isNull() | (f["ts"] < v["eff_to"])),
+        "left",
+    ).select(F.coalesce(v["tier"], F.lit(-1).cast("bigint")).alias("tier"), "val_c")
+    dimagg = v.groupBy("tier").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_versions"),
+        F.sum(F.when(F.col("eff_to").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_current"),
+    )
+    factagg = pit.groupBy("tier").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clicks"),
+        F.sum("val_c").cast("bigint").alias("sum_click_cents"),
+    )
+    d, fa = dimagg.alias("d"), factagg.alias("fa")
+    return d.join(fa, F.col("d.tier") == F.col("fa.tier"), "full").select(
+        F.coalesce(F.col("d.tier"), F.col("fa.tier")).alias("tier"),
+        F.coalesce(F.col("d.n_versions"), F.lit(0).cast("bigint")).alias(
+            "n_versions"
+        ),
+        F.coalesce(F.col("d.n_current"), F.lit(0).cast("bigint")).alias("n_current"),
+        F.coalesce(F.col("fa.n_clicks"), F.lit(0).cast("bigint")).alias("n_clicks"),
+        F.coalesce(F.col("fa.sum_click_cents"), F.lit(0).cast("bigint")).alias(
+            "sum_click_cents"
+        ),
+    )
+
+
+_Q276_BUCKET_DAYS = 16
+
+
+@_q(
+    "q276_interval_overlap_join",
+    f"""
+    WITH iv AS (
+      SELECT o_orderkey AS iid,
+             CAST(o_orderdate AS DATE) AS start_d,
+             CAST((o_orderkey // 100) % 28 + 1 AS BIGINT) AS n_days,
+             (CAST(o_orderdate AS DATE) - DATE '1992-01-01') AS s_day
+      FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    pt AS (
+      SELECT (CAST(l_shipdate AS DATE) - DATE '1992-01-01') AS p_day,
+             CAST(ROUND(l_extendedprice*100) AS BIGINT) AS price_c
+      FROM lineitem
+    ),
+    hits AS (
+      SELECT iv.iid, pt.price_c
+      FROM iv JOIN pt
+        ON pt.p_day BETWEEN iv.s_day AND iv.s_day + iv.n_days
+    )
+    SELECT iv.iid, iv.start_d, iv.n_days,
+           CAST(COALESCE(COUNT(h.price_c), 0) AS BIGINT) AS n_ship_rows,
+           CAST(COALESCE(SUM(h.price_c), 0) AS BIGINT) AS sum_ship_cents
+    FROM iv LEFT JOIN hits h ON iv.iid = h.iid
+    GROUP BY iv.iid, iv.start_d, iv.n_days
+    """,
+)
+def q276_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap (range) join via bucketed blocking — the
+    non-equi-join scale pattern, first-class: validity windows (every
+    100th order opens a campaign window of 1-28 days from its order
+    date) matched against ALL lineitem ship dates with NO equi key —
+    the predicate is purely `ship_day BETWEEN window_start AND
+    window_end`. The naive plan is a cartesian O(|points| x
+    |intervals|); the scale shape here is the standard overlap
+    blocking: time is cut into fixed _Q276_BUCKET_DAYS-day buckets,
+    each POINT lives in exactly ONE bucket (so no pair dedup is ever
+    needed), each INTERVAL explodes to the <= ceil(29/16)+1 = 3
+    buckets it touches (sequence + explode — interval length / bucket
+    width bounds the fan-out), and the join becomes an EQUI join on
+    bucket with the true BETWEEN as conjunctive post-filter. Here the
+    exploded interval side is ~3x|campaigns| rows and broadcasts, so
+    each point does a hash-bucket LOOKUP instead of scanning all
+    intervals (BroadcastHashJoin, plan-pinned); were both sides huge,
+    the identical blocking runs as a shuffle join on bucket. Dates are
+    compared as exact epoch-day integers (DATE - DATE '1992-01-01' on
+    both engines) — no interval arithmetic to diverge. Output: one row
+    per campaign window (zero-match windows kept by the left join)
+    with exact-cents revenue in range. Generalizes q221's funnel
+    range-pairing and q48's key-scoped interval join to the keyless
+    case."""
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    epoch = "DATE '1992-01-01'"
+    iv = od.filter(F.col("o_orderkey") % 100 == 0).select(
+        F.col("o_orderkey").alias("iid"),
+        F.col("o_orderdate").cast("date").alias("start_d"),
+        ((F.col("o_orderkey") / 100).cast("bigint") % 28 + 1)
+        .cast("bigint")
+        .alias("n_days"),
+        F.expr(f"datediff(CAST(o_orderdate AS DATE), {epoch})")
+        .cast("bigint")
+        .alias("s_day"),
+    )
+    pt = li.select(
+        F.expr(f"datediff(CAST(l_shipdate AS DATE), {epoch})")
+        .cast("bigint")
+        .alias("p_day"),
+        cents(F.col("l_extendedprice")).alias("price_c"),
+    ).withColumn("bkt", F.expr(f"p_day div {_Q276_BUCKET_DAYS}"))
+    iv_b = iv.withColumn(
+        "bkt",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_day div {_Q276_BUCKET_DAYS}"),
+                F.expr(f"(s_day + n_days) div {_Q276_BUCKET_DAYS}"),
+            )
+        ),
+    )
+    hits = (
+        pt.join(F.broadcast(iv_b), "bkt")
+        .filter(
+            (F.col("p_day") >= F.col("s_day"))
+            & (F.col("p_day") <= F.col("s_day") + F.col("n_days"))
+        )
+        .groupBy("iid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ship_rows"),
+            F.sum("price_c").cast("bigint").alias("sum_ship_cents"),
+        )
+    )
+    return iv.join(hits, "iid", "left").select(
+        "iid",
+        "start_d",
+        "n_days",
+        F.coalesce(F.col("n_ship_rows"), F.lit(0).cast("bigint")).alias(
+            "n_ship_rows"
+        ),
+        F.coalesce(F.col("sum_ship_cents"), F.lit(0).cast("bigint")).alias(
+            "sum_ship_cents"
+        ),
+    )
+
+
+_Q277_K = 3
+
+
+@_q(
+    "q277_topk_with_ties",
+    f"""
+    WITH oc AS (
+      SELECT c.c_nationkey, c.c_custkey,
+             CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey, c.c_custkey
+    ),
+    rk AS (
+      SELECT c_nationkey, n_orders,
+             dense_rank() OVER (PARTITION BY c_nationkey
+                                ORDER BY n_orders DESC) AS dr
+      FROM oc
+    ),
+    kept AS (SELECT * FROM rk WHERE dr <= {_Q277_K}),
+    pern AS (
+      SELECT c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM oc GROUP BY c_nationkey
+    )
+    SELECT n.n_name AS nation,
+           p.n_customers,
+           CAST(COUNT(k.n_orders) AS BIGINT) AS n_kept_ties,
+           CAST(LEAST({_Q277_K}, p.n_customers) AS BIGINT) AS n_kept_rownum,
+           CAST(COUNT(k.n_orders) - LEAST({_Q277_K}, p.n_customers)
+                AS BIGINT) AS n_tie_surplus,
+           CAST(MAX(k.n_orders) AS BIGINT) AS top_count,
+           CAST(MIN(k.n_orders) AS BIGINT) AS kth_count,
+           CAST(SUM(k.n_orders) AS BIGINT) AS sum_orders_kept
+    FROM pern p
+    JOIN kept k ON k.c_nationkey = p.c_nationkey
+    JOIN nation n ON n.n_nationkey = p.c_nationkey
+    GROUP BY n.n_name, p.n_customers
+    """,
+)
+def q277_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise top-k WITH TIES — the DENSE_RANK semantics audit
+    complementing q212's row-number top-k (`top_k_ranked`): per
+    nation, the customers in the top _Q277_K = 3 DISTINCT order-count
+    values are ALL kept, however many tie (ISO SQL FETCH FIRST k ROWS
+    WITH TIES generalized to dense-rank bands). Order counts are small
+    integers (~10 orders/customer), so ties are the NORM here — the
+    audit quantifies exactly what row-number top-k silently drops or
+    arbitrarily picks: n_kept_ties vs the always-3 row-number budget,
+    with n_tie_surplus the overflow. Row-number top-k over tied keys
+    is NONDETERMINISTIC (which 3 of a 40-way tie survive depends on
+    partition order), so the row-number arm is reported as its
+    deterministic cardinality LEAST(k, n_customers), never as actual
+    arbitrarily-chosen rows — the dense-rank arm is the one with
+    deterministic, hash-oracled contents. Customers with zero orders
+    participate (LEFT join; a whole zero-count tie band can be a
+    top-3 value in a sparse nation — the correct WITH TIES behavior).
+    Scale shape: one map-combined groupBy to ~|customers| rows, a
+    PARTITIONED (per-nation) dense_rank window — never global — and a
+    bounded ~|nations| output."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    na = _t(spark, sf_dir, "nation")
+    oc = (
+        cu.join(od, cu["c_custkey"] == od["o_custkey"], "left")
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("n_orders"))
+    )
+    rk = oc.withColumn(
+        "dr",
+        F.dense_rank().over(
+            Window.partitionBy("c_nationkey").orderBy(F.col("n_orders").desc())
+        ),
+    )
+    kept = rk.filter(F.col("dr") <= _Q277_K)
+    pern = oc.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+    return (
+        pern.join(kept.select("c_nationkey", "n_orders"), "c_nationkey")
+        .join(
+            F.broadcast(na.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", "n_customers")
+        .agg(
+            F.count("n_orders").cast("bigint").alias("n_kept_ties"),
+            F.least(F.lit(_Q277_K).cast("bigint"), F.col("n_customers"))
+            .cast("bigint")
+            .alias("n_kept_rownum"),
+            (
+                F.count("n_orders")
+                - F.least(F.lit(_Q277_K).cast("bigint"), F.col("n_customers"))
+            )
+            .cast("bigint")
+            .alias("n_tie_surplus"),
+            F.max("n_orders").cast("bigint").alias("top_count"),
+            F.min("n_orders").cast("bigint").alias("kth_count"),
+            F.sum("n_orders").cast("bigint").alias("sum_orders_kept"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_customers",
+            "n_kept_ties",
+            "n_kept_rownum",
+            "n_tie_surplus",
+            "top_count",
+            "kth_count",
+            "sum_orders_kept",
+        )
+    )
+
+
+@_q(
+    "q278_sorted_write_zonemap",
+    f"""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS sd
+      FROM lineitem
+    ),
+    zoned AS (
+      SELECT sd,
+             (row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1)
+               // {_Q270_ZONE_ROWS} AS z_nat,
+             (row_number() OVER (ORDER BY sd, l_orderkey, l_linenumber) - 1)
+               // {_Q270_ZONE_ROWS} AS z_srt
+      FROM li
+    ),
+    layouts AS (
+      SELECT 'natural' AS layout, z_nat AS z, sd FROM zoned
+      UNION ALL
+      SELECT 'sorted', z_srt, sd FROM zoned
+    ),
+    zstats AS (
+      SELECT layout, z, MAX(sd) AS zmax,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN sd >= DATE '{_Q270_CUTOFF}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+      FROM layouts GROUP BY layout, z
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN zmax < DATE '{_Q270_CUTOFF}'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped_files,
+           CAST(SUM(CASE WHEN zmax >= DATE '{_Q270_CUTOFF}'
+                         THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+           CAST(SUM(n_match) AS BIGINT) AS rows_matched,
+           CAST(SUM(CASE WHEN zmax >= DATE '{_Q270_CUTOFF}'
+                         THEN n_rows ELSE 0 END) - SUM(n_match) AS BIGINT)
+             AS false_positive_rows,
+           CAST((1000000 * SUM(CASE WHEN zmax < DATE '{_Q270_CUTOFF}'
+                                    THEN 1 ELSE 0 END)) // COUNT(*)
+                AS BIGINT) AS skip_ratio_e6,
+           CAST(1 AS BIGINT) AS footer_verified
+    FROM zstats GROUP BY layout
+    """,
+)
+def q278_sorted_write_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE-PATH twin of q270 (VERDICT r11 Next #6): q270 predicts
+    what zone-map skipping WOULD buy for natural vs shipdate-sorted
+    layouts on simulated 10,000-row zones; this query actually WRITES
+    both layouts — one parquet file per zone via an explicit rank-
+    derived zone column (deterministic, so the oracle can replay the
+    file assignment; a sampled repartitionByRange boundary could not
+    be value-oracled) with rows sorted inside each file — then runs
+    the identical audit on the REAL files: per-file row counts and
+    min/max l_shipdate come from the parquet FOOTER statistics
+    (pyarrow metadata — the exact stats a Delta/Iceberg scanner
+    prunes with), asserted byte-equal to a distributed re-read of the
+    written files before the result is built (footer_verified = 1
+    rides the hash). The skip ratios must — and do — match q270's
+    prediction row for row, closing the predict->write->measure loop.
+    Scale shape: two distributed_rank passes (no global window, plan-
+    pinned), one hash exchange on the zone id per layout so each zone
+    lands in exactly one task -> one file, a distributed re-read
+    grouped to ~|zones| rows, and a driver-side footer walk bounded by
+    FILE COUNT (|rows|/10,000), never data size. Cites the reference's
+    partitioned-write layer (CM:331-403) which shapes files but never
+    audits what its layout buys the scanner."""
+    import datetime as _dt
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from spark_lakehouse_medallion_pipeline_spark.operators.relational import (
+        distributed_rank,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("sd"),
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    app = spark.sparkContext.applicationId
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_q278_{tag}_{app}")
+    shutil.rmtree(base, ignore_errors=True)
+    cutoff = _dt.date.fromisoformat(_Q270_CUTOFF)
+
+    orders = {
+        "natural": [F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        "sorted": [
+            F.col("sd").asc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        ],
+    }
+    zone_rows = []
+    for layout, order in orders.items():
+        path = os.path.join(base, layout)
+        zoned = distributed_rank(li, order, rank_col="_r").select(
+            "sd", F.expr(f"(_r - 1) div {_Q270_ZONE_ROWS}").alias("z")
+        )
+        # one exchange on z -> each zone wholly in one task -> one file
+        # per z= directory; rows inside each file sorted by sd so the
+        # footer min/max is also the page-index story
+        (
+            zoned.repartition(F.col("z"))
+            .sortWithinPartitions("z", "sd")
+            .write.partitionBy("z")
+            .parquet(path)
+        )
+        # REAL footer statistics, bounded by file count (never rows)
+        footer: dict[int, tuple[int, _dt.date, _dt.date]] = {}
+        for entry in sorted(os.listdir(path)):
+            if not entry.startswith("z="):
+                continue
+            zval = int(entry.split("=", 1)[1])
+            n, mn, mx = 0, None, None
+            zdir = os.path.join(path, entry)
+            for fn in sorted(os.listdir(zdir)):
+                if not fn.endswith(".parquet"):
+                    continue
+                md = _pq.ParquetFile(os.path.join(zdir, fn)).metadata
+                n += md.num_rows
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(0).statistics
+                    assert st is not None and st.has_min_max, (
+                        f"no footer stats in {fn}"
+                    )
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+            footer[zval] = (n, mn, mx)
+        # distributed re-read of the actual files, collapsed to ~|zones|
+        # rows (bounded collect: |rows| / zone_rows entries)
+        zs = (
+            spark.read.parquet(path)
+            .groupBy(F.col("z").cast("bigint").alias("z"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.min("sd").alias("zmin"),
+                F.max("sd").alias("zmax"),
+                F.sum(F.when(F.col("sd") >= F.lit(cutoff), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_match"),
+            )
+            .collect()
+        )
+        assert set(footer) == {r["z"] for r in zs}, "zone set drift"
+        for r in zs:
+            fn_rows, fmn, fmx = footer[r["z"]]
+            assert (fn_rows, fmn, fmx) == (r["n_rows"], r["zmin"], r["zmax"]), (
+                f"footer/data drift in zone {r['z']}: "
+                f"{(fn_rows, fmn, fmx)} != "
+                f"{(r['n_rows'], r['zmin'], r['zmax'])}"
+            )
+        # audit rows built from the FOOTER stats (n_match is the one
+        # quantity a footer cannot hold — it comes from the re-read)
+        for r in zs:
+            fn_rows, _fmn, fmx = footer[r["z"]]
+            zone_rows.append((layout, int(r["z"]), fmx, fn_rows, int(r["n_match"])))
+    zdf = spark.createDataFrame(
+        zone_rows, "layout string, z long, zmax date, n_rows long, n_match long"
+    )
+    cutoff_col = F.lit(cutoff)
+    return zdf.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum(F.when(F.col("zmax") < cutoff_col, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_skipped_files"),
+        F.sum(F.when(F.col("zmax") >= cutoff_col, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_scanned"),
+        F.sum("n_match").cast("bigint").alias("rows_matched"),
+        (
+            F.sum(
+                F.when(F.col("zmax") >= cutoff_col, F.col("n_rows")).otherwise(0)
+            )
+            - F.sum("n_match")
+        )
+        .cast("bigint")
+        .alias("false_positive_rows"),
+        F.expr(
+            f"CAST((1000000 * SUM(CASE WHEN zmax < DATE '{_Q270_CUTOFF}'"
+            " THEN 1 ELSE 0 END)) div COUNT(*) AS BIGINT)"
+        ).alias("skip_ratio_e6"),
+        F.lit(1).cast("bigint").alias("footer_verified"),
+    )
+
+
+def _q279_morton_sql(d1: str, d2: str, dialect: str) -> str:
+    """16-bit Morton (Z-order) interleave of two 8-bit bucket ids,
+    spelled per dialect: DuckDB has infix shifts, Spark SQL uses
+    shiftleft/shiftright functions. Bit i of d1 lands at position
+    2i+1, bit i of d2 at 2i — identical integer on both engines."""
+    terms = []
+    for i in range(8):
+        if dialect == "duckdb":
+            terms.append(f"((({d1} >> {i}) & 1) << {2 * i + 1})")
+            terms.append(f"((({d2} >> {i}) & 1) << {2 * i})")
+        else:
+            terms.append(f"shiftleft(shiftright({d1}, {i}) & 1, {2 * i + 1})")
+            terms.append(f"shiftleft(shiftright({d2}, {i}) & 1, {2 * i})")
+    return " + ".join(terms)
+
+
+@_q(
+    "q279_zorder_interleave_audit",
+    f"""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber, l_partkey,
+             (CAST(l_shipdate AS DATE) - DATE '1992-01-01') AS p_day
+      FROM lineitem
+    ),
+    b AS (SELECT MAX(p_day) AS day_max, MAX(l_partkey) AS pk_max FROM li),
+    d AS (
+      SELECT li.*,
+             (p_day * 256) // (b.day_max + 1) AS d1,
+             (l_partkey * 256) // (b.pk_max + 1) AS d2
+      FROM li, b
+    ),
+    m AS (
+      SELECT d1, d2,
+             {_q279_morton_sql("d1", "d2", "duckdb")} AS morton,
+             l_orderkey, l_linenumber
+      FROM d
+    ),
+    zoned AS (
+      SELECT d1, d2,
+             (row_number() OVER (ORDER BY d1, l_orderkey, l_linenumber) - 1)
+               // {_Q270_ZONE_ROWS} AS z_day,
+             (row_number() OVER (ORDER BY morton, l_orderkey, l_linenumber)
+              - 1) // {_Q270_ZONE_ROWS} AS z_mor
+      FROM m
+    ),
+    layouts AS (
+      SELECT 'sorted_day' AS layout, z_day AS z, d1, d2 FROM zoned
+      UNION ALL
+      SELECT 'zorder', z_mor, d1, d2 FROM zoned
+    ),
+    zstats AS (
+      SELECT layout, z,
+             MIN(d1) AS min_d1, MAX(d1) AS max_d1,
+             MIN(d2) AS min_d2, MAX(d2) AS max_d2,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN d1 >= 224 THEN 1 ELSE 0 END) AS BIGINT)
+               AS match_p1,
+             CAST(SUM(CASE WHEN d2 BETWEEN 112 AND 143 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS match_p2
+      FROM layouts GROUP BY layout, z
+    ),
+    audits AS (
+      SELECT layout, 'day_ge_224' AS predicate,
+             CASE WHEN max_d1 < 224 THEN 1 ELSE 0 END AS skippable,
+             n_rows, match_p1 AS n_match
+      FROM zstats
+      UNION ALL
+      SELECT layout, 'part_band_112_143',
+             CASE WHEN max_d2 < 112 OR min_d2 > 143 THEN 1 ELSE 0 END,
+             n_rows, match_p2
+      FROM zstats
+    )
+    SELECT layout, predicate,
+           CAST(COUNT(*) AS BIGINT) AS n_zones,
+           CAST(SUM(skippable) AS BIGINT) AS n_skipped_zones,
+           CAST(SUM(CASE WHEN skippable = 0 THEN n_rows ELSE 0 END)
+                AS BIGINT) AS rows_scanned,
+           CAST(SUM(n_match) AS BIGINT) AS rows_matched,
+           CAST(SUM(CASE WHEN skippable = 0 THEN n_rows ELSE 0 END)
+                - SUM(n_match) AS BIGINT) AS false_positive_rows,
+           CAST((1000000 * SUM(skippable)) // COUNT(*) AS BIGINT)
+             AS skip_ratio_e6
+    FROM audits GROUP BY layout, predicate
+    """,
+)
+def q279_zorder_interleave_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton-interleave) multi-dimensional clustering audit —
+    the question q270/q278 can't answer: single-column sort makes ONE
+    predicate skippable and abandons every other column, so what does
+    a 2-D space-filling-curve layout buy a TWO-predicate workload?
+    Ship-day and partkey are quantized to 8-bit bucket ids against
+    data-derived maxima (one 1-row broadcast — sf-independent), their
+    bits interleaved into a 16-bit Morton code (exact integer, per-
+    dialect shift spelling via _q279_morton_sql), and the SAME
+    10,000-row zoning audit as q270 runs over two layouts — sorted by
+    day vs sorted by Morton — for two predicates: the top-12.5% day
+    band and a 12.5% partkey band. The expected (and measured) shape:
+    the day sort skips the day predicate near-perfectly and the
+    partkey predicate near-zero; the z-order skips BOTH at the
+    sqrt-locality discount — the standard Delta/Iceberg OPTIMIZE
+    ZORDER trade, quantified exactly. Scale shape: two
+    distributed_rank passes (no global window), min/max/match
+    collapsing to ~|zones| rows per layout, audit output a fixed 4
+    rows; at 100 TB this is the same two-exchange cost q270 already
+    budgets."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.expr("datediff(CAST(l_shipdate AS DATE), DATE '1992-01-01')")
+        .cast("bigint")
+        .alias("p_day"),
+    )
+    b = li.agg(
+        F.max("p_day").alias("day_max"), F.max("l_partkey").alias("pk_max")
+    )
+    d = li.crossJoin(F.broadcast(b)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("(p_day * 256) div (day_max + 1)").alias("d1"),
+        F.expr("(l_partkey * 256) div (pk_max + 1)").alias("d2"),
+    )
+    m = d.withColumn("morton", F.expr(_q279_morton_sql("d1", "d2", "spark")))
+    out = []
+    for layout, order in (
+        ("sorted_day", [F.col("d1").asc()]),
+        ("zorder", [F.col("morton").asc()]),
+    ):
+        zoned = relational.distributed_rank(
+            m,
+            [*order, F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+            rank_col="_r",
+        ).select(
+            "d1", "d2", F.expr(f"(_r - 1) div {_Q270_ZONE_ROWS}").alias("z")
+        )
+        zstats = zoned.groupBy("z").agg(
+            F.min("d1").alias("min_d1"),
+            F.max("d1").alias("max_d1"),
+            F.min("d2").alias("min_d2"),
+            F.max("d2").alias("max_d2"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("d1") >= 224, 1).otherwise(0))
+            .cast("bigint")
+            .alias("match_p1"),
+            F.sum(F.when(F.col("d2").between(112, 143), 1).otherwise(0))
+            .cast("bigint")
+            .alias("match_p2"),
+        )
+        # both predicate audits ride ONE evaluation of the zone stats
+        # (explode of a 2-struct array — a union of selects would
+        # re-evaluate the rank subtree per branch)
+        audits = zstats.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("day_ge_224").alias("predicate"),
+                        F.when(F.col("max_d1") < 224, 1)
+                        .otherwise(0)
+                        .alias("skippable"),
+                        F.col("n_rows").alias("n_rows"),
+                        F.col("match_p1").alias("n_match"),
+                    ),
+                    F.struct(
+                        F.lit("part_band_112_143").alias("predicate"),
+                        F.when((F.col("max_d2") < 112) | (F.col("min_d2") > 143), 1)
+                        .otherwise(0)
+                        .alias("skippable"),
+                        F.col("n_rows").alias("n_rows"),
+                        F.col("match_p2").alias("n_match"),
+                    ),
+                )
+            ).alias("a")
+        ).select(F.lit(layout).alias("layout"), "a.*")
+        out.append(audits)
+    return (
+        out[0]
+        .unionByName(out[1])
+        .groupBy("layout", "predicate")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_zones"),
+            F.sum("skippable").cast("bigint").alias("n_skipped_zones"),
+            F.sum(F.when(F.col("skippable") == 0, F.col("n_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_scanned"),
+            F.sum("n_match").cast("bigint").alias("rows_matched"),
+            (
+                F.sum(
+                    F.when(F.col("skippable") == 0, F.col("n_rows")).otherwise(0)
+                )
+                - F.sum("n_match")
+            )
+            .cast("bigint")
+            .alias("false_positive_rows"),
+            F.expr(
+                "CAST((1000000 * SUM(skippable)) div COUNT(*) AS BIGINT)"
+            ).alias("skip_ratio_e6"),
+        )
+    )
+
+
+_Q280_DELAYS_S = (60, 180, 600)
+
+
+@_q(
+    "q280_watermark_late_data_audit",
+    f"""
+    WITH e AS (
+      SELECT event_id, event_type,
+             epoch_us(ts) AS ts_us,
+             epoch_us(ts) + (event_id % 7) * 60000000 AS arr_us
+      FROM events
+    ),
+    w AS (
+      SELECT event_id, event_type, ts_us,
+             max(ts_us) OVER (ORDER BY arr_us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS wm_us
+      FROM e
+    ),
+    x AS (
+      SELECT d.delay_s, w.event_type, w.ts_us, w.wm_us,
+             CASE WHEN w.wm_us IS NOT NULL
+                   AND w.ts_us < w.wm_us - d.delay_s * 1000000
+                  THEN 1 ELSE 0 END AS is_late
+      FROM w, (SELECT unnest([{", ".join(str(s) for s in _Q280_DELAYS_S)}])
+               AS delay_s) d
+    )
+    SELECT CAST(delay_s AS BIGINT) AS delay_s,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(is_late) AS BIGINT) AS n_late,
+           CAST((1000000 * SUM(is_late)) // COUNT(*) AS BIGINT)
+             AS late_ratio_e6,
+           CAST(COALESCE(MAX(CASE WHEN is_late = 1
+                         THEN wm_us - delay_s * 1000000 - ts_us END), 0)
+                AS BIGINT) AS max_lateness_us,
+           CAST(COUNT(DISTINCT CASE WHEN is_late = 1
+                      THEN ts_us // 3600000000 END) AS BIGINT)
+             AS n_hours_with_drops
+    FROM x GROUP BY delay_s
+    """,
+)
+def q280_watermark_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data audit — Structured Streaming's withWatermark
+    drop rule replayed EXACTLY in batch, so the delay can be TUNED on
+    history before a streaming job ever runs with it: an event is
+    dropped iff its event time is below (watermark at its arrival),
+    where the watermark is the max event time seen STRICTLY BEFORE it
+    minus the configured delay — the exclusive prefix max over arrival
+    order, which is exactly distributed_rank's cummax_cols form (ANSI
+    MAX ... ROWS UNBOUNDED PRECEDING AND 1 PRECEDING; no global
+    WindowExec). This corpus arrives in perfect event-time order
+    (verified: zero disorder), so a deterministic transport jitter of
+    (event_id % 7) minutes on the ARRIVAL axis simulates the
+    out-of-order delivery the audit exists for — stated openly, and
+    replayed identically by the oracle. One rank pass is shared by all
+    three candidate delays ({_Q280_DELAYS_S}); per delay the audit
+    reports events dropped, the worst lateness miss, and how many
+    event-time hours lose data. Scale shape: one two-pass global rank
+    (balanced range exchange, never single-partition), a 3x literal
+    explode, one map-combined aggregate to 3 rows. Complements the
+    q21/q22 sessionization and the streaming jobs' availableNow==batch
+    pin with the watermark-semantics half of X14/X15."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.unix_micros("ts") + (F.col("event_id") % 7) * 60_000_000).alias(
+            "arr_us"
+        ),
+    )
+    w = relational.distributed_rank(
+        e,
+        [F.col("arr_us").asc(), F.col("event_id").asc()],
+        rank_col="_r",
+        cummax_cols={"ts_us": "wm_us"},
+    )
+    x = w.withColumn(
+        "delay_s", F.explode(F.array(*[F.lit(s) for s in _Q280_DELAYS_S]))
+    ).withColumn(
+        "is_late",
+        F.when(
+            F.col("wm_us").isNotNull()
+            & (F.col("ts_us") < F.col("wm_us") - F.col("delay_s") * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    return x.groupBy(F.col("delay_s").cast("bigint").alias("delay_s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("is_late").cast("bigint").alias("n_late"),
+        F.expr(
+            "CAST((1000000 * SUM(is_late)) div COUNT(*) AS BIGINT)"
+        ).alias("late_ratio_e6"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("is_late") == 1,
+                    F.col("wm_us") - F.col("delay_s") * 1_000_000 - F.col("ts_us"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("max_lateness_us"),
+        F.countDistinct(
+            F.when(
+                F.col("is_late") == 1, F.expr("ts_us div 3600000000")
+            )
+        )
+        .cast("bigint")
+        .alias("n_hours_with_drops"),
+    )
+
+
+@_q(
+    "q281_scd2_incremental_merge",
+    """
+    WITH ch AS (
+      SELECT user_id, ts, event_id,
+             LEAST(CAST(ROUND(value*100) AS BIGINT) // 2500, 19) AS tier
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, tier, ts AS eff_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS eff_to,
+           CASE WHEN lead(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM ch
+    """,
+)
+def q281_scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 INCREMENTAL maintenance — the nightly MERGE that keeps a
+    100 TB dimension current without re-windowing its history, proven
+    equal to the full rebuild: the stored SCD2 table (pre-cutoff
+    purchase versions, q275's build) absorbs a delta batch
+    (post-cutoff changes) by (1) windowing ONLY the delta into version
+    chains, (2) closing each user's OPEN base row at that user's first
+    delta change time via a join against the |delta-users|-bounded
+    first-change set — the base history rows are appended UNTOUCHED,
+    never re-sorted — and (3) unioning the delta chains on. The oracle
+    is the ONE-SHOT rebuild over the full change stream, so the value
+    hash IS the incremental==rebuild equality proof (the q269 IVM
+    discipline applied to q275's dimension instead of an aggregate).
+    Correctness hinges on the batch boundary: every delta ts exceeds
+    every base ts (the cutoff split), exactly the contract a
+    date-partitioned ingest gives a nightly job. Scale shape: the
+    delta window shuffles delta-sized data, the close-out join keys on
+    user_id against a delta-bounded right side (AQE broadcasts it),
+    closed history is a filter + union — the stored dimension is never
+    re-windowed."""
+    cutoff = F.lit("2024-01-25").cast("timestamp")
+    ev = _t(spark, sf_dir, "events")
+    ch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.least(
+            F.expr("CAST(ROUND(value*100) AS BIGINT) div 2500"),
+            F.lit(19).cast("bigint"),
+        ).alias("tier"),
+    )
+
+    def versions(df: DataFrame) -> DataFrame:
+        return df.select(
+            "user_id",
+            "tier",
+            F.col("ts").alias("eff_from"),
+            F.lead("ts")
+            .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("eff_to"),
+        )
+
+    base = versions(ch.filter(F.col("ts") < cutoff))
+    delta_v = versions(ch.filter(F.col("ts") >= cutoff))
+    first_delta = (
+        delta_v.groupBy("user_id").agg(F.min("eff_from").alias("first_chg"))
+    )
+    # close-out: ONLY open base rows of users present in the delta are
+    # touched; closed history passes through untouched
+    closed_base = base.join(first_delta, "user_id", "left").select(
+        "user_id",
+        "tier",
+        "eff_from",
+        F.when(
+            F.col("eff_to").isNull() & F.col("first_chg").isNotNull(),
+            F.col("first_chg"),
+        )
+        .otherwise(F.col("eff_to"))
+        .alias("eff_to"),
+    )
+    merged = closed_base.unionByName(delta_v)
+    return merged.select(
+        "user_id",
+        "tier",
+        "eff_from",
+        "eff_to",
+        F.when(F.col("eff_to").isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+_Q282_BUCKETS = 4096
+
+
+@_q(
+    "q282_replica_divergence_audit",
+    f"""
+    WITH a AS (
+      SELECT l_orderkey AS ok, l_linenumber AS ln,
+             l_partkey AS pk, l_suppkey AS sk,
+             CAST(ROUND(l_quantity*100) AS BIGINT) AS qc,
+             CAST(ROUND(l_extendedprice*100) AS BIGINT) AS pc
+      FROM lineitem
+    ),
+    b AS (
+      SELECT ok, ln, pk, sk,
+             qc + CASE WHEN ok % 991 = 1 THEN 100 ELSE 0 END AS qc,
+             pc
+      FROM a WHERE ok % 997 <> 0
+    ),
+    af AS (
+      SELECT ok, ln, pk, sk,
+             ('0x' || substr(md5('rck:' || ok || ':' || ln || ':' || pk
+                             || ':' || sk || ':' || qc || ':' || pc),
+                             25, 8))::BIGINT AS fp,
+             ('0x' || substr(md5('rbk:' || ok || ':' || ln || ':' || pk
+                             || ':' || sk), 18, 15))::BIGINT
+               % {_Q282_BUCKETS} AS bkt
+      FROM a
+    ),
+    bf AS (
+      SELECT ok, ln, pk, sk,
+             ('0x' || substr(md5('rck:' || ok || ':' || ln || ':' || pk
+                             || ':' || sk || ':' || qc || ':' || pc),
+                             25, 8))::BIGINT AS fp,
+             ('0x' || substr(md5('rbk:' || ok || ':' || ln || ':' || pk
+                             || ':' || sk), 18, 15))::BIGINT
+               % {_Q282_BUCKETS} AS bkt
+      FROM b
+    ),
+    ba AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS n_a,
+                  CAST(SUM(fp) AS BIGINT) AS s_a
+           FROM af GROUP BY bkt),
+    bb AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS n_b,
+                  CAST(SUM(fp) AS BIGINT) AS s_b
+           FROM bf GROUP BY bkt),
+    bj AS (
+      SELECT COALESCE(ba.bkt, bb.bkt) AS bkt,
+             COALESCE(n_a, 0) AS n_a, COALESCE(s_a, 0) AS s_a,
+             COALESCE(n_b, 0) AS n_b, COALESCE(s_b, 0) AS s_b
+      FROM ba FULL JOIN bb ON ba.bkt = bb.bkt
+    ),
+    div AS (SELECT bkt, n_a, n_b FROM bj
+            WHERE n_a <> n_b OR s_a <> s_b),
+    dj AS (
+      SELECT af.ok AS ok_a, bf.ok AS ok_b, af.fp AS fp_a, bf.fp AS fp_b
+      FROM (SELECT af.* FROM af JOIN div ON af.bkt = div.bkt) af
+      FULL JOIN (SELECT bf.* FROM bf JOIN div ON bf.bkt = div.bkt) bf
+        ON af.ok = bf.ok AND af.ln = bf.ln
+       AND af.pk = bf.pk AND af.sk = bf.sk
+    ),
+    drill AS (
+      SELECT CAST(SUM(CASE WHEN ok_b IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rows_only_a,
+             CAST(SUM(CASE WHEN ok_a IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rows_only_b,
+             CAST(SUM(CASE WHEN ok_a IS NOT NULL AND ok_b IS NOT NULL
+                            AND fp_a <> fp_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rows_value_diff
+      FROM dj
+    ),
+    summary AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             CAST(SUM(CASE WHEN n_a <> n_b OR s_a <> s_b
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_diverged,
+             CAST(SUM(n_a) AS BIGINT) AS n_rows_a,
+             CAST(SUM(n_b) AS BIGINT) AS n_rows_b,
+             CAST(SUM(CASE WHEN n_a <> n_b OR s_a <> s_b
+                           THEN n_a + n_b ELSE 0 END) AS BIGINT)
+               AS rows_rescanned
+      FROM bj
+    )
+    SELECT s.n_buckets, s.n_diverged, s.n_rows_a, s.n_rows_b,
+           d.n_rows_only_a, d.n_rows_only_b, d.n_rows_value_diff,
+           s.rows_rescanned,
+           CAST((1000000 * s.rows_rescanned) // (s.n_rows_a + s.n_rows_b)
+                AS BIGINT) AS rescan_ratio_e6
+    FROM summary s, drill d
+    """,
+)
+def q282_replica_divergence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style replica reconciliation — how two copies of a 100 TB
+    table are compared WITHOUT a full-table join: every row folds to a
+    32-bit content fingerprint (md5 over key + value columns, the
+    portable-hash idiom), rows hash into {_Q282_BUCKETS} buckets by
+    KEY — the true PK quadruple (orderkey, linenumber, partkey,
+    suppkey): (orderkey, linenumber) alone is NOT unique in this
+    corpus and a non-key drill join would explode — so a value change
+    stays in its bucket, and each side ships
+    only per-bucket (count, sum-of-fingerprints) checksums — an
+    order-independent, mergeable digest. Buckets whose checksums agree
+    are PROVEN-equal-enough and never rescanned; only diverged buckets
+    get the row-level full-outer drill-down (here the replica has two
+    planted defect classes: rows dropped where ok%997=0 and quantity
+    corrupted where ok%991=1 — the audit finds exactly those, and
+    rescan_ratio_e6 quantifies the win: row work proportional to
+    DIVERGENCE, not table size). Sum-of-fp32 per bucket is int64-safe
+    to ~2^31 rows/bucket; bucket count scales with the table (2^12
+    here, 2^20+ at 100 TB) to keep both the digest small and the
+    rescan sharp. A 32-bit-sum collision canceling a real diff is
+    ~2^-32 per bucket — an audit false-negative bound, stated rather
+    than hidden. Scale shape: two map-combined groupBys to
+    ~|buckets| rows, a bounded bucket-checksum join, and a drill join
+    SEMI-restricted to diverged buckets (broadcast of the diverged id
+    set)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_partkey").alias("pk"),
+        F.col("l_suppkey").alias("sk"),
+        cents(F.col("l_quantity")).alias("qc"),
+        cents(F.col("l_extendedprice")).alias("pc"),
+    )
+    replica = li.filter(F.col("ok") % 997 != 0).select(
+        "ok",
+        "ln",
+        "pk",
+        "sk",
+        (
+            F.col("qc")
+            + F.when(F.col("ok") % 991 == 1, F.lit(100)).otherwise(0)
+        ).alias("qc"),
+        "pc",
+    )
+
+    def fingerprint(df: DataFrame) -> DataFrame:
+        return df.select(
+            "ok",
+            "ln",
+            "pk",
+            "sk",
+            F.expr(
+                "CAST(conv(substr(md5(concat('rck:', ok, ':', ln, ':', pk,"
+                " ':', sk, ':', qc, ':', pc)), 25, 8), 16, 10) AS BIGINT)"
+            ).alias("fp"),
+            F.expr(
+                "CAST(conv(substr(md5(concat('rbk:', ok, ':', ln, ':', pk,"
+                f" ':', sk)), 18, 15), 16, 10) AS BIGINT) % {_Q282_BUCKETS}"
+            ).alias("bkt"),
+        )
+
+    af, bf = fingerprint(li), fingerprint(replica)
+
+    def digest(df: DataFrame, n: str, s: str) -> DataFrame:
+        return df.groupBy("bkt").agg(
+            F.count(F.lit(1)).cast("bigint").alias(n),
+            F.sum("fp").cast("bigint").alias(s),
+        )
+
+    z = F.lit(0).cast("bigint")
+    bj = (
+        digest(af, "n_a", "s_a")
+        .join(digest(bf, "n_b", "s_b"), "bkt", "full_outer")
+        .select(
+            "bkt",
+            F.coalesce("n_a", z).alias("n_a"),
+            F.coalesce("s_a", z).alias("s_a"),
+            F.coalesce("n_b", z).alias("n_b"),
+            F.coalesce("s_b", z).alias("s_b"),
+        )
+    )
+    diverged = (F.col("n_a") != F.col("n_b")) | (F.col("s_a") != F.col("s_b"))
+    div_ids = bj.filter(diverged).select("bkt")
+    a_drill = af.join(F.broadcast(div_ids), "bkt")
+    b_drill = bf.join(F.broadcast(div_ids), "bkt")
+    dj = a_drill.alias("a").join(
+        b_drill.alias("b"),
+        (F.col("a.ok") == F.col("b.ok"))
+        & (F.col("a.ln") == F.col("b.ln"))
+        & (F.col("a.pk") == F.col("b.pk"))
+        & (F.col("a.sk") == F.col("b.sk")),
+        "full_outer",
+    )
+    drill = dj.agg(
+        F.sum(F.when(F.col("b.ok").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_only_a"),
+        F.sum(F.when(F.col("a.ok").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_only_b"),
+        F.sum(
+            F.when(
+                F.col("a.ok").isNotNull()
+                & F.col("b.ok").isNotNull()
+                & (F.col("a.fp") != F.col("b.fp")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_rows_value_diff"),
+    )
+    summary = bj.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(F.when(diverged, 1).otherwise(0)).cast("bigint").alias("n_diverged"),
+        F.sum("n_a").cast("bigint").alias("n_rows_a"),
+        F.sum("n_b").cast("bigint").alias("n_rows_b"),
+        F.sum(F.when(diverged, F.col("n_a") + F.col("n_b")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_rescanned"),
+    )
+    return summary.crossJoin(F.broadcast(drill)).select(
+        "n_buckets",
+        "n_diverged",
+        "n_rows_a",
+        "n_rows_b",
+        "n_rows_only_a",
+        "n_rows_only_b",
+        "n_rows_value_diff",
+        "rows_rescanned",
+        F.expr(
+            "CAST((1000000 * rows_rescanned) div (n_rows_a + n_rows_b)"
+            " AS BIGINT)"
+        ).alias("rescan_ratio_e6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
@@ -15588,6 +16739,15 @@ def q274_consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFram
 # (the per-slot annotations below name both sides of every swap).
 # Every family born through round 11 now has a driver row or a head
 # slot pending its birth-round record.
+#
+# Round 12 continues the zero-backlog discipline: all eight round-12
+# families take birth-round head slots (q275 SCD2 dimension history,
+# q276 keyless interval-overlap join, q277 top-k WITH TIES, q278
+# sorted-write zone map, q279 z-order audit, q280 watermark late-data
+# audit, q281 SCD2 incremental merge, q282 replica reconciliation),
+# displacing q250/q244/q212/q232/q252/q243/q239/q241 — each green
+# >= 2 consecutive driver rounds, each family keeping in-head reps,
+# annotated at the swap sites below.
 
 _DRIVER_SNAPSHOT_50 = [
     # reference surface: aggregates, scalars, datetime, medallion KPIs
@@ -15595,23 +16755,23 @@ _DRIVER_SNAPSHOT_50 = [
     "q19_daily_event_kpis",
     "q41_scalar_battery",
     "q249_mann_whitney",  # r11: Mann-Whitney U (exact cross-multiplied rank sums), first driver row for the r10-born nonparametric-test family (q233 Tukey-winsorize green r9+r10; robust stats keep q240 MAD + q255 KS in the head and q233 stays value-oracled in the full gate)
-    "q212_ir_eval_metrics",  # r8 late: retrieval-eval metrics (P@10/MRR/NDCG), birth-round row (q46 A8 declared-intent aggregates green r04-r07; the aggregate surface keeps q01/q19 and q46 stays value-oracled in the full gate)
+    "q277_topk_with_ties",  # r12 birth-round: group-wise top-k WITH TIES — the DENSE_RANK semantics audit directly pairing q212's row-number top_k_ranked (q212 green r8-r11, the displaced slot's own family continues through this entry; similarity keeps q198 PCA + q201 PQ in the head and q212 stays value-oracled in the full gate)
     # joins
     "q221_funnel_latency",  # r9: funnel-stage latency quartiles, birth-round row (q192 BFS green r07+r08; graph keeps q67 connected components in the head and q192/q188/q126 stay value-oracled in the full gate)
     "q245_cusum_changepoint",  # r10: int64 cross-multiplied CUSUM changepoint with its prefix sum from distributed_rank, birth-round row (q224 rolling z-score green r08+r09; the anomaly family keeps this entry + q229 EWMA and X10 frames keep q207, with q224 value-oracled in the full gate)
     "q266_salted_skew_aggregate",  # r11 birth-round: the skew FIX replacing its own diagnosis slot (q205 profile green r8-r10; q266 is q205's treatment half — salted two-stage decomposition with exact COUNT(DISTINCT), plan-pinned; q205 stays value-oracled in the full gate)
-    "q252_partition_pruned_read",  # r10 late: Hive-style partition pruning pinned at the scan (PartitionFilters plan test), birth-round row (q203 equi-depth green r08+r09; X13 keeps q213/q214 + q240's percentile machinery in the head and q203 stays value-oracled in the full gate)
+    "q279_zorder_interleave_audit",  # r12 birth-round: Morton/Z-order 2-predicate clustering audit — the multi-dimensional completion of the q270/q278 layout story (q252 partition pruning green r10+r11; the layout family keeps q267 bucketed join + q270 + q278 in the head and q252 stays value-oracled in the full gate)
     "q248_kaplan_meier",  # r10 late: Kaplan-Meier product-limit curve with genuine mid-study censoring, birth-round row (q211 weighted median green r08+r09; the robust-stats family keeps q240 MAD + q233 Tukey in the head and q211 stays value-oracled in the full gate)
     "q269_incremental_view_maintenance",  # r11 late birth-round: IVM of a gold aggregate — delta-only merge == full recompute (q226 MoM growth green r9+r10; the temporal family now keeps q256/q258/q259/q261 in the head and q226 stays value-oracled in the full gate)
     "q268_heavy_hitters_exact",  # r11 birth-round: two-pass Misra-Gries exact heavy hitters in shuffle-free mapInPandas (q209 incremental near-dup green r8-r10; dedup keeps q67/q238/q239 in the head and q209 stays value-oracled in the full gate)
     # grouping extensions
     "q273_distribution_drift_tvd",  # r11 late birth-round: exact-TVD distribution drift — the quality monitor between reference and ingest windows (q228 curation verdict green r9+r10; the quality family keeps q237/q247 quarantines + q253 zipf in the head and q228 stays value-oracled in the full gate)
-    "q250_rfm_scores",  # r10 late: RFM quintile scoring via three composed distributed_rank NTILE passes (the rank operator's composition case), birth-round row (q220 demand variability green r08+r09; X14 time windows keep q221 funnel + q207 in the head, q234 shares q220's XYZ machinery, and q220 stays value-oracled in the full gate)
+    "q275_scd2_dimension_history",  # r12 birth-round: SCD2 dimension history + point-in-time fact join, completing the q128 CDC / q269 IVM warehouse trio (q250 RFM green r10+r11; the distributed_rank composition family keeps q242 percentile-rank + q251 Spearman + q255 KS in the head and q250 stays value-oracled in the full gate)
     # windows
     "q251_spearman_rank_corr",  # r11: Spearman rank correlation — another distributed_rank composition, never driver-recorded (q215 Gini green r9+r10; the rank family keeps q242/q250/q255 in the head and q215 stays value-oracled in the full gate)
-    "q243_position_attribution",  # r10: U-shaped 40/20/40 attribution with exact 1e6-credit conservation, birth-round row (q218 last-touch green r08+r09 — this is its direct multi-touch upgrade; X9 analytic keeps q226 MoM lag in the head and q218 stays value-oracled in the full gate)
+    "q280_watermark_late_data_audit",  # r12 birth-round: Structured Streaming's watermark drop rule replayed exactly in batch via the EXCLUSIVE prefix max (cummax_cols) — the X14/X15 semantics half (q243 U-shaped attribution green r10+r11; X9 analytic keeps q271 gap-fill in the head and q243 stays value-oracled in the full gate)
     "q259_seasonal_index",  # r11: ratio-to-centered-moving-total seasonal indices, never driver-recorded (q229 finite EWMA green r9+r10 — same smoothing family; X10 frames keep q207 rolling bitmap in the head and q229 stays value-oracled in the full gate)
-    "q239_leakage_safe_split",  # r10: leakage-safe train/val/test split bucketed by md5(dedup-cluster-rep), birth-round row (q222 cluster profile green r08+r09 — q239 reuses its cluster machinery; X17 keeps q67 in the head and q222 stays value-oracled in the full gate)
+    "q281_scd2_incremental_merge",  # r12 birth-round: SCD2 nightly MERGE — delta-only windowing + open-row close-out, hash-proven equal to the full rebuild (the q269 IVM discipline on q275's dimension) (q239 leakage-safe split green r10+r11; dedup/ER keeps q67 + q238 in the head and q239 stays value-oracled in the full gate)
     # sort/limit, set ops, sketches
     "q258_theil_sen_slope",  # r11: Theil-Sen robust slope, never driver-recorded (q225 Wilson lower bound green r9+r10; the statistical-test surface keeps q241 kappa + incoming q249/q256 in the head and q225 stays value-oracled in the full gate)
     "q242_percentile_rank_normalize",  # r10: empirical-CDF normalization via relational.distributed_rank — the two-pass rank's reuse story, birth-round row (q196 rank distributions green r08+r09; X8 ranking keeps q215 Gini + q212 IR-eval in the head and q196 stays value-oracled in the full gate)
@@ -15620,7 +16780,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q261_ols_trend_slope",  # r11: exact-int OLS normal equations, never driver-recorded (q230 chi-square green r9+r10; contingency tests keep q241 kappa in the head and q230 stays value-oracled in the full gate)
     "q271_gap_fill_interpolate",  # r11 late birth-round: spine gap-fill with LOCF + exact integer interpolation (q125 cogroup-as-of green r8-r10; X6 theta/range keeps q221 funnel in the head, X16 keeps q200 JPEG + q268 mapInPandas, and q125 stays value-oracled in the full gate)
     # SQL surface: subqueries, lateral, UDTF, interactive SQL
-    "q241_filter_agreement_kappa",  # r10: Cohen's kappa between quality filters in ONE 2x2-confusion aggregate, birth-round row (q197 bitwise rollup green r08+r09; the aggregate-battery surface keeps q41 + q123 in the head and q197 stays value-oracled in the full gate)
+    "q282_replica_divergence_audit",  # r12 birth-round: Merkle-style bucket-checksum replica reconciliation — drill-down bounded by divergence, planted defects exactly recovered (q241 kappa green r10+r11; the agreement/audit-stats family keeps q249 Mann-Whitney + q251 Spearman in the head and q241 stays value-oracled in the full gate)
     "q264_snapshot_retention_vacuum",  # r11 birth-round: retention/VACUUM completing the warehouse-maintenance family with q254/q257 (q235 k-anonymity green r9+r10; governance keeps incoming q262 erasure audit in the head and q235 stays value-oracled in the full gate)
     "q67_dedup_clusters",  # r7: connected components never recorded in 6 rounds (q117 mapInArrow green r04-r06; UDF family keeps q65)
     "q255_ks_two_sample",  # r10 late: Kolmogorov-Smirnov two-sample test — the driver-visible proof of distributed_rank's multi-prefix-sum (cumsum_cols) form, birth-round row (q214 correlation matrix green r08+r09; the multivariate-ANALYZE family keeps q213 profile + q240 MAD in the head and q214 stays value-oracled in the full gate)
@@ -15641,7 +16801,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q263_inverted_index",  # r11: champion-postings inverted index, never driver-recorded (q204 containment green r8-r10; dedup keeps q67/q238/q239 in the head and q204 stays value-oracled in the full gate)
     "q267_bucketed_colocated_join",  # r11 birth-round: zero-join-key-exchange bucketed layout, plan-pinned (q236 CSV quarantine green r9+r10; the quarantine trio keeps q237+q247 in the head and q236 stays value-oracled in the full gate)
     "q262_erasure_cascade_audit",  # r11: GDPR erasure blast-radius (now with the AQE-chosen, unforced cascade join), never driver-recorded (q227 FK conformance green r8-r10 — q262 exercises the same FK cascade; q227 stays value-oracled in the full gate)
-    "q244_hazard_table",  # r10: discrete-time hazard table with administrative censoring, birth-round row (q135 retention cohorts green r08+r09 — same time-to-event family, this is its survival-analysis deepening; q135 stays value-oracled in the full gate)
+    "q276_interval_overlap_join",  # r12 birth-round: keyless interval-overlap join via bucketed blocking — the X6 non-equi scale pattern as a first-class audit, generalizing q221's funnel pairing (q244 hazard table green r10+r11; survival analysis keeps q248 Kaplan-Meier in the head and q244 stays value-oracled in the full gate)
     "q246_hhi_concentration",  # r10: Herfindahl-Hirschman market concentration (quantize-then-square e6 shares), birth-round row (q219 basket lift green r08+r09; the commerce-analytics family keeps q223 brand-corr in the head and q219 stays value-oracled in the full gate)
     # multimodal, pandas-UDF, layout, TPC-H decorrelated shapes
     "q256_mann_kendall_trend",  # r11: Mann-Kendall monotone trend on the monthly revenue spine, never driver-recorded (q223 brand-discount correlation green r9+r10; commerce analytics keep q246 HHI in the head and q223/q219 stay value-oracled in the full gate)
@@ -15650,7 +16810,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q265_weighted_systematic_sample",  # r11 birth-round: weighted systematic sampling on the exact prefix-weight line (q208 temperature quotas green r8-r10 — same mixture-sampling family; q195/q208 stay value-oracled in the full gate)
     # round-3 families: connectors, warehouse maintenance, quality contracts
     "q254_snapshot_time_travel",  # r11: snapshot commit/merge/time-travel, never driver-recorded (q231 CSV roundtrip green r9+r10; the I/O-format family keeps q232 JSONL roundtrip in the head and q231 stays value-oracled in the full gate)
-    "q232_jsonl_roundtrip",  # r9: JSONL source/sink round trip, the crawl-dump interchange format (q193 ANALYZE column stats green r07+r08; the ANALYZE kit keeps q194/q203/q205/q206/q213/q216 in the head and q193 stays value-oracled in the full gate)
+    "q278_sorted_write_zonemap",  # r12 birth-round: the q270 write-path twin — sort-on-write, one file per zone, audit from REAL parquet footer stats (q232 JSONL roundtrip green r9-r11; the I/O-format family keeps q237 quarantine + q247 schema drift + q254/q264 snapshots in the head and q232 stays value-oracled in the full gate)
     "q247_parquet_schema_drift",  # r10 late: parquet schema-drift ingest contract (mergeSchema union; type-change + fixed-schema arms pinned in pytest), completing the quarantine trio with q236/q237, birth-round row (q216 encoding advisor green r08+r09; the write-path/ANALYZE family keeps q206 + q213 in the head and q216 stays value-oracled in the full gate)
     "q270_zonemap_skipping_audit",  # r11 late birth-round: min/max data-skipping audit, natural vs sorted zoning via two distributed_rank passes (q206 FD audit green r8-r10; the ANALYZE kit keeps q240/q252/q257/q268 in the head and q206 stays value-oracled in the full gate)
 ]

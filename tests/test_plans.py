@@ -971,3 +971,91 @@ def test_q272_q273_q274_plan_shapes(spark):
         .toString()
     )
     assert "BroadcastExchange" in plan
+
+
+def test_q275_q276_q277_q278_plan_shapes(spark):
+    """q275 SCD2: the PIT join must be a key join (SortMergeJoin /
+    shuffled hash on user_id) with the range predicate as post-filter —
+    never a cartesian; its lead() window is per-user. q276 interval
+    overlap: bucketed blocking must plan as a BroadcastHashJoin on the
+    bucket (hash LOOKUP per point), never BroadcastNestedLoop or
+    CartesianProduct — that equi-join IS the blocking's point. q277:
+    dense_rank window partitioned per nation, never global. q278: the
+    pre-write zoning rides distributed_rank (no global window) and one
+    hash exchange on the zone id."""
+    for name in (
+        "q275_scd2_dimension_history",
+        "q276_interval_overlap_join",
+        "q277_topk_with_ties",
+    ):
+        df = QUERIES[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert not global_windows(plan), f"{name} has a global WindowExec"
+        if name == "q276_interval_overlap_join":
+            assert "BroadcastHashJoin" in plan, "q276 bucket join not broadcast"
+            assert "BroadcastNestedLoop" not in plan, (
+                "q276 fell back to nested-loop — blocking key lost"
+            )
+
+    # q278's returned DataFrame is the bounded per-zone audit; the scale
+    # shape to pin is the PRE-WRITE plan: distributed_rank (no global
+    # window) + one exchange on z so each zone lands in one task
+    from pyspark.sql import functions as F
+
+    from spark_lakehouse_medallion_pipeline_spark.operators.relational import (
+        distributed_rank,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("sd"),
+    )
+    zoned = distributed_rank(
+        li,
+        [F.col("sd").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        rank_col="_r",
+    ).select("sd", F.expr("(_r - 1) div 10000").alias("z"))
+    pre_write = zoned.repartition(F.col("z")).sortWithinPartitions("z", "sd")
+    plan = pre_write._jdf.queryExecution().executedPlan().toString()
+    assert not global_windows(plan), "q278 pre-write has a global WindowExec"
+    assert "Exchange hashpartitioning(z" in plan, "q278 zone exchange missing"
+
+
+def test_q279_q280_plan_shapes(spark):
+    """q279 z-order audit: both zonings ride distributed_rank (no
+    global window); the 1-row maxima broadcast may nested-loop but a
+    true CartesianProduct is banned. q280 watermark audit: the
+    exclusive prefix max is the rank primitive's cummax form — no
+    global WindowExec anywhere."""
+    for name in (
+        "q279_zorder_interleave_audit",
+        "q280_watermark_late_data_audit",
+    ):
+        df = QUERIES[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert not global_windows(plan), f"{name} has a global WindowExec"
+
+
+def test_q281_q282_plan_shapes(spark):
+    """q281 SCD2 merge: the delta window is per-user (never global),
+    the close-out join is an equi key join — no cartesian. q282
+    reconciliation: the drill side must be gated by a BROADCAST of the
+    diverged-bucket id set (row work bounded by divergence), digests
+    are map-combined aggregates, no cartesian anywhere (the 1-row
+    summary x drill combine is a broadcast nested loop, which is the
+    sanctioned bounded form)."""
+    for name in ("q281_scd2_incremental_merge", "q282_replica_divergence_audit"):
+        df = QUERIES[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert not global_windows(plan), f"{name} has a global WindowExec"
+    plan = (
+        QUERIES["q282_replica_divergence_audit"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, "q282 diverged-bucket gate not broadcast"
