@@ -16476,8 +16476,13 @@ def q282_replica_divergence_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     get the row-level full-outer drill-down (here the replica has two
     planted defect classes: rows dropped where ok%997=0 and quantity
     corrupted where ok%991=1 — the audit finds exactly those, and
-    rescan_ratio_e6 quantifies the win: row work proportional to
-    DIVERGENCE, not table size). Sum-of-fp32 per bucket is int64-safe
+    rescan_ratio_e6 quantifies the win: the row-level JOIN/compare
+    work is proportional to DIVERGENCE, not table size. Precisely: in
+    this single-pass form the drill still re-READS both tables and
+    filters to the diverged buckets — it is the expensive full-outer
+    row compare, not the scan, that divergence bounds; store the
+    tables bucketed on bkt (the q267 layout) and the drill scan
+    prunes physically too). Sum-of-fp32 per bucket is int64-safe
     to ~2^31 rows/bucket; bucket count scales with the table (2^12
     here, 2^20+ at 100 TB) to keep both the digest small and the
     rescan sharp. A 32-bit-sum collision canceling a real diff is
