@@ -215,6 +215,8 @@ HEADLINE = [
     "q280_watermark_late_data_audit",
     "q281_scd2_incremental_merge",
     "q282_replica_divergence_audit",
+    "q283_majority_vote_repair",
+    "q284_sortedness_audit",
     "medallion_gold_kpis",
 ]
 

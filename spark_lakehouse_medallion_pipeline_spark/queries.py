@@ -16393,6 +16393,8 @@ _Q282_BUCKETS = 4096
     ),
     af AS (
       SELECT ok, ln, pk, sk,
+             row_number() OVER (PARTITION BY ok, ln, pk, sk
+                                ORDER BY qc, pc) AS seq,
              ('0x' || substr(md5('rck:' || ok || ':' || ln || ':' || pk
                              || ':' || sk || ':' || qc || ':' || pc),
                              25, 8))::BIGINT AS fp,
@@ -16403,6 +16405,8 @@ _Q282_BUCKETS = 4096
     ),
     bf AS (
       SELECT ok, ln, pk, sk,
+             row_number() OVER (PARTITION BY ok, ln, pk, sk
+                                ORDER BY qc, pc) AS seq,
              ('0x' || substr(md5('rck:' || ok || ':' || ln || ':' || pk
                              || ':' || sk || ':' || qc || ':' || pc),
                              25, 8))::BIGINT AS fp,
@@ -16430,7 +16434,7 @@ _Q282_BUCKETS = 4096
       FROM (SELECT af.* FROM af JOIN div ON af.bkt = div.bkt) af
       FULL JOIN (SELECT bf.* FROM bf JOIN div ON bf.bkt = div.bkt) bf
         ON af.ok = bf.ok AND af.ln = bf.ln
-       AND af.pk = bf.pk AND af.sk = bf.sk
+       AND af.pk = bf.pk AND af.sk = bf.sk AND af.seq = bf.seq
     ),
     drill AS (
       SELECT CAST(SUM(CASE WHEN ok_b IS NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -16466,9 +16470,11 @@ def q282_replica_divergence_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     table are compared WITHOUT a full-table join: every row folds to a
     32-bit content fingerprint (md5 over key + value columns, the
     portable-hash idiom), rows hash into {_Q282_BUCKETS} buckets by
-    KEY — the true PK quadruple (orderkey, linenumber, partkey,
-    suppkey): (orderkey, linenumber) alone is NOT unique in this
-    corpus and a non-key drill join would explode — so a value change
+    KEY — the quadruple (orderkey, linenumber, partkey, suppkey) PLUS
+    a deterministic occurrence index (row_number within the quadruple
+    ordered by the value columns — the multiset-reconciliation trick,
+    since even the quadruple carries one duplicate at sf0.001 and a
+    non-unique join key would multiply the drill) — so a value change
     stays in its bucket, and each side ships
     only per-bucket (count, sum-of-fingerprints) checksums — an
     order-independent, mergeable digest. Buckets whose checksums agree
@@ -16512,11 +16518,19 @@ def q282_replica_divergence_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     def fingerprint(df: DataFrame) -> DataFrame:
+        # seq disambiguates duplicate quadruples (the corpus carries one
+        # at sf0.001) — the multiset-reconciliation occurrence index,
+        # deterministic on both engines; a per-key PARTITIONED window
         return df.select(
             "ok",
             "ln",
             "pk",
             "sk",
+            F.row_number()
+            .over(
+                Window.partitionBy("ok", "ln", "pk", "sk").orderBy("qc", "pc")
+            )
+            .alias("seq"),
             F.expr(
                 "CAST(conv(substr(md5(concat('rck:', ok, ':', ln, ':', pk,"
                 " ':', sk, ':', qc, ':', pc)), 25, 8), 16, 10) AS BIGINT)"
@@ -16556,7 +16570,8 @@ def q282_replica_divergence_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("a.ok") == F.col("b.ok"))
         & (F.col("a.ln") == F.col("b.ln"))
         & (F.col("a.pk") == F.col("b.pk"))
-        & (F.col("a.sk") == F.col("b.sk")),
+        & (F.col("a.sk") == F.col("b.sk"))
+        & (F.col("a.seq") == F.col("b.seq")),
         "full_outer",
     )
     drill = dj.agg(
@@ -16600,6 +16615,311 @@ def q282_replica_divergence_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             " AS BIGINT)"
         ).alias("rescan_ratio_e6"),
     )
+
+
+@_q(
+    "q283_majority_vote_repair",
+    f"""
+    WITH t AS (
+      SELECT l_orderkey AS ok, l_linenumber AS ln,
+             l_partkey AS pk, l_suppkey AS sk,
+             CAST(ROUND(l_quantity*100) AS BIGINT) AS qc,
+             CAST(ROUND(l_extendedprice*100) AS BIGINT) AS pc
+      FROM lineitem
+    ),
+    r1 AS (SELECT * FROM t),
+    r2 AS (
+      SELECT ok, ln, pk, sk,
+             qc + CASE WHEN ok % 991 = 1 THEN 100 ELSE 0 END AS qc, pc
+      FROM t WHERE ok % 997 <> 0
+    ),
+    r3 AS (
+      SELECT ok, ln, pk, sk,
+             qc + CASE WHEN ok % 983 = 2 THEN 200 ELSE 0 END AS qc, pc
+      FROM t WHERE ok % 1009 <> 3
+    ),
+    f1 AS (SELECT ok, ln, pk, sk,
+                  row_number() OVER (PARTITION BY ok, ln, pk, sk
+                                     ORDER BY qc, pc) AS seq,
+                  ('0x' || substr(md5('rck:' || ok || ':' || ln || ':' || pk
+                                  || ':' || sk || ':' || qc || ':' || pc),
+                                  25, 8))::BIGINT AS fp
+           FROM r1),
+    f2 AS (SELECT ok, ln, pk, sk,
+                  row_number() OVER (PARTITION BY ok, ln, pk, sk
+                                     ORDER BY qc, pc) AS seq,
+                  ('0x' || substr(md5('rck:' || ok || ':' || ln || ':' || pk
+                                  || ':' || sk || ':' || qc || ':' || pc),
+                                  25, 8))::BIGINT AS fp
+           FROM r2),
+    f3 AS (SELECT ok, ln, pk, sk,
+                  row_number() OVER (PARTITION BY ok, ln, pk, sk
+                                     ORDER BY qc, pc) AS seq,
+                  ('0x' || substr(md5('rck:' || ok || ':' || ln || ':' || pk
+                                  || ':' || sk || ':' || qc || ':' || pc),
+                                  25, 8))::BIGINT AS fp
+           FROM r3),
+    j AS (
+      SELECT COALESCE(f1.ok, f2.ok, f3.ok) AS ok,
+             f1.fp AS p1, f2.fp AS p2, f3.fp AS p3
+      FROM f1
+      FULL JOIN f2 ON f1.ok = f2.ok AND f1.ln = f2.ln
+                  AND f1.pk = f2.pk AND f1.sk = f2.sk
+                  AND f1.seq = f2.seq
+      FULL JOIN f3 ON COALESCE(f1.ok, f2.ok) = f3.ok
+                  AND COALESCE(f1.ln, f2.ln) = f3.ln
+                  AND COALESCE(f1.pk, f2.pk) = f3.pk
+                  AND COALESCE(f1.sk, f2.sk) = f3.sk
+                  AND COALESCE(f1.seq, f2.seq) = f3.seq
+    ),
+    v AS (
+      SELECT ok, p1, p2, p3,
+             CASE WHEN p1 = p2 OR p1 = p3 THEN p1
+                  WHEN p2 = p3 THEN p2 END AS maj
+      FROM j
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN p1 = p2 AND p2 = p3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_full_agree,
+           CAST(SUM(CASE WHEN maj IS NOT NULL
+                          AND NOT COALESCE(p1 = p2 AND p2 = p3, FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_majority_2of3,
+           CAST(SUM(CASE WHEN maj IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_no_quorum,
+           CAST(SUM(CASE WHEN p1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing_r1,
+           CAST(SUM(CASE WHEN p2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing_r2,
+           CAST(SUM(CASE WHEN p3 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing_r3,
+           CAST(SUM(CASE WHEN p1 IS NOT NULL AND maj IS NOT NULL
+                          AND p1 <> maj THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outvoted_r1,
+           CAST(SUM(CASE WHEN p2 IS NOT NULL AND maj IS NOT NULL
+                          AND p2 <> maj THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outvoted_r2,
+           CAST(SUM(CASE WHEN p3 IS NOT NULL AND maj IS NOT NULL
+                          AND p3 <> maj THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outvoted_r3
+    FROM v
+    """,
+)
+def q283_majority_vote_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-replica MAJORITY-VOTE reconciliation — the repair step
+    q282's two-way audit can only flag: with three copies of a table
+    (replica 2 drops ok%997=0 rows and corrupts qc where ok%991=1;
+    replica 3 corrupts qc where ok%983=2 and drops ok%1009=3 —
+    disjoint planted defect classes, so every key keeps a 2-of-3
+    quorum), each row folds to the q282 content fingerprint and a
+    per-key 3-way full-outer join votes: unanimous, majority-repairable
+    (the minority replica is named and counted per side), or
+    no-quorum; keys are the q282 quadruple + occurrence index, so the
+    vote is 1:1:1 per physical row even at the sf0.001 duplicate.
+    At 100 TB the row-level vote join is exactly what the
+    q282 bucket-digest prefilter bounds — run the three-way digest
+    compare first and vote ONLY inside buckets where the three digests
+    disagree; here the vote runs unfiltered so the oracle certifies the
+    vote math itself over every key. Scale shape: two equi full-outer
+    joins on the PK quadruple (AQE-planned SMJ, both sides
+    pre-hashable on the same key), one map-combined 1-row aggregate;
+    fp agreement stands in for full-row compare exactly as in q282
+    (same 2^-32 per-key false-agree bound, stated)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_partkey").alias("pk"),
+        F.col("l_suppkey").alias("sk"),
+        cents(F.col("l_quantity")).alias("qc"),
+        cents(F.col("l_extendedprice")).alias("pc"),
+    )
+    r2 = li.filter(F.col("ok") % 997 != 0).withColumn(
+        "qc",
+        F.col("qc") + F.when(F.col("ok") % 991 == 1, F.lit(100)).otherwise(0),
+    )
+    r3 = li.filter(F.col("ok") % 1009 != 3).withColumn(
+        "qc",
+        F.col("qc") + F.when(F.col("ok") % 983 == 2, F.lit(200)).otherwise(0),
+    )
+
+    def fp(df: DataFrame, name: str) -> DataFrame:
+        # seq = the q282 occurrence index: disambiguates duplicate
+        # quadruples so the vote join stays 1:1:1 per physical row
+        return df.select(
+            "ok",
+            "ln",
+            "pk",
+            "sk",
+            F.row_number()
+            .over(
+                Window.partitionBy("ok", "ln", "pk", "sk").orderBy("qc", "pc")
+            )
+            .alias("seq"),
+            F.expr(
+                "CAST(conv(substr(md5(concat('rck:', ok, ':', ln, ':', pk,"
+                " ':', sk, ':', qc, ':', pc)), 25, 8), 16, 10) AS BIGINT)"
+            ).alias(name),
+        )
+
+    key = ["ok", "ln", "pk", "sk", "seq"]
+    j = (
+        fp(li, "p1")
+        .join(fp(r2, "p2"), key, "full_outer")
+        .join(fp(r3, "p3"), key, "full_outer")
+    )
+    maj = (
+        F.when((F.col("p1") == F.col("p2")) | (F.col("p1") == F.col("p3")), F.col("p1"))
+        .when(F.col("p2") == F.col("p3"), F.col("p2"))
+    )
+    v = j.select("p1", "p2", "p3", maj.alias("maj"))
+    # null-safe: a missing side makes (p1 = p2) three-valued NULL, and
+    # NOT NULL is still NULL — which silently dropped drop-defect keys
+    # from n_majority_2of3 on BOTH engines until the replay test caught
+    # it; the isNotNull guards pin the conjunction to TRUE/FALSE
+    unanimous = (
+        F.col("p1").isNotNull()
+        & F.col("p2").isNotNull()
+        & F.col("p3").isNotNull()
+        & (F.col("p1") == F.col("p2"))
+        & (F.col("p2") == F.col("p3"))
+    )
+
+    def outvoted(p: str) -> Column:
+        return (
+            F.sum(
+                F.when(
+                    F.col(p).isNotNull()
+                    & F.col("maj").isNotNull()
+                    & (F.col(p) != F.col("maj")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+        )
+
+    return v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(F.when(unanimous, 1).otherwise(0)).cast("bigint").alias("n_full_agree"),
+        F.sum(F.when(F.col("maj").isNotNull() & ~unanimous, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_majority_2of3"),
+        F.sum(F.when(F.col("maj").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_no_quorum"),
+        F.sum(F.when(F.col("p1").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_missing_r1"),
+        F.sum(F.when(F.col("p2").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_missing_r2"),
+        F.sum(F.when(F.col("p3").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_missing_r3"),
+        outvoted("p1").alias("n_outvoted_r1"),
+        outvoted("p2").alias("n_outvoted_r2"),
+        outvoted("p3").alias("n_outvoted_r3"),
+    )
+
+
+@_q(
+    "q284_sortedness_audit",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_shipdate AS DATE) AS sd,
+             date_trunc('month', CAST(l_shipdate AS DATE)) AS sm
+      FROM lineitem
+    ),
+    layouts AS (
+      SELECT 'natural' AS layout, sd,
+             lag(sd) OVER (ORDER BY l_orderkey, l_linenumber) AS prev_sd
+      FROM li
+      UNION ALL
+      SELECT 'sorted', sd,
+             lag(sd) OVER (ORDER BY sd, l_orderkey, l_linenumber)
+      FROM li
+      UNION ALL
+      SELECT 'month_clustered', sd,
+             lag(sd) OVER (ORDER BY sm, l_orderkey, l_linenumber)
+      FROM li
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN prev_sd > sd THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_adjacent_inversions,
+           CAST(SUM(CASE WHEN prev_sd > sd THEN 1 ELSE 0 END) + 1 AS BIGINT)
+             AS n_monotone_runs,
+           CAST((1000000 * SUM(CASE WHEN prev_sd > sd THEN 1 ELSE 0 END))
+                // (COUNT(*) - 1) AS BIGINT) AS inversion_ratio_e6
+    FROM layouts GROUP BY layout
+    """,
+)
+def q284_sortedness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ORDER VERIFICATION — trust-but-verify for every
+    operator that assumes sorted input (merge joins, binary-searchable
+    files, the q278 sorted-write contract, as-of lookups): count
+    adjacent inversions of l_shipdate under a claimed layout order
+    WITHOUT a global window. Each layout's position comes from ONE
+    distributed_rank pass; the adjacent pair (r, r+1) is then formed
+    by an EQUI self-join on rank offset — a balanced hash shuffle, vs
+    the single-partition funnel ANSI lag() OVER (ORDER BY ...) plans
+    at scale (the oracle uses exactly that lag, which is fine at
+    DuckDB's scale and is the semantic definition). Three layouts make
+    the audit bind: 'sorted' proves 0 inversions (the q278 writer's
+    post-write certificate), 'natural' measures raw ingest disorder,
+    and 'month_clustered' — sorted by month only — shows the
+    coarse-clustering middle ground (within-month disorder only);
+    n_monotone_runs = inversions + 1 is the merge-pass count an
+    external sort of the layout would need. Scale shape per layout:
+    one rank (two balanced exchanges) + one equi join on consecutive
+    ranks + a map-combined 1-row aggregate; union of three bounded
+    rows."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("sd"),
+        F.date_trunc("month", F.col("l_shipdate").cast("date")).alias("sm"),
+    )
+    orders = {
+        "natural": [F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        "sorted": [
+            F.col("sd").asc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        ],
+        "month_clustered": [
+            F.col("sm").asc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        ],
+    }
+    out = []
+    for layout, order in orders.items():
+        ranked = relational.distributed_rank(li, order, rank_col="_r").select(
+            "_r", "sd"
+        )
+        pairs = ranked.alias("a").join(
+            ranked.alias("b"), F.col("a._r") == F.col("b._r") - 1
+        )
+        out.append(
+            pairs.agg(
+                F.lit(layout).alias("layout"),
+                (F.count(F.lit(1)) + 1).cast("bigint").alias("n_rows"),
+                F.sum(F.when(F.col("a.sd") > F.col("b.sd"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_adjacent_inversions"),
+                (
+                    F.sum(F.when(F.col("a.sd") > F.col("b.sd"), 1).otherwise(0))
+                    + 1
+                )
+                .cast("bigint")
+                .alias("n_monotone_runs"),
+                F.expr(
+                    "CAST((1000000 * SUM(CASE WHEN a.sd > b.sd THEN 1 ELSE 0"
+                    " END)) div COUNT(*) AS BIGINT)"
+                ).alias("inversion_ratio_e6"),
+            )
+        )
+    return out[0].unionByName(out[1]).unionByName(out[2])
 
 
 # ---------------------------------------------------------------------------
@@ -16745,12 +17065,13 @@ def q282_replica_divergence_audit(spark: SparkSession, sf_dir: str) -> DataFrame
 # Every family born through round 11 now has a driver row or a head
 # slot pending its birth-round record.
 #
-# Round 12 continues the zero-backlog discipline: all eight round-12
+# Round 12 continues the zero-backlog discipline: all TEN round-12
 # families take birth-round head slots (q275 SCD2 dimension history,
 # q276 keyless interval-overlap join, q277 top-k WITH TIES, q278
 # sorted-write zone map, q279 z-order audit, q280 watermark late-data
-# audit, q281 SCD2 incremental merge, q282 replica reconciliation),
-# displacing q250/q244/q212/q232/q252/q243/q239/q241 — each green
+# audit, q281 SCD2 incremental merge, q282 replica reconciliation,
+# q283 majority-vote repair, q284 sortedness audit), displacing
+# q250/q244/q212/q232/q252/q243/q239/q241/q240/q247 — each green
 # >= 2 consecutive driver rounds, each family keeping in-head reps,
 # annotated at the swap sites below.
 
@@ -16794,7 +17115,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q200_jpeg_image_features",  # r8: real baseline-JPEG codec, birth-round row (q162 portable LSH green r04-r07; its candidates CTE lives on inside q149's oracle, and dedup keeps q149/q152/q179)
     "q274_consistent_hash_rebalance",  # r11 late birth-round: consistent-hashing ring rebalance with the moved-to-new-shard contract hash-checked (q123 XML battery green r4-r10, the longest-tenured rotatable slot; X22 keeps q232/q237 in the head and q123 stays value-oracled in the full gate)
     # dedup family
-    "q240_mad_robust_scale",  # r10: grouped MAD via two exact dyadic 0.5-quantile passes, birth-round row (q194 equi-width histogram green r08+r09; X13 keeps q203 equi-depth + q213 profile + q214 in the head and q194 stays value-oracled in the full gate)
+    "q283_majority_vote_repair",  # r12 birth-round: three-replica majority-vote reconciliation — the repair step composing q282's digest prefilter with a per-key 3-way vote, planted minority defects named per replica (q240 MAD green r10+r11; robust stats keep q249 Mann-Whitney + q255 KS in the head and q240 stays value-oracled in the full gate)
     "q238_blocking_quality",  # r10: LSH blocking-quality ER audit (reduction ratio + pair completeness vs planted-twin exact-Jaccard truth), birth-round row (q149 contrastive pairs green r08+r09; dedup keeps q67/q204/q209 + incoming q239 in the head and q149 stays value-oracled in the full gate)
     "q272_sequence_motif_match",  # r11 late birth-round: MATCH_RECOGNIZE-lite sequence motifs over per-user event strings (q217 Benford green r9+r10; the audit-stats family keeps q241/q249/q256 in the head and q217 stays value-oracled in the full gate)
     "q260_pareto_skyline",  # r11: Pareto frontier via the cummax_cols EXCLUSIVE prefix max — the driver-visible proof of the r10 rank-statistic widening, never driver-recorded (q234 ABC-XYZ green r9+r10; planning analytics keep q246 in the head and q234/q220 stay value-oracled in the full gate)
@@ -16816,7 +17137,7 @@ _DRIVER_SNAPSHOT_50 = [
     # round-3 families: connectors, warehouse maintenance, quality contracts
     "q254_snapshot_time_travel",  # r11: snapshot commit/merge/time-travel, never driver-recorded (q231 CSV roundtrip green r9+r10; the I/O-format family keeps q232 JSONL roundtrip in the head and q231 stays value-oracled in the full gate)
     "q278_sorted_write_zonemap",  # r12 birth-round: the q270 write-path twin — sort-on-write, one file per zone, audit from REAL parquet footer stats (q232 JSONL roundtrip green r9-r11; the I/O-format family keeps q237 quarantine + q247 schema drift + q254/q264 snapshots in the head and q232 stays value-oracled in the full gate)
-    "q247_parquet_schema_drift",  # r10 late: parquet schema-drift ingest contract (mergeSchema union; type-change + fixed-schema arms pinned in pytest), completing the quarantine trio with q236/q237, birth-round row (q216 encoding advisor green r08+r09; the write-path/ANALYZE family keeps q206 + q213 in the head and q216 stays value-oracled in the full gate)
+    "q284_sortedness_audit",  # r12 birth-round: distributed order verification — adjacent-inversion counts via rank + consecutive-rank equi join, never a global window; the q278 writer's post-write certificate (q247 schema drift green r10+r11; the ingest-contract family keeps q237 JSONL quarantine in the head and q247 stays value-oracled in the full gate)
     "q270_zonemap_skipping_audit",  # r11 late birth-round: min/max data-skipping audit, natural vs sorted zoning via two distributed_rank passes (q206 FD audit green r8-r10; the ANALYZE kit keeps q240/q252/q257/q268 in the head and q206 stays value-oracled in the full gate)
 ]
 

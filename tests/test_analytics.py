@@ -1849,3 +1849,60 @@ def test_q282_divergence_exactly_planted(spark):
     assert r["n_rows_b"] == len(li) - n_drop
     assert r["n_diverged"] <= n_drop + n_corr  # <= distinct buckets hit
     assert r["rescan_ratio_e6"] < 250_000, "rescan should be divergence-bounded"
+
+
+def test_q283_vote_exactly_planted(spark):
+    """The 3-way vote must name exactly the planted minorities: r2's
+    drops and corruptions, r3's drops and corruptions, zero no-quorum
+    keys (the defect classes are disjoint at these keyspaces), and r1
+    (the clean copy) never outvoted."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    ok = li.l_orderkey
+    n_drop_r2 = int((ok % 997 == 0).sum())
+    n_corr_r2 = int(((ok % 991 == 1) & (ok % 997 != 0)).sum())
+    n_drop_r3 = int((ok % 1009 == 3).sum())
+    n_corr_r3 = int(((ok % 983 == 2) & (ok % 1009 != 3)).sum())
+    r = QUERIES["q283_majority_vote_repair"](spark, SF).collect()[0]
+    assert r["n_keys"] == len(li)
+    assert r["n_missing_r1"] == 0 and r["n_outvoted_r1"] == 0
+    assert r["n_missing_r2"] == n_drop_r2
+    assert r["n_outvoted_r2"] == n_corr_r2
+    assert r["n_missing_r3"] == n_drop_r3
+    assert r["n_outvoted_r3"] == n_corr_r3
+    assert r["n_no_quorum"] == 0
+    assert (
+        r["n_full_agree"]
+        == len(li) - n_drop_r2 - n_corr_r2 - n_drop_r3 - n_corr_r3
+    )
+    assert r["n_majority_2of3"] == len(li) - r["n_full_agree"]
+
+
+def test_q284_sortedness_replay(spark):
+    """Pandas replay of the adjacent-inversion counts for all three
+    layouts, plus the binding facts: 'sorted' has exactly 0 inversions
+    (the post-write certificate), natural has many, month_clustered
+    sits strictly between."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    li = li.assign(sd=li.l_shipdate.dt.normalize())
+    got = {r["layout"]: r for r in QUERIES["q284_sortedness_audit"](spark, SF).collect()}
+
+    def inv(df):
+        s = df.sd.reset_index(drop=True)
+        return int((s.shift(1) > s).sum())
+
+    nat = li.sort_values(["l_orderkey", "l_linenumber"])
+    srt = li.sort_values(["sd", "l_orderkey", "l_linenumber"])
+    mon = li.assign(sm=li.sd.values.astype("datetime64[M]")).sort_values(
+        ["sm", "l_orderkey", "l_linenumber"]
+    )
+    for layout, df in (("natural", nat), ("sorted", srt), ("month_clustered", mon)):
+        r = got[layout]
+        assert r["n_rows"] == len(li)
+        assert r["n_adjacent_inversions"] == inv(df), layout
+        assert r["n_monotone_runs"] == inv(df) + 1
+    assert got["sorted"]["n_adjacent_inversions"] == 0
+    assert (
+        0
+        < got["month_clustered"]["n_adjacent_inversions"]
+        < got["natural"]["n_adjacent_inversions"]
+    )

@@ -1059,3 +1059,15 @@ def test_q281_q282_plan_shapes(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan, "q282 diverged-bucket gate not broadcast"
+
+
+def test_q283_q284_plan_shapes(spark):
+    """q283 vote: two equi full-outer joins on the PK quadruple — no
+    cartesian, no window at all. q284 order verification: every rank
+    is distributed (no global WindowExec), the consecutive-rank pair
+    former is an EQUI join."""
+    for name in ("q283_majority_vote_repair", "q284_sortedness_audit"):
+        df = QUERIES[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert not global_windows(plan), f"{name} has a global WindowExec"
