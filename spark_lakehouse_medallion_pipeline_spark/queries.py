@@ -15509,8 +15509,13 @@ def q275_scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the change stream (shuffle on user_id), the PIT join is a
     SortMergeJoin on user_id with the range predicate as its
     conjunctive post-filter (per-user version count = that user's
-    purchase count), then two map-combined ~|tiers|-row aggregates and
-    a bounded full-outer merge."""
+    purchase count; unlike a collect_list this is the SPILL-SAFE
+    per-key shape — SMJ buffers the matched side in
+    ExternalAppendOnlyUnsafeRowArray, which spills to disk, so a
+    bot-traffic whale costs time, never an OOM — and q281 shows the
+    delta-bounded maintenance path that avoids even that), then two
+    map-combined ~|tiers|-row aggregates and a bounded full-outer
+    merge."""
     ev = _t(spark, sf_dir, "events")
     ch = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
