@@ -1071,3 +1071,44 @@ def test_q283_q284_plan_shapes(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
         assert not global_windows(plan), f"{name} has a global WindowExec"
+
+
+def test_q276_scan_pruning_and_q282_map_combine(spark):
+    """q276: the lineitem scan must read ONLY the two referenced
+    columns (shipdate, extendedprice) — a scan dragging all 11 columns
+    through the broadcast join would be the classic width mistake.
+    q282: both digest aggregates must be map-combined (partial+final
+    HashAggregate pairs), so the shuffle carries ~|buckets| rows per
+    side, never |rows|."""
+    plan = explain.formatted(QUERIES["q276_interval_overlap_join"](spark, SF))
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = m.group(1)
+        if "l_shipdate" in cols:
+            assert "l_comment" not in cols and "l_quantity" not in cols
+            assert "l_partkey" not in cols and "l_suppkey" not in cols
+    plan2 = explain.formatted(QUERIES["q282_replica_divergence_audit"](spark, SF))
+    assert plan2.count("HashAggregate") >= 4  # partial+final per side
+
+
+def test_q278_one_file_per_zone_on_disk(spark):
+    """The q278 writer contract, checked on the filesystem itself:
+    after the query runs, each z= directory of each layout holds
+    EXACTLY ONE parquet data file (the one-exchange-per-zone claim) and
+    the zone-directory count equals the audit's n_files."""
+    import glob
+    import os
+    import tempfile
+
+    rows = {
+        r["layout"]: r
+        for r in QUERIES["q278_sorted_write_zonemap"](spark, SF).collect()
+    }
+    tag = os.path.basename(SF.rstrip("/"))
+    app = spark.sparkContext.applicationId
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_q278_{tag}_{app}")
+    for layout in ("natural", "sorted"):
+        zdirs = sorted(glob.glob(os.path.join(base, layout, "z=*")))
+        assert len(zdirs) == rows[layout]["n_files"]
+        for zdir in zdirs:
+            files = [f for f in os.listdir(zdir) if f.endswith(".parquet")]
+            assert len(files) == 1, f"{zdir} has {len(files)} files"
