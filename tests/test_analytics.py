@@ -1599,11 +1599,12 @@ def test_q275_scd2_invariants(spark):
     assert sum(r["sum_click_cents"] for r in rows) == int(
         round(clk.value * 100).sum()
     )
-    # per-user partition property, replayed directly
-    for uid, g in pur.groupby("user_id"):
+    # per-user partition property, replayed directly: intervals are
+    # [ts_i, ts_{i+1}) by construction, so adjacency/non-overlap holds
+    # exactly when each user's purchase timestamps are non-decreasing
+    for _uid, g in pur.groupby("user_id"):
         ts = list(g.ts)
-        assert ts == sorted(ts) or True  # sorted above; intervals are
-        # [ts_i, ts_{i+1}) by construction -> adjacent, non-overlapping
+        assert ts == sorted(ts)
     # the unattributed bucket is exactly clicks before first purchase
     first_pur = pur.groupby("user_id").ts.min()
     pre = clk.merge(
@@ -1614,11 +1615,14 @@ def test_q275_scd2_invariants(spark):
     assert got_unattr == n_unattr
 
 
-def test_q276_overlap_blocking_complete(spark):
+def test_q276_overlap_blocking_complete(spark, tmp_path):
     """Bucketed-overlap blocking completeness: a brute-force pandas
     BETWEEN join (no blocking) over sf0.001 must agree with the
     bucket-blocked query per interval — every overlapping pair found,
-    none double-counted across the buckets an interval spans."""
+    none double-counted across the buckets an interval spans. The
+    zero-match retention contract (left join keeps windows with no
+    overlapping ship rows) is tested for REAL on a starved copy of the
+    tables, because sf0.001 happens to contain no zero-match window."""
     import pandas as pd
 
     li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
@@ -1641,9 +1645,25 @@ def test_q276_overlap_blocking_complete(spark):
         for r in QUERIES["q276_interval_overlap_join"](spark, SF).collect()
     }
     assert got == want
-    assert any(n == 0 for n, _ in got.values()) or len(got) > 0  # zero-match
-    # windows are retained by the left join (presence checked via keys)
-    assert set(got) == set(want)
+    # zero-match retention: starve ONE interval of all its ship rows and
+    # re-run the query on the filtered copy — the window must survive
+    # the left join with exact zeros, not vanish
+    starve = iv.iloc[0]
+    keep = ~((pts.p_day >= starve.s_day) & (pts.p_day <= starve.s_day + starve.n_days))
+    # pandas defaults to TIMESTAMP(NANOS), which Spark's parquet reader
+    # rejects — coerce to microseconds on write
+    od.to_parquet(tmp_path / "orders.parquet", coerce_timestamps="us")
+    li[keep.values].to_parquet(
+        tmp_path / "lineitem.parquet", coerce_timestamps="us"
+    )
+    got2 = {
+        r["iid"]: (r["n_ship_rows"], r["sum_ship_cents"])
+        for r in QUERIES["q276_interval_overlap_join"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got2[int(starve.o_orderkey)] == (0, 0)
+    assert set(got2) == set(want)  # every window retained
 
 
 def test_q277_dense_rank_ties_replay(spark):
@@ -1679,7 +1699,12 @@ def test_q278_matches_q270_prediction(spark):
     """The VERDICT r11 Next #6 'Done' criterion: the audit over the
     ACTUAL written files (footer row counts + min/max) must match
     q270's simulated-zone prediction row for row — same zoning math,
-    now measured on disk."""
+    now measured on disk. Binding regime: q278's zone size equals
+    q270's fixed _Q270_ZONE_ROWS until |rows| exceeds
+    zone_rows * _Q278_TARGET_FILES (= 1.28M), past which q278 grows
+    zones to cap the file count (and the driver footer walk) — every
+    tested sf (up to sf0.1's ~600k lineitem rows) is inside the
+    matching regime, so this equality stays exact."""
     pred = {
         r["layout"]: r.asDict()
         for r in QUERIES["q270_zonemap_skipping_audit"](spark, SF).collect()

@@ -977,9 +977,11 @@ def test_q275_q276_q277_q278_plan_shapes(spark):
     """q275 SCD2: the PIT join must be a key join (SortMergeJoin /
     shuffled hash on user_id) with the range predicate as post-filter —
     never a cartesian; its lead() window is per-user. q276 interval
-    overlap: bucketed blocking must plan as a BroadcastHashJoin on the
-    bucket (hash LOOKUP per point), never BroadcastNestedLoop or
-    CartesianProduct — that equi-join IS the blocking's point. q277:
+    overlap: the bucket equi key must SURVIVE — never
+    BroadcastNestedLoop or CartesianProduct. The broadcast choice is
+    AQE's (the exploded interval side is data-proportional, so a
+    forced hint would be the q262-class scale defect); the pin is the
+    negative invariant, not the physical strategy. q277:
     dense_rank window partitioned per nation, never global. q278: the
     pre-write zoning rides distributed_rank (no global window) and one
     hash exchange on the zone id."""
@@ -993,7 +995,9 @@ def test_q275_q276_q277_q278_plan_shapes(spark):
         assert "CartesianProduct" not in plan, name
         assert not global_windows(plan), f"{name} has a global WindowExec"
         if name == "q276_interval_overlap_join":
-            assert "BroadcastHashJoin" in plan, "q276 bucket join not broadcast"
+            # Negative pin only: the blocking bucket must survive as an
+            # equi key (BHJ or SMJ/SHJ are both fine — AQE's call); a
+            # nested-loop or cartesian means the key was lost.
             assert "BroadcastNestedLoop" not in plan, (
                 "q276 fell back to nested-loop — blocking key lost"
             )
@@ -1112,3 +1116,53 @@ def test_q278_one_file_per_zone_on_disk(spark):
         for zdir in zdirs:
             files = [f for f in os.listdir(zdir) if f.endswith(".parquet")]
             assert len(files) == 1, f"{zdir} has {len(files)} files"
+
+
+@pytest.mark.slow
+def test_q278_zone_size_caps_file_count(spark, tmp_path):
+    """The r12 VERDICT hardening item, exercised for real: past
+    |rows| = _Q270_ZONE_ROWS * _Q278_TARGET_FILES the zone size grows
+    with the corpus so the per-layout file count — and therefore the
+    driver-side footer walk — stays capped at ~_Q278_TARGET_FILES
+    instead of growing as |rows|/10,000. A 2M-row synthetic lineitem
+    (above the 1.28M boundary) must produce exactly
+    ceil(2M / ceil(2M/128)) = 128 files per layout, all
+    footer-verified."""
+    import glob
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from spark_lakehouse_medallion_pipeline_spark.queries import (
+        _Q278_TARGET_FILES,
+    )
+
+    n = 2_000_000
+    (
+        spark.range(n)
+        .select(
+            (F.col("id") + 1).alias("l_orderkey"),
+            F.lit(1).cast("int").alias("l_linenumber"),
+            F.date_add(
+                F.lit("1992-01-01").cast("date"),
+                # non-monotone in l_orderkey so 'natural' has inversions
+                ((F.col("id") * 48271) % 2400).cast("int"),
+            ).cast("timestamp").alias("l_shipdate"),
+        )
+        .write.parquet(str(tmp_path / "lineitem.parquet"))
+    )
+    rows = {
+        r["layout"]: r.asDict()
+        for r in QUERIES["q278_sorted_write_zonemap"](spark, str(tmp_path)).collect()
+    }
+    zrows = -(-n // _Q278_TARGET_FILES)  # 15,625
+    want_files = -(-n // zrows)  # 128
+    tag = os.path.basename(str(tmp_path).rstrip("/"))
+    app = spark.sparkContext.applicationId
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_q278_{tag}_{app}")
+    for layout in ("natural", "sorted"):
+        assert rows[layout]["n_files"] == want_files
+        assert rows[layout]["footer_verified"] == 1
+        zdirs = glob.glob(os.path.join(base, layout, "z=*"))
+        assert len(zdirs) == want_files

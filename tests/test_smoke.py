@@ -549,3 +549,72 @@ def test_q247_schema_drift_taxonomy(spark, tmp_path):
         .collect()
     )
     assert rows[0]["quality_e6"] is None
+
+
+@pytest.mark.slow
+def test_snapshot_queries_survive_python_O(spark):
+    """q254/q264 commit snapshot versions via side-effecting calls whose
+    return values are sanity-asserted. Under `python -O` every assert
+    statement is elided entirely — if the CALL lives inside the assert,
+    -O silently skips the commit and the query reads an empty table
+    (the ADVICE r11/r12 bug class). This replay runs BOTH snapshot
+    queries in a `python -O` subprocess and checks their results are
+    byte-identical to the in-process (non-O) run, pinning the CLASS of
+    bug (bind-then-assert), not just the two fixed instances."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import __spark_entry__ as em
+
+    names = ["q254_snapshot_time_travel", "q264_snapshot_retention_vacuum"]
+    sf = "/root/testdata/sf0.001"
+
+    def rows_of(df):
+        return sorted(
+            [
+                [None if v is None else str(v) for _, v in sorted(r.asDict().items())]
+                for r in df.collect()
+            ]
+        )
+
+    want = {n: rows_of(em.queries()[n](spark, sf)) for n in names}
+
+    script = r"""
+import json, sys
+sys.path.insert(0, %(repo)r)
+import __spark_entry__ as em
+from spark_lakehouse_medallion_pipeline_spark.session import get_spark
+spark = get_spark("pyO-replay", extra_conf={
+    "spark.ui.showConsoleProgress": "false",
+    "spark.sql.shuffle.partitions": "4",
+    "spark.ui.enabled": "false",
+})
+out = {}
+for n in %(names)r:
+    df = em.queries()[n](spark, %(sf)r)
+    out[n] = sorted(
+        [[None if v is None else str(v) for _, v in sorted(r.asDict().items())]
+         for r in df.collect()]
+    )
+print("PYO_RESULT:" + json.dumps(out))
+""" % {"repo": str(__import__("pathlib").Path(__file__).resolve().parent.parent),
+       "names": names, "sf": sf}
+
+    env = dict(os.environ)
+    env["PYTHONOPTIMIZE"] = "2"  # -OO: asserts AND docstrings stripped
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("PYO_RESULT:")]
+    assert line, proc.stdout[-4000:]
+    got = json.loads(line[0][len("PYO_RESULT:"):])
+    for n in names:
+        assert got[n] == want[n], f"{n}: -O result diverged from normal run"
+        assert len(got[n]) > 0, f"{n}: -O run returned an empty result"
