@@ -16994,6 +16994,785 @@ def q284_sortedness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out[0].unionByName(out[1]).unionByName(out[2])
 
 
+_Q285_JOIN_WINDOW_S = 21_600  # purchases within 6h after a click
+
+
+@_q(
+    "q285_stream_stream_interval_join",
+    f"""
+    WITH e AS (
+      SELECT event_id, event_type, user_id,
+             epoch_us(ts) AS ts_us,
+             epoch_us(ts) + (event_id % 7) * 60000000 AS arr_us,
+             CAST(ROUND(value*100) AS BIGINT) AS val_c
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    w AS (
+      SELECT *,
+             max(CASE WHEN event_type = 'click' THEN ts_us END)
+               OVER (ORDER BY arr_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS wma,
+             max(CASE WHEN event_type = 'purchase' THEN ts_us END)
+               OVER (ORDER BY arr_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS wmb
+      FROM e
+    ),
+    b AS (
+      SELECT *, CASE WHEN wma IS NULL OR wmb IS NULL THEN NULL
+                     ELSE LEAST(wma, wmb) END AS gwm_base
+      FROM w
+    ),
+    mx AS (
+      SELECT LEAST(max(CASE WHEN event_type = 'click' THEN ts_us END),
+                   max(CASE WHEN event_type = 'purchase' THEN ts_us END))
+             AS gend
+      FROM e
+    ),
+    d AS (SELECT unnest([{", ".join(str(s) for s in _Q280_DELAYS_S)}])
+          AS delay_s),
+    s AS (
+      SELECT d.delay_s, b.*,
+             CASE WHEN b.gwm_base IS NOT NULL
+                   AND b.ts_us < b.gwm_base - d.delay_s * 1000000
+                  THEN 1 ELSE 0 END AS is_late
+      FROM b CROSS JOIN d
+    ),
+    sides AS (
+      SELECT delay_s,
+        SUM(CASE WHEN event_type = 'click' AND is_late = 0
+                 THEN 1 ELSE 0 END) AS n_clicks_kept,
+        SUM(CASE WHEN event_type = 'purchase' AND is_late = 0
+                 THEN 1 ELSE 0 END) AS n_purchases_kept,
+        SUM(CASE WHEN event_type = 'click' AND is_late = 0
+                  AND ts_us + {_Q285_JOIN_WINDOW_S * 1000000}
+                      >= (SELECT gend FROM mx) - delay_s * 1000000
+                 THEN 1 ELSE 0 END) AS n_state_clicks_end,
+        SUM(CASE WHEN event_type = 'purchase' AND is_late = 0
+                  AND ts_us >= (SELECT gend FROM mx) - delay_s * 1000000
+                 THEN 1 ELSE 0 END) AS n_state_purchases_end
+      FROM s GROUP BY delay_s
+    ),
+    c AS (SELECT user_id, ts_us AS c_ts, gwm_base AS c_gwm
+          FROM b WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts_us AS p_ts, gwm_base AS p_gwm, val_c
+          FROM b WHERE event_type = 'purchase'),
+    pr AS (
+      SELECT d.delay_s, p.val_c,
+             CASE WHEN (c.c_gwm IS NOT NULL
+                        AND c.c_ts < c.c_gwm - d.delay_s * 1000000)
+                    OR (p.p_gwm IS NOT NULL
+                        AND p.p_ts < p.p_gwm - d.delay_s * 1000000)
+                  THEN 1 ELSE 0 END AS pair_late
+      FROM c JOIN p ON c.user_id = p.user_id
+                   AND p.p_ts BETWEEN c.c_ts
+                                  AND c.c_ts + {_Q285_JOIN_WINDOW_S * 1000000}
+      CROSS JOIN d
+    ),
+    pa AS (
+      SELECT delay_s, COUNT(*) AS n_pairs_total,
+             SUM(1 - pair_late) AS n_pairs_emitted,
+             SUM(pair_late) AS n_pairs_lost_late,
+             COALESCE(SUM(CASE WHEN pair_late = 0 THEN val_c END), 0)
+               AS sum_emitted_cents
+      FROM pr GROUP BY delay_s
+    )
+    SELECT CAST(sides.delay_s AS BIGINT) AS delay_s,
+           CAST(n_clicks_kept AS BIGINT) AS n_clicks_kept,
+           CAST(n_purchases_kept AS BIGINT) AS n_purchases_kept,
+           CAST(n_pairs_total AS BIGINT) AS n_pairs_total,
+           CAST(n_pairs_emitted AS BIGINT) AS n_pairs_emitted,
+           CAST(n_pairs_lost_late AS BIGINT) AS n_pairs_lost_late,
+           CAST(sum_emitted_cents AS BIGINT) AS sum_emitted_cents,
+           CAST(n_state_clicks_end AS BIGINT) AS n_state_clicks_end,
+           CAST(n_state_purchases_end AS BIGINT) AS n_state_purchases_end
+    FROM sides JOIN pa USING (delay_s)
+    """,
+)
+def q285_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INTERVAL JOIN replay — Structured Streaming's
+    two-keyed-streams join (clicks x purchases on user_id, purchase
+    within _Q285_JOIN_WINDOW_S = 6h after the click) with
+    watermark-driven drop + state-eviction accounting, replayed EXACTLY
+    in batch so the delay/window pair can be tuned on history before
+    the streaming job runs (composing q280's watermark semantics with
+    q276's range-join shape, per VERDICT r12 Next #5a). Semantics
+    replayed at row granularity: each stream's watermark basis is the
+    max event time seen STRICTLY BEFORE a row's arrival in that stream
+    (two EXCLUSIVE prefix maxima over the union arrival order — ONE
+    distributed_rank pass, cummax_cols's multi-column form), the
+    query-global watermark is the MIN of the two minus the delay
+    (Spark's min-across-sources rule), a row is dropped iff its event
+    time is below the global watermark at its arrival, and a pair is
+    emitted iff BOTH sides survive. The eviction theorem this encodes —
+    inner interval-join state eviction can NEVER lose a pair whose
+    rows are both on time, because each side's eviction bound is
+    exactly the latest partner event time that could still match — is
+    the documented completeness guarantee of watermarked inner joins,
+    and the pytest replay simulates true arrival-order state eviction
+    to prove the batch formula equals the streaming run. Per delay:
+    kept rows per side, ground-truth pairs, emitted pairs, pairs lost
+    to late drops (emitted + lost == total, conservation-pinned), the
+    purchase cents that survive, and the end-of-stream resident state
+    per side (rows whose eviction bound the final watermark has not
+    passed — the steady-state memory bill). Transport jitter is
+    q280's deterministic (event_id % 7) minutes, stated openly and
+    replayed identically by the oracle. Scale shape: one two-pass
+    global rank (balanced exchanges, no global WindowExec), the pair
+    join is an EQUI join on user_id with the interval as post-filter
+    (spill-safe SMJ shape, q275's discipline), the 3x delay explode
+    happens on bounded streams, and both aggregates are map-combined
+    to 3 rows."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    us = 1_000_000
+    w_us = _Q285_JOIN_WINDOW_S * us
+    e = ev.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.unix_micros("ts") + (F.col("event_id") % 7) * 60_000_000).alias(
+            "arr_us"
+        ),
+        cents(F.col("value")).alias("val_c"),
+        F.when(F.col("event_type") == "click", F.unix_micros("ts")).alias(
+            "ts_c"
+        ),
+        F.when(F.col("event_type") == "purchase", F.unix_micros("ts")).alias(
+            "ts_p"
+        ),
+    )
+    b = relational.distributed_rank(
+        e,
+        [F.col("arr_us").asc(), F.col("event_id").asc()],
+        rank_col="_r",
+        cummax_cols={"ts_c": "wma", "ts_p": "wmb"},
+    ).withColumn(
+        "gwm_base",
+        F.when(
+            F.col("wma").isNull() | F.col("wmb").isNull(), F.lit(None)
+        ).otherwise(F.least("wma", "wmb")),
+    )
+    # end-of-stream watermark basis: 1-row aggregate, broadcast combine
+    # (the q279-sanctioned bounded crossJoin form)
+    mx = e.agg(
+        F.least(F.max("ts_c"), F.max("ts_p")).cast("bigint").alias("gend")
+    )
+    delays = F.explode(F.array(*[F.lit(s) for s in _Q280_DELAYS_S]))
+    s = (
+        b.withColumn("delay_s", delays)
+        .crossJoin(F.broadcast(mx))
+        .withColumn(
+            "is_late",
+            F.when(
+                F.col("gwm_base").isNotNull()
+                & (F.col("ts_us") < F.col("gwm_base") - F.col("delay_s") * us),
+                1,
+            ).otherwise(0),
+        )
+    )
+    is_click = F.col("event_type") == "click"
+    on_time = F.col("is_late") == 0
+    sides = s.groupBy("delay_s").agg(
+        F.sum(F.when(is_click & on_time, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clicks_kept"),
+        F.sum(F.when(~is_click & on_time, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purchases_kept"),
+        F.sum(
+            F.when(
+                is_click
+                & on_time
+                & (
+                    F.col("ts_us") + w_us
+                    >= F.col("gend") - F.col("delay_s") * us
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_state_clicks_end"),
+        F.sum(
+            F.when(
+                ~is_click
+                & on_time
+                & (F.col("ts_us") >= F.col("gend") - F.col("delay_s") * us),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_state_purchases_end"),
+    )
+    c = b.filter(is_click).select(
+        "user_id",
+        F.col("ts_us").alias("c_ts"),
+        F.col("gwm_base").alias("c_gwm"),
+    )
+    p = b.filter(~is_click).select(
+        "user_id",
+        F.col("ts_us").alias("p_ts"),
+        F.col("gwm_base").alias("p_gwm"),
+        "val_c",
+    )
+    pr = (
+        c.join(p, "user_id")
+        .filter(
+            (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + w_us)
+        )
+        .withColumn("delay_s", delays)
+        .withColumn(
+            "pair_late",
+            F.when(
+                (
+                    F.col("c_gwm").isNotNull()
+                    & (F.col("c_ts") < F.col("c_gwm") - F.col("delay_s") * us)
+                )
+                | (
+                    F.col("p_gwm").isNotNull()
+                    & (F.col("p_ts") < F.col("p_gwm") - F.col("delay_s") * us)
+                ),
+                1,
+            ).otherwise(0),
+        )
+    )
+    pa = pr.groupBy("delay_s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs_total"),
+        F.sum(1 - F.col("pair_late")).cast("bigint").alias("n_pairs_emitted"),
+        F.sum("pair_late").cast("bigint").alias("n_pairs_lost_late"),
+        F.coalesce(
+            F.sum(F.when(F.col("pair_late") == 0, F.col("val_c"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("sum_emitted_cents"),
+    )
+    return sides.join(pa, "delay_s").select(
+        F.col("delay_s").cast("bigint").alias("delay_s"),
+        "n_clicks_kept",
+        "n_purchases_kept",
+        "n_pairs_total",
+        "n_pairs_emitted",
+        "n_pairs_lost_late",
+        "sum_emitted_cents",
+        "n_state_clicks_end",
+        "n_state_purchases_end",
+    )
+
+
+_Q286_SALTS = 16
+
+
+@_q(
+    "q286_salted_skew_join",
+    f"""
+    WITH li AS (
+      SELECT CASE WHEN l_orderkey % 10 < 9 THEN 0
+                  ELSE l_partkey % 200 END AS sk,
+             {SC("l_extendedprice")} AS price_c,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    ),
+    d AS (
+      SELECT p_partkey % 200 AS sk,
+             CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(MIN({SC("p_retailprice")}) AS BIGINT) AS min_retail_c
+      FROM part GROUP BY 1
+    )
+    SELECT CAST(li.sk AS BIGINT) AS skew_key,
+           CAST(COUNT(*) AS BIGINT) AS n_li,
+           CAST(SUM(li.price_c) AS BIGINT) AS sum_price_c,
+           CAST(SUM(li.qty) AS BIGINT) AS sum_qty,
+           CAST(MAX(d.n_parts) AS BIGINT) AS n_parts,
+           CAST(MAX(d.min_retail_c) AS BIGINT) AS min_retail_c
+    FROM li JOIN d ON li.sk = d.sk
+    GROUP BY li.sk
+    """,
+)
+def q286_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED skewed JOIN — the missing JOIN half of the skew-rescue
+    pair (q205 diagnoses, q266 fixed the AGGREGATE side; VERDICT r12
+    Next #5b): a deliberately pathological fact key (~90% of lineitem
+    rows land on skew key 0) joins a per-key dimension. The classic
+    shuffle join funnels the hot key's rows into ONE task; the rescue
+    replicates the BUILD side across _Q286_SALTS = 16 salt values
+    (explode — |dim| x 16 rows, dimension-sized) and salts the PROBE
+    side deterministically (l_orderkey % 16), so the join keys on
+    (sk, _salt) and the hot key's rows spread over 16 tasks. The join
+    is deliberately hinted to SortMergeJoin: a broadcast would hide
+    the skew entirely (that rescue is q262's), and AQE's skew-split
+    only helps SMJ after a size-estimate pass — the manual salt is the
+    portable fix that also carries the DOWNSTREAM aggregate, which
+    here re-uses q266's two-stage decomposition (groupBy(sk, salt)
+    partials, then groupBy(sk)) so the hot key never refunnels. The
+    oracle is the plain UNSALTED join + GROUP BY, so the value-hash
+    match IS the salted == unsalted equality proof. Scale shape: one
+    balanced exchange on (sk, salt) per side, build replication is
+    dimension-sized (never fact-proportional), final combine over at
+    most |keys| x 16 partial rows. Plan-pinned: the join exchange
+    hashes on both sk and _salt, and no broadcast join appears."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 10 < 9, F.lit(0))
+        .otherwise(F.col("l_partkey") % 200)
+        .cast("bigint")
+        .alias("sk"),
+        cents(F.col("l_extendedprice")).alias("price_c"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        (F.col("l_orderkey") % _Q286_SALTS).cast("int").alias("_salt"),
+    )
+    d = (
+        _t(spark, sf_dir, "part")
+        .groupBy((F.col("p_partkey") % 200).cast("bigint").alias("sk"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.min(cents(F.col("p_retailprice")))
+            .cast("bigint")
+            .alias("min_retail_c"),
+        )
+    )
+    d_rep = d.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i).cast("int") for i in range(_Q286_SALTS)])),
+    )
+    joined = li.join(d_rep.hint("merge"), ["sk", "_salt"])
+    partial = joined.groupBy("sk", "_salt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("price_c").cast("bigint").alias("_p"),
+        F.sum("qty").cast("bigint").alias("_q"),
+        F.max("n_parts").cast("bigint").alias("_np"),
+        F.max("min_retail_c").cast("bigint").alias("_mr"),
+    )
+    return partial.groupBy("sk").agg(
+        F.sum("_n").cast("bigint").alias("n_li"),
+        F.sum("_p").cast("bigint").alias("sum_price_c"),
+        F.sum("_q").cast("bigint").alias("sum_qty"),
+        F.max("_np").cast("bigint").alias("n_parts"),
+        F.max("_mr").cast("bigint").alias("min_retail_c"),
+    ).select(
+        F.col("sk").alias("skew_key"),
+        "n_li",
+        "sum_price_c",
+        "sum_qty",
+        "n_parts",
+        "min_retail_c",
+    )
+
+
+_Q287_BIN_BYTES = 65_536  # target logical bytes per compacted file
+
+
+@_q(
+    "q287_compaction_execute",
+    f"""
+    WITH f AS (
+      SELECT CAST(doc_id // 16 AS BIGINT) AS m,
+             CAST(SUM(n_chars) AS BIGINT) AS bytes,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(doc_id) AS BIGINT) AS sum_docid
+      FROM documents GROUP BY 1
+    ),
+    pl AS (
+      SELECT m, bytes, n_docs, sum_docid,
+             CAST(SUM(bytes) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING)
+                  - bytes AS BIGINT) AS pre
+      FROM f
+    )
+    SELECT CAST(pre // {_Q287_BIN_BYTES} AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_input_files,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+           CAST(SUM(sum_docid) AS BIGINT) AS sum_docid,
+           CAST(MIN(m) AS BIGINT) AS first_m,
+           CAST(MAX(m) AS BIGINT) AS last_m
+    FROM pl GROUP BY 1
+    """,
+)
+def q287_compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction EXECUTION — q257 plans the binpack, this
+    entry RUNS it and certifies the rewrite (the predict->execute->
+    measure loop q278 closed for zone maps, applied to compaction; the
+    VERDICT r12 Next #5c item): the documents corpus is written as the
+    pathological small-file layout (one parquet file per doc_id-div-16
+    micro-file — q257's inventory granularity), the prefix-sum binpack
+    assigns contiguous micro-files to {_Q287_BIN_BYTES}-logical-byte
+    bins, a bin-keyed rewrite produces one file per bin, and THREE
+    verifications gate the result, all raising ValueError (never
+    assert) on mismatch: (1) the before-layout re-read must reproduce
+    the inventory per micro-file, (2) the after-layout re-read must
+    reproduce every bin's row count / byte total / doc_id checksum —
+    compaction must move bytes, never change them — and (3) an
+    EXECUTOR-SIDE parquet footer walk (parquet_footer_stats:
+    binaryFile listing + pyarrow inside mapInPandas, the driver never
+    opens a footer) must show exactly ONE file per bin whose footer
+    row count equals the bin's plan. Scale shape: inventory collapses
+    the corpus at the first groupBy; the prefix sum rides ONE
+    distributed_rank cumsum pass (no global window); each bin's
+    rewrite is one task of an ordinary hash exchange on bin_id; every
+    verification is a distributed re-read aggregated to bounded
+    cardinality before a 1-row mismatch count reaches the driver. The
+    reference shapes files only at write time via maxRecordsPerFile
+    (CM:124-133); this is the after-the-fact OPTIMIZE a lakehouse
+    actually operates."""
+    import os
+    import shutil
+    import tempfile
+
+    from spark_lakehouse_medallion_pipeline_spark.operators.relational import (
+        distributed_rank,
+    )
+    from spark_lakehouse_medallion_pipeline_spark.sources.io import (
+        parquet_footer_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    app = spark.sparkContext.applicationId
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_q287_{tag}_{app}")
+    shutil.rmtree(base, ignore_errors=True)
+    before, after = os.path.join(base, "before"), os.path.join(base, "after")
+
+    docs_m = docs.withColumn("m", F.expr("doc_id div 16").cast("bigint"))
+    f_inv = docs_m.groupBy("m").agg(
+        F.sum("n_chars").cast("bigint").alias("bytes"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("sum_docid"),
+    )
+    plan = (
+        distributed_rank(
+            f_inv,
+            [F.col("m").asc()],
+            rank_col="_r",
+            value_col="bytes",
+            cumsum_col="cum",
+        )
+        .withColumn("pre", (F.col("cum") - F.col("bytes")).cast("bigint"))
+        .withColumn("bin_id", F.expr(f"pre div {_Q287_BIN_BYTES}"))
+    )
+    # the pathological input: one physical file per micro-file
+    (
+        docs_m.repartition(F.col("m"))
+        .sortWithinPartitions("m", "doc_id")
+        .write.partitionBy("m")
+        .parquet(before)
+    )
+    # EXECUTE the plan: bin-keyed rewrite, one file per bin
+    assign = plan.select("m", "bin_id")
+    (
+        docs_m.join(assign, "m")
+        .repartition(F.col("bin_id"))
+        .sortWithinPartitions("bin_id", "doc_id")
+        .write.partitionBy("bin_id")
+        .parquet(after)
+    )
+
+    def _mismatches(lhs: DataFrame, rhs: DataFrame, key: str, cols: list[str]) -> int:
+        j = lhs.join(rhs, key, "full_outer")
+        cond = F.lit(False)
+        for c in cols:
+            cond = cond | ~F.col(f"l_{c}").eqNullSafe(F.col(f"r_{c}"))
+        return j.select(
+            F.sum(F.when(cond, 1).otherwise(0)).alias("bad")
+        ).collect()[0]["bad"]
+
+    # (1) before-layout re-read == inventory, per micro-file
+    b_re = (
+        spark.read.parquet(before)
+        .groupBy(F.col("m").cast("bigint").alias("m"))
+        .agg(
+            F.sum("n_chars").cast("bigint").alias("l_bytes"),
+            F.count(F.lit(1)).cast("bigint").alias("l_n_docs"),
+            F.sum("doc_id").cast("bigint").alias("l_sum_docid"),
+        )
+    )
+    inv_r = f_inv.select(
+        "m",
+        F.col("bytes").alias("r_bytes"),
+        F.col("n_docs").alias("r_n_docs"),
+        F.col("sum_docid").alias("r_sum_docid"),
+    )
+    bad = _mismatches(b_re, inv_r, "m", ["bytes", "n_docs", "sum_docid"])
+    if bad:
+        raise ValueError(f"before-layout drift: {bad} micro-files mismatch")
+    # bin-level plan rollup (the result, and verification baseline)
+    bins = plan.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_input_files"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("bytes").cast("bigint").alias("bin_bytes"),
+        F.sum("sum_docid").cast("bigint").alias("sum_docid"),
+        F.min("m").cast("bigint").alias("first_m"),
+        F.max("m").cast("bigint").alias("last_m"),
+    )
+    # (2) after-layout re-read == plan bins: bytes moved, nothing changed
+    a_re = (
+        spark.read.parquet(after)
+        .groupBy(F.col("bin_id").cast("bigint").alias("bin_id"))
+        .agg(
+            F.sum("n_chars").cast("bigint").alias("l_bin_bytes"),
+            F.count(F.lit(1)).cast("bigint").alias("l_n_docs"),
+            F.sum("doc_id").cast("bigint").alias("l_sum_docid"),
+        )
+    )
+    bins_r = bins.select(
+        "bin_id",
+        F.col("bin_bytes").alias("r_bin_bytes"),
+        F.col("n_docs").alias("r_n_docs"),
+        F.col("sum_docid").alias("r_sum_docid"),
+    )
+    bad = _mismatches(a_re, bins_r, "bin_id", ["bin_bytes", "n_docs", "sum_docid"])
+    if bad:
+        raise ValueError(f"after-layout drift: {bad} bins mismatch")
+    # (3) executor-side footer walk: one file per bin, footer row count
+    # equals the plan — the driver sees only the 1-row mismatch count
+    fs = (
+        parquet_footer_stats(spark, after)
+        .withColumn(
+            "bin_id",
+            F.regexp_extract("path", r"bin_id=(\d+)", 1).cast("bigint"),
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("l_n_files"),
+            F.sum("n_rows").cast("bigint").alias("l_footer_rows"),
+        )
+    )
+    fbins = bins.select(
+        "bin_id",
+        F.lit(1).cast("bigint").alias("r_n_files"),
+        F.col("n_docs").alias("r_footer_rows"),
+    )
+    bad = _mismatches(fs, fbins, "bin_id", ["n_files", "footer_rows"])
+    if bad:
+        raise ValueError(f"footer drift: {bad} bins mismatch")
+    return bins
+
+
+# q288 bloom geometry: 1100 words x 60 usable bits = 66,000 bits/zone.
+# 60 bits per word (not 64) keeps every set bit out of the int64 sign
+# position, so `1 << bit` is portable across engines with no two's-
+# complement spelling hazards. k = 3 salted md5 hashes.
+_Q288_WORDS = 1_100
+_Q288_BITS = _Q288_WORDS * 60
+_Q288_SALTS = ("b0:", "b1:", "b2:")
+_Q288_PROBES = 40
+
+
+@_q(
+    "q288_bloom_zone_pruning",
+    f"""
+    WITH li AS (
+      SELECT l_partkey,
+             row_number() OVER (ORDER BY CAST(l_shipdate AS DATE),
+                                l_orderkey, l_linenumber) - 1 AS rn
+      FROM lineitem
+    ),
+    zk AS (
+      SELECT DISTINCT CAST(rn // {_Q270_ZONE_ROWS} AS BIGINT) AS z,
+             l_partkey AS pk
+      FROM li
+    ),
+    h AS (SELECT unnest(['{"', '".join(_Q288_SALTS)}']) AS salt),
+    bits AS (
+      SELECT z,
+             CAST(('0x' || substr(md5(h.salt || CAST(pk AS VARCHAR)),
+                                  18, 15)) AS BIGINT) % {_Q288_BITS} AS pos
+      FROM zk CROSS JOIN h
+    ),
+    bloom AS (
+      SELECT z, CAST(pos // 60 AS BIGINT) AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 60 AS INT)) AS bw
+      FROM bits GROUP BY 1, 2
+    ),
+    mx AS (SELECT MAX(l_partkey) AS maxpk FROM lineitem),
+    probes AS (
+      SELECT CAST(t.i AS BIGINT) AS probe_id,
+             1 + (CAST(t.i AS BIGINT) * 104729)
+                 % (2 * (SELECT maxpk FROM mx)) AS key
+      FROM range(0, {_Q288_PROBES}) t(i)
+    ),
+    pbits AS (
+      SELECT probe_id, key,
+             CAST(('0x' || substr(md5(h.salt || CAST(key AS VARCHAR)),
+                                  18, 15)) AS BIGINT) % {_Q288_BITS} AS pos
+      FROM probes CROSS JOIN h
+    ),
+    zs AS (SELECT DISTINCT z FROM zk),
+    checks AS (
+      SELECT p.probe_id, p.key, zs.z,
+             CASE WHEN b.bw IS NOT NULL
+                   AND ((b.bw >> CAST(p.pos % 60 AS INT)) & 1) = 1
+                  THEN 1 ELSE 0 END AS hit
+      FROM pbits p CROSS JOIN zs
+      LEFT JOIN bloom b ON b.z = zs.z AND b.word = CAST(p.pos // 60 AS BIGINT)
+    ),
+    zpass AS (
+      SELECT probe_id, key, z,
+             CASE WHEN SUM(hit) = {len(_Q288_SALTS)} THEN 1 ELSE 0 END
+               AS bloom_pass
+      FROM checks GROUP BY 1, 2, 3
+    ),
+    act AS (SELECT DISTINCT p.probe_id, zk.z
+            FROM probes p JOIN zk ON zk.pk = p.key)
+    SELECT zp.probe_id,
+           CAST(MAX(zp.key) AS BIGINT) AS probe_key,
+           CAST(COUNT(*) AS BIGINT) AS n_zones,
+           CAST(SUM(zp.bloom_pass) AS BIGINT) AS n_bloom_pass,
+           CAST(COUNT(a.z) AS BIGINT) AS n_actual_zones,
+           CAST(SUM(zp.bloom_pass) - COUNT(a.z) AS BIGINT)
+             AS n_false_positive_zones,
+           CAST((1000000 * (COUNT(*) - SUM(zp.bloom_pass))) // COUNT(*)
+                AS BIGINT) AS skip_ratio_e6
+    FROM zpass zp LEFT JOIN act a ON a.probe_id = zp.probe_id AND a.z = zp.z
+    GROUP BY zp.probe_id
+    """,
+)
+def q288_bloom_zone_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-zone BLOOM-FILTER pruning for point lookups — the MEMBERSHIP
+    half of the data-skipping story, completing the triad with q270/
+    q278 (min/max zone maps) and q279 (z-order): on a shipdate-sorted
+    layout, l_partkey is scattered uniformly across zones, so min/max
+    stats prune NOTHING for a partkey point lookup — exactly the gap
+    Delta/Iceberg bloom-filter indexes exist for. Each 10,000-row zone
+    gets a 66,000-bit bloom (1100 x 60-bit words — 60 usable bits per
+    word keeps set bits out of the int64 sign position, the portable
+    spelling; k=3 salted md5 hashes, the q274/q162 cross-engine hash
+    idiom), built DISTRIBUTIVELY as a bit_or aggregate over the zone's
+    distinct keys. 40 deterministic probe keys spread over twice the
+    key domain (so ~half are absent — where blooms shine, skipping
+    every zone) are then checked against every zone's bloom, and the
+    audit reports per probe: zones passing the bloom, zones ACTUALLY
+    containing the key (exact join — no false negative is possible by
+    construction, pinned in pytest), false-positive zones (measured,
+    not assumed: the rate follows the geometry from the zone's DISTINCT
+    key occupancy — ~8.5k keys/zone at sf0.1 gives m/n~7.8, k=3 ->
+    ~3%, observed as 54 FP zones across the probe battery; sparser
+    zones at smaller sf give ~0), and the skip ratio. Scale shape: one distributed_rank pass (no
+    global window), one (z, pk) distinct, a x3 literal explode, one
+    map-combined bit_or groupBy to |zones| x 1100 metadata-sized bloom
+    rows — the index is ~8 KB per 10k-row zone, the same
+    bytes-per-row budget a real bloom index pays; probe-side work is
+    |probes| x |zones| spine rows, driver sees only the 40-row audit."""
+    from spark_lakehouse_medallion_pipeline_spark.operators.relational import (
+        distributed_rank,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("sd"),
+    )
+    zoned = distributed_rank(
+        li,
+        [F.col("sd").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        rank_col="_r",
+    ).select(
+        F.expr(f"(_r - 1) div {_Q270_ZONE_ROWS}").cast("bigint").alias("z"),
+        F.col("l_partkey").alias("pk"),
+    )
+    zk = zoned.distinct()
+    salts = F.explode(F.array(*[F.lit(s) for s in _Q288_SALTS]))
+
+    def _pos(salt_col: Column, key_col: Column) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(salt_col, key_col.cast("string"))), 18, 15
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _Q288_BITS
+        )
+
+    bits = zk.withColumn("salt", salts).select(
+        "z", _pos(F.col("salt"), F.col("pk")).alias("pos")
+    )
+    bloom = bits.groupBy(
+        "z", F.expr("pos div 60").cast("bigint").alias("word")
+    ).agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 60 AS INT)))")
+        .alias("bw")
+    )
+    mx = li.agg(F.max("l_partkey").cast("bigint").alias("maxpk"))
+    probes = (
+        spark.range(_Q288_PROBES)
+        .select(F.col("id").cast("bigint").alias("probe_id"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "probe_id",
+            (1 + (F.col("probe_id") * 104729) % (2 * F.col("maxpk"))).alias(
+                "key"
+            ),
+        )
+    )
+    pbits = probes.withColumn("salt", salts).select(
+        "probe_id", "key", _pos(F.col("salt"), F.col("key")).alias("pos")
+    )
+    zs = zk.select("z").distinct()
+    # bounded spine: |probes| x k x |zones| rows (metadata-sized both
+    # sides — the sanctioned small-crossJoin form)
+    checks = (
+        pbits.crossJoin(zs)
+        .join(
+            bloom.select(
+                F.col("z").alias("bz"), "word", "bw"
+            ),
+            (F.col("z") == F.col("bz"))
+            & (F.col("word") == F.expr("pos div 60")),
+            "left",
+        )
+        .select(
+            "probe_id",
+            "key",
+            "z",
+            F.when(
+                F.col("bw").isNotNull()
+                & (
+                    F.expr("(bw >> CAST(pos % 60 AS INT)) & 1") == 1
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+    )
+    zpass = checks.groupBy("probe_id", "key", "z").agg(
+        F.when(F.sum("hit") == len(_Q288_SALTS), 1).otherwise(0).alias(
+            "bloom_pass"
+        )
+    )
+    act = (
+        probes.join(zk, probes.key == zk.pk)
+        .select("probe_id", "z")
+        .distinct()
+        .select(F.col("probe_id").alias("a_pid"), F.col("z").alias("a_z"))
+    )
+    return (
+        zpass.join(
+            act,
+            (F.col("probe_id") == F.col("a_pid")) & (F.col("z") == F.col("a_z")),
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.max("key").cast("bigint").alias("probe_key"),
+            F.count(F.lit(1)).cast("bigint").alias("n_zones"),
+            F.sum("bloom_pass").cast("bigint").alias("n_bloom_pass"),
+            F.count("a_z").cast("bigint").alias("n_actual_zones"),
+            (F.sum("bloom_pass") - F.count("a_z"))
+            .cast("bigint")
+            .alias("n_false_positive_zones"),
+            F.expr(
+                "CAST((1000000 * (COUNT(1) - SUM(bloom_pass))) div COUNT(1)"
+                " AS BIGINT)"
+            ).alias("skip_ratio_e6"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
@@ -17173,7 +17952,7 @@ _DRIVER_SNAPSHOT_50 = [
     # sort/limit, set ops, sketches
     "q258_theil_sen_slope",  # r11: Theil-Sen robust slope, never driver-recorded (q225 Wilson lower bound green r9+r10; the statistical-test surface keeps q241 kappa + incoming q249/q256 in the head and q225 stays value-oracled in the full gate)
     "q242_percentile_rank_normalize",  # r10: empirical-CDF normalization via relational.distributed_rank — the two-pass rank's reuse story, birth-round row (q196 rank distributions green r08+r09; X8 ranking keeps q215 Gini + q212 IR-eval in the head and q196 stays value-oracled in the full gate)
-    "q181_bpe_train_2merges",  # r7: BPE training never recorded (q18 green r01-r06; distinct family keeps q145)
+    "q285_stream_stream_interval_join",  # r13 birth-round: stream-stream interval join replay — watermark drop + eviction accounting over two keyed streams, composing q280's cummax watermark with q276's range-join shape (q181 BPE green r7-r12, the longest-tenured rotatable slot; X20 text keeps q253 zipf + q263 inverted index in the head and q181 stays value-oracled in the full gate)
     # time windows / sessionization
     "q261_ols_trend_slope",  # r11: exact-int OLS normal equations, never driver-recorded (q230 chi-square green r9+r10; contingency tests keep q241 kappa in the head and q230 stays value-oracled in the full gate)
     "q271_gap_fill_interpolate",  # r11 late birth-round: spine gap-fill with LOCF + exact integer interpolation (q125 cogroup-as-of green r8-r10; X6 theta/range keeps q221 funnel in the head, X16 keeps q200 JPEG + q268 mapInPandas, and q125 stays value-oracled in the full gate)
@@ -17183,7 +17962,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q67_dedup_clusters",  # r7: connected components never recorded in 6 rounds (q117 mapInArrow green r04-r06; UDF family keeps q65)
     "q255_ks_two_sample",  # r10 late: Kolmogorov-Smirnov two-sample test — the driver-visible proof of distributed_rank's multi-prefix-sum (cumsum_cols) form, birth-round row (q214 correlation matrix green r08+r09; the multivariate-ANALYZE family keeps q213 profile + q240 MAD in the head and q214 stays value-oracled in the full gate)
     # semi-structured: JSON, arrays, maps/structs
-    "q207_rolling_distinct_users",  # r8 late: rolling bitmap distinct, birth-round row (q168 TWAP green r05-r07; the time-window family keeps q150/q170/q172/q178 + this entry)
+    "q286_salted_skew_join",  # r13 birth-round: salted skewed JOIN — build-side x16 replication + deterministic probe salt, SMJ keyed (sk, _salt), hash-proven equal to the unsalted join; the JOIN half completing q205-diagnose/q266-aggregate (q207 rolling bitmap distinct green r8-r12; X10 frames keep q280 prefix-max + q255 KS in the head and q207 stays value-oracled in the full gate)
     "q200_jpeg_image_features",  # r8: real baseline-JPEG codec, birth-round row (q162 portable LSH green r04-r07; its candidates CTE lives on inside q149's oracle, and dedup keeps q149/q152/q179)
     "q274_consistent_hash_rebalance",  # r11 late birth-round: consistent-hashing ring rebalance with the moved-to-new-shard contract hash-checked (q123 XML battery green r4-r10, the longest-tenured rotatable slot; X22 keeps q232/q237 in the head and q123 stays value-oracled in the full gate)
     # dedup family
@@ -17193,9 +17972,9 @@ _DRIVER_SNAPSHOT_50 = [
     "q260_pareto_skyline",  # r11: Pareto frontier via the cummax_cols EXCLUSIVE prefix max — the driver-visible proof of the r10 rank-statistic widening, never driver-recorded (q234 ABC-XYZ green r9+r10; planning analytics keep q246 in the head and q234/q220 stay value-oracled in the full gate)
     # similarity family
     "q201_pq_codes_int",  # r8: integer-exact PQ train+encode, first-ever driver row for the PQ family (q36 brute kNN green r01-r07; q183's recall eval computes the same brute kNN internally)
-    "q198_pca_power_customers",  # r8: integer power-iteration PCA, birth-round row (q126 PageRank green r01-r07; graph keeps q192/q67/q188)
+    "q287_compaction_execute",  # r13 birth-round: compaction EXECUTION — q257's binpack plan actually run (bin-keyed rewrite, one file per bin) with before/after re-read equality + an EXECUTOR-SIDE pyarrow footer walk, the predict->execute->measure loop applied to OPTIMIZE (q198 PCA green r8-r12; X19 similarity keeps q201 integer PQ in the head and q198 stays value-oracled in the full gate)
     # text analysis family
-    "q253_zipf_rank_frequency",  # r11: Zipf rank-frequency vocabulary audit, never driver-recorded (q202 BM25 green r8-r10; lexical retrieval keeps q181 BPE + incoming q263 inverted index in the head and q202 stays value-oracled in the full gate)
+    "q288_bloom_zone_pruning",  # r13 birth-round: per-zone bloom-filter point-lookup pruning — the MEMBERSHIP half of data skipping, completing the q270/q278 min-max + q279 z-order triad; distributed bit_or bloom build, measured FP rate, no-false-negative pytest (q253 Zipf green r11+r12; lexical/text keeps q263 inverted index in the head — q181's slot also rotated this round — and q253 stays value-oracled in the full gate)
     "q263_inverted_index",  # r11: champion-postings inverted index, never driver-recorded (q204 containment green r8-r10; dedup keeps q67/q238/q239 in the head and q204 stays value-oracled in the full gate)
     "q267_bucketed_colocated_join",  # r11 birth-round: zero-join-key-exchange bucketed layout, plan-pinned (q236 CSV quarantine green r9+r10; the quarantine trio keeps q237+q247 in the head and q236 stays value-oracled in the full gate)
     "q262_erasure_cascade_audit",  # r11: GDPR erasure blast-radius (now with the AQE-chosen, unforced cascade join), never driver-recorded (q227 FK conformance green r8-r10 — q262 exercises the same FK cascade; q227 stays value-oracled in the full gate)

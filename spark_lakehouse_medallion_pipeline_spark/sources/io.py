@@ -624,3 +624,43 @@ def vacuum_snapshots(table_dir: str, keep: int = 2) -> list[int]:
     for v in drop:
         shutil.rmtree(pathlib.Path(table_dir, f"v={v}"), ignore_errors=True)
     return drop
+
+
+def parquet_footer_stats(
+    spark: SparkSession, path_glob: str, glob_filter: str = "*.parquet"
+) -> DataFrame:
+    """EXECUTOR-SIDE parquet footer walk: metadata (row counts, row-group
+    counts) for every file matching the glob, read with pyarrow INSIDE
+    mapInPandas so the driver never touches a footer — the
+    data-size-independent form of the per-file audit q278 does driver-
+    side (VERDICT r12 hardening note #4's alternative). The file list
+    rides the `binaryFile` source with ONLY the `path` column selected,
+    so column pruning keeps file CONTENT unread (listing-only job); each
+    executor then opens only the ~KB footer of its files. Scale shape:
+    the walk parallelizes over files, driver work is bounded by the
+    RESULT cardinality the caller aggregates to, never the file count."""
+    import pyarrow.parquet as _pq
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob_filter)
+        .load(path_glob)
+        .select("path")
+    )
+
+    def _read_footers(batches):
+        import pandas as pd
+
+        for b in batches:
+            rows = []
+            for p in b["path"]:
+                local = p.removeprefix("file:")
+                md = _pq.ParquetFile(local).metadata
+                rows.append((p, md.num_rows, md.num_row_groups))
+            yield pd.DataFrame(
+                rows, columns=["path", "n_rows", "n_row_groups"]
+            )
+
+    return files.mapInPandas(
+        _read_footers, "path string, n_rows long, n_row_groups int"
+    )

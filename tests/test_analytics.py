@@ -1931,3 +1931,277 @@ def test_q284_sortedness_replay(spark):
         < got["month_clustered"]["n_adjacent_inversions"]
         < got["natural"]["n_adjacent_inversions"]
     )
+
+
+@pytest.mark.slow
+def test_q285_streaming_simulation_replay(spark):
+    """q285's batch formulas vs a TRUE streaming simulation: iterate
+    the union of both streams in arrival order, maintain per-stream
+    watermark bases, drop late rows, EVICT expired state before each
+    match, and emit pairs at the later arrival. Asserts (a) the
+    simulation's emitted pairs / cents / end-state sizes equal the
+    query's columns for every delay — so the eviction theorem the
+    docstring claims (inner-join eviction never loses an on-time pair)
+    holds on this data by construction, and (b) the conservation
+    identity emitted + lost_late == total."""
+    from spark_lakehouse_medallion_pipeline_spark.queries import (
+        _Q280_DELAYS_S,
+        _Q285_JOIN_WINDOW_S,
+    )
+    from spark_lakehouse_medallion_pipeline_spark.sources.io import read_events
+
+    US = 1_000_000
+    W = _Q285_JOIN_WINDOW_S * US
+    ev = read_events(spark, SF).toPandas()
+    ev = ev[ev.event_type.isin(["click", "purchase"])].copy()
+    ev["ts_us"] = ev.ts.astype("int64") // 1000  # ns -> us
+    ev["arr_us"] = ev.ts_us + (ev.event_id % 7) * 60_000_000
+    ev["val_c"] = (ev.value * 100).round().astype("int64")
+    rows = ev.sort_values(["arr_us", "event_id"]).itertuples(index=False)
+    rows = list(rows)
+
+    got = {
+        r["delay_s"]: r.asDict()
+        for r in QUERIES["q285_stream_stream_interval_join"](spark, SF).collect()
+    }
+    for delay in _Q280_DELAYS_S:
+        wma = wmb = None
+        click_state: list[tuple[int, int]] = []  # (user_id, ts_us)
+        pur_state: list[tuple[int, int, int]] = []  # (user_id, ts_us, val_c)
+        emitted_cents, n_emitted = 0, 0
+        for r in rows:
+            gwm = (
+                None
+                if wma is None or wmb is None
+                else min(wma, wmb) - delay * US
+            )
+            is_late = gwm is not None and r.ts_us < gwm
+            if not is_late:
+                if gwm is not None:
+                    click_state = [s for s in click_state if s[1] + W >= gwm]
+                    pur_state = [s for s in pur_state if s[1] >= gwm]
+                if r.event_type == "click":
+                    for u, pts, pval in pur_state:
+                        if u == r.user_id and r.ts_us <= pts <= r.ts_us + W:
+                            n_emitted += 1
+                            emitted_cents += pval
+                    click_state.append((r.user_id, r.ts_us))
+                else:
+                    for u, cts in click_state:
+                        if u == r.user_id and cts <= r.ts_us <= cts + W:
+                            n_emitted += 1
+                            emitted_cents += r.val_c
+                    pur_state.append((r.user_id, r.ts_us, r.val_c))
+            if r.event_type == "click":
+                wma = r.ts_us if wma is None else max(wma, r.ts_us)
+            else:
+                wmb = r.ts_us if wmb is None else max(wmb, r.ts_us)
+        g = got[delay]
+        assert g["n_pairs_emitted"] == n_emitted, delay
+        assert g["sum_emitted_cents"] == emitted_cents, delay
+        assert g["n_pairs_total"] == g["n_pairs_emitted"] + g["n_pairs_lost_late"]
+        # end-of-stream resident state
+        gend = min(wma, wmb) - delay * US
+        click_state = [s for s in click_state if s[1] + W >= gend]
+        pur_state = [s for s in pur_state if s[1] >= gend]
+        assert g["n_state_clicks_end"] == len(click_state), delay
+        assert g["n_state_purchases_end"] == len(pur_state), delay
+
+
+def test_q286_salted_equals_unsalted_replay(spark):
+    """q286's salted==unsalted equality, replayed in pandas with NO
+    salting at all (an engine-independent third opinion beside the
+    DuckDB oracle): brute-force the skewed join + group-by and compare
+    every output column. Also pins the skew premise — the hot key must
+    actually dominate (>=80% of lineitem rows land on skew_key 0)."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    pa = spark.read.parquet(f"{SF}/part.parquet").toPandas()
+    li["sk"] = li.l_partkey % 200
+    li.loc[li.l_orderkey % 10 < 9, "sk"] = 0
+    li["price_c"] = (li.l_extendedprice * 100).round().astype("int64")
+    li["qty"] = li.l_quantity.astype("int64")
+    pa["sk"] = pa.p_partkey % 200
+    pa["retail_c"] = (pa.p_retailprice * 100).round().astype("int64")
+    d = pa.groupby("sk").agg(
+        n_parts=("sk", "size"), min_retail_c=("retail_c", "min")
+    )
+    j = li.merge(d, left_on="sk", right_index=True, how="inner")
+    want = {
+        int(sk): (
+            len(g),
+            int(g.price_c.sum()),
+            int(g.qty.sum()),
+            int(g.n_parts.iloc[0]),
+            int(g.min_retail_c.iloc[0]),
+        )
+        for sk, g in j.groupby("sk")
+    }
+    got = {
+        r["skew_key"]: (
+            r["n_li"],
+            r["sum_price_c"],
+            r["sum_qty"],
+            r["n_parts"],
+            r["min_retail_c"],
+        )
+        for r in QUERIES["q286_salted_skew_join"](spark, SF).collect()
+    }
+    assert got == want
+    hot = got[0][0]
+    assert hot >= 0.8 * sum(v[0] for v in got.values())
+
+
+def test_q287_compaction_execute_replay(spark):
+    """q287's binpack + rewrite, replayed brute-force in pandas AND
+    checked on the filesystem: (a) the per-bin plan (input files, docs,
+    bytes, doc_id checksum, bucket span) must equal a sequential
+    first-fit replay of the prefix-sum math; (b) on disk, the before
+    layout holds exactly one parquet file per micro-file and the after
+    layout exactly one per bin — the file-count reduction IS the
+    compaction; (c) total docs and checksums conserve."""
+    import glob
+    import os
+    import tempfile
+
+    from spark_lakehouse_medallion_pipeline_spark.queries import _Q287_BIN_BYTES
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    docs["m"] = docs.doc_id // 16
+    inv = (
+        docs.groupby("m")
+        .agg(
+            bytes=("n_chars", "sum"),
+            n_docs=("doc_id", "size"),
+            sum_docid=("doc_id", "sum"),
+        )
+        .sort_index()
+    )
+    want: dict[int, list[int]] = {}
+    pre = 0
+    for m, r in inv.iterrows():
+        b = pre // _Q287_BIN_BYTES
+        if b not in want:
+            want[b] = [0, 0, 0, 0, int(m), int(m)]
+        want[b][0] += 1
+        want[b][1] += int(r.n_docs)
+        want[b][2] += int(r.bytes)
+        want[b][3] += int(r.sum_docid)
+        want[b][5] = int(m)
+        pre += int(r.bytes)
+    rows = QUERIES["q287_compaction_execute"](spark, SF).collect()
+    got = {
+        r["bin_id"]: [
+            r["n_input_files"],
+            r["n_docs"],
+            r["bin_bytes"],
+            r["sum_docid"],
+            r["first_m"],
+            r["last_m"],
+        ]
+        for r in rows
+    }
+    assert got == want
+    assert sum(v[1] for v in got.values()) == len(docs)
+    assert sum(v[3] for v in got.values()) == int(docs.doc_id.sum())
+    # on-disk layout: one file per micro-file before, one per bin after
+    tag = os.path.basename(SF.rstrip("/"))
+    app = spark.sparkContext.applicationId
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_q287_{tag}_{app}")
+    bdirs = glob.glob(os.path.join(base, "before", "m=*"))
+    adirs = glob.glob(os.path.join(base, "after", "bin_id=*"))
+    assert len(bdirs) == len(inv)
+    assert len(adirs) == len(got)
+    for d in bdirs + adirs:
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, d
+    assert len(adirs) < len(bdirs)  # compaction reduced the file count
+
+
+def test_parquet_footer_stats_matches_driver_walk(spark, tmp_path):
+    """The executor-side footer walk must report exactly what a
+    driver-side pyarrow walk reports, file for file, and must list
+    only parquet files (no _SUCCESS markers)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from spark_lakehouse_medallion_pipeline_spark.sources.io import (
+        parquet_footer_stats,
+    )
+
+    p = str(tmp_path / "t")
+    spark.range(1000).selectExpr("id", "id % 7 AS k").repartition(
+        4
+    ).write.parquet(p)
+    got = {
+        r["path"].removeprefix("file:"): (r["n_rows"], r["n_row_groups"])
+        for r in parquet_footer_stats(spark, p).collect()
+    }
+    files = sorted(glob.glob(p + "/*.parquet"))
+    assert set(got) == set(files)
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        assert got[f] == (md.num_rows, md.num_row_groups)
+
+
+def test_q288_bloom_replay_and_no_false_negatives(spark):
+    """q288's bloom build + probe, replayed brute-force in python
+    (hashlib md5 — fully independent of both engines' SQL): per-zone
+    bit sets from the same salted hashes must reproduce every probe's
+    bloom_pass count, and the STRUCTURAL bloom guarantee must hold —
+    zero false negatives (every zone that actually contains the key
+    passes its bloom), so n_bloom_pass >= n_actual_zones row for row
+    and n_false_positive_zones is never negative."""
+    import hashlib
+
+    from spark_lakehouse_medallion_pipeline_spark.queries import (
+        _Q270_ZONE_ROWS,
+        _Q288_BITS,
+        _Q288_PROBES,
+        _Q288_SALTS,
+    )
+
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_partkey", "l_orderkey", "l_linenumber", "l_shipdate")
+        .toPandas()
+    )
+    li["sd"] = li.l_shipdate.dt.normalize()
+    li = li.sort_values(["sd", "l_orderkey", "l_linenumber"]).reset_index(
+        drop=True
+    )
+    li["z"] = li.index // _Q270_ZONE_ROWS
+
+    def pos(salt: str, key: int) -> int:
+        h = hashlib.md5(f"{salt}{key}".encode()).hexdigest()
+        return int(h[17:32], 16) % _Q288_BITS
+
+    zones = sorted(li.z.unique())
+    blooms = {z: set() for z in zones}
+    zkeys = {z: set(g.l_partkey) for z, g in li.groupby("z")}
+    for z, keys in zkeys.items():
+        for k in keys:
+            for s in _Q288_SALTS:
+                blooms[z].add(pos(s, int(k)))
+    maxpk = int(li.l_partkey.max())
+    rows = {
+        r["probe_id"]: r.asDict()
+        for r in QUERIES["q288_bloom_zone_pruning"](spark, SF).collect()
+    }
+    assert len(rows) == _Q288_PROBES
+    for i in range(_Q288_PROBES):
+        key = 1 + (i * 104729) % (2 * maxpk)
+        want_pass = sum(
+            1
+            for z in zones
+            if all(pos(s, key) in blooms[z] for s in _Q288_SALTS)
+        )
+        want_actual = sum(1 for z in zones if key in zkeys[z])
+        g = rows[i]
+        assert g["probe_key"] == key, i
+        assert g["n_zones"] == len(zones), i
+        assert g["n_bloom_pass"] == want_pass, i
+        assert g["n_actual_zones"] == want_actual, i
+        # the bloom guarantee: no false negatives, FP count non-negative
+        assert g["n_bloom_pass"] >= g["n_actual_zones"], i
+        assert g["n_false_positive_zones"] == want_pass - want_actual, i

@@ -1166,3 +1166,69 @@ def test_q278_zone_size_caps_file_count(spark, tmp_path):
         assert rows[layout]["footer_verified"] == 1
         zdirs = glob.glob(os.path.join(base, layout, "z=*"))
         assert len(zdirs) == want_files
+
+
+def test_q285_q286_plan_shapes(spark):
+    """q285 stream-stream replay: one distributed_rank (no global
+    WindowExec), the pair join is an EQUI join on user_id (the 1-row
+    watermark-maxima combine may broadcast-nested-loop — sanctioned
+    bounded form — but a true CartesianProduct is banned). q286 salted
+    join: the join MUST be a SortMergeJoin keyed on BOTH sk and _salt
+    (hot-key rows spread over 16 tasks), never a broadcast (that would
+    hide the skew this entry exists to treat), and the downstream
+    aggregate must be map-combined."""
+    plan = (
+        QUERIES["q285_stream_stream_interval_join"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert not global_windows(plan), "q285 has a global WindowExec"
+
+    plan2 = (
+        QUERIES["q286_salted_skew_join"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin [sk" in plan2 and "_salt" in plan2.split(
+        "SortMergeJoin", 1
+    )[1].split("\n", 1)[0], "q286 join not keyed on (sk, _salt)"
+    assert "BroadcastHashJoin" not in plan2, (
+        "q286 join broadcast — the salt demo requires the shuffle path"
+    )
+    assert "CartesianProduct" not in plan2
+    import re as _re
+
+    assert _re.search(r"Exchange hashpartitioning\(sk#\d+L, _salt", plan2), (
+        "q286 probe exchange not salted"
+    )
+    assert plan2.count("HashAggregate") >= 4  # partial+final, both stages
+
+
+def test_q287_q288_plan_shapes(spark):
+    """q287 compaction: prefix-sum binpack rides distributed_rank (no
+    global WindowExec anywhere in the result plan) and no cartesian.
+    q288 bloom pruning: the bloom build aggregate must be map-combined
+    (partial+final bit_or around the (z, word) exchange), no global
+    window; the probe x zone spine is a bounded broadcast (nested-loop
+    allowed, true CartesianProduct banned)."""
+    plan = (
+        QUERIES["q287_compaction_execute"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert not global_windows(plan), "q287 has a global WindowExec"
+
+    plan2 = (
+        QUERIES["q288_bloom_zone_pruning"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan2
+    assert not global_windows(plan2), "q288 has a global WindowExec"
+    assert plan2.count("HashAggregate") >= 2  # bit_or partial+final
