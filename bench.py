@@ -221,6 +221,7 @@ HEADLINE = [
     "q286_salted_skew_join",
     "q287_compaction_execute",
     "q288_bloom_zone_pruning",
+    "q289_stream_outer_join_timing",
     "medallion_gold_kpis",
 ]
 

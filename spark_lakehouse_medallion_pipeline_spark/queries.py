@@ -17773,6 +17773,237 @@ def q288_bloom_zone_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q289_stream_outer_join_timing",
+    f"""
+    WITH e AS (
+      SELECT event_id, event_type, user_id,
+             epoch_us(ts) AS ts_us,
+             epoch_us(ts) + (event_id % 7) * 60000000 AS arr_us,
+             CAST(ROUND(value*100) AS BIGINT) AS val_c
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    w AS (
+      SELECT *,
+             max(CASE WHEN event_type = 'click' THEN ts_us END)
+               OVER (ORDER BY arr_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS wma,
+             max(CASE WHEN event_type = 'purchase' THEN ts_us END)
+               OVER (ORDER BY arr_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS wmb
+      FROM e
+    ),
+    b AS (
+      SELECT *, CASE WHEN wma IS NULL OR wmb IS NULL THEN NULL
+                     ELSE LEAST(wma, wmb) END AS gwm_base
+      FROM w
+    ),
+    mx AS (
+      SELECT LEAST(max(CASE WHEN event_type = 'click' THEN ts_us END),
+                   max(CASE WHEN event_type = 'purchase' THEN ts_us END))
+             AS gend
+      FROM e
+    ),
+    d AS (SELECT unnest([{", ".join(str(s) for s in _Q280_DELAYS_S)}])
+          AS delay_s),
+    c AS (SELECT event_id, user_id, ts_us, gwm_base, val_c
+          FROM b WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts_us AS p_ts, gwm_base AS p_gwm
+          FROM b WHERE event_type = 'purchase'),
+    pair AS (
+      SELECT d.delay_s, c.event_id,
+             SUM(CASE WHEN NOT (c.gwm_base IS NOT NULL
+                        AND c.ts_us < c.gwm_base - d.delay_s * 1000000)
+                       AND NOT (p.p_gwm IS NOT NULL
+                        AND p.p_ts < p.p_gwm - d.delay_s * 1000000)
+                      THEN 1 ELSE 0 END) AS n_emitted
+      FROM c JOIN p ON c.user_id = p.user_id
+                   AND p.p_ts BETWEEN c.ts_us
+                                  AND c.ts_us + {_Q285_JOIN_WINDOW_S * 1000000}
+      CROSS JOIN d
+      GROUP BY 1, 2
+    ),
+    cx AS (
+      SELECT d.delay_s, c.event_id, c.val_c, c.ts_us,
+             CASE WHEN c.gwm_base IS NOT NULL
+                   AND c.ts_us < c.gwm_base - d.delay_s * 1000000
+                  THEN 1 ELSE 0 END AS is_late,
+             COALESCE(pr.n_emitted, 0) AS n_emitted
+      FROM c CROSS JOIN d
+      LEFT JOIN pair pr ON pr.delay_s = d.delay_s
+                       AND pr.event_id = c.event_id
+    )
+    SELECT CAST(delay_s AS BIGINT) AS delay_s,
+           CAST(SUM(1 - is_late) AS BIGINT) AS n_clicks_kept,
+           CAST(SUM(CASE WHEN is_late = 0 AND n_emitted > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched_clicks,
+           CAST(SUM(CASE WHEN is_late = 0 THEN n_emitted ELSE 0 END)
+                AS BIGINT) AS n_pairs_emitted,
+           CAST(SUM(CASE WHEN is_late = 0 AND n_emitted = 0
+                          AND ts_us + {_Q285_JOIN_WINDOW_S * 1000000}
+                              < (SELECT gend FROM mx) - delay_s * 1000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_null_emitted,
+           CAST(SUM(CASE WHEN is_late = 0 AND n_emitted = 0
+                          AND ts_us + {_Q285_JOIN_WINDOW_S * 1000000}
+                              >= (SELECT gend FROM mx) - delay_s * 1000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pending_end,
+           CAST(SUM(CASE WHEN is_late = 0 AND n_emitted = 0
+                          AND ts_us + {_Q285_JOIN_WINDOW_S * 1000000}
+                              < (SELECT gend FROM mx) - delay_s * 1000000
+                         THEN val_c ELSE 0 END) AS BIGINT)
+             AS sum_null_cents
+    FROM cx GROUP BY delay_s
+    """,
+)
+def q289_stream_outer_join_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join NULL-EMISSION timing — the outer
+    half completing q285 (inner): a watermarked left-outer stream join
+    cannot emit a click's NULL row the moment no purchase has matched;
+    it must hold the click until the watermark passes its eviction
+    bound (click ts + window), because a matching purchase may still
+    arrive. This replay audits exactly that timing per candidate
+    delay: every on-time click is classified MATCHED (>= 1 emitted
+    pair, q285's both-sides-on-time rule — n_pairs_emitted here must
+    equal q285's column, pinned cross-entry in pytest), NULL-EMITTED
+    (unmatched and evicted within the dataset: bound < final
+    watermark — the NULL row has been produced), or PENDING (unmatched
+    but still resident at end-of-stream: the outer join's structural
+    result latency, invisible to any batch left join). kept = matched
+    + null_emitted + pending is the conservation identity. The cents
+    attached to null-emitted clicks quantify the revenue whose
+    attribution a shorter delay would surface sooner. Same watermark
+    machinery as q285 (two exclusive prefix maxima over union arrival
+    order from ONE distributed_rank pass, min-across-sources global
+    watermark); the click-side classification is a LEFT join from the
+    exploded click set onto the per-click pair aggregate — bounded,
+    spill-safe, map-combined to 3 rows."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    us = 1_000_000
+    w_us = _Q285_JOIN_WINDOW_S * us
+    e = ev.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.unix_micros("ts") + (F.col("event_id") % 7) * 60_000_000).alias(
+            "arr_us"
+        ),
+        cents(F.col("value")).alias("val_c"),
+        F.when(F.col("event_type") == "click", F.unix_micros("ts")).alias(
+            "ts_c"
+        ),
+        F.when(F.col("event_type") == "purchase", F.unix_micros("ts")).alias(
+            "ts_p"
+        ),
+    )
+    b = relational.distributed_rank(
+        e,
+        [F.col("arr_us").asc(), F.col("event_id").asc()],
+        rank_col="_r",
+        cummax_cols={"ts_c": "wma", "ts_p": "wmb"},
+    ).withColumn(
+        "gwm_base",
+        F.when(
+            F.col("wma").isNull() | F.col("wmb").isNull(), F.lit(None)
+        ).otherwise(F.least("wma", "wmb")),
+    )
+    mx = e.agg(
+        F.least(F.max("ts_c"), F.max("ts_p")).cast("bigint").alias("gend")
+    )
+    delays = F.explode(F.array(*[F.lit(s) for s in _Q280_DELAYS_S]))
+    is_click = F.col("event_type") == "click"
+    c = b.filter(is_click).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("gwm_base").alias("c_gwm"),
+        "val_c",
+    )
+    p = b.filter(~is_click).select(
+        "user_id",
+        F.col("ts_us").alias("p_ts"),
+        F.col("gwm_base").alias("p_gwm"),
+    )
+    pair = (
+        c.join(p, "user_id")
+        .filter(
+            (F.col("p_ts") >= F.col("ts_us"))
+            & (F.col("p_ts") <= F.col("ts_us") + w_us)
+        )
+        .withColumn("delay_s", delays)
+        .groupBy("delay_s", "event_id")
+        .agg(
+            F.sum(
+                F.when(
+                    ~(
+                        F.col("c_gwm").isNotNull()
+                        & (
+                            F.col("ts_us")
+                            < F.col("c_gwm") - F.col("delay_s") * us
+                        )
+                    )
+                    & ~(
+                        F.col("p_gwm").isNotNull()
+                        & (
+                            F.col("p_ts")
+                            < F.col("p_gwm") - F.col("delay_s") * us
+                        )
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_emitted")
+        )
+    )
+    cx = (
+        c.withColumn("delay_s", delays)
+        .join(pair, ["delay_s", "event_id"], "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "delay_s",
+            "val_c",
+            "ts_us",
+            "gend",
+            F.when(
+                F.col("c_gwm").isNotNull()
+                & (F.col("ts_us") < F.col("c_gwm") - F.col("delay_s") * us),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_late"),
+            F.coalesce(F.col("n_emitted"), F.lit(0)).alias("n_emitted"),
+        )
+    )
+    on_time = F.col("is_late") == 0
+    evicted = (
+        F.col("ts_us") + w_us < F.col("gend") - F.col("delay_s") * us
+    )
+    unmatched = F.col("n_emitted") == 0
+    return cx.groupBy(F.col("delay_s").cast("bigint").alias("delay_s")).agg(
+        F.sum(1 - F.col("is_late")).cast("bigint").alias("n_clicks_kept"),
+        F.sum(F.when(on_time & ~unmatched, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_matched_clicks"),
+        F.sum(F.when(on_time, F.col("n_emitted")).otherwise(0))
+        .cast("bigint")
+        .alias("n_pairs_emitted"),
+        F.sum(F.when(on_time & unmatched & evicted, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_emitted"),
+        F.sum(F.when(on_time & unmatched & ~evicted, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pending_end"),
+        F.sum(F.when(on_time & unmatched & evicted, F.col("val_c")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_null_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
@@ -17947,7 +18178,7 @@ _DRIVER_SNAPSHOT_50 = [
     # windows
     "q251_spearman_rank_corr",  # r11: Spearman rank correlation — another distributed_rank composition, never driver-recorded (q215 Gini green r9+r10; the rank family keeps q242/q250/q255 in the head and q215 stays value-oracled in the full gate)
     "q280_watermark_late_data_audit",  # r12 birth-round: Structured Streaming's watermark drop rule replayed exactly in batch via the EXCLUSIVE prefix max (cummax_cols) — the X14/X15 semantics half (q243 U-shaped attribution green r10+r11; X9 analytic keeps q271 gap-fill in the head and q243 stays value-oracled in the full gate)
-    "q259_seasonal_index",  # r11: ratio-to-centered-moving-total seasonal indices, never driver-recorded (q229 finite EWMA green r9+r10 — same smoothing family; X10 frames keep q207 rolling bitmap in the head and q229 stays value-oracled in the full gate)
+    "q289_stream_outer_join_timing",  # r13 birth-round: stream-stream LEFT OUTER null-emission timing — matched / null-emitted / pending-at-end click accounting, the outer half of q285 with the pair count pinned equal cross-entry (q259 seasonal index green r11+r12; the temporal family keeps q256 Mann-Kendall + q258 Theil-Sen + q261 OLS in the head and q259 stays value-oracled in the full gate)
     "q281_scd2_incremental_merge",  # r12 birth-round: SCD2 nightly MERGE — delta-only windowing + open-row close-out, hash-proven equal to the full rebuild (the q269 IVM discipline on q275's dimension) (q239 leakage-safe split green r10+r11; dedup/ER keeps q67 + q238 in the head and q239 stays value-oracled in the full gate)
     # sort/limit, set ops, sketches
     "q258_theil_sen_slope",  # r11: Theil-Sen robust slope, never driver-recorded (q225 Wilson lower bound green r9+r10; the statistical-test surface keeps q241 kappa + incoming q249/q256 in the head and q225 stays value-oracled in the full gate)

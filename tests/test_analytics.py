@@ -2205,3 +2205,32 @@ def test_q288_bloom_replay_and_no_false_negatives(spark):
         # the bloom guarantee: no false negatives, FP count non-negative
         assert g["n_bloom_pass"] >= g["n_actual_zones"], i
         assert g["n_false_positive_zones"] == want_pass - want_actual, i
+
+
+def test_q289_outer_join_conservation_and_q285_consistency(spark):
+    """q289's click classification must conserve (kept = matched +
+    null_emitted + pending, per delay) and its pair count must equal
+    q285's n_pairs_emitted column delay for delay — the inner and
+    outer replays share one emission rule, so a divergence means one
+    of them drifted. Also pins the semantics that distinguish the
+    outer join from batch: pending > 0 or null_emitted > 0 must hold
+    whenever unmatched on-time clicks exist at all."""
+    inner = {
+        r["delay_s"]: r.asDict()
+        for r in QUERIES["q285_stream_stream_interval_join"](spark, SF).collect()
+    }
+    outer = {
+        r["delay_s"]: r.asDict()
+        for r in QUERIES["q289_stream_outer_join_timing"](spark, SF).collect()
+    }
+    assert set(inner) == set(outer)
+    for d, o in outer.items():
+        assert (
+            o["n_clicks_kept"]
+            == o["n_matched_clicks"] + o["n_null_emitted"] + o["n_pending_end"]
+        ), d
+        assert o["n_pairs_emitted"] == inner[d]["n_pairs_emitted"], d
+        assert o["n_clicks_kept"] == inner[d]["n_clicks_kept"], d
+        unmatched = o["n_clicks_kept"] - o["n_matched_clicks"]
+        if unmatched:
+            assert o["n_null_emitted"] + o["n_pending_end"] == unmatched, d

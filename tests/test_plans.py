@@ -1177,14 +1177,18 @@ def test_q285_q286_plan_shapes(spark):
     (hot-key rows spread over 16 tasks), never a broadcast (that would
     hide the skew this entry exists to treat), and the downstream
     aggregate must be map-combined."""
-    plan = (
-        QUERIES["q285_stream_stream_interval_join"](spark, SF)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "CartesianProduct" not in plan
-    assert not global_windows(plan), "q285 has a global WindowExec"
+    for name in (
+        "q285_stream_stream_interval_join",
+        "q289_stream_outer_join_timing",
+    ):
+        plan = (
+            QUERIES[name](spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan, name
+        assert not global_windows(plan), f"{name} has a global WindowExec"
 
     plan2 = (
         QUERIES["q286_salted_skew_join"](spark, SF)
