@@ -222,6 +222,7 @@ HEADLINE = [
     "q287_compaction_execute",
     "q288_bloom_zone_pruning",
     "q289_stream_outer_join_timing",
+    "q290_dynamic_partition_pruning",
     "medallion_gold_kpis",
 ]
 

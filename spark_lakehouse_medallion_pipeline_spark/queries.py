@@ -18004,6 +18004,90 @@ def q289_stream_outer_join_timing(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_Q290_DIM_YEAR = 1996
+
+
+@_q(
+    "q290_dynamic_partition_pruning",
+    f"""
+    WITH f AS (
+      SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS sm,
+             {SC("l_extendedprice")} AS price_c
+      FROM lineitem
+    ),
+    d AS (
+      SELECT DISTINCT date_trunc('month', CAST(o_orderdate AS DATE)) AS sm
+      FROM orders
+      WHERE EXTRACT(year FROM CAST(o_orderdate AS DATE)) = {_Q290_DIM_YEAR}
+    )
+    SELECT CAST(f.sm AS DATE) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_li,
+           CAST(SUM(f.price_c) AS BIGINT) AS sum_price_c
+    FROM f JOIN d ON f.sm = d.sm
+    GROUP BY 1
+    """,
+)
+def q290_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning (DPP) — the runtime half of the
+    partition-skipping story (q252 proves STATIC pruning from a
+    literal predicate; this proves pruning from a JOIN, where the
+    partitions to skip are unknowable until the dimension side is
+    evaluated): lineitem is written as a ship-month-partitioned table
+    (one file per month — the canonical fact layout), then joined to
+    the month set of {_Q290_DIM_YEAR} orders. No literal filter
+    touches the fact side, yet Catalyst injects a
+    dynamicpruningexpression into the scan's PartitionFilters (the
+    dimension's broadcast result reused as a runtime IN-filter), so at
+    100 TB the scan reads ~12 of ~80 month partitions instead of the
+    whole table — the single biggest I/O lever a star-schema query
+    has, and it costs NOTHING to express: the plan below is a plain
+    equi join. Plan-pinned in pytest: 'dynamicpruning' must appear in
+    the fact scan's PartitionFilters, and the result must be identical
+    with spark.sql.optimizer.dynamicPartitionPruning.enabled=false
+    (pruning is invisible to semantics — the q267/q286 discipline).
+    The oracle is the same join over the unpartitioned table. Scale
+    shape: one partitioned write (bounded: |months| files), a
+    broadcast dim of <= |months| rows (bounded by the calendar, never
+    data-proportional — unlike q276's exploded intervals), one
+    map-combined aggregate to ~12 rows."""
+    import os
+    import shutil
+    import tempfile
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        cents(F.col("l_extendedprice")).alias("price_c"),
+        F.date_trunc("month", F.col("l_shipdate").cast("date"))
+        .cast("date")
+        .alias("sm"),
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    app = spark.sparkContext.applicationId
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_q290_{tag}_{app}")
+    # fresh write every call (the sibling q278/q287 discipline): the
+    # partitioned-write cost is part of this entry's honest price
+    shutil.rmtree(path, ignore_errors=True)
+    li.repartition(F.col("sm")).write.partitionBy("sm").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.year(F.col("o_orderdate").cast("date")) == _Q290_DIM_YEAR)
+        .select(
+            F.date_trunc("month", F.col("o_orderdate").cast("date"))
+            .cast("date")
+            .alias("sm")
+        )
+        .distinct()
+    )
+    return (
+        fact.join(dim, "sm")
+        .groupBy(F.col("sm").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_li"),
+            F.sum("price_c").cast("bigint").alias("sum_price_c"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
@@ -18181,7 +18265,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q289_stream_outer_join_timing",  # r13 birth-round: stream-stream LEFT OUTER null-emission timing — matched / null-emitted / pending-at-end click accounting, the outer half of q285 with the pair count pinned equal cross-entry (q259 seasonal index green r11+r12; the temporal family keeps q256 Mann-Kendall + q258 Theil-Sen + q261 OLS in the head and q259 stays value-oracled in the full gate)
     "q281_scd2_incremental_merge",  # r12 birth-round: SCD2 nightly MERGE — delta-only windowing + open-row close-out, hash-proven equal to the full rebuild (the q269 IVM discipline on q275's dimension) (q239 leakage-safe split green r10+r11; dedup/ER keeps q67 + q238 in the head and q239 stays value-oracled in the full gate)
     # sort/limit, set ops, sketches
-    "q258_theil_sen_slope",  # r11: Theil-Sen robust slope, never driver-recorded (q225 Wilson lower bound green r9+r10; the statistical-test surface keeps q241 kappa + incoming q249/q256 in the head and q225 stays value-oracled in the full gate)
+    "q290_dynamic_partition_pruning",  # r13 birth-round: DYNAMIC partition pruning — runtime join-driven partition skipping (dynamicpruningexpression plan-pinned, DPP-off invariance tested), the runtime half of q252's static pruning (q258 Theil-Sen green r11+r12; the temporal family keeps q256 Mann-Kendall + q261 OLS in the head and q258 stays value-oracled in the full gate)
     "q242_percentile_rank_normalize",  # r10: empirical-CDF normalization via relational.distributed_rank — the two-pass rank's reuse story, birth-round row (q196 rank distributions green r08+r09; X8 ranking keeps q215 Gini + q212 IR-eval in the head and q196 stays value-oracled in the full gate)
     "q285_stream_stream_interval_join",  # r13 birth-round: stream-stream interval join replay — watermark drop + eviction accounting over two keyed streams, composing q280's cummax watermark with q276's range-join shape (q181 BPE green r7-r12, the longest-tenured rotatable slot; X20 text keeps q253 zipf + q263 inverted index in the head and q181 stays value-oracled in the full gate)
     # time windows / sessionization

@@ -1236,3 +1236,27 @@ def test_q287_q288_plan_shapes(spark):
     assert "CartesianProduct" not in plan2
     assert not global_windows(plan2), "q288 has a global WindowExec"
     assert plan2.count("HashAggregate") >= 2  # bit_or partial+final
+
+
+def test_q290_dynamic_pruning_pinned_and_invisible(spark):
+    """q290: the fact scan's PartitionFilters must carry a
+    dynamicpruningexpression — runtime partition pruning driven by the
+    JOIN, with no literal predicate on the fact side (q252 covers the
+    static case). And pruning must be invisible to semantics: the
+    result with DPP disabled is byte-identical."""
+    df = QUERIES["q290_dynamic_partition_pruning"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, "q290 fact scan lost its DPP filter"
+    assert "CartesianProduct" not in plan
+    want = sorted(tuple(r) for r in df.collect())
+    conf = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+    old = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "false")
+        got = sorted(
+            tuple(r)
+            for r in QUERIES["q290_dynamic_partition_pruning"](spark, SF).collect()
+        )
+    finally:
+        spark.conf.set(conf, old)
+    assert got == want
