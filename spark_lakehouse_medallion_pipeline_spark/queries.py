@@ -63,6 +63,48 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _scratch_dir(spark: SparkSession, stem: str, sf_dir: str) -> str:
+    """Per-application scratch sink under the system tempdir, with a
+    stale-sweep (ADVICE r13 #4): materialized-table queries
+    (q231/q232/q236/q237/q247/q252/q254/q264/q278/q287/q290 …) write
+    overwrite sinks keyed by applicationId so concurrent gate+bench
+    apps never share a path — but each application run used to leave
+    its copies behind. Before handing out this app's path, sweep
+    sibling `spark_graft_<stem>_<tag>_*` dirs belonging to OTHER
+    application ids whose mtime is > _SCRATCH_STALE_S old: a LIVE
+    concurrent app's sink is written and re-read within a single
+    query's execution window (minutes), so a 2-hour threshold can only
+    ever collect dead runs. Sweep failures are ignored — another app
+    may be sweeping the same corpse."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    app = spark.sparkContext.applicationId
+    tmp = tempfile.gettempdir()
+    prefix = f"spark_graft_{stem}_{tag}_"
+    mine = os.path.join(tmp, f"{prefix}{app}")
+    now = time.time()
+    try:
+        for name in os.listdir(tmp):
+            if not name.startswith(prefix) or name == os.path.basename(mine):
+                continue
+            full = os.path.join(tmp, name)
+            try:
+                if now - os.path.getmtime(full) > _SCRATCH_STALE_S:
+                    shutil.rmtree(full, ignore_errors=True)
+            except OSError:
+                pass
+    except OSError:
+        pass
+    return mine
+
+
+_SCRATCH_STALE_S = 7200
+
+
 # --- exact-arithmetic helpers (see dialect rules above) ---------------------
 
 
@@ -11400,11 +11442,7 @@ def q231_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Suffix with the Spark applicationId: two concurrent sessions on the
     # same SF (oracle gate + bench) must never share an overwrite sink.
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    app = spark.sparkContext.applicationId
-    path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_q231_csv_{tag}_{app}"
-    )
+    path = _scratch_dir(spark, "q231_csv", sf_dir)
     (
         docs.write.mode("overwrite")
         .option("header", True)
@@ -11438,11 +11476,7 @@ def q232_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "lang", "source", "n_chars"
     )
     # Per-session sink path (applicationId) — same concurrency rule as q231.
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    app = spark.sparkContext.applicationId
-    path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_q232_jsonl_{tag}_{app}"
-    )
+    path = _scratch_dir(spark, "q232_jsonl", sf_dir)
     docs.write.mode("overwrite").json(path)
     return spark.read.schema(_DOCS_SCHEMA).json(path)
 
@@ -11778,11 +11812,7 @@ def q236_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    app = spark.sparkContext.applicationId
-    path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_q236_csv_{tag}_{app}"
-    )
+    path = _scratch_dir(spark, "q236_csv", sf_dir)
     (
         docs.write.mode("overwrite")
         .option("header", False)
@@ -11868,11 +11898,7 @@ def q237_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    app = spark.sparkContext.applicationId
-    path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_q237_jsonl_{tag}_{app}"
-    )
+    path = _scratch_dir(spark, "q237_jsonl", sf_dir)
     docs.write.mode("overwrite").json(path)
     with open(os.path.join(path, "part-99999-planted-bad.json"), "w") as fh:
         fh.write("\n".join(_Q237_BAD_LINES) + "\n")
@@ -12892,11 +12918,7 @@ def q247_parquet_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     docs = _t(spark, sf_dir, "documents")
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    app = spark.sparkContext.applicationId
-    base = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_q247_drift_{tag}_{app}"
-    )
+    base = _scratch_dir(spark, "q247_drift", sf_dir)
     v1 = docs.filter(F.col("doc_id") % 2 == 0).select(
         "doc_id", "text", "n_chars"
     )
@@ -13400,11 +13422,7 @@ def q252_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     o = _t(spark, sf_dir, "orders")
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    app = spark.sparkContext.applicationId
-    path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_q252_part_{tag}_{app}"
-    )
+    path = _scratch_dir(spark, "q252_part", sf_dir)
     (
         o.select(
             F.col("o_orderdate").cast("date").alias("day"),
@@ -13554,11 +13572,7 @@ def q254_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    app = spark.sparkContext.applicationId
-    path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_q254_snap_{tag}_{app}"
-    )
+    path = _scratch_dir(spark, "q254_snap", sf_dir)
     # fresh table per call: write_snapshot always appends a version, and
     # this query's contract is exactly two commits
     shutil.rmtree(path, ignore_errors=True)
@@ -14440,11 +14454,7 @@ def q264_snapshot_retention_vacuum(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    app = spark.sparkContext.applicationId
-    path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_q264_snap_{tag}_{app}"
-    )
+    path = _scratch_dir(spark, "q264_snap", sf_dir)
     shutil.rmtree(path, ignore_errors=True)
     # Side-effecting commits bound to variables FIRST, asserted after
     # (ADVICE r11: a bare `assert write_snapshot(...) == 1` is elided
@@ -15904,9 +15914,7 @@ def q278_sorted_write_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.col("l_shipdate").cast("date").alias("sd"),
     )
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    app = spark.sparkContext.applicationId
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_q278_{tag}_{app}")
+    base = _scratch_dir(spark, "q278", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     cutoff = _dt.date.fromisoformat(_Q270_CUTOFF)
     # zone size scales with the corpus so file count stays bounded at
@@ -17081,13 +17089,15 @@ _Q285_JOIN_WINDOW_S = 21_600  # purchases within 6h after a click
     SELECT CAST(sides.delay_s AS BIGINT) AS delay_s,
            CAST(n_clicks_kept AS BIGINT) AS n_clicks_kept,
            CAST(n_purchases_kept AS BIGINT) AS n_purchases_kept,
-           CAST(n_pairs_total AS BIGINT) AS n_pairs_total,
-           CAST(n_pairs_emitted AS BIGINT) AS n_pairs_emitted,
-           CAST(n_pairs_lost_late AS BIGINT) AS n_pairs_lost_late,
-           CAST(sum_emitted_cents AS BIGINT) AS sum_emitted_cents,
+           CAST(COALESCE(n_pairs_total, 0) AS BIGINT) AS n_pairs_total,
+           CAST(COALESCE(n_pairs_emitted, 0) AS BIGINT) AS n_pairs_emitted,
+           CAST(COALESCE(n_pairs_lost_late, 0) AS BIGINT)
+             AS n_pairs_lost_late,
+           CAST(COALESCE(sum_emitted_cents, 0) AS BIGINT)
+             AS sum_emitted_cents,
            CAST(n_state_clicks_end AS BIGINT) AS n_state_clicks_end,
            CAST(n_state_purchases_end AS BIGINT) AS n_state_purchases_end
-    FROM sides JOIN pa USING (delay_s)
+    FROM sides LEFT JOIN pa USING (delay_s)
     """,
 )
 def q285_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -17250,14 +17260,20 @@ def q285_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFr
         .cast("bigint")
         .alias("sum_emitted_cents"),
     )
-    return sides.join(pa, "delay_s").select(
+    # LEFT join from sides: a delay with ZERO ground-truth pairs must
+    # still emit its audit row (kept/end-state columns) with pair
+    # columns coalesced to 0 — an inner join would silently drop the
+    # whole delay on sparse data, and the oracle mirrors the same
+    # LEFT + COALESCE so the gate covers the sparse shape too.
+    zero = F.lit(0).cast("bigint")
+    return sides.join(pa, "delay_s", "left").select(
         F.col("delay_s").cast("bigint").alias("delay_s"),
         "n_clicks_kept",
         "n_purchases_kept",
-        "n_pairs_total",
-        "n_pairs_emitted",
-        "n_pairs_lost_late",
-        "sum_emitted_cents",
+        F.coalesce("n_pairs_total", zero).alias("n_pairs_total"),
+        F.coalesce("n_pairs_emitted", zero).alias("n_pairs_emitted"),
+        F.coalesce("n_pairs_lost_late", zero).alias("n_pairs_lost_late"),
+        F.coalesce("sum_emitted_cents", zero).alias("sum_emitted_cents"),
         "n_state_clicks_end",
         "n_state_purchases_end",
     )
@@ -17428,9 +17444,7 @@ def q287_compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    app = spark.sparkContext.applicationId
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_q287_{tag}_{app}")
+    base = _scratch_dir(spark, "q287", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     before, after = os.path.join(base, "before"), os.path.join(base, "after")
 
@@ -17653,7 +17667,13 @@ def q288_bloom_zone_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-combined bit_or groupBy to |zones| x 1100 metadata-sized bloom
     rows — the index is ~8 KB per 10k-row zone, the same
     bytes-per-row budget a real bloom index pays; probe-side work is
-    |probes| x |zones| spine rows, driver sees only the 40-row audit."""
+    |probes| x |zones| spine rows, driver sees only the 40-row audit.
+    The probe spine is METADATA-proportional, not constant: |zones| =
+    |rows| / 10,000, so at 100 TB the spine is ~10^8 rows — the honest
+    distributed cost of consulting every zone's bloom (the same bytes
+    a real scanner's index read pays; the small probe side broadcasts),
+    and a production engine would additionally shard the bloom index by
+    zone key-range so each probe consults only its range's shard."""
     from spark_lakehouse_medallion_pipeline_spark.operators.relational import (
         distributed_rank,
     )
@@ -18060,9 +18080,7 @@ def q290_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("date")
         .alias("sm"),
     )
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    app = spark.sparkContext.applicationId
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_q290_{tag}_{app}")
+    path = _scratch_dir(spark, "q290", sf_dir)
     # fresh write every call (the sibling q278/q287 discipline): the
     # partitioned-write cost is part of this entry's honest price
     shutil.rmtree(path, ignore_errors=True)

@@ -638,7 +638,13 @@ def parquet_footer_stats(
     so column pruning keeps file CONTENT unread (listing-only job); each
     executor then opens only the ~KB footer of its files. Scale shape:
     the walk parallelizes over files, driver work is bounded by the
-    RESULT cardinality the caller aggregates to, never the file count."""
+    RESULT cardinality the caller aggregates to, never the file count.
+    LOCAL-filesystem only (matching this repo's storage layer): paths
+    must carry the `file:` scheme binaryFile emits for local storage —
+    any other scheme (hdfs:/s3a:/abfs:) raises a clear ValueError on
+    the executor instead of a misleading pyarrow open failure; the
+    remote-filesystem form would swap the plain open for pyarrow's
+    filesystem-aware API."""
     import pyarrow.parquet as _pq
 
     files = (
@@ -654,6 +660,11 @@ def parquet_footer_stats(
         for b in batches:
             rows = []
             for p in b["path"]:
+                if "://" in p and not p.startswith("file:"):
+                    raise ValueError(
+                        "parquet_footer_stats is local-filesystem only; "
+                        f"got non-file URI {p!r:.120}"
+                    )
                 local = p.removeprefix("file:")
                 md = _pq.ParquetFile(local).metadata
                 rows.append((p, md.num_rows, md.num_row_groups))
