@@ -223,6 +223,9 @@ HEADLINE = [
     "q288_bloom_zone_pruning",
     "q289_stream_outer_join_timing",
     "q290_dynamic_partition_pruning",
+    "q291_stream_crash_recovery",
+    "q292_stream_window_emission_timing",
+    "q293_aqe_skew_join_rescue",
     "medallion_gold_kpis",
 ]
 
@@ -690,6 +693,22 @@ def main() -> None:
             # over the value domain) — its ratio certifies that the
             # widened operator kept the balanced-exchange scale shape.
             "q255_ks_two_sample",
+            # round-13/14 families (VERDICT r13 Next #5): record their
+            # sf0.01 -> sf0.1 ratios so scaling is seen empirically, not
+            # just structurally. Stream replays ride one distributed
+            # rank (expect ~linear); the salted and AQE skew joins are
+            # one balanced exchange each; compaction/DPP/bloom pay real
+            # write+verify I/O proportional to data. q291 is excluded:
+            # its corpus is a fixed 6000-row synthetic stream at every
+            # SF, so a cross-SF ratio would measure nothing.
+            "q285_stream_stream_interval_join",
+            "q286_salted_skew_join",
+            "q287_compaction_execute",
+            "q288_bloom_zone_pruning",
+            "q289_stream_outer_join_timing",
+            "q290_dynamic_partition_pruning",
+            "q292_stream_window_emission_timing",
+            "q293_aqe_skew_join_rescue",
         ):
             if name not in qs:
                 continue

@@ -17281,10 +17281,10 @@ def q285_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFr
 
 _Q286_SALTS = 16
 
-
-@_q(
-    "q286_salted_skew_join",
-    f"""
+# Shared by q286 (manual salt rescue) and q293 (AQE skew-split rescue):
+# the plain UNSALTED skewed join + GROUP BY — so each entry's value-hash
+# match IS the proof that its rescue left the answer untouched.
+_Q286_SKEW_ORACLE = f"""
     WITH li AS (
       SELECT CASE WHEN l_orderkey % 10 < 9 THEN 0
                   ELSE l_partkey % 200 END AS sk,
@@ -17306,8 +17306,10 @@ _Q286_SALTS = 16
            CAST(MAX(d.min_retail_c) AS BIGINT) AS min_retail_c
     FROM li JOIN d ON li.sk = d.sk
     GROUP BY li.sk
-    """,
-)
+    """
+
+
+@_q("q286_salted_skew_join", _Q286_SKEW_ORACLE)
 def q286_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SALTED skewed JOIN — the missing JOIN half of the skew-rescue
     pair (q205 diagnoses, q266 fixed the AGGREGATE side; VERDICT r12
@@ -18106,6 +18108,446 @@ def q290_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+_Q291_ROWS = 6000
+_Q291_BATCH = 500
+_Q291_CRASH_BID = 3
+
+
+@_q(
+    "q291_stream_crash_recovery",
+    f"""
+    WITH src AS (
+      SELECT range AS doc_id,
+             (range % 1000003) * 2654435761 % 4294967296 AS mixed
+      FROM range({_Q291_ROWS})
+    )
+    SELECT 'shard' || CAST(mixed % 4 AS VARCHAR) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(mixed % 4096) AS BIGINT) AS bucket_sum,
+           CAST({_Q291_CRASH_BID} AS BIGINT) AS n_commits_run1,
+           CAST({_Q291_CRASH_BID + 1} AS BIGINT) AS n_offsets_run1,
+           CAST({-(-_Q291_ROWS // _Q291_BATCH)} AS BIGINT) AS n_commits_total,
+           CAST(1 AS BIGINT) AS n_replayed_batches
+    FROM src GROUP BY 1
+    """,
+)
+def q291_stream_crash_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CRASH RECOVERY / exactly-once resumption — the one
+    behavior class a production streaming user hits first (VERDICT r13
+    Next #1; the reference provisioned an `mdp-checkpoints` bucket for
+    exactly this and never built it — k8s/s3/03-s3-buckets.yaml:33-39).
+    The offset-replay `synthetic_docs` stream
+    (sources/pydatasource.py's SimpleDataSourceStreamReader: offsets
+    are plain {{"pos": n}} dicts, readBetweenOffsets re-derives any
+    committed range exactly) feeds a foreachBatch sink that writes each
+    microbatch to its own `bid=<batch_id>` partition with OVERWRITE —
+    the canonical idempotent-by-batch-id exactly-once sink pattern.
+    RUN 1 is killed deterministically: foreachBatch raises AFTER
+    writing batch {_Q291_CRASH_BID}'s data but BEFORE its offset
+    commits, so the checkpoint holds {_Q291_CRASH_BID + 1} offset-WAL
+    entries and {_Q291_CRASH_BID} commits — a mid-stream crash with
+    orphaned sink data on disk. RUN 2 restarts from the SAME
+    checkpoint: the engine replays batch {_Q291_CRASH_BID} from the
+    offset log (readBetweenOffsets — the invocation ledger must show
+    that bid exactly twice), the overwrite makes the replay idempotent,
+    and the drain completes to {-(-_Q291_ROWS // _Q291_BATCH)} commits.
+    Every recovery invariant is ValueError-gated (never bare asserts:
+    the q254 -O discipline): run-1 failure message is the injected
+    marker, the restart consumed a NON-EMPTY offset log, batch
+    {_Q291_CRASH_BID} ran exactly twice and every other bid exactly
+    once, and the sink holds each doc_id exactly once. The measured
+    recovery counters ride the result as columns, so the DuckDB oracle
+    (which recomputes the pure-function corpus from range() — the q124
+    custom-source idiom) pins them value-for-value: any drift in the
+    crash/replay machinery is a hash mismatch, not just a test failure.
+    Scale shape: the sink write is one executor-parallel parquet write
+    per microbatch, recovery cost is proportional to ONE batch (the
+    replayed slice), never the stream; the per-shard aggregate is
+    map-combined to 4 rows."""
+    import os
+    import shutil
+
+    from spark_lakehouse_medallion_pipeline_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    base = _scratch_dir(spark, "q291", sf_dir)
+    # fresh run every call: the whole point is replaying the crash, so
+    # checkpoint/sink/marker from a previous invocation must not leak in
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    ck = os.path.join(base, "ckpt")
+    sink = os.path.join(base, "sink")
+    marker = os.path.join(base, "crashed_once")
+    calls: list[int] = []
+
+    def _write_batch(bdf: DataFrame, bid: int) -> None:
+        # write FIRST, then crash: batch N's data lands on disk while
+        # its offset never commits — the restart must overwrite it
+        bdf.write.mode("overwrite").parquet(os.path.join(sink, f"bid={bid}"))
+        calls.append(bid)
+        if bid == _Q291_CRASH_BID and not os.path.exists(marker):
+            with open(marker, "w"):
+                pass
+            raise RuntimeError("q291-injected-crash")
+
+    def _drain() -> str | None:
+        q = (
+            spark.readStream.format("synthetic_docs")
+            .option("rows", str(_Q291_ROWS))
+            .option("batch", str(_Q291_BATCH))
+            .option("shards", "4")
+            .load()
+            .writeStream.foreachBatch(_write_batch)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        err: str | None = None
+        try:
+            q.processAllAvailable()
+        except Exception as e:  # noqa: BLE001 — failure IS the fixture
+            err = str(e)
+        finally:
+            ex = q.exception()
+            if ex is not None:
+                err = str(ex)
+            q.stop()
+        return err
+
+    def _log_entries(sub: str) -> list[int]:
+        d = os.path.join(ck, sub)
+        if not os.path.isdir(d):
+            return []
+        return sorted(int(n) for n in os.listdir(d) if n.isdigit())
+
+    e1 = _drain()
+    if e1 is None or "q291-injected-crash" not in e1:
+        raise ValueError(f"run 1 did not crash as injected: {e1!r:.300}")
+    offsets_run1 = _log_entries("offsets")
+    commits_run1 = _log_entries("commits")
+    if not offsets_run1:
+        raise ValueError("restart would consume an EMPTY offset log")
+    if commits_run1 != list(range(_Q291_CRASH_BID)):
+        raise ValueError(f"unexpected run-1 commits: {commits_run1}")
+
+    e2 = _drain()
+    if e2 is not None:
+        raise ValueError(f"restarted run failed: {e2!r:.300}")
+    commits_total = _log_entries("commits")
+    n_total = -(-_Q291_ROWS // _Q291_BATCH)
+    if commits_total != list(range(n_total)):
+        raise ValueError(f"incomplete drain after restart: {commits_total}")
+    n_replayed = sum(1 for b in set(calls) if calls.count(b) > 1)
+    if calls.count(_Q291_CRASH_BID) != 2 or n_replayed != 1:
+        raise ValueError(f"replay ledger wrong: {sorted(calls)}")
+
+    out = spark.read.parquet(sink)
+    n_rows, n_ids = out.count(), out.select("doc_id").distinct().count()
+    if n_rows != _Q291_ROWS or n_ids != _Q291_ROWS:
+        raise ValueError(f"sink not exactly-once: {n_rows} rows, {n_ids} ids")
+    return out.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("bucket").cast("bigint").alias("bucket_sum"),
+        F.lit(len(commits_run1)).cast("bigint").alias("n_commits_run1"),
+        F.lit(len(offsets_run1)).cast("bigint").alias("n_offsets_run1"),
+        F.lit(len(commits_total)).cast("bigint").alias("n_commits_total"),
+        F.lit(n_replayed).cast("bigint").alias("n_replayed_batches"),
+    )
+
+
+_Q292_WIN_US = 3_600_000_000  # 1-hour tumbling windows, q20's spec
+
+
+@_q(
+    "q292_stream_window_emission_timing",
+    f"""
+    WITH e AS (
+      SELECT event_id,
+             epoch_us(ts) AS ts_us,
+             epoch_us(ts) + (event_id % 7) * 60000000 AS arr_us,
+             CAST(ROUND(value*100) AS BIGINT) AS val_c
+      FROM events
+    ),
+    w AS (
+      SELECT event_id, ts_us, val_c,
+             max(ts_us) OVER (ORDER BY arr_us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS wm_us
+      FROM e
+    ),
+    mx AS (SELECT max(ts_us) AS gend FROM e),
+    x AS (
+      SELECT d.delay_s, w.ts_us, w.val_c,
+             CASE WHEN w.wm_us IS NOT NULL
+                   AND w.ts_us < w.wm_us - d.delay_s * 1000000
+                  THEN 1 ELSE 0 END AS is_late,
+             w.ts_us // {_Q292_WIN_US} AS wst
+      FROM w, (SELECT unnest([{", ".join(str(s) for s in _Q280_DELAYS_S)}])
+               AS delay_s) d
+    ),
+    pw AS (
+      SELECT delay_s, wst,
+             COUNT(*) AS n_kept,
+             SUM(val_c) AS sum_c,
+             CASE WHEN (wst + 1) * {_Q292_WIN_US}
+                       <= (SELECT gend FROM mx) - delay_s * 1000000
+                  THEN 1 ELSE 0 END AS emitted
+      FROM x WHERE is_late = 0
+      GROUP BY delay_s, wst
+    ),
+    late AS (
+      SELECT delay_s, SUM(is_late) AS n_dropped
+      FROM x GROUP BY delay_s
+    )
+    SELECT CAST(pw.delay_s AS BIGINT) AS delay_s,
+           CAST(COUNT(*) AS BIGINT) AS n_windows_total,
+           CAST(SUM(emitted) AS BIGINT) AS n_windows_emitted,
+           CAST(COUNT(*) - SUM(emitted) AS BIGINT) AS n_windows_open,
+           CAST(SUM(n_kept) AS BIGINT) AS n_events_kept,
+           CAST(SUM(CASE WHEN emitted = 1 THEN n_kept ELSE 0 END)
+                AS BIGINT) AS n_events_in_emitted,
+           CAST(SUM(CASE WHEN emitted = 0 THEN n_kept ELSE 0 END)
+                AS BIGINT) AS n_events_pending,
+           CAST(SUM(CASE WHEN emitted = 1 THEN sum_c ELSE 0 END)
+                AS BIGINT) AS sum_emitted_cents,
+           CAST(MAX(late.n_dropped) AS BIGINT) AS n_events_dropped_late
+    FROM pw JOIN late USING (delay_s)
+    GROUP BY pw.delay_s
+    """,
+)
+def q292_stream_window_emission_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-aggregation EMISSION timing — append-mode window
+    finalization replayed exactly in batch, completing the timing
+    trilogy (q280 row drops, q285/q289 join emission; VERDICT r13 Next
+    #2): in append mode a tumbling-window aggregate emits a window only
+    when the watermark passes the WINDOW END, so end-of-stream leaves a
+    tail of complete-but-unemitted windows — the structural result
+    latency every append-mode consumer inherits, invisible to the
+    batch rollup (q20). Per candidate delay over q20's 1-hour tumbling
+    spec: a row is dropped iff late under q280's exact arrival-order
+    rule (exclusive prefix max, one distributed_rank pass shared by all
+    three delays), a window's streaming CONTENT is its on-time rows
+    only, and the window has EMITTED by end-of-stream iff
+    window_end <= final_watermark (= max event time − delay, all rows
+    seen). The audit reports, per delay: windows with >= 1 on-time row,
+    emitted vs still-open (emitted + open == total, conservation), the
+    kept-event split across that boundary (kept = in_emitted +
+    pending), the cents already emitted downstream, and rows dropped
+    late. The jitter is q280's deterministic (event_id % 7) minutes —
+    at the 600 s delay nothing is late (max disorder is 6 min), so that
+    row's totals must equal q20's batch rollup window-for-window
+    (pinned cross-entry in pytest alongside an arrival-order streaming
+    simulation). Scale shape: one two-pass global rank, a x3 literal
+    explode, one map-combined (delay, window) aggregate at
+    |delays| x |hours| cardinality, then a 3-row reduce; the
+    end-of-stream watermark base is a 1-row broadcast combine."""
+    ev = _t(spark, sf_dir, "events")
+    us = 1_000_000
+    e = ev.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.unix_micros("ts") + (F.col("event_id") % 7) * 60_000_000).alias(
+            "arr_us"
+        ),
+        cents(F.col("value")).alias("val_c"),
+    )
+    w = relational.distributed_rank(
+        e,
+        [F.col("arr_us").asc(), F.col("event_id").asc()],
+        rank_col="_r",
+        cummax_cols={"ts_us": "wm_us"},
+    )
+    mx = e.agg(F.max("ts_us").cast("bigint").alias("gend"))
+    x = (
+        w.withColumn(
+            "delay_s", F.explode(F.array(*[F.lit(s) for s in _Q280_DELAYS_S]))
+        )
+        .withColumn(
+            "is_late",
+            F.when(
+                F.col("wm_us").isNotNull()
+                & (F.col("ts_us") < F.col("wm_us") - F.col("delay_s") * us),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("wst", F.expr(f"ts_us div {_Q292_WIN_US}"))
+    )
+    late = x.groupBy("delay_s").agg(
+        F.sum("is_late").cast("bigint").alias("n_dropped")
+    )
+    pw = (
+        x.filter(F.col("is_late") == 0)
+        .groupBy("delay_s", "wst")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("val_c").alias("sum_c"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .withColumn(
+            "emitted",
+            F.when(
+                (F.col("wst") + 1) * _Q292_WIN_US
+                <= F.col("gend") - F.col("delay_s") * us,
+                1,
+            ).otherwise(0),
+        )
+    )
+    return (
+        pw.groupBy("delay_s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows_total"),
+            F.sum("emitted").cast("bigint").alias("n_windows_emitted"),
+            (F.count(F.lit(1)) - F.sum("emitted"))
+            .cast("bigint")
+            .alias("n_windows_open"),
+            F.sum("n_kept").cast("bigint").alias("n_events_kept"),
+            F.sum(F.when(F.col("emitted") == 1, F.col("n_kept")).otherwise(0))
+            .cast("bigint")
+            .alias("n_events_in_emitted"),
+            F.sum(F.when(F.col("emitted") == 0, F.col("n_kept")).otherwise(0))
+            .cast("bigint")
+            .alias("n_events_pending"),
+            F.sum(F.when(F.col("emitted") == 1, F.col("sum_c")).otherwise(0))
+            .cast("bigint")
+            .alias("sum_emitted_cents"),
+        )
+        .join(late, "delay_s")
+        .select(
+            F.col("delay_s").cast("bigint").alias("delay_s"),
+            "n_windows_total",
+            "n_windows_emitted",
+            "n_windows_open",
+            "n_events_kept",
+            "n_events_in_emitted",
+            "n_events_pending",
+            "sum_emitted_cents",
+            F.col("n_dropped").alias("n_events_dropped_late"),
+        )
+    )
+
+
+_Q293_UPSTREAM_TASKS = 32
+_Q293_CONFS = {
+    # AQE skew-split, FORCED to engage on this data size: threshold and
+    # advisory are set far below production defaults (256MB/64MB) so the
+    # ~90%-hot partition qualifies at test SFs; factor 2.0 and the
+    # median test still apply, so the rescue is the real rule, not a
+    # bypass. forceOptimizeSkewedJoin permits the extra shuffle the
+    # downstream groupBy would otherwise veto; autoBroadcastJoinThreshold
+    # -1 stops AQE from broadcasting the skew away (that rescue is
+    # q262's — here the skew must actually be exercised).
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+    "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _q293_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q286 skewed join, UNSALTED, shaped so AQE's OptimizeSkewedJoin
+    can act: (a) the fact passes through a 32-task upstream stage —
+    skew splitting happens at MAPPER granularity, and the local
+    single-file scan would otherwise leave the hot partition one
+    indivisible map slice (at 100 TB the scan has thousands of map
+    tasks; the repartition recreates that reality, and is the demo's
+    honest extra exchange); (b) the 200-row dimension is materialized
+    driver-side (bounded, the sanctioned dimension-collect) so the
+    join inserts its own ENSURE_REQUIREMENTS exchange — the rule
+    refuses to split user-specified (REPARTITION_BY_COL) shuffles and
+    cannot match through the aggregate's reused exchange."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .repartition(_Q293_UPSTREAM_TASKS)
+        .select(
+            F.when(F.col("l_orderkey") % 10 < 9, F.lit(0))
+            .otherwise(F.col("l_partkey") % 200)
+            .cast("bigint")
+            .alias("sk"),
+            cents(F.col("l_extendedprice")).alias("price_c"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+    )
+    dagg = (
+        _t(spark, sf_dir, "part")
+        .groupBy((F.col("p_partkey") % 200).cast("bigint").alias("sk"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.min(cents(F.col("p_retailprice")))
+            .cast("bigint")
+            .alias("min_retail_c"),
+        )
+    )
+    d = spark.createDataFrame(dagg.collect(), dagg.schema)
+    return (
+        li.join(d.hint("merge"), "sk")
+        .groupBy("sk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_li"),
+            F.sum("price_c").cast("bigint").alias("sum_price_c"),
+            F.sum("qty").cast("bigint").alias("sum_qty"),
+            F.max("n_parts").cast("bigint").alias("n_parts"),
+            F.max("min_retail_c").cast("bigint").alias("min_retail_c"),
+        )
+        .select(
+            F.col("sk").alias("skew_key"),
+            "n_li",
+            "sum_price_c",
+            "sum_qty",
+            "n_parts",
+            "min_retail_c",
+        )
+    )
+
+
+@_q("q293_aqe_skew_join_rescue", _Q286_SKEW_ORACLE)
+def q293_aqe_skew_join_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE SKEW-JOIN rescue — the AUTOMATIC complement of q286's manual
+    salt (VERDICT r13 Next #3): the same deliberately pathological join
+    (~90% of lineitem on skew key 0, SMJ-hinted so the skew is real),
+    but the rescue is Spark's own OptimizeSkewedJoin splitting the hot
+    partition into advisory-sized mapper-range slices at runtime,
+    replicating the matching dimension partition per slice. The query
+    EXECUTES the join under _Q293_CONFS (forced-small thresholds so the
+    rule engages at test scale — see _q293_frame for the two structural
+    preconditions: multi-task upstream stage, canonical exchange under
+    the join), captures the ADAPTIVE final plan, ValueError-gates that
+    the join stayed SortMergeJoin with no broadcast (a broadcast would
+    hide the skew instead of splitting it), restores every conf in a
+    finally, and returns the MATERIALIZED rescued result (200 rows,
+    bounded) — so the DuckDB value-hash against the plain unsalted
+    join (the q286/q290 invisibility discipline: _Q286_SKEW_ORACLE) is
+    the proof that the skew split changed the schedule, never the
+    answer. The skew=true plan marker itself is pinned in pytest at a
+    known SF (split counts are data-size-dependent, so the in-query
+    gate pins only the size-independent invariants). Scale shape: two
+    balanced exchanges over the fact (upstream stage + join shuffle),
+    a dimension-sized build, one map-combined aggregate to 200 rows;
+    at 100 TB this is exactly the shape AQE's skew rescue exists for —
+    no manual salt column, no code change, the split comes from
+    runtime map-output statistics."""
+    saved = {k: spark.conf.get(k, None) for k in _Q293_CONFS}
+    try:
+        for k, v in _Q293_CONFS.items():
+            spark.conf.set(k, v)
+        df = _q293_frame(spark, sf_dir)
+        rows = df.collect()  # executes under the forced-skew AQE confs
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    if "SortMergeJoin" not in plan:
+        raise ValueError("skewed join did not execute as SortMergeJoin")
+    if "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan:
+        raise ValueError("skew was broadcast away — rescue not exercised")
+    if len(rows) == 0:
+        raise ValueError("rescued join produced no rows")
+    return spark.createDataFrame(rows, df.schema)
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
@@ -18259,6 +18701,13 @@ def q290_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
 # >= 2 consecutive driver rounds, each family keeping in-head reps,
 # annotated at the swap sites below.
 
+# Round 14 continues the zero-backlog discipline: all THREE round-14
+# families take birth-round head slots (q291 streaming crash recovery /
+# exactly-once, q292 append-mode window emission timing, q293 AQE
+# skew-join rescue), displacing q257/q270/q251 — each green >= 3
+# consecutive driver rounds, each family keeping in-head reps,
+# annotated at the swap sites below.
+
 _DRIVER_SNAPSHOT_50 = [
     # reference surface: aggregates, scalars, datetime, medallion KPIs
     "q01_pricing_summary",
@@ -18278,7 +18727,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q273_distribution_drift_tvd",  # r11 late birth-round: exact-TVD distribution drift — the quality monitor between reference and ingest windows (q228 curation verdict green r9+r10; the quality family keeps q237/q247 quarantines + q253 zipf in the head and q228 stays value-oracled in the full gate)
     "q275_scd2_dimension_history",  # r12 birth-round: SCD2 dimension history + point-in-time fact join, completing the q128 CDC / q269 IVM warehouse trio (q250 RFM green r10+r11; the distributed_rank composition family keeps q242 percentile-rank + q251 Spearman + q255 KS in the head and q250 stays value-oracled in the full gate)
     # windows
-    "q251_spearman_rank_corr",  # r11: Spearman rank correlation — another distributed_rank composition, never driver-recorded (q215 Gini green r9+r10; the rank family keeps q242/q250/q255 in the head and q215 stays value-oracled in the full gate)
+    "q293_aqe_skew_join_rescue",  # r14 birth-round: AQE skew-split rescue — the AUTOMATIC complement of q286's manual salt, same skewed join value-hash-proven against the plain unsalted oracle, skew=true plan marker pinned in pytest (q251 Spearman green r11-r13; the rank family keeps q242 percentile-rank + q255 KS + q260 skyline in the head and q251 stays value-oracled in the full gate)
     "q280_watermark_late_data_audit",  # r12 birth-round: Structured Streaming's watermark drop rule replayed exactly in batch via the EXCLUSIVE prefix max (cummax_cols) — the X14/X15 semantics half (q243 U-shaped attribution green r10+r11; X9 analytic keeps q271 gap-fill in the head and q243 stays value-oracled in the full gate)
     "q289_stream_outer_join_timing",  # r13 birth-round: stream-stream LEFT OUTER null-emission timing — matched / null-emitted / pending-at-end click accounting, the outer half of q285 with the pair count pinned equal cross-entry (q259 seasonal index green r11+r12; the temporal family keeps q256 Mann-Kendall + q258 Theil-Sen + q261 OLS in the head and q259 stays value-oracled in the full gate)
     "q281_scd2_incremental_merge",  # r12 birth-round: SCD2 nightly MERGE — delta-only windowing + open-row close-out, hash-proven equal to the full rebuild (the q269 IVM discipline on q275's dimension) (q239 leakage-safe split green r10+r11; dedup/ER keeps q67 + q238 in the head and q239 stays value-oracled in the full gate)
@@ -18316,13 +18765,13 @@ _DRIVER_SNAPSHOT_50 = [
     # multimodal, pandas-UDF, layout, TPC-H decorrelated shapes
     "q256_mann_kendall_trend",  # r11: Mann-Kendall monotone trend on the monthly revenue spine, never driver-recorded (q223 brand-discount correlation green r9+r10; commerce analytics keep q246 HHI in the head and q223/q219 stay value-oracled in the full gate)
     "q237_jsonl_quarantine",  # r10: JSONL malformed-ingest contract (PERMISSIVE corrupt channel + type-fail taxonomy), completing the quarantine pair with q236, birth-round row (q210 centroid similarity green r08+r09; X19 keeps q201 PQ + q212 IR-eval + q198 PCA in the head and q210 stays value-oracled in the full gate)
-    "q257_compaction_binpack_plan",  # r11: small-file binpack compaction planner, never driver-recorded (q213 categorical profile green r8-r10; the ANALYZE kit keeps q240 + incoming q268 frequent-items in the head and q213/q193/q194/q206 stay value-oracled in the full gate)
+    "q291_stream_crash_recovery",  # r14 birth-round: streaming crash recovery / exactly-once — a checkpointed foreachBatch drain killed mid-stream and restarted, offset-log replay + idempotent sink proven value-for-value against the pure-function corpus oracle (q257 binpack plan green r11-r13; its execution twin q287 runs the same plan in the head and q257 stays value-oracled in the full gate)
     "q265_weighted_systematic_sample",  # r11 birth-round: weighted systematic sampling on the exact prefix-weight line (q208 temperature quotas green r8-r10 — same mixture-sampling family; q195/q208 stay value-oracled in the full gate)
     # round-3 families: connectors, warehouse maintenance, quality contracts
     "q254_snapshot_time_travel",  # r11: snapshot commit/merge/time-travel, never driver-recorded (q231 CSV roundtrip green r9+r10; the I/O-format family keeps q232 JSONL roundtrip in the head and q231 stays value-oracled in the full gate)
     "q278_sorted_write_zonemap",  # r12 birth-round: the q270 write-path twin — sort-on-write, one file per zone, audit from REAL parquet footer stats (q232 JSONL roundtrip green r9-r11; the I/O-format family keeps q237 quarantine + q247 schema drift + q254/q264 snapshots in the head and q232 stays value-oracled in the full gate)
     "q284_sortedness_audit",  # r12 birth-round: distributed order verification — adjacent-inversion counts via rank + consecutive-rank equi join, never a global window; the q278 writer's post-write certificate (q247 schema drift green r10+r11; the ingest-contract family keeps q237 JSONL quarantine in the head and q247 stays value-oracled in the full gate)
-    "q270_zonemap_skipping_audit",  # r11 late birth-round: min/max data-skipping audit, natural vs sorted zoning via two distributed_rank passes (q206 FD audit green r8-r10; the ANALYZE kit keeps q240/q252/q257/q268 in the head and q206 stays value-oracled in the full gate)
+    "q292_stream_window_emission_timing",  # r14 birth-round: append-mode window EMISSION timing — emitted vs still-open tumbling windows per delay, completing the q280/q285/q289 timing trilogy for aggregates, q20-cross-pinned (q270 zonemap audit green r11-r13; the layout family keeps its write-twin q278 + q279 z-order + q288 bloom + q287 compaction in the head and q270 stays value-oracled in the full gate)
 ]
 
 
