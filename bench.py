@@ -226,6 +226,10 @@ HEADLINE = [
     "q291_stream_crash_recovery",
     "q292_stream_window_emission_timing",
     "q293_aqe_skew_join_rescue",
+    "q294_aqe_partition_coalescing",
+    "q295_rebalance_write_rescue",
+    "q296_stateful_stream_state_recovery",
+    "q297_aqe_broadcast_conversion",
     "medallion_gold_kpis",
 ]
 
@@ -698,9 +702,10 @@ def main() -> None:
             # just structurally. Stream replays ride one distributed
             # rank (expect ~linear); the salted and AQE skew joins are
             # one balanced exchange each; compaction/DPP/bloom pay real
-            # write+verify I/O proportional to data. q291 is excluded:
-            # its corpus is a fixed 6000-row synthetic stream at every
-            # SF, so a cross-SF ratio would measure nothing.
+            # write+verify I/O proportional to data. q291/q296 are
+            # excluded: their corpus is a fixed 6000-row synthetic
+            # stream at every SF, so a cross-SF ratio would measure
+            # nothing.
             "q285_stream_stream_interval_join",
             "q286_salted_skew_join",
             "q287_compaction_execute",
@@ -709,6 +714,9 @@ def main() -> None:
             "q290_dynamic_partition_pruning",
             "q292_stream_window_emission_timing",
             "q293_aqe_skew_join_rescue",
+            "q294_aqe_partition_coalescing",
+            "q295_rebalance_write_rescue",
+            "q297_aqe_broadcast_conversion",
         ):
             if name not in qs:
                 continue

@@ -18548,6 +18548,434 @@ def q293_aqe_skew_join_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, df.schema)
 
 
+@_q(
+    "q294_aqe_partition_coalescing",
+    f"""
+    SELECT o_orderpriority,
+           CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS BIGINT)
+             AS yr,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM({SC("o_totalprice")}) AS BIGINT) AS sum_price_c
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q294_aqe_partition_coalescing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE partition COALESCING observation — the third member of the
+    runtime-adaptivity family (q290 DPP, q293 skew split): a grouped
+    aggregate whose output is far smaller than its
+    spark.sql.shuffle.partitions fan-out lets AQE merge the post-
+    shuffle partitions to advisory size at runtime (the
+    `AQEShuffleRead coalesced` node), eliminating the
+    thousands-of-tiny-tasks tail that fixed partition counts produce
+    at 100 TB — the runtime answer to hand-tuning shuffle.partitions
+    per query. The query EXECUTES the aggregate under the session
+    default (coalescing ON), ValueError-gates that the final adaptive
+    plan actually carries the coalesced read, then re-executes with
+    spark.sql.adaptive.coalescePartitions.enabled=false (restored in a
+    finally) and gates row-for-row equality driver-side — the q290
+    invisibility discipline proven INSIDE the entry, on the bounded
+    (priority x year) result. Returns the coalesced run's materialized
+    rows, so the DuckDB hash match pins the adaptive execution's
+    values, not a re-planned copy. Scale shape: one map-combined
+    aggregate; the result is |priorities| x |years| rows."""
+    def frame() -> DataFrame:
+        return (
+            _t(spark, sf_dir, "orders")
+            .select(
+                "o_orderpriority",
+                F.year(F.col("o_orderdate").cast("date")).alias("yr"),
+                cents(F.col("o_totalprice")).alias("price_c"),
+            )
+            .groupBy("o_orderpriority", "yr")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum("price_c").cast("bigint").alias("sum_price_c"),
+            )
+        )
+
+    df = frame()
+    rows = df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "AQEShuffleRead coalesced" not in plan:
+        raise ValueError("adaptive plan did not coalesce the aggregate read")
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    saved = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "false")
+        rows_off = frame().collect()
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+    if sorted(map(tuple, rows)) != sorted(map(tuple, rows_off)):
+        raise ValueError("coalescing changed the answer — must be invisible")
+    return spark.createDataFrame(rows, df.schema)
+
+
+_Q295_HOT_KEYS = 20
+_Q295_ADVISORY = 16_384  # forced small so the split engages at test SFs;
+# production would target 64-256MB output files
+
+
+@_q(
+    "q295_rebalance_write_rescue",
+    f"""
+    SELECT CAST(CASE WHEN l_orderkey % 10 < 9 THEN 0
+                     ELSE l_partkey % {_Q295_HOT_KEYS} END AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           CAST(SUM({SC("l_extendedprice")}) AS BIGINT) AS sum_price_c
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q295_rebalance_write_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REBALANCE-hint WRITE rescue — output-file skew, the write-side
+    twin of q293's join-side skew: `partitionBy(k)` after a hash
+    exchange on k puts each key in ONE task, so the ~90%-hot key
+    produces one giant file (the straggler + unsplittable-read problem
+    every partitioned 100 TB sink hits). The rescue is the REBALANCE
+    hint with AQE's optimizeSkewsInRebalancePartitions: the runtime
+    splits the hot partition into advisory-sized mapper-range slices,
+    so the hot directory gets MANY bounded files while small keys
+    still get one each. The entry writes the corpus BOTH ways
+    (scratch-sinked, stale-swept), audits each layout with the
+    EXECUTOR-side parquet footer walk (parquet_footer_stats — the
+    driver never opens a footer), and ValueError-gates the rescue
+    mechanics: the plain write makes exactly one file per key, the
+    rebalanced write makes strictly more files than keys with > 1 in
+    the hot directory, and the rebalanced max rows-per-file is
+    strictly below the plain write's hot-file row count (measured
+    sf0.01: 54,422 -> ~5,100). The returned DataFrame is the per-key
+    aggregate RE-READ from the rebalanced table, so the DuckDB hash
+    match against plain lineitem SQL proves the file-level surgery
+    lost and duplicated nothing. The fact passes through a 32-task
+    upstream stage for the same mapper-granularity reason as q293.
+    Scale shape: two partitioned writes + one footer walk
+    (file-parallel) + one re-read aggregate; at 100 TB the advisory
+    would be 64-256MB and the hot key's thousands of slices are
+    exactly what keeps write tasks and downstream scans balanced.
+    Reference anchor: the reference shapes files only via
+    maxRecordsPerFile on an UNPARTITIONED write (CM:124-133) — this is
+    the partitioned-sink version of that file-sizing intent."""
+    import shutil
+
+    from spark_lakehouse_medallion_pipeline_spark.sources.io import (
+        parquet_footer_stats,
+    )
+
+    base = _scratch_dir(spark, "q295", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .repartition(_Q293_UPSTREAM_TASKS)
+        .select(
+            F.when(F.col("l_orderkey") % 10 < 9, F.lit(0))
+            .otherwise(F.col("l_partkey") % _Q295_HOT_KEYS)
+            .cast("bigint")
+            .alias("k"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            cents(F.col("l_extendedprice")).alias("price_c"),
+        )
+    )
+    confs = {
+        "spark.sql.adaptive.optimizeSkewsInRebalancePartitions.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(_Q295_ADVISORY),
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    plain, reb = f"{base}/plain", f"{base}/rebalanced"
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li.repartition("k").write.mode("overwrite").partitionBy("k").parquet(
+            plain
+        )
+        li.hint("rebalance", "k").write.mode("overwrite").partitionBy(
+            "k"
+        ).parquet(reb)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    def audit(path: str) -> tuple[int, int]:
+        r = (
+            parquet_footer_stats(spark, f"{path}/k=*")
+            .agg(
+                F.count(F.lit(1)).alias("nf"),
+                F.max("n_rows").alias("maxr"),
+            )
+            .collect()[0]
+        )
+        return int(r["nf"]), int(r["maxr"])
+
+    nf_plain, maxr_plain = audit(plain)
+    nf_reb, maxr_reb = audit(reb)
+    n_keys = li.select("k").distinct().count()
+    if nf_plain != n_keys:
+        raise ValueError(
+            f"plain write should make one file per key: {nf_plain} files, "
+            f"{n_keys} keys"
+        )
+    if nf_reb <= n_keys or maxr_reb >= maxr_plain:
+        raise ValueError(
+            f"rebalance did not split the hot partition: {nf_reb} files "
+            f"(keys {n_keys}), max rows {maxr_reb} vs plain {maxr_plain}"
+        )
+    hot_files = (
+        parquet_footer_stats(spark, f"{reb}/k=0").agg(
+            F.count(F.lit(1)).alias("nf")
+        )
+    ).collect()[0]["nf"]
+    if hot_files <= 1:
+        raise ValueError(f"hot directory still a single file: {hot_files}")
+    return (
+        spark.read.parquet(reb)
+        .groupBy(F.col("k").cast("bigint").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("qty").cast("bigint").alias("sum_qty"),
+            F.sum("price_c").cast("bigint").alias("sum_price_c"),
+        )
+    )
+
+
+@_q(
+    "q296_stateful_stream_state_recovery",
+    f"""
+    WITH src AS (
+      SELECT range AS doc_id,
+             (range % 1000003) * 2654435761 % 4294967296 AS mixed
+      FROM range({_Q291_ROWS})
+    )
+    SELECT 'shard' || CAST(mixed % 4 AS VARCHAR) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(mixed % 4096) AS BIGINT) AS bucket_sum,
+           CAST({_Q291_CRASH_BID} AS BIGINT) AS n_commits_run1,
+           CAST({-(-_Q291_ROWS // _Q291_BATCH)} AS BIGINT) AS n_commits_total,
+           CAST(1 AS BIGINT) AS n_replayed_batches
+    FROM src GROUP BY 1
+    """,
+)
+def q296_stateful_stream_state_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE-STORE crash recovery — q291's missing half: q291 proves
+    source-offset replay + idempotent-sink exactly-once for a
+    STATELESS drain; this proves the AGGREGATION STATE survives the
+    same crash. An update-mode streaming groupBy (per-shard count +
+    bucket sum over the offset-replay synthetic_docs feed) runs
+    through foreachBatch, which records each microbatch's UPDATED
+    aggregate rows to a bid-keyed sink; the injected failure kills the
+    query after batch {_Q291_CRASH_BID}'s rows are recorded but before
+    its offset commits. On restart the engine must reload state-store
+    version {_Q291_CRASH_BID} (the state as of the last committed
+    batch) and replay — if state were lost, every count after the
+    crash would restart from the replayed slice and the final
+    aggregate could never equal the full-corpus oracle. The
+    ValueError gates pin the ledger (run-1 commits, full drain, batch
+    {_Q291_CRASH_BID} recorded twice) AND the cumulative-state proof:
+    the replayed batch's per-shard counts must sum to
+    {(_Q291_CRASH_BID + 1) * _Q291_BATCH} (ids 0..{(_Q291_CRASH_BID + 1) * _Q291_BATCH - 1}
+    — state carried across the restart, not recounted from the
+    replay). The result is the LAST update per shard (max-bid row,
+    one distributed_rank-free max-join on 4 keys), hash-pinned to the
+    range() oracle. Scale shape: state is |keys| rows; recovery cost
+    is one state-store load + one batch replay, never the stream."""
+    import os
+    import shutil
+
+    from spark_lakehouse_medallion_pipeline_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    base = _scratch_dir(spark, "q296", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    ck = os.path.join(base, "ckpt")
+    sink = os.path.join(base, "sink")
+    marker = os.path.join(base, "crashed_once")
+    calls: list[int] = []
+
+    def _write_batch(bdf: DataFrame, bid: int) -> None:
+        bdf.write.mode("overwrite").parquet(os.path.join(sink, f"bid={bid}"))
+        calls.append(bid)
+        if bid == _Q291_CRASH_BID and not os.path.exists(marker):
+            with open(marker, "w"):
+                pass
+            raise RuntimeError("q296-injected-crash")
+
+    def _drain() -> str | None:
+        agg = (
+            spark.readStream.format("synthetic_docs")
+            .option("rows", str(_Q291_ROWS))
+            .option("batch", str(_Q291_BATCH))
+            .option("shards", "4")
+            .load()
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_total"),
+                F.sum("bucket").cast("bigint").alias("bucket_sum"),
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(_write_batch)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        err: str | None = None
+        try:
+            q.processAllAvailable()
+        except Exception as e:  # noqa: BLE001 — failure IS the fixture
+            err = str(e)
+        finally:
+            ex = q.exception()
+            if ex is not None:
+                err = str(ex)
+            q.stop()
+        return err
+
+    def _commits() -> list[int]:
+        d = os.path.join(ck, "commits")
+        if not os.path.isdir(d):
+            return []
+        return sorted(int(n) for n in os.listdir(d) if n.isdigit())
+
+    e1 = _drain()
+    if e1 is None or "q296-injected-crash" not in e1:
+        raise ValueError(f"run 1 did not crash as injected: {e1!r:.300}")
+    commits_run1 = _commits()
+    if commits_run1 != list(range(_Q291_CRASH_BID)):
+        raise ValueError(f"unexpected run-1 commits: {commits_run1}")
+    e2 = _drain()
+    if e2 is not None:
+        raise ValueError(f"restarted run failed: {e2!r:.300}")
+    n_total = -(-_Q291_ROWS // _Q291_BATCH)
+    if _commits() != list(range(n_total)):
+        raise ValueError(f"incomplete drain after restart: {_commits()}")
+    n_replayed = sum(1 for b in set(calls) if calls.count(b) > 1)
+    if calls.count(_Q291_CRASH_BID) != 2 or n_replayed != 1:
+        raise ValueError(f"replay ledger wrong: {sorted(calls)}")
+    # cumulative-state proof: the REPLAYED batch's updated counts must
+    # already include everything before the crash
+    replay = spark.read.parquet(os.path.join(sink, f"bid={_Q291_CRASH_BID}"))
+    got = replay.agg(F.sum("n_total")).collect()[0][0]
+    want = (_Q291_CRASH_BID + 1) * _Q291_BATCH
+    if got != want:
+        raise ValueError(
+            f"state lost across restart: replayed batch counts sum to "
+            f"{got}, expected the cumulative {want}"
+        )
+    out = spark.read.parquet(sink)
+    last = out.groupBy("shard").agg(F.max("bid").alias("bid"))
+    return (
+        out.join(last, ["shard", "bid"])
+        .select(
+            "shard",
+            "n_total",
+            "bucket_sum",
+            F.lit(len(commits_run1)).cast("bigint").alias("n_commits_run1"),
+            F.lit(n_total).cast("bigint").alias("n_commits_total"),
+            F.lit(n_replayed).cast("bigint").alias("n_replayed_batches"),
+        )
+    )
+
+
+_Q297_DIM_KEYS = 100
+_Q297_THRESHOLD = 8_192  # static orders-aggregate estimate exceeds this
+# at every SF (10.7 KiB at sf0.001) while the 100-row runtime stage
+# (~4 KB) sits below it — the window where static says SMJ and runtime
+# converts
+
+
+@_q(
+    "q297_aqe_broadcast_conversion",
+    f"""
+    WITH dim AS (
+      SELECT o_custkey % {_Q297_DIM_KEYS} AS ck,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM({SC("o_totalprice")}) AS BIGINT) AS sum_order_c
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(f.ck AS BIGINT) AS ck,
+           CAST(COUNT(*) AS BIGINT) AS n_li,
+           CAST(SUM(f.qty) AS BIGINT) AS sum_qty,
+           CAST(MAX(dim.n_orders) AS BIGINT) AS n_orders,
+           CAST(MAX(dim.sum_order_c) AS BIGINT) AS sum_order_c
+    FROM (SELECT l_orderkey % {_Q297_DIM_KEYS} AS ck,
+                 CAST(l_quantity AS BIGINT) AS qty
+          FROM lineitem) f
+    JOIN dim ON f.ck = dim.ck
+    GROUP BY f.ck
+    """,
+)
+def q297_aqe_broadcast_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE SMJ -> BROADCAST conversion — the fourth runtime-adaptivity
+    observation (q290 DPP, q293 skew split, q294 coalescing): the
+    build side is an AGGREGATE whose static size estimate is its
+    child's scan size (Catalyst cannot know 100 groups come out), so
+    with autoBroadcastJoinThreshold at {_Q297_THRESHOLD} the STATIC
+    plan picks SortMergeJoin; at runtime the materialized stage is a
+    {_Q297_DIM_KEYS}-row table and AQE re-plans the join to
+    BroadcastHashJoin — the exact mechanism that saves the 100 TB user
+    whose filtered/aggregated dimension turns out broadcastable only
+    at runtime. Both plans are captured and ValueError-gated: the
+    pre-adaptive sparkPlan must carry SortMergeJoin and no broadcast,
+    the executed adaptive plan must carry BroadcastHashJoin. The
+    threshold conf is restored in a finally; the returned DataFrame is
+    the converted execution's materialized rows ({_Q297_DIM_KEYS},
+    bounded), so the DuckDB hash match proves the runtime re-plan
+    changed the schedule, never the answer. Scale shape: one
+    map-combined dimension aggregate, one broadcast join (zero fact
+    shuffle after conversion), final aggregate to
+    {_Q297_DIM_KEYS} rows."""
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    saved = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, str(_Q297_THRESHOLD))
+        dim = (
+            _t(spark, sf_dir, "orders")
+            .groupBy(
+                (F.col("o_custkey") % _Q297_DIM_KEYS).cast("bigint").alias("ck")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum(cents(F.col("o_totalprice")))
+                .cast("bigint")
+                .alias("sum_order_c"),
+            )
+        )
+        fact = _t(spark, sf_dir, "lineitem").select(
+            (F.col("l_orderkey") % _Q297_DIM_KEYS).cast("bigint").alias("ck"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+        df = (
+            fact.join(dim, "ck")
+            .groupBy("ck")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_li"),
+                F.sum("qty").cast("bigint").alias("sum_qty"),
+                F.max("n_orders").cast("bigint").alias("n_orders"),
+                F.max("sum_order_c").cast("bigint").alias("sum_order_c"),
+            )
+        )
+        pre = df._jdf.queryExecution().sparkPlan().toString()
+        rows = df.collect()
+        post = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+    if "SortMergeJoin" not in pre or "BroadcastHashJoin" in pre:
+        raise ValueError("static plan should be SMJ under the low threshold")
+    if "BroadcastHashJoin" not in post:
+        raise ValueError("AQE did not convert the join to broadcast")
+    if len(rows) != _Q297_DIM_KEYS:
+        raise ValueError(f"unexpected result cardinality: {len(rows)}")
+    return spark.createDataFrame(rows, df.schema)
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
@@ -18701,22 +19129,24 @@ def q293_aqe_skew_join_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # >= 2 consecutive driver rounds, each family keeping in-head reps,
 # annotated at the swap sites below.
 
-# Round 14 continues the zero-backlog discipline: all THREE round-14
-# families take birth-round head slots (q291 streaming crash recovery /
+# Round 14 continues the zero-backlog discipline: all SEVEN round-14
+# families take birth-round head slots — q291 streaming crash recovery /
 # exactly-once, q292 append-mode window emission timing, q293 AQE
-# skew-join rescue), displacing q257/q270/q251 — each green >= 3
-# consecutive driver rounds, each family keeping in-head reps,
-# annotated at the swap sites below.
+# skew-join rescue, q294 AQE partition coalescing, q295 REBALANCE write
+# rescue, q296 state-store crash recovery, q297 AQE broadcast
+# conversion — displacing q257/q270/q251/q249/q221/q264/q242, each
+# green >= 3 consecutive driver rounds, each family keeping in-head
+# reps, annotated at the swap sites below.
 
 _DRIVER_SNAPSHOT_50 = [
     # reference surface: aggregates, scalars, datetime, medallion KPIs
     "q01_pricing_summary",
     "q19_daily_event_kpis",
     "q41_scalar_battery",
-    "q249_mann_whitney",  # r11: Mann-Whitney U (exact cross-multiplied rank sums), first driver row for the r10-born nonparametric-test family (q233 Tukey-winsorize green r9+r10; robust stats keep q240 MAD + q255 KS in the head and q233 stays value-oracled in the full gate)
+    "q294_aqe_partition_coalescing",  # r14 birth-round: AQE partition coalescing — the tiny-task-tail rescue, coalesced-read plan-gated AND proven invisible in-query by a coalescing-off re-run (q249 Mann-Whitney green r11-r13; the nonparametric-test family keeps q255 KS in the head and q249 stays value-oracled in the full gate)
     "q277_topk_with_ties",  # r12 birth-round: group-wise top-k WITH TIES — the DENSE_RANK semantics audit directly pairing q212's row-number top_k_ranked (q212 green r8-r11, the displaced slot's own family continues through this entry; similarity keeps q198 PCA + q201 PQ in the head and q212 stays value-oracled in the full gate)
     # joins
-    "q221_funnel_latency",  # r9: funnel-stage latency quartiles, birth-round row (q192 BFS green r07+r08; graph keeps q67 connected components in the head and q192/q188/q126 stay value-oracled in the full gate)
+    "q295_rebalance_write_rescue",  # r14 birth-round: REBALANCE-hint write rescue — output-file skew split at mapper granularity, footer-walk-audited (one file per key plain vs many bounded hot files rebalanced) and re-read hash-proven lossless (q221 funnel green r9-r13, the longest-tenured rotatable slot; X6 theta/interval keeps q276 overlap + q285 interval join in the head and q221 stays value-oracled in the full gate)
     "q245_cusum_changepoint",  # r10: int64 cross-multiplied CUSUM changepoint with its prefix sum from distributed_rank, birth-round row (q224 rolling z-score green r08+r09; the anomaly family keeps this entry + q229 EWMA and X10 frames keep q207, with q224 value-oracled in the full gate)
     "q266_salted_skew_aggregate",  # r11 birth-round: the skew FIX replacing its own diagnosis slot (q205 profile green r8-r10; q266 is q205's treatment half — salted two-stage decomposition with exact COUNT(DISTINCT), plan-pinned; q205 stays value-oracled in the full gate)
     "q279_zorder_interleave_audit",  # r12 birth-round: Morton/Z-order 2-predicate clustering audit — the multi-dimensional completion of the q270/q278 layout story (q252 partition pruning green r10+r11; the layout family keeps q267 bucketed join + q270 + q278 in the head and q252 stays value-oracled in the full gate)
@@ -18733,14 +19163,14 @@ _DRIVER_SNAPSHOT_50 = [
     "q281_scd2_incremental_merge",  # r12 birth-round: SCD2 nightly MERGE — delta-only windowing + open-row close-out, hash-proven equal to the full rebuild (the q269 IVM discipline on q275's dimension) (q239 leakage-safe split green r10+r11; dedup/ER keeps q67 + q238 in the head and q239 stays value-oracled in the full gate)
     # sort/limit, set ops, sketches
     "q290_dynamic_partition_pruning",  # r13 birth-round: DYNAMIC partition pruning — runtime join-driven partition skipping (dynamicpruningexpression plan-pinned, DPP-off invariance tested), the runtime half of q252's static pruning (q258 Theil-Sen green r11+r12; the temporal family keeps q256 Mann-Kendall + q261 OLS in the head and q258 stays value-oracled in the full gate)
-    "q242_percentile_rank_normalize",  # r10: empirical-CDF normalization via relational.distributed_rank — the two-pass rank's reuse story, birth-round row (q196 rank distributions green r08+r09; X8 ranking keeps q215 Gini + q212 IR-eval in the head and q196 stays value-oracled in the full gate)
+    "q297_aqe_broadcast_conversion",  # r14 birth-round: AQE SMJ->broadcast conversion — static plan pinned SMJ under a low threshold, runtime re-plan pinned BroadcastHashJoin, materialized rows hash-proven equal to the plain join oracle (q242 percentile-rank green r10-r13; the distributed_rank composition family keeps q255 KS + q260 skyline + q245 CUSUM in the head and q242 stays value-oracled in the full gate)
     "q285_stream_stream_interval_join",  # r13 birth-round: stream-stream interval join replay — watermark drop + eviction accounting over two keyed streams, composing q280's cummax watermark with q276's range-join shape (q181 BPE green r7-r12, the longest-tenured rotatable slot; X20 text keeps q253 zipf + q263 inverted index in the head and q181 stays value-oracled in the full gate)
     # time windows / sessionization
     "q261_ols_trend_slope",  # r11: exact-int OLS normal equations, never driver-recorded (q230 chi-square green r9+r10; contingency tests keep q241 kappa in the head and q230 stays value-oracled in the full gate)
     "q271_gap_fill_interpolate",  # r11 late birth-round: spine gap-fill with LOCF + exact integer interpolation (q125 cogroup-as-of green r8-r10; X6 theta/range keeps q221 funnel in the head, X16 keeps q200 JPEG + q268 mapInPandas, and q125 stays value-oracled in the full gate)
     # SQL surface: subqueries, lateral, UDTF, interactive SQL
     "q282_replica_divergence_audit",  # r12 birth-round: Merkle-style bucket-checksum replica reconciliation — drill-down bounded by divergence, planted defects exactly recovered (q241 kappa green r10+r11; the agreement/audit-stats family keeps q249 Mann-Whitney + q251 Spearman in the head and q241 stays value-oracled in the full gate)
-    "q264_snapshot_retention_vacuum",  # r11 birth-round: retention/VACUUM completing the warehouse-maintenance family with q254/q257 (q235 k-anonymity green r9+r10; governance keeps incoming q262 erasure audit in the head and q235 stays value-oracled in the full gate)
+    "q296_stateful_stream_state_recovery",  # r14 birth-round: state-store crash recovery — update-mode aggregation killed mid-stream, restart must resume CUMULATIVE counts from the checkpointed state (replayed-batch sum gated), q291's stateless twin (q264 vacuum green r11-r13; warehouse maintenance keeps q254 time travel + q281 merge + q287 compaction in the head and q264 stays value-oracled in the full gate)
     "q67_dedup_clusters",  # r7: connected components never recorded in 6 rounds (q117 mapInArrow green r04-r06; UDF family keeps q65)
     "q255_ks_two_sample",  # r10 late: Kolmogorov-Smirnov two-sample test — the driver-visible proof of distributed_rank's multi-prefix-sum (cumsum_cols) form, birth-round row (q214 correlation matrix green r08+r09; the multivariate-ANALYZE family keeps q213 profile + q240 MAD in the head and q214 stays value-oracled in the full gate)
     # semi-structured: JSON, arrays, maps/structs

@@ -2366,3 +2366,83 @@ def test_q291_crash_recovery_counters(spark):
         assert r["n_offsets_run1"] == 4
         assert r["n_commits_total"] == 12
         assert r["n_replayed_batches"] == 1
+
+
+def test_q293_q297_conf_restoration(spark):
+    """The four conf-touching adaptivity entries (q293 skew split, q294
+    coalescing, q295 rebalance, q297 broadcast conversion) must leave
+    the session EXACTLY as they found it — a leaked threshold or
+    advisory size would silently change every later query's plans in a
+    shared gate/bench session."""
+    keys = [
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.adaptive.optimizeSkewsInRebalancePartitions.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    before = {k: spark.conf.get(k, None) for k in keys}
+    for name in (
+        "q293_aqe_skew_join_rescue",
+        "q294_aqe_partition_coalescing",
+        "q295_rebalance_write_rescue",
+        "q297_aqe_broadcast_conversion",
+    ):
+        QUERIES[name](spark, SF).collect()
+        after = {k: spark.conf.get(k, None) for k in keys}
+        assert after == before, name
+
+
+def test_q297_conversion_markers(spark):
+    """q297's two-plan story, re-captured independently: under the
+    forced-low threshold the pre-adaptive plan must choose SMJ and the
+    executed adaptive plan must carry BroadcastHashJoin — the runtime
+    conversion observed, not assumed. (The entry itself ValueError-
+    gates the same pair; this pins it against regressions in how the
+    plans are captured.)"""
+    from spark_lakehouse_medallion_pipeline_spark.queries import _Q297_THRESHOLD
+
+    import pyspark.sql.functions as F
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    saved = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, str(_Q297_THRESHOLD))
+        o = spark.read.parquet(f"{SF}/orders.parquet")
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        dim = o.groupBy((F.col("o_custkey") % 100).alias("ck")).count()
+        j = li.select((F.col("l_orderkey") % 100).alias("ck")).join(dim, "ck")
+        pre = j._jdf.queryExecution().sparkPlan().toString()
+        # collect THIS df (a separate .count() would execute a different
+        # QueryExecution and leave this one's adaptive plan unfinalized)
+        n = len(j.collect())
+        post = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+    assert "SortMergeJoin" in pre and "BroadcastHashJoin" not in pre
+    assert "BroadcastHashJoin" in post
+    assert n > 0
+
+
+@pytest.mark.slow
+def test_q296_state_recovery_counters(spark):
+    """q296 end-to-end at test SF: the ledger columns must show the
+    designed crash (3 commits in run 1, 12 total, one replayed batch)
+    and the final per-shard counts must cover the WHOLE 6000-row
+    corpus — only possible if the aggregation state survived the
+    restart (a state loss would leave the post-crash counts missing
+    ids 0..1499)."""
+    rows = QUERIES["q296_stateful_stream_state_recovery"](spark, SF).collect()
+    assert len(rows) == 4
+    assert sum(r["n_total"] for r in rows) == 6000
+    for r in rows:
+        assert r["n_commits_run1"] == 3
+        assert r["n_commits_total"] == 12
+        assert r["n_replayed_batches"] == 1
