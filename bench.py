@@ -230,6 +230,7 @@ HEADLINE = [
     "q295_rebalance_write_rescue",
     "q296_stateful_stream_state_recovery",
     "q297_aqe_broadcast_conversion",
+    "q298_stream_dedup_ttl_replay",
     "medallion_gold_kpis",
 ]
 
@@ -717,6 +718,7 @@ def main() -> None:
             "q294_aqe_partition_coalescing",
             "q295_rebalance_write_rescue",
             "q297_aqe_broadcast_conversion",
+            "q298_stream_dedup_ttl_replay",
         ):
             if name not in qs:
                 continue

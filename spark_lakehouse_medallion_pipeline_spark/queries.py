@@ -18976,6 +18976,183 @@ def q297_aqe_broadcast_conversion(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.createDataFrame(rows, df.schema)
 
 
+@_q(
+    "q298_stream_dedup_ttl_replay",
+    f"""
+    WITH RECURSIVE e AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+             epoch_us(ts) + (event_id % 7) * 60000000 AS arr_us
+      FROM events
+    ),
+    w AS (
+      SELECT *, max(ts_us) OVER (ORDER BY arr_us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS wm_us
+      FROM e
+    ),
+    x AS (
+      SELECT d.delay_s, w.*,
+             CASE WHEN w.wm_us IS NOT NULL
+                   AND w.ts_us < w.wm_us - d.delay_s * 1000000
+                  THEN 1 ELSE 0 END AS is_late
+      FROM w, (SELECT unnest([{", ".join(str(s) for s in _Q280_DELAYS_S)}])
+               AS delay_s) d
+    ),
+    ot AS (
+      SELECT *, row_number() OVER (PARTITION BY delay_s, user_id, event_type
+                                   ORDER BY arr_us, event_id) AS rn
+      FROM x WHERE is_late = 0
+    ),
+    rec AS (
+      SELECT delay_s, user_id, event_type, rn, ts_us AS emit_ts,
+             1 AS is_emit
+      FROM ot WHERE rn = 1
+      UNION ALL
+      SELECT o.delay_s, o.user_id, o.event_type, o.rn,
+             CASE WHEN o.wm_us - o.delay_s * 1000000
+                       < r.emit_ts + o.delay_s * 1000000
+                  THEN r.emit_ts ELSE o.ts_us END,
+             CASE WHEN o.wm_us - o.delay_s * 1000000
+                       < r.emit_ts + o.delay_s * 1000000
+                  THEN 0 ELSE 1 END
+      FROM rec r JOIN ot o
+        ON o.delay_s = r.delay_s AND o.user_id = r.user_id
+       AND o.event_type = r.event_type AND o.rn = r.rn + 1
+    ),
+    per_key AS (
+      SELECT delay_s, user_id, event_type,
+             COUNT(*) AS n_kept, SUM(is_emit) AS n_emit
+      FROM rec GROUP BY 1, 2, 3
+    ),
+    late AS (
+      SELECT delay_s, COUNT(*) AS n_total, SUM(is_late) AS n_late
+      FROM x GROUP BY 1
+    )
+    SELECT CAST(pk.delay_s AS BIGINT) AS delay_s,
+           CAST(MAX(late.n_total) AS BIGINT) AS n_events_total,
+           CAST(MAX(late.n_late) AS BIGINT) AS n_dropped_late,
+           CAST(SUM(pk.n_emit) AS BIGINT) AS n_emitted,
+           CAST(SUM(pk.n_kept - pk.n_emit) AS BIGINT) AS n_dropped_dup,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN pk.n_emit > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keys_reemitted
+    FROM per_key pk JOIN late USING (delay_s)
+    GROUP BY 1
+    """,
+)
+def q298_stream_dedup_ttl_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DEDUP TTL replay — dropDuplicatesWithinWatermark's
+    exact state rule replayed in batch, completing the timing family
+    (q280 row drops, q285/q289 join emission, q292 window emission;
+    dedup is the fourth stateful operator class): per (user_id,
+    event_type) key, an on-time row is EMITTED iff the key's state has
+    expired — Spark keeps a dedup entry until the watermark passes
+    (emitted event time + delay), so with watermark = max_seen − delay
+    the entry is alive iff wm − delay < emit_ts + delay. The chain is
+    genuinely sequential per key (each emission resets the TTL window,
+    so emission N depends on emission N−1 — not expressible as a
+    window function), which makes this the one entry whose oracle is a
+    RECURSIVE CTE (per-key stepwise recursion over arrival rank,
+    depth = max rows per key, ~24 at sf0.01) and whose Spark side is a
+    bounded applyInPandas chain per (delay, key) group — the X16
+    grouped-map surface doing exactly what its API exists for. Per
+    delay the audit reports: rows dropped late (q280's rule), rows
+    emitted, duplicates suppressed (conservation: late + emitted +
+    dup == total), distinct keys, and keys emitted MORE THAN ONCE —
+    the measured TTL false-negative census: dropDuplicates-forever
+    semantics would emit each key once, the watermark-bounded state
+    re-emits a key every time its TTL lapses, and that re-emission
+    count is precisely the duplicate exposure a downstream consumer
+    must tolerate for the state store to stay bounded. Scale shape:
+    one distributed_rank pass shared by all delays, one co-partition
+    shuffle to (delay, key) groups of <= ~24 Arrow rows, aggregates
+    map-combined to 3 rows; state in the real stream is |keys| rows —
+    the bounded-memory contract this entry quantifies the price of."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+    us = 1_000_000
+    e = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.unix_micros("ts") + (F.col("event_id") % 7) * 60_000_000).alias(
+            "arr_us"
+        ),
+    )
+    w = relational.distributed_rank(
+        e,
+        [F.col("arr_us").asc(), F.col("event_id").asc()],
+        rank_col="_r",
+        cummax_cols={"ts_us": "wm_us"},
+    )
+    x = w.withColumn(
+        "delay_s", F.explode(F.array(*[F.lit(s) for s in _Q280_DELAYS_S]))
+    ).withColumn(
+        "is_late",
+        F.when(
+            F.col("wm_us").isNotNull()
+            & (F.col("ts_us") < F.col("wm_us") - F.col("delay_s") * us),
+            1,
+        ).otherwise(0),
+    )
+    ot = x.filter(F.col("is_late") == 0).select(
+        "delay_s", "user_id", "event_type", "ts_us", "arr_us", "event_id",
+        "wm_us",
+    )
+
+    def _chain(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["arr_us", "event_id"])
+        d_us = int(pdf["delay_s"].iloc[0]) * 1_000_000
+        emit_ts = None
+        n_emit = 0
+        for ts, wm in zip(pdf["ts_us"], pdf["wm_us"]):
+            alive = (
+                emit_ts is not None
+                and not pd.isna(wm)
+                and wm - d_us < emit_ts + d_us
+            )
+            if not alive:
+                emit_ts = ts
+                n_emit += 1
+        return pd.DataFrame(
+            [[int(pdf["delay_s"].iloc[0]), len(pdf), n_emit]],
+            columns=["delay_s", "n_kept", "n_emit"],
+        )
+
+    pk = ot.groupBy("delay_s", "user_id", "event_type").applyInPandas(
+        _chain, "delay_s long, n_kept long, n_emit long"
+    )
+    late = x.groupBy("delay_s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum("is_late").cast("bigint").alias("n_late"),
+    )
+    return (
+        pk.groupBy("delay_s")
+        .agg(
+            F.sum("n_emit").cast("bigint").alias("n_emitted"),
+            F.sum(F.col("n_kept") - F.col("n_emit"))
+            .cast("bigint")
+            .alias("n_dropped_dup"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum(F.when(F.col("n_emit") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_keys_reemitted"),
+        )
+        .join(late, "delay_s")
+        .select(
+            F.col("delay_s").cast("bigint").alias("delay_s"),
+            F.col("n_total").alias("n_events_total"),
+            F.col("n_late").alias("n_dropped_late"),
+            "n_emitted",
+            "n_dropped_dup",
+            "n_keys",
+            "n_keys_reemitted",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
@@ -19129,14 +19306,15 @@ def q297_aqe_broadcast_conversion(spark: SparkSession, sf_dir: str) -> DataFrame
 # >= 2 consecutive driver rounds, each family keeping in-head reps,
 # annotated at the swap sites below.
 
-# Round 14 continues the zero-backlog discipline: all SEVEN round-14
+# Round 14 continues the zero-backlog discipline: all EIGHT round-14
 # families take birth-round head slots — q291 streaming crash recovery /
 # exactly-once, q292 append-mode window emission timing, q293 AQE
 # skew-join rescue, q294 AQE partition coalescing, q295 REBALANCE write
 # rescue, q296 state-store crash recovery, q297 AQE broadcast
-# conversion — displacing q257/q270/q251/q249/q221/q264/q242, each
-# green >= 3 consecutive driver rounds, each family keeping in-head
-# reps, annotated at the swap sites below.
+# conversion, q298 streaming dedup TTL replay — displacing
+# q257/q270/q251/q249/q221/q264/q242/q267, each green >= 3 consecutive
+# driver rounds, each family keeping in-head reps, annotated at the
+# swap sites below.
 
 _DRIVER_SNAPSHOT_50 = [
     # reference surface: aggregates, scalars, datetime, medallion KPIs
@@ -19188,7 +19366,7 @@ _DRIVER_SNAPSHOT_50 = [
     # text analysis family
     "q288_bloom_zone_pruning",  # r13 birth-round: per-zone bloom-filter point-lookup pruning — the MEMBERSHIP half of data skipping, completing the q270/q278 min-max + q279 z-order triad; distributed bit_or bloom build, measured FP rate, no-false-negative pytest (q253 Zipf green r11+r12; lexical/text keeps q263 inverted index in the head — q181's slot also rotated this round — and q253 stays value-oracled in the full gate)
     "q263_inverted_index",  # r11: champion-postings inverted index, never driver-recorded (q204 containment green r8-r10; dedup keeps q67/q238/q239 in the head and q204 stays value-oracled in the full gate)
-    "q267_bucketed_colocated_join",  # r11 birth-round: zero-join-key-exchange bucketed layout, plan-pinned (q236 CSV quarantine green r9+r10; the quarantine trio keeps q237+q247 in the head and q236 stays value-oracled in the full gate)
+    "q298_stream_dedup_ttl_replay",  # r14 birth-round: dropDuplicatesWithinWatermark TTL replay — per-key sequential state chain (applyInPandas vs a RECURSIVE-CTE oracle, the battery's first), re-emission census conservation-pinned, completing the streaming-timing family q280/q285/q289/q292 (q267 bucketed join green r11-r13; the layout family keeps q278/q279/q287/q288/q295 in the head and q267 stays value-oracled in the full gate)
     "q262_erasure_cascade_audit",  # r11: GDPR erasure blast-radius (now with the AQE-chosen, unforced cascade join), never driver-recorded (q227 FK conformance green r8-r10 — q262 exercises the same FK cascade; q227 stays value-oracled in the full gate)
     "q276_interval_overlap_join",  # r12 birth-round: keyless interval-overlap join via bucketed blocking — the X6 non-equi scale pattern as a first-class audit, generalizing q221's funnel pairing (q244 hazard table green r10+r11; survival analysis keeps q248 Kaplan-Meier in the head and q244 stays value-oracled in the full gate)
     "q246_hhi_concentration",  # r10: Herfindahl-Hirschman market concentration (quantize-then-square e6 shares), birth-round row (q219 basket lift green r08+r09; the commerce-analytics family keeps q223 brand-corr in the head and q219 stays value-oracled in the full gate)

@@ -2446,3 +2446,57 @@ def test_q296_state_recovery_counters(spark):
         assert r["n_commits_run1"] == 3
         assert r["n_commits_total"] == 12
         assert r["n_replayed_batches"] == 1
+
+
+def test_q298_dedup_ttl_streaming_simulation(spark):
+    """q298's recursive formula vs a TRUE stateful simulation: iterate
+    ALL rows in arrival order, advance the global watermark, sweep
+    expired dedup entries (wm - d >= emit_ts + d) before each row,
+    emit iff the key is absent, re-insert on emit. Every q298 column
+    must match per delay — so the batch/recursive replay and the
+    operational state-store semantics agree row for row."""
+    from spark_lakehouse_medallion_pipeline_spark.queries import _Q280_DELAYS_S
+    from spark_lakehouse_medallion_pipeline_spark.sources.io import read_events
+
+    US = 1_000_000
+    ev = read_events(spark, SF).toPandas()
+    ev["ts_us"] = ev.ts.astype("int64") // 1000
+    ev["arr_us"] = ev.ts_us + (ev.event_id % 7) * 60_000_000
+    rows = list(ev.sort_values(["arr_us", "event_id"]).itertuples(index=False))
+    got = {
+        r["delay_s"]: r.asDict()
+        for r in QUERIES["q298_stream_dedup_ttl_replay"](spark, SF).collect()
+    }
+    for delay in _Q280_DELAYS_S:
+        d_us = delay * US
+        wm = None
+        state: dict[tuple, int] = {}
+        emits_per_key: dict[tuple, int] = {}
+        n_late = n_emit = n_dup = 0
+        for r in rows:
+            cur_wm = None if wm is None else wm - d_us
+            if cur_wm is not None and r.ts_us < cur_wm:
+                n_late += 1
+            else:
+                if cur_wm is not None:
+                    state = {
+                        k: t for k, t in state.items() if cur_wm < t + d_us
+                    }
+                k = (r.user_id, r.event_type)
+                if k in state:
+                    n_dup += 1
+                else:
+                    state[k] = r.ts_us
+                    n_emit += 1
+                    emits_per_key[k] = emits_per_key.get(k, 0) + 1
+            wm = r.ts_us if wm is None else max(wm, r.ts_us)
+        g = got[delay]
+        assert g["n_events_total"] == len(rows), delay
+        assert g["n_dropped_late"] == n_late, delay
+        assert g["n_emitted"] == n_emit, delay
+        assert g["n_dropped_dup"] == n_dup, delay
+        assert g["n_keys"] == len(emits_per_key), delay
+        assert g["n_keys_reemitted"] == sum(
+            1 for v in emits_per_key.values() if v > 1
+        ), delay
+        assert n_late + n_emit + n_dup == len(rows), delay
