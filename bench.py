@@ -231,6 +231,7 @@ HEADLINE = [
     "q296_stateful_stream_state_recovery",
     "q297_aqe_broadcast_conversion",
     "q298_stream_dedup_ttl_replay",
+    "q299_exactly_once_merge_sink",
     "medallion_gold_kpis",
 ]
 
@@ -704,9 +705,9 @@ def main() -> None:
             # rank (expect ~linear); the salted and AQE skew joins are
             # one balanced exchange each; compaction/DPP/bloom pay real
             # write+verify I/O proportional to data. q291/q296 are
-            # excluded: their corpus is a fixed 6000-row synthetic
-            # stream at every SF, so a cross-SF ratio would measure
-            # nothing.
+            # excluded (as is q299): their corpus is a fixed 6000-row
+            # synthetic stream at every SF, so a cross-SF ratio would
+            # measure nothing.
             "q285_stream_stream_interval_join",
             "q286_salted_skew_join",
             "q287_compaction_execute",

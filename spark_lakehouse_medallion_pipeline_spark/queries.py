@@ -19153,6 +19153,169 @@ def q298_stream_dedup_ttl_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q299_exactly_once_merge_sink",
+    f"""
+    WITH src AS (
+      SELECT range AS doc_id,
+             (range % 1000003) * 2654435761 % 4294967296 AS mixed
+      FROM range({_Q291_ROWS})
+    )
+    SELECT 'shard' || CAST(mixed % 4 AS VARCHAR) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(mixed % 4096) AS BIGINT) AS bucket_sum,
+           CAST({-(-_Q291_ROWS // _Q291_BATCH)} AS BIGINT) AS n_versions,
+           CAST({-(-_Q291_ROWS // _Q291_BATCH)} AS BIGINT)
+             AS n_batches_applied,
+           CAST(1 AS BIGINT) AS n_batches_skipped_replay,
+           CAST({_Q291_CRASH_BID} AS BIGINT) AS n_commits_run1
+    FROM src GROUP BY 1
+    """,
+)
+def q299_exactly_once_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once TRANSACTIONAL MERGE sink — the third leg of the
+    crash-recovery trio (q291: idempotent-by-overwrite file sink;
+    q296: aggregation state store; here: a versioned TABLE sink where
+    blind re-application would be visible as a phantom commit). Each
+    microbatch MERGEs into a snapshot table (merge_upsert_snapshot —
+    one left-anti join + atomic pointer flip, the q254/q281 layer) and
+    then records its batch id in an idempotency LEDGER — the txn-
+    version pattern Delta's idempotent writes use. The injected crash
+    fires AFTER batch {_Q291_CRASH_BID}'s merge commit and ledger
+    entry but BEFORE its offset commit — the worst spot: the work is
+    durably done, the engine doesn't know. On restart the engine
+    replays batch {_Q291_CRASH_BID}; the ledger guard must SKIP the
+    re-merge, so the table ends at exactly
+    {-(-_Q291_ROWS // _Q291_BATCH)} versions — a 13th version would
+    mean the replay re-committed (content-identical here because
+    upsert is key-idempotent, but a real incremental merge would
+    double-apply; the version count is the proof the guard, not luck,
+    provided exactly-once). ValueError gates pin the full ledger:
+    run-1 crash message, {_Q291_CRASH_BID + 1} versions + ledger
+    entries vs {_Q291_CRASH_BID} offset commits after the crash,
+    exactly one skipped replay, final drain to
+    {-(-_Q291_ROWS // _Q291_BATCH)} versions, and a 6000-row
+    exactly-once table. The measured counters ride the result columns
+    against the range() oracle. Scale shape: each merge is one
+    distributed anti join + table write; recovery cost is one ledger
+    lookup, not a rewrite. Reference anchor: the reference's
+    `mdp-checkpoints` bucket intent (k8s/s3/03-s3-buckets.yaml:33-39)
+    provisioned for exactly this pattern and never built it."""
+    import os
+    import shutil
+
+    from spark_lakehouse_medallion_pipeline_spark.sources import pydatasource
+    from spark_lakehouse_medallion_pipeline_spark.sources.io import (
+        merge_upsert_snapshot,
+        read_snapshot,
+        snapshot_versions,
+    )
+
+    pydatasource.register(spark)
+    base = _scratch_dir(spark, "q299", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    ck = os.path.join(base, "ckpt")
+    tdir = os.path.join(base, "table")
+    ledger = os.path.join(base, "ledger")
+    marker = os.path.join(base, "crashed_once")
+    os.makedirs(ledger, exist_ok=True)
+    calls: list[int] = []
+    skipped: list[int] = []
+
+    def _apply_batch(bdf: DataFrame, bid: int) -> None:
+        calls.append(bid)
+        entry = os.path.join(ledger, str(bid))
+        if os.path.exists(entry):
+            skipped.append(bid)  # replay of durably-applied work
+            return
+        merge_upsert_snapshot(
+            spark,
+            bdf.select("doc_id", "bucket", "shard"),
+            tdir,
+            ["doc_id"],
+        )
+        with open(entry, "w"):
+            pass
+        if bid == _Q291_CRASH_BID and not os.path.exists(marker):
+            with open(marker, "w"):
+                pass
+            raise RuntimeError("q299-injected-crash")
+
+    def _drain() -> str | None:
+        q = (
+            spark.readStream.format("synthetic_docs")
+            .option("rows", str(_Q291_ROWS))
+            .option("batch", str(_Q291_BATCH))
+            .option("shards", "4")
+            .load()
+            .writeStream.foreachBatch(_apply_batch)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        err: str | None = None
+        try:
+            q.processAllAvailable()
+        except Exception as e:  # noqa: BLE001 — failure IS the fixture
+            err = str(e)
+        finally:
+            ex = q.exception()
+            if ex is not None:
+                err = str(ex)
+            q.stop()
+        return err
+
+    def _commits() -> list[int]:
+        d = os.path.join(ck, "commits")
+        if not os.path.isdir(d):
+            return []
+        return sorted(int(n) for n in os.listdir(d) if n.isdigit())
+
+    e1 = _drain()
+    if e1 is None or "q299-injected-crash" not in e1:
+        raise ValueError(f"run 1 did not crash as injected: {e1!r:.300}")
+    commits_run1 = _commits()
+    if commits_run1 != list(range(_Q291_CRASH_BID)):
+        raise ValueError(f"unexpected run-1 commits: {commits_run1}")
+    versions_mid = snapshot_versions(tdir)
+    if len(versions_mid) != _Q291_CRASH_BID + 1:
+        raise ValueError(
+            f"crash spot wrong: {len(versions_mid)} versions committed, "
+            f"expected {_Q291_CRASH_BID + 1} (work done, offset not)"
+        )
+    e2 = _drain()
+    if e2 is not None:
+        raise ValueError(f"restarted run failed: {e2!r:.300}")
+    n_total = -(-_Q291_ROWS // _Q291_BATCH)
+    if _commits() != list(range(n_total)):
+        raise ValueError(f"incomplete drain after restart: {_commits()}")
+    versions = snapshot_versions(tdir)
+    if len(versions) != n_total:
+        raise ValueError(
+            f"phantom commit: {len(versions)} versions for {n_total} "
+            f"batches — the replay guard failed"
+        )
+    if skipped != [_Q291_CRASH_BID] or calls.count(_Q291_CRASH_BID) != 2:
+        raise ValueError(
+            f"replay ledger wrong: skipped={skipped}, calls={sorted(calls)}"
+        )
+    applied = sorted(int(n) for n in os.listdir(ledger) if n.isdigit())
+    if applied != list(range(n_total)):
+        raise ValueError(f"ledger incomplete: {applied}")
+    out = read_snapshot(spark, tdir)
+    n_rows, n_ids = out.count(), out.select("doc_id").distinct().count()
+    if n_rows != _Q291_ROWS or n_ids != _Q291_ROWS:
+        raise ValueError(f"table not exactly-once: {n_rows} rows, {n_ids} ids")
+    return out.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("bucket").cast("bigint").alias("bucket_sum"),
+        F.lit(len(versions)).cast("bigint").alias("n_versions"),
+        F.lit(len(applied)).cast("bigint").alias("n_batches_applied"),
+        F.lit(len(skipped)).cast("bigint").alias("n_batches_skipped_replay"),
+        F.lit(len(commits_run1)).cast("bigint").alias("n_commits_run1"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering
 # ---------------------------------------------------------------------------
@@ -19306,15 +19469,15 @@ def q298_stream_dedup_ttl_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # >= 2 consecutive driver rounds, each family keeping in-head reps,
 # annotated at the swap sites below.
 
-# Round 14 continues the zero-backlog discipline: all EIGHT round-14
+# Round 14 continues the zero-backlog discipline: all NINE round-14
 # families take birth-round head slots — q291 streaming crash recovery /
 # exactly-once, q292 append-mode window emission timing, q293 AQE
 # skew-join rescue, q294 AQE partition coalescing, q295 REBALANCE write
 # rescue, q296 state-store crash recovery, q297 AQE broadcast
-# conversion, q298 streaming dedup TTL replay — displacing
-# q257/q270/q251/q249/q221/q264/q242/q267, each green >= 3 consecutive
-# driver rounds, each family keeping in-head reps, annotated at the
-# swap sites below.
+# conversion, q298 streaming dedup TTL replay, q299 exactly-once MERGE
+# sink — displacing q257/q270/q251/q249/q221/q264/q242/q267/q260, each
+# green >= 3 consecutive driver rounds, each family keeping in-head
+# reps, annotated at the swap sites below.
 
 _DRIVER_SNAPSHOT_50 = [
     # reference surface: aggregates, scalars, datetime, medallion KPIs
@@ -19359,7 +19522,7 @@ _DRIVER_SNAPSHOT_50 = [
     "q283_majority_vote_repair",  # r12 birth-round: three-replica majority-vote reconciliation — the repair step composing q282's digest prefilter with a per-key 3-way vote, planted minority defects named per replica (q240 MAD green r10+r11; robust stats keep q249 Mann-Whitney + q255 KS in the head and q240 stays value-oracled in the full gate)
     "q238_blocking_quality",  # r10: LSH blocking-quality ER audit (reduction ratio + pair completeness vs planted-twin exact-Jaccard truth), birth-round row (q149 contrastive pairs green r08+r09; dedup keeps q67/q204/q209 + incoming q239 in the head and q149 stays value-oracled in the full gate)
     "q272_sequence_motif_match",  # r11 late birth-round: MATCH_RECOGNIZE-lite sequence motifs over per-user event strings (q217 Benford green r9+r10; the audit-stats family keeps q241/q249/q256 in the head and q217 stays value-oracled in the full gate)
-    "q260_pareto_skyline",  # r11: Pareto frontier via the cummax_cols EXCLUSIVE prefix max — the driver-visible proof of the r10 rank-statistic widening, never driver-recorded (q234 ABC-XYZ green r9+r10; planning analytics keep q246 in the head and q234/q220 stay value-oracled in the full gate)
+    "q299_exactly_once_merge_sink",  # r14 birth-round: exactly-once transactional MERGE sink — crash lands AFTER the merge commit but BEFORE the offset commit, the idempotency ledger must skip the replay (version count == batch count is the proof), completing the recovery trio q291/q296 (q260 Pareto skyline green r11-r13; the cummax exclusive-prefix-max machinery now has four in-head riders q285/q289/q292/q298 plus q255 multi-prefix-sum, and q260 stays value-oracled in the full gate)
     # similarity family
     "q201_pq_codes_int",  # r8: integer-exact PQ train+encode, first-ever driver row for the PQ family (q36 brute kNN green r01-r07; q183's recall eval computes the same brute kNN internally)
     "q287_compaction_execute",  # r13 birth-round: compaction EXECUTION — q257's binpack plan actually run (bin-keyed rewrite, one file per bin) with before/after re-read equality + an EXECUTOR-SIDE pyarrow footer walk, the predict->execute->measure loop applied to OPTIMIZE (q198 PCA green r8-r12; X19 similarity keeps q201 integer PQ in the head and q198 stays value-oracled in the full gate)

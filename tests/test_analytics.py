@@ -2500,3 +2500,20 @@ def test_q298_dedup_ttl_streaming_simulation(spark):
             1 for v in emits_per_key.values() if v > 1
         ), delay
         assert n_late + n_emit + n_dup == len(rows), delay
+
+
+@pytest.mark.slow
+def test_q299_merge_sink_ledger(spark):
+    """q299 end-to-end at test SF: the transactional sink's ledger must
+    show the designed crash (4 versions durably committed against 3
+    offset commits in run 1), exactly one skipped replay, a version
+    count equal to the batch count (no phantom commit), and the final
+    table covering the whole corpus exactly once."""
+    rows = QUERIES["q299_exactly_once_merge_sink"](spark, SF).collect()
+    assert len(rows) == 4
+    assert sum(r["n"] for r in rows) == 6000
+    for r in rows:
+        assert r["n_versions"] == 12
+        assert r["n_batches_applied"] == 12
+        assert r["n_batches_skipped_replay"] == 1
+        assert r["n_commits_run1"] == 3
