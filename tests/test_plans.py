@@ -1260,3 +1260,27 @@ def test_q290_dynamic_pruning_pinned_and_invisible(spark):
     finally:
         spark.conf.set(conf, old)
     assert got == want
+
+
+def test_q292_q298_plan_shapes(spark):
+    """q292 emission timing and q298 dedup TTL both ride ONE
+    distributed_rank pass for the arrival-order watermark: no global
+    WindowExec may appear, and no CartesianProduct (the 1-row
+    end-of-stream maxima combine is the sanctioned bounded broadcast).
+    q298's per-key chain must run as a grouped-map FlatMapGroupsInPandas
+    (the X16 Arrow surface), never a row-at-a-time Python UDF."""
+    for name in (
+        "q292_stream_window_emission_timing",
+        "q298_stream_dedup_ttl_replay",
+    ):
+        plan = (
+            QUERIES[name](spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan, name
+        assert not global_windows(plan), f"{name} has a global WindowExec"
+        if name == "q298_stream_dedup_ttl_replay":
+            assert "FlatMapGroupsInPandas" in plan, "q298 chain not grouped-map"
+            assert "BatchEvalPython" not in plan, "q298 has a row-wise UDF"
