@@ -447,8 +447,10 @@ def ngram_jaccard_pairs(
     )
     a = toks.select(F.col("_tid").alias("id_a"), F.col("_toks").alias("toks_a"))
     b = toks.select(F.col("_tid").alias("id_b"), F.col("_toks").alias("toks_b"))
+    # |A ∪ B| from sizes (arrays are array_distinct by construction):
+    # one array_intersect per pair instead of intersect + union.
     inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
-    union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
+    union = F.size("toks_a") + F.size("toks_b") - inter
     # Single int/int division — bit-stable across engines, no rounding.
     return (
         pairs.join(a, "id_a")
@@ -1185,8 +1187,14 @@ def jaccard_join_prefix_filter(
     )
     a = toks.select(F.col("_id").alias("id_a"), F.col("_toks").alias("_ta"))
     b = toks.select(F.col("_id").alias("id_b"), F.col("_toks").alias("_tb"))
+    # |A ∪ B| = |A| + |B| - |A ∩ B| exactly (the token arrays are
+    # array_distinct by construction), so the verify pass computes ONE
+    # array_intersect per pair instead of intersect + union — the union
+    # hash-build was half the per-pair CPU on the ~10^6-pair sf0.1
+    # candidate set (guide §2.3: don't compute what arithmetic gives
+    # you). Same integers, bit-identical jaccard double.
     inter = F.size(F.array_intersect(F.col("_ta"), F.col("_tb")))
-    union = F.size(F.array_union(F.col("_ta"), F.col("_tb")))
+    union = F.size("_ta") + F.size("_tb") - inter
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")

@@ -83,7 +83,7 @@ def _scratch_dir(spark: SparkSession, stem: str, sf_dir: str) -> str:
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     app = spark.sparkContext.applicationId
-    tmp = tempfile.gettempdir()
+    tmp = _scratch_root()
     prefix = f"spark_graft_{stem}_{tag}_"
     mine = os.path.join(tmp, f"{prefix}{app}")
     now = time.time()
@@ -103,6 +103,36 @@ def _scratch_dir(spark: SparkSession, stem: str, sf_dir: str) -> str:
 
 
 _SCRATCH_STALE_S = 7200
+
+
+def _scratch_root() -> str:
+    """Root directory for scratch sinks: $SPARK_GRAFT_SCRATCH_DIR when
+    set, else tmpfs (/dev/shm) when writable, else the system tempdir.
+
+    Optimization-round change (guide §6): scratch sinks are written and
+    re-read within one query — transient shuffle-class I/O, the same
+    class session.py already routes to tmpfs for spark.local.dir.
+    Under gVisor a 256 KB fsync'd write is ~7x slower on /tmp than on
+    /dev/shm (measured 0.97 s vs 0.14 s for 200 writes), and the
+    commit protocol's per-file rename/fsync dominates the
+    many-small-file layouts q287/q278 deliberately create. On a real
+    cluster SPARK_GRAFT_SCRATCH_DIR points at fast executor-local or
+    shared storage; the data itself is unchanged either way."""
+    import os
+    import tempfile
+
+    env = os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
+    if env:
+        os.makedirs(env, exist_ok=True)
+        return env
+    if os.access("/dev/shm", os.W_OK):
+        root = "/dev/shm/spark-graft-scratch"
+        try:
+            os.makedirs(root, exist_ok=True)
+            return root
+        except OSError:
+            pass
+    return tempfile.gettempdir()
 
 
 # --- exact-arithmetic helpers (see dialect rules above) ---------------------

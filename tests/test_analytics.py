@@ -13,6 +13,7 @@ from spark_lakehouse_medallion_pipeline_spark.queries import (
     _NDCG_DISC,
     _NDCG_IDEAL,
     QUERIES,
+    _scratch_root,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -2106,7 +2107,7 @@ def test_q287_compaction_execute_replay(spark):
     # on-disk layout: one file per micro-file before, one per bin after
     tag = os.path.basename(SF.rstrip("/"))
     app = spark.sparkContext.applicationId
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_q287_{tag}_{app}")
+    base = os.path.join(_scratch_root(), f"spark_graft_q287_{tag}_{app}")
     bdirs = glob.glob(os.path.join(base, "before", "m=*"))
     adirs = glob.glob(os.path.join(base, "after", "bin_id=*"))
     assert len(bdirs) == len(inv)

@@ -14,7 +14,7 @@ import re
 import pytest
 
 from spark_lakehouse_medallion_pipeline_spark.plans import explain
-from spark_lakehouse_medallion_pipeline_spark.queries import QUERIES
+from spark_lakehouse_medallion_pipeline_spark.queries import QUERIES, _scratch_root
 
 SF = "/root/testdata/sf0.001"
 
@@ -1109,7 +1109,7 @@ def test_q278_one_file_per_zone_on_disk(spark):
     }
     tag = os.path.basename(SF.rstrip("/"))
     app = spark.sparkContext.applicationId
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_q278_{tag}_{app}")
+    base = os.path.join(_scratch_root(), f"spark_graft_q278_{tag}_{app}")
     for layout in ("natural", "sorted"):
         zdirs = sorted(glob.glob(os.path.join(base, layout, "z=*")))
         assert len(zdirs) == rows[layout]["n_files"]
@@ -1160,7 +1160,7 @@ def test_q278_zone_size_caps_file_count(spark, tmp_path):
     want_files = -(-n // zrows)  # 128
     tag = os.path.basename(str(tmp_path).rstrip("/"))
     app = spark.sparkContext.applicationId
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_q278_{tag}_{app}")
+    base = os.path.join(_scratch_root(), f"spark_graft_q278_{tag}_{app}")
     for layout in ("natural", "sorted"):
         assert rows[layout]["n_files"] == want_files
         assert rows[layout]["footer_verified"] == 1
