@@ -776,9 +776,29 @@ def fuzzy_pairs(
     )
     if max_bucket is not None:
         buckets = buckets.filter(F.size("_ids") <= max_bucket)
+    # Pair generation as a positional self-join on the bucket key, not
+    # the in-row _bucket_pairs transform (optimization round, the q159
+    # fix applied to the delete-neighborhood path): real name files
+    # share short/dense neighborhood keys, so buckets here reach
+    # hundreds of members (sf0.1 customer sample: 20 buckets of 323,
+    # thousands of size 25-30) and the nested higher-order form pays
+    # O(n^2) INTERPRETED slice copies per bucket. posexplode keeps the
+    # sorted-id order (pos order == id order, ids unique), the equi
+    # join runs in codegen, and the pair set — hence everything after
+    # distinct() — is identical. The MinHash banding path deliberately
+    # keeps _bucket_pairs: its buckets are near-singletons, where one
+    # in-row explode beats re-shuffling 16M member rows for a join.
+    mem = buckets.select("_kh", F.posexplode("_ids").alias("_i", "_mid"))
     pairs = (
-        buckets.select(F.explode(_bucket_pairs(F.col("_ids"))).alias("p"))
-        .select("p.id_a", "p.id_b")
+        mem.alias("_fa")
+        .join(
+            mem.alias("_fb"),
+            (F.col("_fa._kh") == F.col("_fb._kh"))
+            & (F.col("_fa._i") < F.col("_fb._i")),
+        )
+        .select(
+            F.col("_fa._mid").alias("id_a"), F.col("_fb._mid").alias("id_b")
+        )
         .distinct()
     )
     na = df.select(F.col(id_col).alias("id_a"), name.alias("name_a"))
@@ -1164,40 +1184,48 @@ def jaccard_join_prefix_filter(
     )
     if max_bucket is not None:
         buckets = buckets.filter(F.size("_ms") <= max_bucket)
-    ms = F.col("_ms")
 
     # Length filter always; positional filter ONLY in exact mode
     # (max_bucket is None) — see the prefixes comment: its recall
     # proof needs the smallest-shared-token bucket to survive.
-    def _pair_ok(a, b):  # a, b: the two prefix structs of a candidate
-        ok = F.least(a["len"], b["len"]) * den >= num * F.greatest(
-            a["len"], b["len"]
-        )
-        if max_bucket is None:
-            ok = ok & (
-                (num + den) * (F.lit(1) + F.least(a["rest"], b["rest"]))
-                >= num * (a["len"] + b["len"])
-            )
-        return ok
-
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size(ms) - 1),
-            lambda i: F.transform(
-                F.filter(
-                    F.slice(ms, 1, i),
-                    lambda a: _pair_ok(a, F.element_at(ms, i + 1)),
-                ),
-                lambda a: F.struct(
-                    a["id"].alias("id_a"),
-                    F.element_at(ms, i + 1)["id"].alias("id_b"),
-                ),
-            ),
-        )
+    # In-bucket pair generation as a positional SELF-JOIN, not a nested
+    # higher-order transform (optimization round, guide §1.2/§4.1): the
+    # previous form — transform(sequence(1, n-1), i ->
+    # transform(filter(slice(ms, 1, i), ...), ...)) — evaluates
+    # INTERPRETED per element and copies an O(i) slice per position, so
+    # a degenerate corpus whose buckets grow large (exactly the case
+    # this operator's docstring warns about) paid O(n^2) interpreted
+    # slice copies per bucket: measured 12 s of the 17.8 s sf0.1 total.
+    # posexplode the sorted bucket to (pos, member) rows and equi-join
+    # on the bucket key with pos_a < pos_b: the same ordered pair set
+    # (ms is sorted by member struct, ids unique, so pos order == id
+    # order) with the same length/positional predicates, but generated
+    # inside whole-stage codegen. The join key ships as xxhash64 of the
+    # token, not the token string (guide §2.3 narrower keys); a 64-bit
+    # collision can only ADD candidate pairs, which the exact jaccard
+    # verify below removes — the returned pair set is provably
+    # unchanged either way.
+    mem = buckets.select(
+        F.xxhash64("_tok").alias("_kh"), F.posexplode("_ms").alias("_i", "_m")
     )
+    am, bm = F.col("_jx._m"), F.col("_jy._m")
+    pair_ok = F.least(am["len"], bm["len"]) * den >= num * F.greatest(
+        am["len"], bm["len"]
+    )
+    if max_bucket is None:
+        pair_ok = pair_ok & (
+            (num + den) * (F.lit(1) + F.least(am["rest"], bm["rest"]))
+            >= num * (am["len"] + bm["len"])
+        )
     cand = (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select("p.id_a", "p.id_b")
+        mem.alias("_jx")
+        .join(
+            mem.alias("_jy"),
+            (F.col("_jx._kh") == F.col("_jy._kh"))
+            & (F.col("_jx._i") < F.col("_jy._i")),
+        )
+        .filter(pair_ok)
+        .select(am["id"].alias("id_a"), bm["id"].alias("id_b"))
         .distinct()
     )
     a = toks.select(F.col("_id").alias("id_a"), F.col("_toks").alias("_ta"))

@@ -18730,19 +18730,28 @@ def q295_rebalance_write_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
 
-    def audit(path: str) -> tuple[int, int]:
+    # One footer walk per layout (optimization round): the rebalanced
+    # walk also carries the hot-directory file count (path-derived k),
+    # so the separate k=0 re-walk below is folded into this listing —
+    # 3 binaryFile scans + mapInPandas jobs become 2. Same counts.
+    def audit(path: str) -> tuple[int, int, int]:
         r = (
             parquet_footer_stats(spark, f"{path}/k=*")
             .agg(
                 F.count(F.lit(1)).alias("nf"),
                 F.max("n_rows").alias("maxr"),
+                F.sum(
+                    F.when(
+                        F.regexp_extract("path", r"k=(\d+)", 1) == "0", 1
+                    ).otherwise(0)
+                ).alias("hot"),
             )
             .collect()[0]
         )
-        return int(r["nf"]), int(r["maxr"])
+        return int(r["nf"]), int(r["maxr"]), int(r["hot"])
 
-    nf_plain, maxr_plain = audit(plain)
-    nf_reb, maxr_reb = audit(reb)
+    nf_plain, maxr_plain, _ = audit(plain)
+    nf_reb, maxr_reb, hot_files = audit(reb)
     n_keys = li.select("k").distinct().count()
     if nf_plain != n_keys:
         raise ValueError(
@@ -18754,11 +18763,6 @@ def q295_rebalance_write_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"rebalance did not split the hot partition: {nf_reb} files "
             f"(keys {n_keys}), max rows {maxr_reb} vs plain {maxr_plain}"
         )
-    hot_files = (
-        parquet_footer_stats(spark, f"{reb}/k=0").agg(
-            F.count(F.lit(1)).alias("nf")
-        )
-    ).collect()[0]["nf"]
     if hot_files <= 1:
         raise ValueError(f"hot directory still a single file: {hot_files}")
     return (
