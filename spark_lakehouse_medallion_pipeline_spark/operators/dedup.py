@@ -918,6 +918,7 @@ def contrastive_pairs(
     shingle_k: int = 3,
     neg_per_pos: int = 1,
     portable: bool = False,
+    broadcast_distinct_shingles: bool = False,
 ) -> DataFrame:
     """Mine (anchor, other, label) training pairs for embedding /
     reranker models: positives are LSH near-dup candidates (label 1),
@@ -950,10 +951,18 @@ def contrastive_pairs(
     digit-for-digit in any engine with md5: the iterative top-up loop
     value-oracles as unrolled SQL CTEs (q149). Same plan shapes; md5
     costs ~2x xxhash64 per call, which the fast path (default) avoids.
+
+    ``broadcast_distinct_shingles`` passes through to the portable LSH
+    stage (see ``minhash_lsh_candidates_portable``): hash the DISTINCT
+    shingle table once and broadcast-join it back instead of md5-hashing
+    every (doc, shingle) occurrence inline. Same hash values, same
+    candidates — a caller assertion that distinct shingles fit in
+    executor memory (bounded vocabulary or heavy duplication).
     """
     pos = (
         minhash_lsh_candidates_portable(
-            docs, id_col, text_col, num_hashes, bands, shingle_k
+            docs, id_col, text_col, num_hashes, bands, shingle_k,
+            broadcast_distinct_shingles=broadcast_distinct_shingles,
         )
         if portable
         else minhash_lsh_candidates(docs, id_col, text_col, num_hashes, bands, shingle_k)

@@ -6245,8 +6245,15 @@ def q149_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
+    # broadcast_distinct_shingles: this corpus's 2-shingle vocabulary is
+    # bounded (same caller assertion q162/q222 already make on the same
+    # fixture — measured 931 distinct vs 265k occurrences at sf0.1), so
+    # hash the distinct table once instead of 8 md5 digests per
+    # occurrence. Identical hash values => identical mined pairs; the
+    # unrolled-CTE oracle re-proves it. 2.7x on the LSH stage (r15).
     pairs = contrastive_pairs(
-        docs, num_hashes=16, bands=4, shingle_k=2, portable=True
+        docs, num_hashes=16, bands=4, shingle_k=2, portable=True,
+        broadcast_distinct_shingles=True,
     )
     toks = docs.select(
         F.col("doc_id"),
@@ -9699,9 +9706,18 @@ def q209_incremental_near_dup_portable(spark: SparkSession, sf_dir: str) -> Data
     docs = _t(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 10 == 0)
     existing = docs.filter(F.col("doc_id") % 10 != 0)
-    nb = dedup.minhash_banded_portable(new, num_hashes=16, bands=4, shingle_k=3)
+    # broadcast_distinct_shingles on both sides: same bounded-vocabulary
+    # assertion q162/q149 make on this fixture — the distinct 3-shingle
+    # table is tiny next to the occurrence stream, so each side hashes
+    # its distinct shingles once instead of 8 md5 digests per occurrence
+    # (identical hash values => identical bands; oracle re-proves).
+    nb = dedup.minhash_banded_portable(
+        new, num_hashes=16, bands=4, shingle_k=3,
+        broadcast_distinct_shingles=True,
+    )
     ob = dedup.minhash_banded_portable(
-        existing, num_hashes=16, bands=4, shingle_k=3
+        existing, num_hashes=16, bands=4, shingle_k=3,
+        broadcast_distinct_shingles=True,
     ).select("band", "bkey")
     dup_ids = (
         nb.join(ob, ["band", "bkey"], "left_semi")
