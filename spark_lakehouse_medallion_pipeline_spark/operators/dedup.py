@@ -1214,9 +1214,22 @@ def jaccard_join_prefix_filter(
     # collision can only ADD candidate pairs, which the exact jaccard
     # verify below removes — the returned pair set is provably
     # unchanged either way.
+    # Parallelize the probe side of the pair join (r15, guide §2.5
+    # compute skew / §2.6 idle capacity): `buckets` is a handful of
+    # GROUPS (15 at sf0.1), so AQE coalesces its exchange to ~1
+    # partition and the entire C(n,2) in-bucket pair explosion — 22.4M
+    # joined rows at sf0.1, 7.3M from the largest bucket alone — probed
+    # the broadcast build in a SINGLE task (byte-based AQE skew
+    # handling cannot see compute skew on a 400 KB partition). Spreading
+    # the exploded MEMBER rows round-robin over the cluster's cores
+    # balances the probe work regardless of bucket skew: each member
+    # row's probe cost is one bucket scan, and round-robin distributes
+    # the big bucket's members evenly. 14k tiny rows shuffled; the
+    # pair set is identical (pos_a < pos_b pairs, any row placement).
+    par = docs.sparkSession.sparkContext.defaultParallelism
     mem = buckets.select(
         F.xxhash64("_tok").alias("_kh"), F.posexplode("_ms").alias("_i", "_m")
-    )
+    ).repartition(par)
     am, bm = F.col("_jx._m"), F.col("_jy._m")
     pair_ok = F.least(am["len"], bm["len"]) * den >= num * F.greatest(
         am["len"], bm["len"]
@@ -1235,16 +1248,50 @@ def jaccard_join_prefix_filter(
         )
         .filter(pair_ok)
         .select(am["id"].alias("id_a"), bm["id"].alias("id_b"))
-        .distinct()
+        # distinct via an explicit hash repartition on the pair key: the
+        # plain .distinct()'s post-shuffle side gets AQE-coalesced by
+        # BYTES (3.3M 16-byte pairs ≈ 2 partitions at the 64 MB
+        # advisory), which serialized the downstream verify's 3.3M
+        # array_intersect calls onto 2 tasks. Hash placement by
+        # (id_a, id_b) keeps the dedup exact; the verify then runs at
+        # cluster parallelism (r15, guide §2.2 partition sizing is about
+        # bytes, but this stage is CPU-bound per row).
+        .repartition(par, "id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
-    a = toks.select(F.col("_id").alias("id_a"), F.col("_toks").alias("_ta"))
-    b = toks.select(F.col("_id").alias("id_b"), F.col("_toks").alias("_tb"))
+    # Verify on DICTIONARY-ENCODED token ids, not strings (r15, VERDICT
+    # r14 Next #3; guide §2.3 narrow types / §4 per-row CPU): the
+    # ~10^6-pair verify hashes every array element, and long hashing +
+    # equality beats UTF8String by ~1.4x end-to-end (measured 3.04 ->
+    # 2.14 s same-window at sf0.1). Ids come from a CHECKPOINTED vocab
+    # (monotonically_increasing_id over the distinct-token table):
+    # checkpointing pins one id assignment, so the a-side and b-side
+    # recodes — two evaluations of the same subtree — read identical
+    # ids. The map is injective (collision-FREE, unlike a 64-bit hash,
+    # which could merge two tokens inside one pair and change a jaccard
+    # VALUE), so |A∩B| and |A|+|B| are exactly the integers the string
+    # arrays gave: the jaccard double is bit-identical. The vocab table
+    # is bounded by the corpus vocabulary, never the corpus (31 tokens
+    # at sf0.1); a driver round-trip is never involved.
+    vocab = (
+        df_tok.select("_tok")
+        .withColumn("_tid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
+    toks_int = (
+        toks.select("_id", F.explode("_toks").alias("_tok"))
+        .join(vocab, "_tok")
+        .groupBy("_id")
+        .agg(F.collect_list("_tid").alias("_ti"))
+    )
+    a = toks_int.select(F.col("_id").alias("id_a"), F.col("_ti").alias("_ta"))
+    b = toks_int.select(F.col("_id").alias("id_b"), F.col("_ti").alias("_tb"))
     # |A ∪ B| = |A| + |B| - |A ∩ B| exactly (the token arrays are
-    # array_distinct by construction), so the verify pass computes ONE
-    # array_intersect per pair instead of intersect + union — the union
-    # hash-build was half the per-pair CPU on the ~10^6-pair sf0.1
-    # candidate set (guide §2.3: don't compute what arithmetic gives
-    # you). Same integers, bit-identical jaccard double.
+    # array_distinct by construction, and the id map injective), so the
+    # verify pass computes ONE array_intersect per pair instead of
+    # intersect + union — the union hash-build was half the per-pair CPU
+    # on the ~10^6-pair sf0.1 candidate set (guide §2.3: don't compute
+    # what arithmetic gives you). Same integers, bit-identical double.
     inter = F.size(F.array_intersect(F.col("_ta"), F.col("_tb")))
     union = F.size("_ta") + F.size("_tb") - inter
     return (
