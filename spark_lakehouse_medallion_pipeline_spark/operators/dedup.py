@@ -54,17 +54,22 @@ def drop_exact_duplicates(
 
 def _fast_tokens(text: Column) -> Column:
     """``whitespace_tokens(normalized_text(text))`` minus the redundant
-    regex pass (optimization round, guide §1.2 per-task work): the
+    collapse pass (optimization round, guide §1.2 per-task work): the
     composed form runs ``regexp_replace(lower(trim(x)), '\\s+', ' ')``
     — a full regex scan + string rebuild — only for ``split`` to
     re-scan with the same ``\\s+`` pattern. Splitting the un-collapsed
-    string yields the IDENTICAL token array for every input (runs of
-    whitespace are one separator either way; leading/trailing handled
-    by trim; '' still yields ['']), so every hash/jaccard derived from
-    it is bit-identical. Use only where the TOKENS are consumed — code
-    that needs the collapsed STRING itself (exact_dedup content keys)
-    keeps normalized_text."""
-    return F.split(F.lower(F.trim(text)), r"\s+")
+    string yields the IDENTICAL token array for every input: runs of
+    whitespace are one separator either way, and leading/trailing
+    whitespace of EVERY class is stripped by the anchored regex below —
+    plain ``F.trim`` strips only spaces, so the r14 form grew an
+    empty-string token on inputs like ``'foo\\n'`` where the composed
+    form (whose outer trim runs AFTER collapsing turned the newline
+    into a space) did not (r15 ADVICE fix). '' still yields [''], so
+    every hash/jaccard derived from it is bit-identical to the
+    composed form. Use only where the TOKENS are consumed — code that
+    needs the collapsed STRING itself (exact_dedup content keys) keeps
+    normalized_text."""
+    return F.split(F.regexp_replace(F.lower(text), r"^\s+|\s+$", ""), r"\s+")
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:

@@ -117,7 +117,14 @@ def _scratch_root() -> str:
     commit protocol's per-file rename/fsync dominates the
     many-small-file layouts q287/q278 deliberately create. On a real
     cluster SPARK_GRAFT_SCRATCH_DIR points at fast executor-local or
-    shared storage; the data itself is unchanged either way."""
+    shared storage; the data itself is unchanged either way.
+
+    tmpfs is RAM-backed and typically capped at 50% of RAM, so the
+    /dev/shm fallback is gated on free headroom (r15 ADVICE fix): the
+    scratch layouts here are micro-file fixtures (tens of MB at the
+    bench SFs), but a caller at a large scale factor without
+    SPARK_GRAFT_SCRATCH_DIR set must degrade to the disk tempdir, not
+    ENOSPC mid-write."""
     import os
     import tempfile
 
@@ -128,8 +135,13 @@ def _scratch_root() -> str:
     if os.access("/dev/shm", os.W_OK):
         root = "/dev/shm/spark-graft-scratch"
         try:
-            os.makedirs(root, exist_ok=True)
-            return root
+            st = os.statvfs("/dev/shm")
+            # Require 4 GiB of tmpfs headroom — two orders of magnitude
+            # above the largest scratch layout any query writes at the
+            # driver's bench scale factors.
+            if st.f_bavail * st.f_frsize >= 4 << 30:
+                os.makedirs(root, exist_ok=True)
+                return root
         except OSError:
             pass
     return tempfile.gettempdir()
@@ -19223,10 +19235,20 @@ def q298_stream_dedup_ttl_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             a[3] += 1 if n_emit > 1 else 0
 
         for pdf in batches:
+            # NULL key components arrive as NaN, and NaN != NaN would
+            # make every null-keyed row its own group (r15 ADVICE fix);
+            # normalize to None ONCE per batch, vectorized — the .any()
+            # probe costs ~nothing on the null-free common case.
+            uids = pdf["user_id"]
+            if uids.isna().any():
+                uids = uids.astype(object).where(uids.notna(), None)
+            etypes = pdf["event_type"]
+            if etypes.isna().any():
+                etypes = etypes.astype(object).where(etypes.notna(), None)
             for delay, uid, etype, ts, wm in zip(
                 pdf["delay_s"],
-                pdf["user_id"],
-                pdf["event_type"],
+                uids,
+                etypes,
                 pdf["ts_us"],
                 pdf["wm_us"],
             ):

@@ -639,3 +639,28 @@ def test_minhash_portable_broadcast_distinct_equivalent(spark):
         )
     )
     assert base == fast and len(base) > 0
+
+
+def test_fast_tokens_matches_composed_form_on_whitespace_classes(spark):
+    """_fast_tokens must equal whitespace_tokens(normalized_text(x)) for
+    EVERY whitespace class, not just spaces: plain F.trim strips only
+    ' ', so the r14 split(lower(trim(x))) form grew an empty-string
+    token on 'foo\\n' / '\\tfoo' while the composed form (outer trim
+    after collapsing) did not — which silently changed MinHash
+    signatures and jaccard values on text with trailing newlines
+    (r15 ADVICE fix)."""
+    cases = [
+        "foo\n", "\tfoo", "foo", "", "   ", "a  b\t\nc", "\n\n",
+        "A É\tx\n", None, " x ", "foo\r\n", "a\fb",
+    ]
+    from spark_lakehouse_medallion_pipeline_spark.operators.text import (
+        normalized_text,
+        whitespace_tokens,
+    )
+
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    rows = df.select(
+        dedup._fast_tokens(F.col("t")).alias("fast"),
+        whitespace_tokens(normalized_text(F.col("t"))).alias("composed"),
+    ).collect()
+    assert all(r["fast"] == r["composed"] for r in rows)
