@@ -380,7 +380,12 @@ def main() -> None:
         variance[f"{label}_runs_sec"] = samples
         print(f"# {label}: {timings[label]:.2f}s (runs {samples})", file=sys.stderr)
 
-    timed_e2e("medallion_e2e_100k", rows=100_000, payload_kb=1)
+    # min-of-3 (r15, VERDICT r14 Next #5): the r14 committed record
+    # caught a transient on this write-heavy entry (10.46 s vs 6.56 s
+    # same-session quiet on identical code) that min-of-2 let through;
+    # a third rep makes the min robust enough for the tighter
+    # contention band in contention_reasons.
+    timed_e2e("medallion_e2e_100k", reps=3, rows=100_000, payload_kb=1)
     bronze_mb_s = section_stats.get("bronze_mb_s")
 
     # Scaled-up flagship: the same generate->silver->gold e2e at 1M rows
@@ -397,7 +402,7 @@ def main() -> None:
     # for transparency) makes the flagship number comparable
     # round-over-round.
     timed_e2e(
-        "medallion_e2e_1m", reps=2, warmup=2, rows=1_000_000, payload_kb=1
+        "medallion_e2e_1m", reps=3, warmup=2, rows=1_000_000, payload_kb=1
     )
 
     # Payload-heavy regime (the reference's tuned path: 256 KB payloads,
@@ -891,10 +896,15 @@ def contention_reasons(variance: dict, prior: dict | None) -> list[str]:
     reasons this recording must not be used as a round-over-round
     comparator. (a) headline pass spread > 25% (quiet-host raw spread
     is 10-17% here; 25% is ~2x the worst quiet observation); (b) any
-    named section's min-of-reps > 2x the committed prior record's min
-    for the same key, priors below 2 s ignored so sub-second jitter
-    can't trip it. A prior that is itself flagged contended is not a
-    comparator and arm (b) is skipped."""
+    named section's min-of-reps beyond a band over the committed prior
+    record's min for the same key — 2x for 2-5 s priors, tightened to
+    1.6x for priors >= 5 s (r15, VERDICT r14 Next #5: the r14 committed
+    record carried medallion_e2e_100k at 1.59x its same-session quiet
+    value without tripping the old uniform 2x band; the big e2e
+    sections now also run min-of-3, so their min is robust enough for
+    the tighter band). Priors below 2 s are ignored so sub-second
+    jitter can't trip it. A prior that is itself flagged contended is
+    not a comparator and arm (b) is skipped."""
     reasons = []
     if variance["spread_pct"] > 25:
         reasons.append(f"headline spread {variance['spread_pct']}% > 25%")
@@ -907,9 +917,10 @@ def contention_reasons(variance: dict, prior: dict | None) -> list[str]:
             if not isinstance(prior_reps, list) or not prior_reps:
                 continue
             cur_min, pri_min = min(reps), min(prior_reps)
-            if pri_min >= 2.0 and cur_min > 2.0 * pri_min:
+            band = 1.6 if pri_min >= 5.0 else 2.0
+            if pri_min >= 2.0 and cur_min > band * pri_min:
                 reasons.append(
-                    f"{key} min {cur_min:.1f}s > 2x committed {pri_min:.1f}s"
+                    f"{key} min {cur_min:.1f}s > {band}x committed {pri_min:.1f}s"
                 )
     return reasons
 

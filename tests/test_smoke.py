@@ -382,6 +382,17 @@ def test_bench_contention_guard():
     tiny = {"spread_pct": 5.0, "x_runs_sec": [4.0, 4.1]}
     tiny_prior = {"variance": {"x_runs_sec": [1.0, 1.1]}}
     assert bench.contention_reasons(tiny, tiny_prior) == []
+    # r15 tightened band: a >=5s prior trips at 1.6x (the r14 committed
+    # record carried medallion_e2e_100k at 1.59x quiet unflagged under
+    # the old uniform 2x band), while 2-5s priors keep the 2x band
+    drift = {"spread_pct": 5.0, "medallion_e2e_100k_runs_sec": [11.2, 11.9]}
+    drift_prior = {"variance": {"medallion_e2e_100k_runs_sec": [6.5, 6.9]}}
+    assert any(
+        "1.6x" in r for r in bench.contention_reasons(drift, drift_prior)
+    )
+    mid = {"spread_pct": 5.0, "y_runs_sec": [5.5, 5.8]}
+    mid_prior = {"variance": {"y_runs_sec": [3.0, 3.2]}}
+    assert bench.contention_reasons(mid, mid_prior) == []
 
     # the compact line keeps the flag at every degrade step
     from pathlib import Path
